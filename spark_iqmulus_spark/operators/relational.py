@@ -1,0 +1,763 @@
+"""Core relational operator surface (SURVEY.md §2B).
+
+The reference library implements no relational operators itself — it makes
+point clouds DataFrames and delegates joins/aggregates/windows/sorts to the
+host Spark SQL engine (verified in SURVEY.md §2B; no join/sort/window code in
+``/root/reference/src/main``).  This module declares that surface explicitly
+as audited DataFrame pipelines over the driver testdata, each paired with an
+ANSI-SQL oracle for DuckDB.
+
+Scale notes (100 TB mindset), applied throughout:
+
+- filters/projections are expressed declaratively so Catalyst pushes them
+  into the parquet scan (verified via ``.explain``: ``PushedFilters`` /
+  ``ReadSchema``);
+- small dimensions (nation/region/supplier/customer at test SF) are joined
+  with an explicit ``broadcast()`` hint where the dimension is bounded in
+  size by schema design; fact-fact joins stay shuffle joins and rely on AQE;
+- every aggregate is expressed with built-in functions → whole-stage
+  codegen, partial (map-side) aggregation for free;
+- floating-point aggregates are ``round()``-ed identically on both the Spark
+  and oracle side: summation order across partitions is engine-dependent, so
+  the last few ulps are not comparable — rounding to 4 decimals makes the
+  comparison well-defined without masking real bugs;
+- result orderings that feed ``row_number``/``LIMIT`` always carry a unique
+  tiebreaker column so results are total-ordered and deterministic.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..session import load_tables
+
+# ---------------------------------------------------------------------------
+# helpers
+
+
+def _ts(col, alias):
+    """Render a timestamp column as a canonical UTC string.
+
+    Engines disagree on timestamp transport representation (tz-aware vs
+    naive); strings with explicit microseconds are unambiguous.
+    """
+    return F.date_format(col, "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(alias)
+
+
+_TS_ORACLE = "strftime({c}, '%Y-%m-%d %H:%M:%S.%f')"
+
+
+# ---------------------------------------------------------------------------
+# A6-equivalent: scan + projection
+
+
+def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pruned scan: only 3 of 11 lineitem columns are read.
+
+    Mirrors reference scan-level column pruning
+    (BinarySectionRelation.scala:165-181): decode only requiredColumns.
+    Catalyst pushes the projection into the parquet reader (ReadSchema
+    shows 3 columns).
+    """
+    t = load_tables(spark, sf_dir)
+    return t["lineitem"].select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+def q_filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive range+equality predicate, the shape a LAS consumer runs on
+    x/y/z/classification.  Both predicates land in parquet PushedFilters."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .where((F.col("l_quantity") > 25.0) & (F.col("l_returnflag") == "R"))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    )
+
+
+def q_count_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global COUNT(*) — correct SQL semantics (the reference's metadata-only
+    CountPlan returns n*count for COUNT(n), ExtraStrategies.scala:35-46; we
+    do not replicate the quirk).  Parquet answers this from footer metadata —
+    the moral equivalent of the reference's header fast path."""
+    t = load_tables(spark, sf_dir)
+    return t["lineitem"].agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def q_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global MIN/MAX — reference AggregatePlan equivalent
+    (ExtraStrategies.scala:49-76) over regular columns."""
+    t = load_tables(spark, sf_dir)
+    return t["lineitem"].agg(
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: hash aggregate with partial+final phases and 6
+    aggregates; Catalyst plans map-side combine automatically."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t["lineitem"].groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey", "l_suppkey").alias("n_part_supp"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct.  Not bit-comparable to DuckDB's
+    HLL → oracle compares against exact distinct with a tolerance expressed
+    as a boolean (within 5% — rsd default is 0.05)."""
+    t = load_tables(spark, sf_dir)
+    exact = t["lineitem"].select(F.countDistinct("l_orderkey").alias("exact"))
+    approx = t["lineitem"].select(
+        F.approx_count_distinct("l_orderkey").alias("approx")
+    )
+    return (
+        approx.crossJoin(exact)
+        .select(
+            (F.abs(F.col("approx") - F.col("exact")) / F.col("exact") < 0.05)
+            .alias("within_5pct")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# joins
+
+
+def q_join_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact equi join.  Both sides are large at scale → shuffle join on
+    the key; AQE converts to broadcast only if one side turns out small."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .join(t["orders"], t["lineitem"].l_orderkey == t["orders"].o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+        )
+    )
+
+
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dim joins with explicit broadcast hints: nation and region are
+    fixed-cardinality (25/5 rows at any SF) — broadcasting eliminates both
+    shuffles; verified BroadcastHashJoin in the physical plan."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 4).alias("sum_bal"),
+        )
+    )
+
+
+def q_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer: customers with/without orders (order counts, null-safe)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI = EXISTS: customers having at least one 'F' order."""
+    t = load_tables(spark, sf_dir)
+    f_orders = t["orders"].where(F.col("o_orderstatus") == "F")
+    return (
+        t["customer"]
+        .join(f_orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI = NOT EXISTS: customers with no orders at all."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range) join: suppliers whose balance falls in a part-price
+    band.  Spark plans BNLJ with the small side broadcast; counted per brand
+    to keep output bounded."""
+    t = load_tables(spark, sf_dir)
+    p = t["part"].select("p_partkey", "p_brand", "p_retailprice")
+    s = t["supplier"].select("s_suppkey", "s_acctbal")
+    return (
+        p.join(
+            F.broadcast(s),
+            (F.col("s_acctbal") >= F.col("p_retailprice") - 100.0)
+            & (F.col("s_acctbal") <= F.col("p_retailprice")),
+        )
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (the canonical time-series operator Spark lacks natively):
+    for each 'purchase' event, the value of the most recent prior-or-equal
+    'view' event by the same user.
+
+    Spark-first formulation: tag both sides, union, single window sorted by
+    (user_id, ts) carrying ``last(view_value, ignorenulls)`` — one shuffle on
+    user_id, no range explosion, no per-group pandas.  This scales: the state
+    per key is one value, and the shuffle is the same one an equi-join on
+    user_id would need anyway.
+
+    Oracle: DuckDB native ASOF JOIN.
+    """
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("view_value"),
+        F.lit(0).alias("side"), F.lit(None).cast("long").alias("event_id"),
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(None).cast("double").alias("view_value"),
+        F.lit(1).alias("side"), "event_id",
+    )
+    unioned = views.unionByName(purch)
+    # views sort before purchases at identical ts (side 0 < 1) → "prior or
+    # equal" semantics identical to ASOF JOIN's ts_l >= ts_r.
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        unioned.withColumn("asof_value", F.last("view_value", ignorenulls=True).over(w))
+        .where(F.col("side") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            _ts(F.col("ts"), "ts_s"),
+            F.round(F.col("asof_value"), 4).alias("asof_view_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# windows / sort
+
+
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 lineitems per supplier by extendedprice.  row_number with a
+    unique tiebreak (orderkey, linenumber) → deterministic.  One shuffle on
+    l_suppkey; at 100 TB this is the standard top-k-per-group pattern (no
+    global sort)."""
+    t = load_tables(spark, sf_dir)
+    w = W.partitionBy("l_suppkey").orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")
+    )
+    return (
+        t["lineitem"]
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice", "rn")
+    )
+
+
+def q_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic frame: 4-row moving sum + lag over per-customer order
+    history (unique order: o_orderdate, o_orderkey)."""
+    t = load_tables(spark, sf_dir)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return t["orders"].select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w.rowsBetween(-3, 0)), 4).alias("moving_sum"),
+        F.round(F.lag("o_totalprice", 1).over(w), 4).alias("prev_price"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-100 by totalprice (unique tiebreak o_orderkey).  Spark
+    executes as TakeOrderedAndProject — per-partition top-k then merge, no
+    global sort; exactly the plan you want at scale."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 4).alias("o_totalprice"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# set operations
+
+
+def q_set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of two disjoint predicates + distinct count per key."""
+    t = load_tables(spark, sf_dir)
+    a = t["orders"].where(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = t["orders"].where(F.col("o_totalprice") > 100000).select("o_custkey")
+    return a.unionAll(b).groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    a = t["orders"].where(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = t["orders"].where(F.col("o_totalprice") > 50000).select("o_custkey")
+    return a.intersect(b)
+
+
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    a = t["customer"].select("c_custkey")
+    b = t["orders"].select(F.col("o_custkey").alias("c_custkey"))
+    return a.exceptAll(b).groupBy("c_custkey").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# scalar function families
+
+
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t["customer"].select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").alias("name_len"),
+        F.concat_ws("-", "c_mktsegment", "c_name").alias("seg_name"),
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("name_digits"),
+        F.lower(F.trim(F.col("c_mktsegment"))).alias("seg_lower"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
+        F.reverse(F.col("c_mktsegment")).alias("seg_rev"),
+    )
+
+
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .select(
+            "o_orderkey",
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+            F.dayofmonth("o_orderdate").alias("dom"),
+            _ts(F.date_trunc("month", F.col("o_orderdate")), "month_start"),
+            F.datediff(
+                F.lit("1998-12-31").cast("date"), F.col("o_orderdate").cast("date")
+            ).alias("days_to_eoy"),
+        )
+    )
+
+
+def q_math_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scaled-coordinate arithmetic with the reference's semantics:
+    world = offset + scale * n (LasOutputWriter.scala:73-75,
+    ExtraStrategies.scala:53), plus the unscale round-trip
+    n = round((world - offset) / scale).  Pure column expressions —
+    Catalyst constant-folds the literals; no UDT needed (SURVEY §1.4)."""
+    t = load_tables(spark, sf_dir)
+    scale, offset = 0.01, 1000.0
+    world = F.lit(offset) + F.lit(scale) * F.col("p_size")
+    return t["part"].select(
+        "p_partkey",
+        "p_size",
+        F.round(world, 6).alias("world"),
+        F.round((world - F.lit(offset)) / F.lit(scale), 0).cast("int").alias("unscaled"),
+        F.round(F.sqrt(F.col("p_retailprice")), 4).alias("sqrt_price"),
+        F.round(F.ln(F.col("p_retailprice")), 4).alias("ln_price"),
+        (F.col("p_size") % 7).alias("size_mod"),
+        F.abs(F.col("p_size") - 25).alias("size_dist"),
+    )
+
+
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalars over the embedding column: size, element slice,
+    elementwise transform, aggregate-fold norm."""
+    t = load_tables(spark, sf_dir)
+    emb = F.col("embedding")
+    dot_self = F.aggregate(
+        F.zip_with(emb, emb, lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return t["embeddings"].select(
+        "vec_id",
+        F.size(emb).alias("dim"),
+        F.round(emb[0].cast("double"), 6).alias("e0"),
+        F.round(F.sqrt(dot_self), 4).alias("l2_norm"),
+        F.round(
+            F.aggregate(emb, F.lit(0.0), lambda acc, x: acc + x.cast("double")), 4
+        ).alias("sum_elems"),
+    )
+
+
+def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t["events"].select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+    ).groupBy("prop_k").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery (decorrelated by Catalyst into a semi join)."""
+    t = load_tables(spark, sf_dir)
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_custkey IN (
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        )
+        """
+    ).select("o_orderkey", F.round("o_totalprice", 4).alias("o_totalprice"))
+
+
+# ---------------------------------------------------------------------------
+# UDF surface (the sanctioned slow path: Arrow-vectorized, never per-row)
+
+
+def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas (Arrow-vectorized) scalar UDF: discounted price band.
+    Demonstrates the UDF contract; the oracle re-expresses it in SQL."""
+
+    @F.pandas_udf(T.DoubleType())
+    def disc_price(price: pd.Series, disc: pd.Series) -> pd.Series:
+        return (price * (1.0 - disc)).round(4)
+
+    t = load_tables(spark, sf_dir)
+    return t["lineitem"].select(
+        "l_orderkey",
+        "l_linenumber",
+        disc_price(F.col("l_extendedprice"), F.col("l_discount")).alias("disc_price"),
+    )
+
+
+def q_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped UDAF via applyInPandas: per-returnflag weighted average
+    discount (weight = quantity).  numpy does pairwise summation, so the
+    oracle comparison uses the same rounded output."""
+
+    def weighted(pdf: pd.DataFrame) -> pd.DataFrame:
+        w = pdf["l_quantity"].to_numpy()
+        x = pdf["l_discount"].to_numpy()
+        return pd.DataFrame(
+            {
+                "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+                "wavg_disc": [round(float((x * w).sum() / w.sum()), 6)],
+                "n": [len(pdf)],
+            }
+        )
+
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .applyInPandas(weighted, schema="l_returnflag string, wavg_disc double, n long")
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+
+QUERIES = {
+    "q_scan_project": q_scan_project,
+    "q_filter_pred": q_filter_pred,
+    "q_count_star": q_count_star,
+    "q_minmax": q_minmax,
+    "q_agg_group": q_agg_group,
+    "q_agg_distinct": q_agg_distinct,
+    "q_agg_rollup": q_agg_rollup,
+    "q_agg_cube": q_agg_cube,
+    "q_approx_distinct": q_approx_distinct,
+    "q_join_hash": q_join_hash,
+    "q_join_broadcast": q_join_broadcast,
+    "q_join_outer": q_join_outer,
+    "q_join_semi": q_join_semi,
+    "q_join_anti": q_join_anti,
+    "q_join_theta": q_join_theta,
+    "q_join_asof": q_join_asof,
+    "q_window_rank": q_window_rank,
+    "q_window_frame": q_window_frame,
+    "q_sort_limit": q_sort_limit,
+    "q_set_union": q_set_union,
+    "q_set_intersect": q_set_intersect,
+    "q_set_except": q_set_except,
+    "q_string_funcs": q_string_funcs,
+    "q_date_funcs": q_date_funcs,
+    "q_math_scaled": q_math_scaled,
+    "q_array_funcs": q_array_funcs,
+    "q_json_funcs": q_json_funcs,
+    "q_subquery_in": q_subquery_in,
+    "q_udf_scalar": q_udf_scalar,
+    "q_udaf": q_udaf,
+}
+
+ORACLES = {
+    "q_scan_project": "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
+    "q_filter_pred": """
+        SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        FROM lineitem WHERE l_quantity > 25.0 AND l_returnflag = 'R'
+    """,
+    "q_count_star": "SELECT count(*) AS cnt FROM lineitem",
+    "q_minmax": """
+        SELECT min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+               min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+               count(*) AS cnt
+        FROM lineitem
+    """,
+    "q_agg_group": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 4) AS sum_qty,
+               round(sum(l_extendedprice), 4) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_discount), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q_agg_distinct": """
+        SELECT l_returnflag,
+               count(DISTINCT l_orderkey) AS n_orders,
+               count(DISTINCT (l_partkey, l_suppkey)) AS n_part_supp,
+               count(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "q_agg_rollup": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "q_agg_cube": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_extendedprice), 4) AS sum_price, count(*) AS n
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "q_approx_distinct": """
+        SELECT true AS within_5pct
+    """,
+    "q_join_hash": """
+        SELECT o_orderpriority, count(*) AS n,
+               round(sum(l_extendedprice), 4) AS sum_price
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+    """,
+    "q_join_broadcast": """
+        SELECT r_name, count(*) AS n_cust, round(sum(c_acctbal), 4) AS sum_bal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+    "q_join_outer": """
+        SELECT n_orders, count(*) AS n_customers FROM (
+            SELECT c_custkey, count(o_orderkey) AS n_orders
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey
+        ) GROUP BY n_orders
+    """,
+    "q_join_semi": """
+        SELECT c_custkey, c_mktsegment FROM customer
+        WHERE EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_orderstatus = 'F'
+        )
+    """,
+    "q_join_anti": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "q_join_theta": """
+        SELECT p_brand, count(*) AS n_pairs
+        FROM part JOIN supplier
+          ON s_acctbal >= p_retailprice - 100.0 AND s_acctbal <= p_retailprice
+        GROUP BY p_brand
+    """,
+    "q_join_asof": f"""
+        SELECT p.event_id, p.user_id,
+               {_TS_ORACLE.format(c='p.ts')} AS ts_s,
+               round(v.value, 4) AS asof_view_value
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+    "q_window_rank": """
+        SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, rn FROM (
+            SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+                   row_number() OVER (
+                     PARTITION BY l_suppkey
+                     ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+                   ) AS rn
+            FROM lineitem
+        ) WHERE rn <= 3
+    """,
+    "q_window_frame": """
+        SELECT o_custkey, o_orderkey,
+               round(sum(o_totalprice) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS moving_sum,
+               round(lag(o_totalprice, 1) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 4)
+                 AS prev_price,
+               row_number() OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+                 AS order_seq
+        FROM orders
+    """,
+    "q_sort_limit": """
+        SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS o_totalprice
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+    "q_set_union": """
+        SELECT o_custkey, count(*) AS n FROM (
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+            UNION ALL
+            SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+        ) GROUP BY o_custkey
+    """,
+    "q_set_intersect": """
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_totalprice > 50000
+    """,
+    "q_set_except": """
+        SELECT c_custkey, count(*) AS n FROM (
+            SELECT c_custkey FROM customer
+            EXCEPT ALL
+            SELECT o_custkey AS c_custkey FROM orders
+        ) GROUP BY c_custkey
+    """,
+    "q_string_funcs": """
+        SELECT c_custkey,
+               upper(c_name) AS name_upper,
+               substring(c_name, 1, 8) AS name_prefix,
+               length(c_name) AS name_len,
+               concat_ws('-', c_mktsegment, c_name) AS seg_name,
+               coalesce(regexp_extract(c_name, '([0-9]+)', 1), '') AS name_digits,
+               lower(trim(c_mktsegment)) AS seg_lower,
+               lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+               reverse(c_mktsegment) AS seg_rev
+        FROM customer
+    """,
+    "q_date_funcs": f"""
+        SELECT o_orderkey,
+               year(o_orderdate) AS yr,
+               month(o_orderdate) AS mo,
+               dayofmonth(o_orderdate) AS dom,
+               {_TS_ORACLE.format(c="date_trunc('month', o_orderdate)")} AS month_start,
+               datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31')
+                 AS days_to_eoy
+        FROM orders
+    """,
+    "q_math_scaled": """
+        SELECT p_partkey, p_size,
+               round(CAST(1000.0 AS DOUBLE) + CAST(0.01 AS DOUBLE) * p_size, 6) AS world,
+               CAST(round(((CAST(1000.0 AS DOUBLE) + CAST(0.01 AS DOUBLE) * p_size)
+                           - CAST(1000.0 AS DOUBLE)) / CAST(0.01 AS DOUBLE), 0) AS INTEGER)
+                 AS unscaled,
+               round(sqrt(p_retailprice), 4) AS sqrt_price,
+               round(ln(p_retailprice), 4) AS ln_price,
+               p_size % 7 AS size_mod,
+               abs(p_size - 25) AS size_dist
+        FROM part
+    """,
+    "q_array_funcs": """
+        SELECT vec_id,
+               len(embedding) AS dim,
+               round(CAST(embedding[1] AS DOUBLE), 6) AS e0,
+               round(sqrt(list_sum(list_transform(
+                 CAST(embedding AS DOUBLE[]), x -> x * x))), 4) AS l2_norm,
+               round(list_sum(CAST(embedding AS DOUBLE[])), 4) AS sum_elems
+        FROM embeddings
+    """,
+    "q_json_funcs": """
+        SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k,
+               count(*) AS n
+        FROM events GROUP BY prop_k
+    """,
+    "q_subquery_in": """
+        SELECT o_orderkey, round(o_totalprice, 4) AS o_totalprice
+        FROM orders
+        WHERE o_custkey IN (
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        )
+    """,
+    "q_udf_scalar": """
+        SELECT l_orderkey, l_linenumber,
+               round(l_extendedprice * (1.0 - l_discount), 4) AS disc_price
+        FROM lineitem
+    """,
+    "q_udaf": """
+        SELECT l_returnflag,
+               round(sum(l_discount * l_quantity) / sum(l_quantity), 6) AS wavg_disc,
+               count(*) AS n
+        FROM lineitem GROUP BY l_returnflag
+    """,
+}

@@ -1,0 +1,101 @@
+"""SparkSession helpers and testdata table loading.
+
+All query callables receive a ``SparkSession`` from the driver; we normalize
+the handful of session configs that affect oracle comparison (UTC timestamps,
+Arrow transfers) at load time — these are runtime-settable, so it is safe to
+apply them to a session we did not create.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: broadcast-always dimension tables (tiny at every scale factor — nation and
+#: region are fixed-cardinality in TPC-H-like schemas; at 100 TB they are
+#: still < 1 MB, so a broadcast join is always the right physical plan).
+BROADCAST_DIMS = ("region", "nation")
+
+
+def get_spark(app_name: str = "spark_iqmulus_spark", cpus: int | None = None) -> SparkSession:
+    """Build a local session tuned for the test harness.
+
+    On a real cluster the same code runs unchanged — only master/memory
+    configs differ; shuffle partitioning is AQE-managed.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def normalize_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable configs needed for deterministic results."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # testdata parquet stores TIMESTAMP(NANOS) which Spark's vectorized
+    # reader rejects; read as epoch-nanos long and convert in-scan.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark
+
+
+def _ts_ns_columns(path: str) -> list[str]:
+    """Columns stored as nanosecond timestamps (from the parquet footer)."""
+    import pyarrow.dataset as ds
+    import pyarrow.types as pat
+
+    schema = ds.dataset(path, format="parquet").schema
+    return [
+        f.name
+        for f in schema
+        if pat.is_timestamp(f.type) and f.type.unit == "ns"
+    ]
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every testdata table as a DataFrame and register temp views.
+
+    Reads are plain parquet scans — Catalyst predicate pushdown / column
+    pruning apply to every downstream query.  Nanosecond-timestamp columns
+    (unsupported by the JVM parquet reader) are scanned as epoch-nanos longs
+    and truncated to microsecond timestamps with an in-scan projection —
+    integer `div` keeps full precision (a double division would lose bits
+    above 2^53).
+    """
+    normalize_session(spark)
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = spark.read.parquet(path)
+        for c in _ts_ns_columns(path):
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
