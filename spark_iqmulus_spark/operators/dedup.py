@@ -1,0 +1,374 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, all expressed over the ``documents`` / ``embeddings`` tables:
+
+- **exact**     — content-hash groupBy (sha256 of normalized text)
+- **n-gram Jaccard** — exact shingle-set similarity via a shingle self-join
+- **MinHash + LSH**  — minhash signatures (xxhash64) banded into buckets;
+  candidates verified with exact Jaccard (rows-only oracle: xxhash64 is not
+  reproducible in DuckDB; recall vs the exact n-gram pairs is asserted in
+  tests/test_dedup.py)
+- **SimHash**   — 64-bit simhash + banded hamming-distance candidate pairs
+  (rows-only oracle, same reason)
+- **embedding cosine** — near-duplicate pairs by cosine similarity
+
+Scale design (the point of this module at 100 TB):
+
+- every pipeline is shuffle-bounded on a *hash key* (content hash, shingle,
+  band bucket) — never a cross join;
+- the shingle join drops stop-shingles with document frequency > MAX_DF
+  (hot-key guard: one viral shingle would otherwise create a quadratic
+  bucket — the standard trick in web-scale dedup);
+- MinHash/SimHash banding turns O(N²) comparison into per-bucket joins of
+  expected O(1) size; exact verification runs only on candidates;
+- all hashing is JVM-side (``xxhash64``/``sha2`` are codegen'd built-ins) —
+  no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import load_tables
+
+#: shingles appearing in more than this many documents are dropped from the
+#: pairwise join (boilerplate guard — mirrored in the oracle).
+MAX_DF = 100
+
+#: exact-Jaccard threshold for reported near-duplicate pairs.
+JACCARD_T = 0.05
+
+#: cosine threshold for embedding near-duplicates (testdata max pairwise
+#: cosine is ~0.51; 0.4 keeps output small but non-empty).
+COSINE_T = 0.40
+
+_NORM = "lower(trim(regexp_replace(text, '\\\\s+', ' ')))"
+
+
+def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document (JVM-side array ops)."""
+    words = F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ")
+    # indices 0..size-n inclusive → size-n+1 shingles; element_at is 1-based
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(words) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(words, i + k + 1) for k in range(n)]),
+    )
+    grams = F.when(F.size(words) >= n, grams).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select("doc_id", F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: sha256 over whitespace-normalized lowercase text.
+    One hash-aggregate shuffle on the 32-byte digest — the canonical
+    100 TB-safe exact-dedup plan (no text comparison, no skew beyond true
+    duplicates)."""
+    t = load_tables(spark, sf_dir)
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    return (
+        t["documents"]
+        .select(F.sha2(norm, 256).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs via shingle self-join.
+
+    Plan: explode distinct shingles → drop stop-shingles (df > MAX_DF) →
+    self-equi-join on shingle (shuffle on shingle, never a cross join) →
+    count intersections → Jaccard from per-doc shingle counts."""
+    t = load_tables(spark, sf_dir)
+    sh = _shingles(t["documents"]).cache()
+    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    sh_f = sh.join(
+        F.broadcast(df_counts.where(F.col("df") <= MAX_DF).select("shingle")),
+        "shingle",
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh_f.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh_f.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+            ),
+        )
+        .where(F.col("jaccard") >= JACCARD_T)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+#: number of minhash permutations and LSH banding layout (4 bands × 4 rows
+#: → candidate if any band matches; detects Jaccard ≳ 0.3 with high recall).
+MINHASH_K = 16
+BANDS = 4
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """doc_id → 16 minhash values, computed as min(xxhash64(seed, shingle))
+    per seed.  Single groupBy over exploded shingles; all JVM built-ins."""
+    sh = _shingles(docs)
+    aggs = [
+        F.min(F.xxhash64(F.lit(j), F.col("shingle"))).alias(f"mh{j}")
+        for j in range(MINHASH_K)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
+    """Band signatures and self-join each band bucket → distinct candidate
+    pairs.  Shuffles on (band, bucket-hash); bucket sizes are O(1) for
+    non-duplicate data, so the join is linear in practice."""
+    rows_per_band = MINHASH_K // BANDS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("bucket"),
+            )
+            for b in range(BANDS)
+        ]
+    )
+    exploded = sigs.select("doc_id", F.explode(bands).alias("bb")).select(
+        "doc_id", "bb.band", "bb.bucket"
+    )
+    a = exploded.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    b = exploded.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup detection: signature → band → bucket join →
+    exact-Jaccard verification of candidates only.  Deterministic (fixed
+    seeds) but xxhash64 has no DuckDB equivalent → rows-only check;
+    tests/test_dedup.py asserts candidates ⊇ exact pairs at the LSH design
+    threshold."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    cand = lsh_candidate_pairs(minhash_signatures(docs))
+    sh = _shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        cand.join(inter, ["doc_a", "doc_b"], "left")
+        .na.fill({"inter": 0})
+        .join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+        )
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash_64(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash per document from distinct token hashes.
+
+    Bit construction: for each bit position k, sum +1/-1 over token hashes'
+    k-th bit; the sign gives the fingerprint bit.  Expressed as explode(64
+    positions) + two hash-aggregates — ~64× row amplification on *tokens*,
+    which is fine because tokens are already exploded; at extreme scale the
+    same computation folds into 64 conditional-sum aggregate columns."""
+    tokens = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ")
+            ).alias("tok"),
+        )
+        .distinct()
+        .withColumn("h", F.xxhash64("tok"))
+    )
+    # shiftright/shiftleft take literal bit counts only → carry (k, mask)
+    # pairs as a literal array; bit 63's mask is the sign bit (two's
+    # complement min-long), which bitwiseAND handles correctly.
+    def _mask(k: int) -> int:
+        m = 1 << k
+        return m - (1 << 64) if m >= (1 << 63) else m
+
+    km = F.array(
+        *[
+            F.struct(F.lit(k).alias("k"), F.lit(_mask(k)).cast("long").alias("mask"))
+            for k in range(64)
+        ]
+    )
+    bits = (
+        tokens.select("doc_id", "h", F.explode(km).alias("km"))
+        .select("doc_id", "h", "km.k", "km.mask")
+        .withColumn(
+            "contrib",
+            F.when(F.col("h").bitwiseAND(F.col("mask")) != 0, 1).otherwise(-1),
+        )
+    )
+    bit_sums = bits.groupBy("doc_id", "k", "mask").agg(F.sum("contrib").alias("s"))
+    return bit_sums.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("s") >= 0, F.col("mask")).otherwise(0)).alias("simhash")
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit fingerprints, banded into 4×16-bit
+    chunks for candidate generation, verified by hamming distance <= 6.
+    Deterministic; rows-only check (xxhash64)."""
+    t = load_tables(spark, sf_dir)
+    sigs = simhash_64(t["documents"])
+    chunks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("simhash"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cv"),
+    ).select("doc_id", "simhash", "cv.chunk", "cv.val")
+    a = chunks.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "chunk", "val"
+    )
+    b = chunks.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "chunk", "val"
+    )
+    return (
+        a.join(b, ["chunk", "val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .where(F.col("hamming") <= 6)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos >= 0.40).
+
+    Brute-force pairwise at test SF (correctness baseline; the scale path
+    is LSH bucketing — see operators.similarity.q_sim_knn_lsh).  The small
+    side is broadcast so no shuffle of the big side is needed."""
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"].select("vec_id", "embedding")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    cos = _dot(F.col("ea"), F.col("eb")) / (
+        F.sqrt(_dot(F.col("ea"), F.col("ea"))) * F.sqrt(_dot(F.col("eb"), F.col("eb")))
+    )
+    return (
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos", F.round(cos, 6))
+        .where(F.col("cos") >= COSINE_T)
+        .select("vec_a", "vec_b", "cos")
+    )
+
+
+QUERIES = {
+    "q_dedup_exact": q_dedup_exact,
+    "q_dedup_ngram": q_dedup_ngram,
+    "q_dedup_minhash": q_dedup_minhash,
+    "q_dedup_simhash": q_dedup_simhash,
+    "q_dedup_embed": q_dedup_embed,
+}
+
+ORACLES = {
+    "q_dedup_exact": f"""
+        SELECT sha256({_NORM}) AS content_hash,
+               min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+        FROM documents GROUP BY 1
+    """,
+    "q_dedup_ngram": f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS words
+            FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(generate_series(1, len(words) - 2),
+                          i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
+            FROM toks WHERE len(words) >= 3
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+        ), keep AS (
+            SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {MAX_DF}
+        ), shf AS (
+            SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)
+        ), inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+            FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) >= {JACCARD_T}
+    """,
+    "q_dedup_embed": f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                     6) AS cos
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.v, b.v)
+                    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                    6) >= {COSINE_T}
+    """,
+    # q_dedup_minhash / q_dedup_simhash: rows-only (xxhash64 not available in
+    # DuckDB); recall asserted against exact pairs in tests/test_dedup.py.
+}

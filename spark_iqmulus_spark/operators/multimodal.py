@@ -1,0 +1,110 @@
+"""Multimodal-column plumbing: opaque binary payloads + typed metadata.
+
+Pattern (SURVEY.md §2C): media are carried as ``binary`` columns with a
+typed metadata struct; decode / feature-extract run as Arrow-batched
+``mapInPandas`` operators so each Python worker sees contiguous batches
+(the shape a real image/audio decoder needs).  The image/audio libraries
+are not in this container, so the *codec* step is stubbed:
+
+- :func:`decode_image` raises ``NotImplementedError`` (clearly-marked stub
+  for a real decoder — plug in PIL/torchvision when available);
+- :func:`extract_byte_features` is the deterministic fake used by the
+  pipeline and tests — it exercises the identical Spark plumbing (binary
+  Arrow transfer, batch iteration, schema contract).
+
+Scale notes: payloads never hit the driver; ``mapInPandas`` streams
+Arrow batches per partition, and the downstream rollup is an ordinary
+hash aggregate.  Partitioning by ``source`` keeps related media co-located
+for batch decoding.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import load_tables
+
+#: output schema of the feature extractor (the contract a real decoder
+#: implementation must keep).
+FEATURE_SCHEMA = (
+    "doc_id long, source string, n_bytes int, first_byte int, last_byte int"
+)
+
+
+def decode_image(payload: bytes) -> "object":
+    """Decode an image payload to pixels.  STUB — the container has no
+    imaging libraries; a real deployment plugs PIL/libvips in here.  The
+    Spark-side plumbing (binary columns, Arrow batches, mapInPandas
+    contract) is real and tested via :func:`extract_byte_features`."""
+    raise NotImplementedError(
+        "image decoding requires an imaging library not present in this "
+        "environment; use extract_byte_features for the plumbing path"
+    )
+
+
+def extract_byte_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic fake 'decoder': per-payload byte statistics.
+
+    Signature and batch shape are identical to what a real decoder would
+    use (iterator of pandas batches in, iterator of feature frames out).
+    """
+    for pdf in batches:
+        payloads = pdf["payload"]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "source": pdf["source"],
+                "n_bytes": payloads.map(len).astype("int32"),
+                "first_byte": payloads.map(lambda b: b[0] if len(b) else -1).astype("int32"),
+                "last_byte": payloads.map(lambda b: b[-1] if len(b) else -1).astype("int32"),
+            }
+        )
+
+
+def with_payload(docs: DataFrame) -> DataFrame:
+    """Attach an opaque binary payload + typed metadata struct to each doc
+    (here: utf-8 bytes of the text; in production: image/audio bytes)."""
+    return docs.select(
+        "doc_id",
+        "source",
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.col("n_chars").alias("content_length"),
+            F.lit("utf-8").alias("encoding"),
+        ).alias("media_meta"),
+    )
+
+
+def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal pipeline: binary payload column → repartition
+    by source (co-locate media for batch decode) → Arrow-batched feature
+    extraction (mapInPandas) → rollup.  Oracle reproduces the byte math
+    from the text column."""
+    t = load_tables(spark, sf_dir)
+    payloads = with_payload(t["documents"]).repartition("source")
+    feats = payloads.mapInPandas(extract_byte_features, schema=FEATURE_SCHEMA)
+    return feats.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.sum("first_byte").alias("sum_first_byte"),
+        F.sum("last_byte").alias("sum_last_byte"),
+    )
+
+
+QUERIES = {"q_multimodal": q_multimodal}
+
+ORACLES = {
+    "q_multimodal": """
+        SELECT source, count(*) AS n_docs,
+               sum(octet_length(encode(text))) AS total_bytes,
+               sum(ascii(substring(text, 1, 1))) AS sum_first_byte,
+               sum(ascii(substring(text, length(text), 1))) AS sum_last_byte
+        FROM documents GROUP BY source
+    """,
+}

@@ -1,0 +1,195 @@
+"""Approximate-nearest-neighbor similarity search over embedding columns.
+
+Two paths over ``embeddings`` (``embedding: array<float>``):
+
+- **brute-force top-k** (``q_sim_knn``): correctness baseline — broadcast
+  the (small) query set against the full corpus, cosine via JVM array
+  expressions (``zip_with`` + ``aggregate`` fold — no Python in the loop),
+  per-query top-k with a rank window.  At 100 TB the corpus side stays
+  partition-parallel: broadcasting Q queries costs Q×dim×4 bytes and the
+  scan is embarrassingly parallel — this is the right plan whenever Q is
+  small, *regardless* of corpus size.
+- **LSH-bucketed** (``q_sim_knn_lsh``): the scale path when Q is large —
+  random-hyperplane signatures, banded buckets, exact re-ranking only
+  within buckets.  Hyperplanes are derived deterministically (md5 of
+  (plane, dim)), so results are reproducible; recall vs brute force is
+  asserted in tests/test_similarity.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..session import load_tables
+
+TOP_K = 5
+N_QUERIES = 10  # query set = vec_id < 10
+
+#: LSH layout: 16 hyperplanes → 16-bit signature → 4 bands × 4 bits.
+N_PLANES = 16
+LSH_BANDS = 4
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _cosine(a, b):
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def brute_force_knn(
+    corpus: DataFrame, queries: DataFrame, k: int = TOP_K
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries`` is broadcast; the corpus is never shuffled — the only wide
+    operation is the per-query top-k window over Q×N scored pairs, which
+    Spark executes as partial top-k per partition (rank filter pushes
+    through AQE) after a shuffle on query_id.
+    """
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = corpus.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", _cosine(F.col("qv"), F.col("cv")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
+def q_sim_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    return brute_force_knn(e, e.where(F.col("vec_id") < N_QUERIES))
+
+
+# ---------------------------------------------------------------------------
+# LSH path
+
+
+def _hyperplanes(dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes: component (j, i) is +-1 from
+    md5 — reproducible across runs/engines with no RNG state."""
+    planes = []
+    for j in range(N_PLANES):
+        row = []
+        for i in range(dim):
+            h = hashlib.md5(f"{j}:{i}".encode()).digest()[0]
+            row.append(1.0 if h & 1 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_signatures(vectors: DataFrame, dim: int) -> DataFrame:
+    """vec_id → 16-bit random-hyperplane signature, as one JVM expression
+    (sum of shifted sign bits — no UDF, fully codegen)."""
+    planes = _hyperplanes(dim)
+    sig = None
+    for j, plane in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.array(*[F.lit(v) for v in plane]),
+                lambda x, h: x.cast("double") * h,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(proj >= 0, F.shiftleft(F.lit(1), j)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return vectors.select("vec_id", "embedding", sig.alias("sig"))
+
+
+def q_sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via banded hyperplane LSH: candidates share at least one
+    4-bit band with the query signature; exact cosine re-rank within
+    candidates.  Recall < 1 by design (asserted >= 0.6 vs brute force in
+    tests); at scale this replaces the Q×N scored join with per-bucket
+    joins.  Rows-only oracle (banding choices are engine-specific)."""
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    dim = len(e.select("embedding").first()[0])
+    sigs = lsh_signatures(e, dim)
+    bits_per_band = N_PLANES // LSH_BANDS
+    mask = (1 << bits_per_band) - 1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(bnd).alias("band"),
+                F.shiftright(F.col("sig"), bnd * bits_per_band)
+                .bitwiseAND(F.lit(mask))
+                .alias("val"),
+            )
+            for bnd in range(LSH_BANDS)
+        ]
+    )
+    banded = sigs.select(
+        "vec_id", "embedding", F.explode(bands).alias("bb")
+    ).select("vec_id", "embedding", "bb.band", "bb.val")
+
+    queries = banded.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        "band",
+        "val",
+    )
+    cand = (
+        banded.join(F.broadcast(queries), ["band", "val"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "qv", F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("cv"),
+        )
+        .distinct()
+        .withColumn("cos", _cosine(F.col("qv"), F.col("cv")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
+QUERIES = {
+    "q_sim_knn": q_sim_knn,
+    "q_sim_knn_lsh": q_sim_knn_lsh,
+}
+
+ORACLES = {
+    "q_sim_knn": f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   list_dot_product(q.v, c.v)
+                     / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
+                     AS cos_raw
+            FROM e q JOIN e c ON q.vec_id < {N_QUERIES} AND c.vec_id != q.vec_id
+        ), ranked AS (
+            SELECT query_id, neighbor_id, cos_raw,
+                   row_number() OVER (
+                     PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, round(cos_raw, 6) AS cos, rank
+        FROM ranked WHERE rank <= {TOP_K}
+    """,
+    # q_sim_knn_lsh: rows-only (LSH banding is engine-specific; recall vs
+    # brute force asserted in tests/test_similarity.py).
+}

@@ -1,0 +1,252 @@
+"""Text-analysis operators for training-data pipelines over ``documents``.
+
+All computation is JVM-side (split / regexp / array folds — whole-stage
+codegen); nothing here shuffles except the final aggregates.  Every query is
+fully oracle-checkable in DuckDB.
+
+- language-ID: marker-token scoring (n-gram heuristic; argmax with a fixed
+  tiebreak so results are deterministic)
+- quality scoring: length / punctuation / stopword / diversity ratios
+- token counting: whitespace tokens and a BPE-ish regex tokenizer
+- fingerprinting: min-hash-of-shingles document fingerprint (winnowing-lite,
+  using md5 so the oracle reproduces it bit-for-bit)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import load_tables
+
+def _norm():
+    return F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+
+#: marker tokens per language for the scoring heuristic (arbitrary but
+#: fixed lists over the synthetic vocabulary; the *mechanism* — per-language
+#: marker counts + deterministic argmax — is the operator under test).
+LANG_MARKERS = {
+    "en": ("the", "a", "big"),
+    "es": ("small", "fast", "slow"),
+    "zh": ("table", "row", "column"),
+}
+
+#: stopword list for quality scoring.
+STOPWORDS = ("the", "a", "of", "and", "data")
+
+_BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def _tokens():
+    return F.split(_norm(), " ")
+
+
+def _marker_score(lang: str):
+    toks = _tokens()
+    markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics + per-language rollup."""
+    t = load_tables(spark, sf_dir)
+    toks = _tokens()
+    tok_lens = F.transform(toks, lambda x: F.length(x))
+    return (
+        t["documents"]
+        .select(
+            "lang",
+            F.size(toks).alias("n_tokens"),
+            F.size(F.array_distinct(toks)).alias("n_distinct"),
+            F.aggregate(tok_lens, F.lit(0), lambda a, x: a + x).alias("sum_tok_len"),
+            F.length("text").alias("n_chars"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+            F.round(F.avg(F.col("n_distinct") / F.col("n_tokens")), 6).alias("avg_diversity"),
+            F.round(F.avg(F.col("sum_tok_len") / F.col("n_tokens")), 6).alias("avg_tok_len"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language classification with deterministic argmax
+    (score ties break in en > es > zh order), compared against the labeled
+    ``lang`` column as a confusion rollup."""
+    t = load_tables(spark, sf_dir)
+    s_en, s_es, s_zh = (_marker_score(lang) for lang in ("en", "es", "zh"))
+    pred = (
+        F.when((s_en >= s_es) & (s_en >= s_zh), "en")
+        .when(s_es >= s_zh, "es")
+        .otherwise("zh")
+    )
+    return (
+        t["documents"]
+        .select(F.col("lang").alias("actual"), pred.alias("predicted"))
+        .groupBy("actual", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score per document:
+    0.3·length_score + 0.3·diversity + 0.2·(1 − punct_ratio) + 0.2·stopword_ratio.
+    """
+    t = load_tables(spark, sf_dir)
+    toks = _tokens()
+    n_tok = F.size(toks)
+    diversity = F.size(F.array_distinct(toks)) / n_tok
+    punct_ratio = (
+        F.length(F.regexp_replace(_norm(), "[a-z0-9 ]", "")) / F.length(_norm())
+    )
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_ratio = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))) / n_tok
+    length_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    score = (
+        0.3 * length_score + 0.3 * diversity + 0.2 * (1 - punct_ratio) + 0.2 * stop_ratio
+    )
+    return t["documents"].select(
+        "doc_id",
+        F.round(score, 6).alias("quality"),
+        F.round(diversity, 6).alias("diversity"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+    )
+
+
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    (letter runs / digit runs / single punctuation)."""
+    t = load_tables(spark, sf_dir)
+    ws = F.size(_tokens())
+    bpe = F.size(F.regexp_extract_all(_norm(), F.lit(_BPE_RE), 0))
+    return (
+        t["documents"]
+        .select("source", ws.alias("ws_tokens"), bpe.alias("bpe_tokens"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws_tokens").alias("total_ws_tokens"),
+            F.sum("bpe_tokens").alias("total_bpe_tokens"),
+        )
+    )
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint = lexicographic min of md5(word-3-gram)
+    (winnowing-lite: one representative hash per document, reproducible in
+    any engine with md5).  Groups sharing a fingerprint are candidate
+    near-dups."""
+    t = load_tables(spark, sf_dir)
+    words = _tokens()
+    grams = F.when(
+        F.size(words) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - 3),
+            lambda i: F.md5(
+                F.concat_ws(
+                    " ",
+                    F.element_at(words, i + 1),
+                    F.element_at(words, i + 2),
+                    F.element_at(words, i + 3),
+                )
+            ),
+        ),
+    ).otherwise(F.array(F.md5(_norm())))
+    return t["documents"].select(
+        "doc_id", F.array_min(grams).alias("fingerprint")
+    )
+
+
+QUERIES = {
+    "q_text_stats": q_text_stats,
+    "q_text_langid": q_text_langid,
+    "q_text_quality": q_text_quality,
+    "q_text_tokens": q_text_tokens,
+    "q_text_fingerprint": q_text_fingerprint,
+}
+
+_SQL_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+_SQL_TOKS = f"string_split({_SQL_NORM}, ' ')"
+
+
+def _sql_marker(markers: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_filter({_SQL_TOKS}, t -> t IN ({lst})))"
+
+
+ORACLES = {
+    "q_text_stats": f"""
+        WITH per_doc AS (
+            SELECT lang,
+                   len({_SQL_TOKS}) AS n_tokens,
+                   len(list_distinct({_SQL_TOKS})) AS n_distinct,
+                   list_sum(list_transform({_SQL_TOKS}, x -> length(x))) AS sum_tok_len,
+                   length(text) AS n_chars
+            FROM documents
+        )
+        SELECT lang, count(*) AS n_docs,
+               sum(n_tokens) AS total_tokens,
+               round(avg(n_tokens), 4) AS avg_tokens,
+               round(avg(CAST(n_distinct AS DOUBLE) / n_tokens), 6) AS avg_diversity,
+               round(avg(CAST(sum_tok_len AS DOUBLE) / n_tokens), 6) AS avg_tok_len,
+               sum(n_chars) AS total_chars
+        FROM per_doc GROUP BY lang
+    """,
+    "q_text_langid": f"""
+        WITH scored AS (
+            SELECT lang AS actual,
+                   {_sql_marker(LANG_MARKERS['en'])} AS s_en,
+                   {_sql_marker(LANG_MARKERS['es'])} AS s_es,
+                   {_sql_marker(LANG_MARKERS['zh'])} AS s_zh
+            FROM documents
+        )
+        SELECT actual,
+               CASE WHEN s_en >= s_es AND s_en >= s_zh THEN 'en'
+                    WHEN s_es >= s_zh THEN 'es'
+                    ELSE 'zh' END AS predicted,
+               count(*) AS n
+        FROM scored GROUP BY 1, 2
+    """,
+    "q_text_quality": f"""
+        WITH d AS (
+            SELECT doc_id,
+                   CAST(len({_SQL_TOKS}) AS DOUBLE) AS n_tok,
+                   CAST(len(list_distinct({_SQL_TOKS})) AS DOUBLE) AS n_dist,
+                   CAST(length(regexp_replace({_SQL_NORM}, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                     / length({_SQL_NORM}) AS punct_ratio,
+                   CAST(len(list_filter({_SQL_TOKS},
+                        t -> t IN ({', '.join(f"'{s}'" for s in STOPWORDS)}))) AS DOUBLE)
+                     AS n_stop
+            FROM documents
+        )
+        SELECT doc_id,
+               round(0.3 * least(n_tok / 100.0, 1.0)
+                     + 0.3 * (n_dist / n_tok)
+                     + 0.2 * (1 - punct_ratio)
+                     + 0.2 * (n_stop / n_tok), 6) AS quality,
+               round(n_dist / n_tok, 6) AS diversity,
+               round(n_stop / n_tok, 6) AS stop_ratio
+        FROM d
+    """,
+    "q_text_tokens": f"""
+        SELECT source, count(*) AS n_docs,
+               sum(len({_SQL_TOKS})) AS total_ws_tokens,
+               sum(len(regexp_extract_all({_SQL_NORM}, '{_BPE_RE}'))) AS total_bpe_tokens
+        FROM documents GROUP BY source
+    """,
+    "q_text_fingerprint": f"""
+        WITH toks AS (
+            SELECT doc_id, {_SQL_TOKS} AS words, {_SQL_NORM} AS norm FROM documents
+        )
+        SELECT doc_id,
+               CASE WHEN len(words) >= 3 THEN
+                   list_min(list_transform(generate_series(1, len(words) - 2),
+                       i -> md5(words[i] || ' ' || words[i+1] || ' ' || words[i+2])))
+               ELSE md5(norm) END AS fingerprint
+        FROM toks
+    """,
+}

@@ -7,6 +7,7 @@ never takes down the whole declared surface.
 from __future__ import annotations
 
 import importlib
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -27,7 +28,8 @@ def _collect(attr: str) -> dict:
     for modname in _MODULES:
         try:
             mod = importlib.import_module(modname)
-        except Exception:
+        except Exception as exc:  # keep one broken module from killing all
+            print(f"WARNING: {modname} failed to import: {exc!r}", file=sys.stderr)
             continue
         for key, value in getattr(mod, attr, {}).items():
             if key in out:

@@ -1,0 +1,223 @@
+"""Structured Streaming operator surface (SURVEY.md §2B, streaming block).
+
+The reference is batch-only (no streaming code anywhere in
+``/root/reference/src`` — SURVEY §1.1); this module adds the streaming
+surface a modern engine needs.  Batch ``window()`` / ``session_window()``
+have *identical semantics* to their streaming counterparts (same expression,
+same grouping), so every windowed aggregation here is hash-checkable against
+a DuckDB oracle; ``q_stream_watermark`` additionally executes a *real*
+``readStream`` with a watermark, replayed to completion via the memory sink.
+
+Scale notes: streaming state for windowed aggs is bounded by watermarks;
+the batch equivalents are plain hash aggregates (one shuffle on the window
+bucket + key).  Session windows shuffle on user_id only.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..session import load_tables
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+_TS_ORACLE = "strftime({c}, '%Y-%m-%d %H:%M:%S.%f')"
+
+
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windowed aggregate over the events stream (batch
+    replay — semantics identical to streaming groupBy(window(...)))."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.date_format("w.start", _TS_FMT).alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window: 1 hour length, 15 minute slide — each event lands in
+    exactly 4 windows."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.date_format("w.start", _TS_FMT).alias("window_start"),
+            "n",
+            "sum_value",
+        )
+    )
+    # NOTE: no avg() here on purpose — window populations are powers of two,
+    # so avg of cent-precision values lands *exactly* on round-half
+    # boundaries where engines' rounding modes disagree; sum is boundary-free.
+
+
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows per user with a 30-minute gap.  A new session starts
+    when the inter-event gap is >= the gap duration (Spark merges sessions
+    whose [ts, ts+gap) windows overlap); session end = last event + gap."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            "user_id",
+            F.date_format("w.start", _TS_FMT).alias("session_start"),
+            F.date_format("w.end", _TS_FMT).alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming execution: file-source readStream over the
+    events parquet, 10-minute watermark, tumbling 1-hour counts, replayed to
+    completion through the memory sink.
+
+    In a single-batch replay nothing is late, so the complete-mode result
+    equals the batch tumbling aggregate — which is exactly what makes this
+    oracle-checkable while still exercising the streaming engine (state
+    store, watermark tracking, sink commit).  Late-data *dropping* is
+    exercised separately in tests/test_streaming.py with a two-batch replay.
+    """
+    import os
+
+    from ..session import normalize_session
+
+    normalize_session(spark)
+    path = f"{sf_dir}/events.parquet"
+    raw_schema = spark.read.parquet(path).schema  # ts arrives as epoch-nanos long
+
+    # the file stream source requires a directory; expose the single parquet
+    # file through a symlink dir (testdata itself is read-only)
+    stream_dir = tempfile.mkdtemp(prefix="stream_events_")
+    os.symlink(os.path.abspath(path), os.path.join(stream_dir, "events.parquet"))
+
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .load(stream_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("w.start", _TS_FMT).alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+    name = "q_stream_watermark_sink"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    query = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_wm_"))
+        .start()
+    )
+    query.processAllAvailable()
+    query.stop()
+    return spark.table(name)
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful stream dedup semantics, expressed deterministically: keep the
+    first event per (user_id, event_type) in (ts, event_id) order — the
+    batch-replay equivalent of ``dropDuplicatesWithinWatermark`` with an
+    unbounded watermark.  (``dropDuplicates`` alone keeps an *arbitrary*
+    row, which is not hash-checkable; the window formulation is the
+    deterministic contract.)"""
+    t = load_tables(spark, sf_dir)
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        t["events"]
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            F.date_format("ts", _TS_FMT).alias("ts_s"),
+        )
+    )
+
+
+QUERIES = {
+    "q_stream_tumbling": q_stream_tumbling,
+    "q_stream_sliding": q_stream_sliding,
+    "q_stream_session": q_stream_session,
+    "q_stream_watermark": q_stream_watermark,
+    "q_stream_dedup": q_stream_dedup,
+}
+
+ORACLES = {
+    "q_stream_tumbling": f"""
+        SELECT {_TS_ORACLE.format(c="date_trunc('hour', ts)")} AS window_start,
+               event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "q_stream_sliding": f"""
+        WITH expanded AS (
+            SELECT unnest(generate_series(
+                       time_bucket(INTERVAL '15 minutes', ts) - INTERVAL '45 minutes',
+                       time_bucket(INTERVAL '15 minutes', ts),
+                       INTERVAL '15 minutes')) AS ws,
+                   value
+            FROM events
+        )
+        SELECT {_TS_ORACLE.format(c='ws')} AS window_start,
+               count(*) AS n, round(sum(value), 4) AS sum_value
+        FROM expanded GROUP BY ws
+    """,
+    "q_stream_session": f"""
+        WITH flagged AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), numbered AS (
+            SELECT *, sum(new_s) OVER (
+                PARTITION BY user_id ORDER BY ts
+                ROWS UNBOUNDED PRECEDING) AS sid
+            FROM flagged
+        )
+        SELECT user_id,
+               {_TS_ORACLE.format(c='min(ts)')} AS session_start,
+               {_TS_ORACLE.format(c="max(ts) + INTERVAL '30 minutes'")} AS session_end,
+               count(*) AS n_events, round(sum(value), 4) AS sum_value
+        FROM numbered GROUP BY user_id, sid
+    """,
+    "q_stream_watermark": f"""
+        SELECT {_TS_ORACLE.format(c="date_trunc('hour', ts)")} AS window_start,
+               event_type, count(*) AS n
+        FROM events GROUP BY 1, 2
+    """,
+    "q_stream_dedup": f"""
+        SELECT user_id, event_type, event_id,
+               {_TS_ORACLE.format(c='ts')} AS ts_s
+        FROM (
+            SELECT user_id, event_type, event_id, ts,
+                   row_number() OVER (
+                     PARTITION BY user_id, event_type
+                     ORDER BY ts, event_id) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+}
