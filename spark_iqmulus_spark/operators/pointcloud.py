@@ -1,0 +1,215 @@
+"""Point-cloud queries for the driver correctness gate.
+
+The oracle harness only sees the parquet testdata tables, so these queries
+*derive* point clouds deterministically from ``part``, round-trip them
+through our PLY/LAS/XYZ writers and readers, and aggregate — the DuckDB
+oracle recomputes the same aggregate from ``part`` directly.  A hash match
+therefore certifies the whole chain: column derivation → binary encode →
+header stats → binary decode → fid/pid synthesis → aggregation.
+
+Derivation (identical in Spark and SQL):
+    x = p_partkey, y = p_size, z = round(p_retailprice * 100)   (raw int32)
+    intensity = p_size, flags = p_partkey % 4,
+    classification = p_partkey % 6 + 1, angle = p_partkey % 180 - 90,
+    source = p_partkey % 10, time = p_partkey
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import load_tables
+from ..sources import register_sources
+
+#: per-(sf_dir, kind) generated-file cache for the lifetime of the process
+_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _point_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    p = t["part"]
+    return p.select(
+        F.col("p_partkey").cast("int").alias("x"),
+        F.col("p_size").cast("int").alias("y"),
+        F.round(F.col("p_retailprice") * 100, 0).cast("int").alias("z"),
+        F.col("p_size").cast("smallint").alias("intensity"),
+        (F.col("p_partkey") % 4).cast("tinyint").alias("flags"),
+        (F.col("p_partkey") % 6 + 1).cast("tinyint").alias("classification"),
+        (F.col("p_partkey") % 180 - 90).cast("tinyint").alias("angle"),
+        F.lit(0).cast("tinyint").alias("user"),
+        (F.col("p_partkey") % 10).cast("smallint").alias("source"),
+        F.col("p_partkey").cast("double").alias("time"),
+    )
+
+
+def _las_dir(spark: SparkSession, sf_dir: str) -> str:
+    key = (sf_dir, "las")
+    if key not in _CACHE or not os.path.exists(_CACHE[key]):
+        register_sources(spark)
+        out = tempfile.mkdtemp(prefix="pc_las_")
+        _point_df(spark, sf_dir).write.format("las").mode("overwrite").option(
+            "lasformat", "1"
+        ).save(out)
+        _CACHE[key] = out
+    return _CACHE[key]
+
+
+def _ply_dir(spark: SparkSession, sf_dir: str) -> str:
+    key = (sf_dir, "ply")
+    if key not in _CACHE or not os.path.exists(_CACHE[key]):
+        register_sources(spark)
+        out = tempfile.mkdtemp(prefix="pc_ply_")
+        df = _point_df(spark, sf_dir).select(
+            F.col("x").cast("float"),
+            F.col("y").cast("float"),
+            F.col("z").cast("float"),
+            F.col("classification").alias("c"),
+        )
+        df.write.format("ply").mode("overwrite").save(out)
+        _CACHE[key] = out
+    return _CACHE[key]
+
+
+def q_las_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part → LAS format-1 write (streamed stats) → vectorized read →
+    aggregate, incl. world-coordinate sum (scale 0.01)."""
+    register_sources(spark)
+    df = spark.read.format("las").load(_las_dir(spark, sf_dir))
+    return df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sum_x"),
+        F.sum("intensity").alias("sum_intensity"),
+        F.round(F.sum(F.col("x") * 0.01), 4).alias("sum_world_x"),
+        F.max("z").alias("max_z"),
+        F.min("angle").alias("min_angle"),
+        F.round(F.sum("time"), 4).alias("sum_time"),
+    )
+
+
+def q_ply_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part → PLY write → read → aggregate over float32 vertex data."""
+    register_sources(spark)
+    df = spark.read.format("ply").load(_ply_dir(spark, sf_dir))
+    return df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("x").cast("double")), 4).alias("sum_x"),
+        F.round(F.min("y").cast("double"), 4).alias("min_y"),
+        F.round(F.max("z").cast("double"), 4).alias("max_z"),
+        F.sum("c").alias("sum_class"),
+    )
+
+
+def q_las_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered scan on the LAS relation (predicate + grouped agg) — the
+    canonical LAS consumer query shape, via header-pushdown-enabled reader."""
+    register_sources(spark)
+    df = (
+        spark.read.format("las")
+        .option("pushdown", "true")
+        .load(_las_dir(spark, sf_dir))
+    )
+    return (
+        df.where((F.col("x") > 1000) & (F.col("classification") <= 3))
+        .groupBy("classification")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("sum_y"))
+    )
+
+
+def q_las_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only COUNT + MIN/MAX from the header catalog (A13/A14):
+    zero point-data bytes read; the oracle recomputes from ``part``."""
+    from ..plans.header_catalog import las_headers
+
+    d = _las_dir(spark, sf_dir)
+    paths = [os.path.join(d, f) for f in os.listdir(d) if f.endswith(".las")]
+    cat = las_headers(spark, paths)
+    return cat.agg(
+        F.sum("pdr_nb").alias("n_points"),
+        F.round(F.min("x_min"), 6).alias("x_min"),
+        F.round(F.max("x_max"), 6).alias("x_max"),
+        F.round(F.min("z_min"), 6).alias("z_min"),
+        F.round(F.max("z_max"), 6).alias("z_max"),
+    )
+
+
+def q_xyz_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part → tab-separated XYZ text → read with default-ish schema → agg."""
+    from ..sources.xyz import read_xyz, write_xyz
+    from pyspark.sql import types as T
+
+    key = (sf_dir, "xyz")
+    if key not in _CACHE or not os.path.exists(_CACHE[key]):
+        out = tempfile.mkdtemp(prefix="pc_xyz_")
+        df = _point_df(spark, sf_dir).select(
+            F.col("x").cast("float"), F.col("y").cast("float"), F.col("z").cast("float")
+        )
+        write_xyz(df, out)
+        _CACHE[key] = out
+    schema = T.StructType(
+        [T.StructField(c, T.FloatType(), True) for c in ("x", "y", "z")]
+    )
+    df = read_xyz(spark, _CACHE[key], schema=schema)
+    return df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("x").cast("double")), 4).alias("sum_x"),
+        F.round(F.sum(F.col("z").cast("double")), 4).alias("sum_z"),
+    )
+
+
+QUERIES = {
+    "q_las_roundtrip": q_las_roundtrip,
+    "q_ply_roundtrip": q_ply_roundtrip,
+    "q_las_filter": q_las_filter,
+    "q_las_meta": q_las_meta,
+    "q_xyz_roundtrip": q_xyz_roundtrip,
+}
+
+# derivations repeated inline so each oracle is self-contained
+_Z = "CAST(round(p_retailprice * 100, 0) AS INTEGER)"
+
+ORACLES = {
+    "q_las_roundtrip": f"""
+        SELECT count(*) AS n,
+               sum(CAST(p_partkey AS INTEGER)) AS sum_x,
+               sum(p_size) AS sum_intensity,
+               round(sum(CAST(p_partkey AS INTEGER) * 0.01::DOUBLE), 4) AS sum_world_x,
+               max({_Z}) AS max_z,
+               CAST(min(p_partkey % 180 - 90) AS TINYINT) AS min_angle,
+               round(sum(CAST(p_partkey AS DOUBLE)), 4) AS sum_time
+        FROM part
+    """,
+    "q_ply_roundtrip": f"""
+        SELECT count(*) AS n,
+               round(sum(CAST(CAST(p_partkey AS REAL) AS DOUBLE)), 4) AS sum_x,
+               round(CAST(min(CAST(p_size AS REAL)) AS DOUBLE), 4) AS min_y,
+               round(CAST(max(CAST({_Z} AS REAL)) AS DOUBLE), 4) AS max_z,
+               sum(p_partkey % 6 + 1) AS sum_class
+        FROM part
+    """,
+    "q_las_filter": """
+        SELECT CAST(p_partkey % 6 + 1 AS TINYINT) AS classification,
+               count(*) AS n, sum(p_size) AS sum_y
+        FROM part
+        WHERE p_partkey > 1000 AND (p_partkey % 6 + 1) <= 3
+        GROUP BY 1
+    """,
+    "q_las_meta": """
+        SELECT count(*) AS n_points,
+               round(min(p_partkey) * 0.01::DOUBLE, 6) AS x_min,
+               round(max(p_partkey) * 0.01::DOUBLE, 6) AS x_max,
+               round(min(CAST(round(p_retailprice * 100, 0) AS INTEGER)) * 0.01::DOUBLE, 6) AS z_min,
+               round(max(CAST(round(p_retailprice * 100, 0) AS INTEGER)) * 0.01::DOUBLE, 6) AS z_max
+        FROM part
+    """,
+    "q_xyz_roundtrip": f"""
+        SELECT count(*) AS n,
+               round(sum(CAST(CAST(p_partkey AS REAL) AS DOUBLE)), 4) AS sum_x,
+               round(sum(CAST(CAST({_Z} AS REAL) AS DOUBLE)), 4) AS sum_z
+        FROM part
+    """,
+}

@@ -1,0 +1,96 @@
+"""Header-catalog metadata fast paths (A13/A14/A23 equivalents).
+
+The reference answers ``COUNT(*)`` and ``MIN/MAX(x|y|z)`` from header
+metadata via two custom Catalyst physical plans injected through
+``extraStrategies`` (``/root/reference/src/main/scala/fr/ign/spark/iqmulus/ExtraStrategies.scala:35-76``)
+— O(files) work, zero bytes of point data read.  Pure-Python Spark cannot
+inject planner strategies, so we surface the same capability as an explicit
+**header catalog**: a small DataFrame of per-file header facts, and helpers
+that answer count/min-max from it (SURVEY.md §4.3).  ``df.count()`` on the
+full scan remains the always-correct path; these helpers are the O(files)
+fast path, and the catalog doubles as the bounds source for file skipping.
+
+The reference's ``CountPlan`` returns ``n × Σcount`` for ``COUNT(n)`` — a
+wrong-SQL quirk we deliberately do not replicate (SURVEY §2A A13).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Row, SparkSession
+
+from ..sources.las_format import LasHeader
+from ..sources.ply_format import PlyHeader
+
+
+def las_headers(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """One row per LAS file: the FIXTURES.md F8 catalog schema."""
+    rows = []
+    for p in sorted(paths):
+        h = LasHeader.parse_file(p)
+        rows.append(
+            Row(
+                location=p,
+                version_major=h.version_major,
+                version_minor=h.version_minor,
+                pdr_format=h.pdr_format,
+                pdr_nb=h.pdr_nb,
+                x_min=h.pmin[0], y_min=h.pmin[1], z_min=h.pmin[2],
+                x_max=h.pmax[0], y_max=h.pmax[1], z_max=h.pmax[2],
+                scale_x=h.scale[0], scale_y=h.scale[1], scale_z=h.scale[2],
+                offset_x=h.offset[0], offset_y=h.offset[1], offset_z=h.offset[2],
+                return_counts=list(h.pdr_return_nb),
+            )
+        )
+    return spark.createDataFrame(rows)
+
+
+def ply_headers(spark: SparkSession, paths: list[str], element: str = "vertex") -> DataFrame:
+    """One row per PLY file: element count/stride and layout facts."""
+    rows = []
+    for p in sorted(paths):
+        h = PlyHeader.parse_file(p)
+        el = h.element(element)
+        rows.append(
+            Row(
+                location=p,
+                little_endian=h.little_endian,
+                element=element,
+                count=el.count if el else 0,
+                stride=el.stride if el else 0,
+                n_properties=len(el.properties) if el else 0,
+                header_length=h.header_length,
+            )
+        )
+    return spark.createDataFrame(rows)
+
+
+def count_from_headers(spark: SparkSession, paths: list[str], fmt: str = "las") -> int:
+    """Metadata-only COUNT(*): Σ per-file header counts — no data scan
+    (CountPlan semantics, correct SQL)."""
+    if fmt == "las":
+        df = las_headers(spark, paths)
+        return df.groupBy().sum("pdr_nb").collect()[0][0]
+    df = ply_headers(spark, paths)
+    return df.groupBy().sum("count").collect()[0][0]
+
+
+def minmax_from_headers(spark: SparkSession, paths: list[str]) -> dict[str, float]:
+    """Metadata-only MIN/MAX(x,y,z) in world coordinates from LAS headers
+    (AggregatePlan semantics)."""
+    from pyspark.sql import functions as F
+
+    row = (
+        las_headers(spark, paths)
+        .agg(
+            F.min("x_min").alias("x_min"), F.max("x_max").alias("x_max"),
+            F.min("y_min").alias("y_min"), F.max("y_max").alias("y_max"),
+            F.min("z_min").alias("z_min"), F.max("z_max").alias("z_max"),
+        )
+        .collect()[0]
+    )
+    return row.asDict()
+
+
+def las_info(path: str) -> str:
+    """lasinfo-style header report (A23 — LasHeader.scala:246-284)."""
+    return LasHeader.parse_file(path).info()

@@ -1,0 +1,133 @@
+"""Record-aligned binary section model + vectorized numpy/Arrow decode.
+
+The storage abstraction mirrors the reference's ``BinarySection``
+(``/root/reference/src/main/scala/fr/ign/spark/iqmulus/BinarySectionRelation.scala:39-48``):
+a byte range inside a file holding ``count`` fixed-``stride`` records decoded
+by a per-field (offset, type) map.  Where the reference decodes row-at-a-time
+with one closure per column (``BinarySectionRelation.scala:63-103``), we
+decode whole partitions with a numpy structured dtype and hand Spark
+zero-copy Arrow column slices — columnar and vectorized.
+
+Split planning mirrors ``FixedLengthBinarySectionInputFormat.scala:81-92``:
+partitions are expressed directly in *record* coordinates, so they are
+record-aligned by construction (no straddling, no seek-to-alignment dance).
+
+Provenance columns (``fid`` file index, ``pid`` record index —
+``BinarySectionRelation.scala:55,63-72``) are synthesized per batch.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+
+#: Arrow type per signed numpy char (what Spark sees; unsigned storage is
+#: bit-preserved into the same-width signed type, as the reference does).
+_ARROW_TYPES = {
+    "i1": pa.int8(),
+    "i2": pa.int16(),
+    "i4": pa.int32(),
+    "i8": pa.int64(),
+    "f4": pa.float32(),
+    "f8": pa.float64(),
+}
+
+_SIGNED = {"u1": "i1", "u2": "i2", "u4": "i4", "u8": "i8"}
+
+
+def signed_char(np_char: str) -> str:
+    return _SIGNED.get(np_char, np_char)
+
+
+@dataclass
+class SectionField:
+    name: str
+    np_char: str  # storage char, possibly unsigned
+    nodata: float | int | None = None
+
+
+@dataclass
+class BinarySection:
+    """A fixed-stride record range within one file."""
+
+    path: str
+    offset: int  # byte offset of record 0
+    count: int  # number of records
+    stride: int  # bytes per record
+    little_endian: bool = True
+    fields: list[SectionField] = field(default_factory=list)
+
+    def numpy_dtype(self) -> np.dtype:
+        prefix = "<" if self.little_endian else ">"
+        names, formats, offsets = [], [], []
+        off = 0
+        for f in self.fields:
+            names.append(f.name)
+            formats.append(prefix + f.np_char)
+            offsets.append(off)
+            off += int(f.np_char[1:])
+        return np.dtype(
+            {"names": names, "formats": formats, "offsets": offsets, "itemsize": self.stride}
+        )
+
+    def read_batch(
+        self,
+        rec_start: int,
+        n_records: int,
+        fid: int,
+        columns: list[str] | None = None,
+    ) -> pa.RecordBatch:
+        """Decode ``n_records`` starting at ``rec_start`` into an Arrow batch
+        with ``fid``/``pid`` prepended.  One bulk read + per-field numpy
+        slices; nodata sentinels become Arrow nulls
+        (``BinarySectionRelation.scala:76-88`` semantics)."""
+        dtype = self.numpy_dtype()
+        with open(self.path, "rb") as f:
+            f.seek(self.offset + rec_start * self.stride)
+            buf = f.read(n_records * self.stride)
+        arr = np.frombuffer(buf, dtype=dtype, count=n_records)
+
+        names = ["fid", "pid"]
+        arrays: list[pa.Array] = [
+            pa.array(np.full(n_records, fid, dtype=np.int32), type=pa.int32()),
+            pa.array(np.arange(rec_start, rec_start + n_records, dtype=np.int64)),
+        ]
+        wanted = columns if columns is not None else [f.name for f in self.fields]
+        by_name = {f.name: f for f in self.fields}
+        for name in wanted:
+            fld = by_name[name]
+            col = arr[name]
+            if not self.little_endian:
+                col = col.astype(col.dtype.newbyteorder("<"))
+            mask = None
+            if fld.nodata is not None:
+                mask = col == fld.nodata
+                if not mask.any():
+                    mask = None
+            # preserve raw bits for unsigned storage → same-width signed view
+            target = signed_char(fld.np_char)
+            if target != fld.np_char:
+                col = col.view(np.dtype("<" + target))
+            col = np.ascontiguousarray(col)
+            arrays.append(
+                pa.array(col, type=_ARROW_TYPES[target], from_pandas=False)
+                if mask is None
+                else pa.array(col, type=_ARROW_TYPES[target], mask=mask)
+            )
+            names.append(name)
+        return pa.RecordBatch.from_arrays(arrays, names=names)
+
+
+def plan_record_ranges(
+    count: int, stride: int, target_bytes: int
+) -> list[tuple[int, int]]:
+    """Split ``count`` records into (start, n) ranges of ~``target_bytes``
+    each — record-aligned by construction (the moral of
+    ``FixedLengthBinarySectionInputFormat.computeSplitSize``)."""
+    per_split = max(1, target_bytes // max(1, stride))
+    return [
+        (start, min(per_split, count - start))
+        for start in range(0, count, per_split)
+    ]

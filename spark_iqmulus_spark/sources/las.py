@@ -1,0 +1,331 @@
+"""LAS Spark DataSource: ``spark.read.format("las")`` / ``df.write.format("las")``.
+
+Read path (A2, A4-A12): 375/235/227-byte header parse per file (driver),
+point formats 0-10, VLR walk with ExtraBytes custom fields (scale / offset /
+nodata / min / max recorded in ``StructField.metadata``), cross-file schema
+merge, record-aligned partitions, vectorized Arrow decode with ``fid``/``pid``.
+``x/y/z`` stay raw int32 with scale/offset metadata — the reference's shipped
+behavior (ScaledInteger UDTs are dormant, LasHeader.scala:351-353); use
+``functions.scaled.with_world_coords`` for world coordinates.
+
+Header-range file skipping (strict improvement over the reference): range
+predicates on x/y/z are observed via ``pushFilters`` and used to skip whole
+files whose header bounds cannot match; all filters are still returned to
+Spark for re-evaluation, so this is purely an I/O optimization, never a
+correctness dependency (SURVEY.md §4.1).
+
+Write path (A18/A19/A22): tasks stream Arrow batches, zero-fill absent
+format fields (package.scala:195-196 semantics), accumulate running
+pmin/pmax (world coords, LasOutputWriter.scala:73-75) and per-return counts;
+driver ``commit`` merges stats into one header and concatenates a single
+valid ``.las``.  Options: ``lasformat`` (force point format — else inferred,
+A19), ``minor`` (version, default 2), ``scale``/``offset`` (comma triples),
+``partition_bytes``.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import uuid
+from dataclasses import dataclass
+
+import numpy as np
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    LessThan,
+    LessThanOrEqual,
+    WriterCommitMessage,
+)
+
+from .binary_section import BinarySection, SectionField, plan_record_ranges
+from .las_format import (
+    NP_TO_SQL,
+    POINT_FORMATS,
+    SQL_TO_NP,
+    LasHeader,
+    format_from_schema,
+    format_stride,
+)
+from .pointcloud_common import (
+    DEFAULT_PARTITION_BYTES,
+    SectionPartition,
+    adapt_batch,
+    base_schema_fields,
+    expand_paths,
+)
+from ..functions.schema_merge import merge_all
+
+_SQL_BY_NAME = {
+    "tinyint": T.ByteType(),
+    "smallint": T.ShortType(),
+    "int": T.IntegerType(),
+    "bigint": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+}
+
+
+def _las_sections(paths: list[str]) -> list[tuple[int, BinarySection, LasHeader]]:
+    out = []
+    for fid, path in enumerate(paths):
+        try:
+            hdr = LasHeader.parse_file(path)
+        except (OSError, ValueError) as exc:
+            print(f"WARNING: skipping unreadable LAS {path}: {exc}", file=sys.stderr)
+            continue
+        fields = [SectionField(n, c) for n, c in POINT_FORMATS[hdr.pdr_format]]
+        for ef in hdr.extra_fields:
+            fields.append(SectionField(ef.name, ef.np_char, nodata=ef.nodata))
+        section = BinarySection(
+            path=path,
+            offset=hdr.offset_to_points,
+            count=hdr.pdr_nb,
+            stride=hdr.stride,
+            little_endian=True,  # LAS is little-endian by spec
+            fields=fields,
+        )
+        out.append((fid, section, hdr))
+    return out
+
+
+def _las_schema(section: BinarySection, hdr: LasHeader) -> T.StructType:
+    extra_meta = {ef.name: ef for ef in hdr.extra_fields}
+    fields = []
+    for f in section.fields:
+        meta = {}
+        if f.name in ("x", "y", "z"):
+            axis = "xyz".index(f.name)
+            meta = {"scale": hdr.scale[axis], "offset": hdr.offset[axis]}
+        ef = extra_meta.get(f.name)
+        nullable = False
+        if ef is not None:
+            for k in ("nodata", "scale", "offset", "vmin", "vmax"):
+                v = getattr(ef, k)
+                if v is not None:
+                    meta["min" if k == "vmin" else "max" if k == "vmax" else k] = v
+            nullable = ef.nodata is not None
+        fields.append(
+            T.StructField(f.name, _SQL_BY_NAME[NP_TO_SQL[f.np_char]], nullable, metadata=meta)
+        )
+    return T.StructType(fields)
+
+
+class LasDataSource(DataSource):
+    """``format("las")`` — ASPRS LAS 1.0-1.4, point formats 0-10."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "las"
+
+    def _paths(self) -> list[str]:
+        opts = dict(self.options)
+        opts["ext"] = ".las"
+        return expand_paths(opts)
+
+    def schema(self):
+        secs = _las_sections(self._paths())
+        if not secs:
+            raise ValueError("no readable LAS files found")
+        merged = merge_all([_las_schema(s, h) for _, s, h in secs])
+        fid_meta = {"paths": [s.path for _, s, _ in secs]}
+        fields = base_schema_fields()
+        fields[0] = T.StructField("fid", T.IntegerType(), False, metadata=fid_meta)
+        return T.StructType(fields + list(merged.fields))
+
+    def reader(self, schema: T.StructType) -> "LasReader":
+        # Implementing pushFilters() is rejected by Spark unless
+        # spark.sql.python.filterPushdown.enabled is true, so header-bounds
+        # file skipping is opt-in: .option("pushdown", "true") (our
+        # get_spark() enables the session flag; see session.py).
+        if self.options.get("pushdown", "false").lower() == "true":
+            return LasReaderWithPushdown(self._paths(), self.options, schema)
+        return LasReader(self._paths(), self.options, schema)
+
+    def writer(self, schema: T.StructType, overwrite: bool) -> "LasWriter":
+        return LasWriter(self.options, schema, overwrite)
+
+
+class LasReader(DataSourceReader):
+    def __init__(self, paths: list[str], options, schema: T.StructType):
+        self.paths = paths
+        self.out_schema = schema
+        self.partition_bytes = int(
+            options.get("partition_bytes", DEFAULT_PARTITION_BYTES)
+        )
+        self.range_filters: list = []  # (axis_name, lo, hi) raw-coord bounds
+    def _file_can_match(self, hdr: LasHeader) -> bool:
+        for col, lo, hi in self.range_filters:
+            axis = "xyz".index(col)
+            scale, offset = hdr.scale[axis], hdr.offset[axis]
+            # unscale world bounds into raw int space (ExtraStrategies.scala:53)
+            raw_min = (hdr.pmin[axis] - offset) / scale if scale else hdr.pmin[axis]
+            raw_max = (hdr.pmax[axis] - offset) / scale if scale else hdr.pmax[axis]
+            if lo is not None and raw_max < lo:
+                return False
+            if hi is not None and raw_min > hi:
+                return False
+        return True
+
+    def partitions(self):
+        parts = []
+        for fid, section, hdr in _las_sections(self.paths):
+            if self.range_filters and not self._file_can_match(hdr):
+                continue  # header says no point can match — skip whole file
+            for start, n in plan_record_ranges(
+                section.count, section.stride, self.partition_bytes
+            ):
+                parts.append(SectionPartition(section, start, n, fid))
+        return parts
+
+    def read(self, partition: SectionPartition):
+        present = {sf.name for sf in partition.section.fields}
+        want = [
+            f.name
+            for f in self.out_schema.fields
+            if f.name not in ("fid", "pid") and f.name in present
+        ]
+        raw = partition.section.read_batch(
+            partition.rec_start, partition.n_records, partition.fid, columns=want
+        )
+        yield adapt_batch(raw, self.out_schema)
+
+
+class LasReaderWithPushdown(LasReader):
+    """LasReader + header-bounds file skipping (§4.1; replaces the
+    reference A14 planner hook with an I/O-level optimization).  Separate
+    class because merely *defining* pushFilters errors out when the session
+    flag is off."""
+
+    def pushFilters(self, filters):
+        for f in filters:
+            try:
+                col = f.attribute[-1] if hasattr(f, "attribute") else None
+                if col in ("x", "y", "z"):
+                    if isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                        self.range_filters.append((col, float(f.value), None))
+                    elif isinstance(f, (LessThan, LessThanOrEqual)):
+                        self.range_filters.append((col, None, float(f.value)))
+                    elif isinstance(f, EqualTo):
+                        self.range_filters.append((col, float(f.value), float(f.value)))
+            except Exception:
+                pass
+        # every filter is re-evaluated by Spark: skipping is I/O-only
+        return filters
+
+
+@dataclass
+class LasCommit(WriterCommitMessage):
+    part_path: str
+    count: int
+    pmin: tuple
+    pmax: tuple
+    return_counts: tuple
+
+
+class LasWriter(DataSourceArrowWriter):
+    """Streaming stats writer (A18) + driver-side header-merge commit.
+
+    Unlike the reference's ``saveAsLas`` (which materializes whole partitions
+    to compute stats — las/package.scala:67-68, flagged in SURVEY §4.2), stats
+    are running numpy min/max per batch: O(batch) memory.
+    """
+
+    def __init__(self, options, schema: T.StructType, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("write path required")
+        data_names = {f.name for f in schema.fields if f.name not in ("fid", "pid")}
+        forced = options.get("lasformat")
+        self.fmt = int(forced) if forced is not None else format_from_schema(data_names)
+        self.minor = int(options.get("minor", options.get("version", "2")))
+        self.scale = tuple(
+            float(v) for v in options.get("scale", "0.01,0.01,0.01").split(",")
+        )
+        self.offset = tuple(
+            float(v) for v in options.get("offset", "0,0,0").split(",")
+        )
+        self.schema = schema
+        self.fields = POINT_FORMATS[self.fmt]
+
+    def _dtype(self) -> np.dtype:
+        return np.dtype([(n, "<" + c) for n, c in self.fields])
+
+    def write(self, iterator) -> LasCommit:
+        os.makedirs(self.path, exist_ok=True)
+        part = os.path.join(self.path, f".part-{uuid.uuid4().hex}.lasbin")
+        dtype = self._dtype()
+        in_names = set(self.schema.names)
+        count = 0
+        pmin = [np.inf] * 3
+        pmax = [-np.inf] * 3
+        ret = np.zeros(15, dtype=np.int64)
+        with open(part, "wb") as out:
+            for batch in iterator:
+                n = batch.num_rows
+                rec = np.zeros(n, dtype=dtype)  # absent fields stay zero-filled
+                for name, _np_char in self.fields:
+                    if name in in_names:
+                        col = batch.column(batch.schema.get_field_index(name))
+                        rec[name] = col.to_numpy(zero_copy_only=False)
+                for axis, name in enumerate("xyz"):
+                    world = self.offset[axis] + self.scale[axis] * rec[name].astype(np.float64)
+                    if n:
+                        pmin[axis] = min(pmin[axis], float(world.min()))
+                        pmax[axis] = max(pmax[axis], float(world.max()))
+                if self.fmt < 6:
+                    r = rec["flags"] & 0x7
+                else:
+                    r = rec["return"] & 0xF
+                ret += np.bincount(np.minimum(r, 14), minlength=15).astype(np.int64)
+                out.write(rec.tobytes())
+                count += n
+        return LasCommit(
+            part_path=part,
+            count=count,
+            pmin=tuple(pmin),
+            pmax=tuple(pmax),
+            return_counts=tuple(int(v) for v in ret),
+        )
+
+    def commit(self, messages) -> None:
+        total = sum(m.count for m in messages)
+        pmin = [min((m.pmin[i] for m in messages if m.count), default=0.0) for i in range(3)]
+        pmax = [max((m.pmax[i] for m in messages if m.count), default=0.0) for i in range(3)]
+        ret = [sum(m.return_counts[i] for m in messages) for i in range(15)]
+        # formats 6-10 and >2^32 points require LAS 1.4 — auto-upgrade
+        minor = 4 if (self.fmt >= 6 or total >= 2**32) else self.minor
+        header = LasHeader(
+            location=self.path,
+            version_minor=minor,
+            pdr_format=self.fmt,
+            pdr_nb=total,
+            scale=self.scale,
+            offset=self.offset,
+            pmin=tuple(pmin),
+            pmax=tuple(pmax),
+            pdr_return_nb=tuple(ret),
+        )
+        final = os.path.join(self.path, "data.las")
+        with open(final, "wb") as out:
+            out.write(header.to_bytes())
+            for m in messages:
+                with open(m.part_path, "rb") as src:
+                    while True:
+                        chunk = src.read(1 << 20)
+                        if not chunk:
+                            break
+                        out.write(chunk)
+                os.remove(m.part_path)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.part_path):
+                os.remove(m.part_path)

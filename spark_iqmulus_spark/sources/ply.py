@@ -1,0 +1,221 @@
+"""PLY Spark DataSource: ``spark.read.format("ply")`` / ``df.write.format("ply")``.
+
+Read path (A1/A4-A11 of SURVEY.md §2A): per-file header parse on the driver,
+cross-file schema merge with numeric widening, record-aligned partitions,
+vectorized numpy→Arrow decode on executors with ``fid``/``pid`` provenance
+columns.  Unreadable files are skipped with a warning, as the reference does
+(PlyRelation.scala:101-115).
+
+Write path (A16/A17): each task streams Arrow batches into a binary sidecar
+part-file and reports ``(part_path, count)``; the driver-side ``commit``
+merges the counts into one header and concatenates header + parts into a
+single valid ``.ply`` — the same commit-merge algorithm as the reference's
+``PlyOutputCommitter.commitJob`` (PlyRelation.scala:31-82) on plain Python
+file APIs.  Options: ``element`` (default ``vertex``), ``littleEndian``
+(default true), ``partition_bytes``.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import uuid
+from dataclasses import dataclass
+
+import numpy as np
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    WriterCommitMessage,
+)
+
+from .binary_section import BinarySection, SectionField, plan_record_ranges
+from .ply_format import SPARK_TO_NP, PlyElement, PlyHeader, PlyProperty
+from .pointcloud_common import (
+    DEFAULT_PARTITION_BYTES,
+    SectionPartition,
+    adapt_batch,
+    base_schema_fields,
+    expand_paths,
+)
+from ..functions.schema_merge import merge_all
+
+
+def _sections(paths: list[str], element: str) -> list[tuple[int, BinarySection, PlyHeader]]:
+    out = []
+    for fid, path in enumerate(paths):
+        try:
+            hdr = PlyHeader.parse_file(path)
+        except (OSError, ValueError) as exc:
+            print(f"WARNING: skipping unreadable PLY {path}: {exc}", file=sys.stderr)
+            continue
+        el = hdr.element(element)
+        if el is None:
+            print(f"WARNING: {path} has no element {element!r}; skipping", file=sys.stderr)
+            continue
+        section = BinarySection(
+            path=path,
+            offset=hdr.section_offset(element),
+            count=el.count,
+            stride=el.stride,
+            little_endian=hdr.little_endian,
+            fields=[SectionField(p.name, p.np_char) for p in el.properties],
+        )
+        out.append((fid, section, hdr))
+    return out
+
+
+_SQL_BY_NAME = {
+    "tinyint": T.ByteType(),
+    "smallint": T.ShortType(),
+    "int": T.IntegerType(),
+    "bigint": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+}
+
+
+def _sql_type(np_char: str) -> T.DataType:
+    from .las_format import NP_TO_SQL
+
+    return _SQL_BY_NAME[NP_TO_SQL[np_char]]
+
+
+def _section_schema(section: BinarySection) -> T.StructType:
+    return T.StructType(
+        [T.StructField(f.name, _sql_type(f.np_char), False) for f in section.fields]
+    )
+
+
+class PlyDataSource(DataSource):
+    """``format("ply")`` — LiDAR point clouds in binary PLY."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "ply"
+
+    def _paths(self) -> list[str]:
+        opts = dict(self.options)
+        opts["ext"] = ".ply"
+        return expand_paths(opts)
+
+    def schema(self):
+        element = self.options.get("element", "vertex")
+        secs = _sections(self._paths(), element)
+        if not secs:
+            raise ValueError("no readable PLY files found")
+        merged = merge_all([_section_schema(s) for _, s, _ in secs])
+        fid_meta = {"paths": [s.path for _, s, _ in secs]}
+        fields = base_schema_fields()
+        fields[0] = T.StructField("fid", T.IntegerType(), False, metadata=fid_meta)
+        return T.StructType(fields + list(merged.fields))
+
+    def reader(self, schema: T.StructType) -> "PlyReader":
+        return PlyReader(self._paths(), self.options, schema)
+
+    def writer(self, schema: T.StructType, overwrite: bool) -> "PlyWriter":
+        return PlyWriter(self.options, schema, overwrite)
+
+
+class PlyReader(DataSourceReader):
+    def __init__(self, paths: list[str], options, schema: T.StructType):
+        self.paths = paths
+        self.options = options
+        self.out_schema = schema
+        self.element = options.get("element", "vertex")
+        self.partition_bytes = int(
+            options.get("partition_bytes", DEFAULT_PARTITION_BYTES)
+        )
+
+    def partitions(self):
+        parts = []
+        for fid, section, _ in _sections(self.paths, self.element):
+            for start, n in plan_record_ranges(
+                section.count, section.stride, self.partition_bytes
+            ):
+                parts.append(SectionPartition(section, start, n, fid))
+        return parts
+
+    def read(self, partition: SectionPartition):
+        data_fields = [f for f in self.out_schema.fields if f.name not in ("fid", "pid")]
+        want = [f.name for f in data_fields if any(sf.name == f.name for sf in partition.section.fields)]
+        raw = partition.section.read_batch(
+            partition.rec_start, partition.n_records, partition.fid, columns=want
+        )
+        yield adapt_batch(raw, self.out_schema)
+
+
+@dataclass
+class PlyCommit(WriterCommitMessage):
+    part_path: str
+    count: int
+
+
+class PlyWriter(DataSourceArrowWriter):
+    """Task-side body writer + driver-side header-merge commit (A16/A17)."""
+
+    def __init__(self, options, schema: T.StructType, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("write path required")
+        self.element = options.get("element", "vertex")
+        self.little_endian = options.get("littleendian", "true").lower() != "false"
+        self.schema = schema
+        self.overwrite = overwrite
+        # data fields in schema order, fid/pid stripped (PlyOutputWriter.scala:49)
+        self.data_fields = [
+            (f.name, SPARK_TO_NP[f.dataType.simpleString()])
+            for f in schema.fields
+            if f.name not in ("fid", "pid")
+        ]
+
+    def _dtype(self) -> np.dtype:
+        prefix = "<" if self.little_endian else ">"
+        return np.dtype([(n, prefix + c) for n, c in self.data_fields])
+
+    def write(self, iterator) -> PlyCommit:
+        os.makedirs(self.path, exist_ok=True)
+        part = os.path.join(self.path, f".part-{uuid.uuid4().hex}.plybin")
+        dtype = self._dtype()
+        count = 0
+        with open(part, "wb") as out:
+            for batch in iterator:
+                n = batch.num_rows
+                rec = np.empty(n, dtype=dtype)
+                for name, _ in self.data_fields:
+                    col = batch.column(batch.schema.get_field_index(name))
+                    rec[name] = col.to_numpy(zero_copy_only=False)
+                out.write(rec.tobytes())
+                count += n
+        return PlyCommit(part_path=part, count=count)
+
+    def commit(self, messages) -> None:
+        total = sum(m.count for m in messages)
+        props = [
+            PlyProperty(name=n, np_char=c) for n, c in self.data_fields
+        ]
+        header = PlyHeader(
+            location=self.path,
+            little_endian=self.little_endian,
+            elements=[PlyElement(self.element, total, props)],
+            comments=["written by spark_iqmulus_spark"],
+        )
+        final = os.path.join(self.path, "data.ply")
+        with open(final, "wb") as out:
+            out.write(header.to_bytes())
+            for m in messages:
+                with open(m.part_path, "rb") as src:
+                    while True:
+                        chunk = src.read(1 << 20)
+                        if not chunk:
+                            break
+                        out.write(chunk)
+                os.remove(m.part_path)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.part_path):
+                os.remove(m.part_path)

@@ -1,0 +1,96 @@
+"""Shared plumbing for the PLY/LAS Python DataSources."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from dataclasses import dataclass
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import InputPartition
+
+from .binary_section import BinarySection
+
+#: default split target (bytes) — record-aligned chunks of ~this many bytes;
+#: matches the role of maxPartitionBytes for builtin sources.
+DEFAULT_PARTITION_BYTES = 64 * 1024 * 1024
+
+_SQL_TO_ARROW = {
+    "tinyint": pa.int8(),
+    "smallint": pa.int16(),
+    "int": pa.int32(),
+    "bigint": pa.int64(),
+    "float": pa.float32(),
+    "double": pa.float64(),
+}
+
+
+def expand_paths(options) -> list[str]:
+    """Resolve the path/paths options to a sorted list of files.
+
+    Accepts a single file, a directory (all files with the source's
+    extension), or a glob; ``load([p1, p2])`` arrives as a JSON list.
+    Sorted order gives deterministic ``fid`` assignment (file index —
+    reference: index of the file in ``paths``, BinarySectionRelation.scala:55).
+    """
+    raw = options.get("paths")
+    if raw:
+        paths = json.loads(raw)
+    else:
+        single = options.get("path")
+        if not single:
+            raise ValueError("no path specified")
+        paths = [single]
+    ext = options.get("ext")
+    out: list[str] = []
+    for p in paths:
+        if os.path.isdir(p):
+            pattern = os.path.join(p, f"*{ext}" if ext else "*")
+            out.extend(f for f in glob.glob(pattern) if os.path.isfile(f))
+        elif any(ch in p for ch in "*?["):
+            out.extend(f for f in glob.glob(p) if os.path.isfile(f))
+        else:
+            out.append(p)
+    return sorted(set(out))
+
+
+@dataclass
+class SectionPartition(InputPartition):
+    """One record-aligned range of one file's binary section (picklable)."""
+
+    section: BinarySection
+    rec_start: int
+    n_records: int
+    fid: int
+
+
+def adapt_batch(batch: pa.RecordBatch, schema: T.StructType) -> pa.RecordBatch:
+    """Shape a decoded batch to the merged relation schema: reorder, widen
+    (cast) types, and null-fill fields this file doesn't store (schema-merge
+    read path — package.scala:124-145; on-read cast — A10)."""
+    n = batch.num_rows
+    names = set(batch.schema.names)
+    arrays, out_names = [], []
+    for f in schema.fields:
+        target = _SQL_TO_ARROW[f.dataType.simpleString()]
+        if f.name in names:
+            col = batch.column(batch.schema.get_field_index(f.name))
+            if col.type != target:
+                col = pc.cast(col, target)
+            arrays.append(col)
+        else:
+            arrays.append(pa.nulls(n, type=target))
+        out_names.append(f.name)
+    return pa.RecordBatch.from_arrays(arrays, names=out_names)
+
+
+def base_schema_fields() -> list[T.StructField]:
+    """The fid/pid provenance columns every point-cloud relation prepends."""
+    return [
+        T.StructField("fid", T.IntegerType(), False),
+        T.StructField("pid", T.LongType(), False),
+    ]
