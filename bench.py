@@ -1,0 +1,118 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+``{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}``
+
+Metrics follow BASELINE.md: relational headliners (scan+agg, join, window,
+top-k) over the parquet testdata, plus point-cloud scan / metadata / write
+round-trip over synthetic ~600k-point LAS/PLY files (seed 42).
+Protocol: median of 3 timed runs after 1 warm-up, one shared session.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_POINTS = 600_000
+RUNS = 3
+
+
+def _timed(fn) -> float:
+    for _ in range(1):  # warm-up
+        fn()
+    samples = []
+    for _ in range(RUNS):
+        t0 = time.perf_counter()
+        fn()
+        samples.append(time.perf_counter() - t0)
+    return round(statistics.median(samples), 4)
+
+
+def main() -> None:
+    from spark_iqmulus_spark.session import get_spark
+    from spark_iqmulus_spark.sources import register_sources
+    from spark_iqmulus_spark.operators import relational
+    from spark_iqmulus_spark.plans.header_catalog import (
+        count_from_headers,
+        minmax_from_headers,
+    )
+
+    spark = get_spark("bench", cpus=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    register_sources(spark)
+
+    results: dict[str, float] = {}
+
+    # -- relational headliners (collect() forces the full plan) ------------
+    for name, q in (
+        ("bench_scan_agg", relational.q_agg_group),
+        ("bench_join", relational.q_join_hash),
+        ("bench_window", relational.q_window_rank),
+        ("bench_topk", relational.q_sort_limit),
+    ):
+        results[name] = _timed(lambda q=q: q(spark, SF_DIR).collect())
+
+    # -- point-cloud: synthetic ~600k-point files (seed 42) ----------------
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+    from tests.fixtures import make_las, make_ply_xyz
+
+    pc_dir = tempfile.mkdtemp(prefix="bench_pc_")
+    ply_path = os.path.join(pc_dir, "bench.ply")
+    las_path = os.path.join(pc_dir, "bench.las")
+    make_ply_xyz(ply_path, n=N_POINTS)
+    make_las(las_path, n=N_POINTS, fmt=1)
+
+    from pyspark.sql import functions as F
+
+    def ply_scan():
+        df = spark.read.format("ply").load(ply_path)
+        df.agg(
+            F.count(F.lit(1)), F.min("x"), F.max("x"), F.min("y"), F.max("y")
+        ).collect()
+
+    def las_scan():
+        df = spark.read.format("las").load(las_path)
+        df.where(F.col("classification") <= 3).groupBy("classification").agg(
+            F.count(F.lit(1)), F.avg("intensity"), F.min("x"), F.max("x")
+        ).collect()
+
+    def las_meta():
+        count_from_headers(spark, [las_path])
+        minmax_from_headers(spark, [las_path])
+
+    def write_roundtrip():
+        out = os.path.join(pc_dir, "rt_las")
+        df = spark.read.format("las").load(las_path)
+        df.write.format("las").mode("overwrite").save(out)
+        assert spark.read.format("las").load(out).count() == N_POINTS
+
+    results["bench_ply_read"] = _timed(ply_scan)
+    results["bench_las_read"] = _timed(las_scan)
+    results["bench_las_meta"] = _timed(las_meta)
+    results["bench_write_roundtrip"] = _timed(write_roundtrip)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": round(sum(results.values()), 4),
+                "unit": "sec",
+                "queries": results,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -64,31 +64,35 @@ def ply_headers(spark: SparkSession, paths: list[str], element: str = "vertex") 
     return spark.createDataFrame(rows)
 
 
-def count_from_headers(spark: SparkSession, paths: list[str], fmt: str = "las") -> int:
-    """Metadata-only COUNT(*): Σ per-file header counts — no data scan
-    (CountPlan semantics, correct SQL)."""
+def count_from_headers(
+    spark: SparkSession | None, paths: list[str], fmt: str = "las", element: str = "vertex"
+) -> int:
+    """Metadata-only COUNT(*): Σ per-file header counts — no data scan, no
+    Spark job.  Like the reference's CountPlan (``executeCollect`` computes
+    on the driver with zero executor work, ExtraStrategies.scala:37,41), this
+    is O(files) of driver-side header reads; ``spark`` is accepted for API
+    symmetry but unused."""
     if fmt == "las":
-        df = las_headers(spark, paths)
-        return df.groupBy().sum("pdr_nb").collect()[0][0]
-    df = ply_headers(spark, paths)
-    return df.groupBy().sum("count").collect()[0][0]
+        return sum(LasHeader.parse_file(p).pdr_nb for p in paths)
+    total = 0
+    for p in paths:
+        el = PlyHeader.parse_file(p).element(element)
+        total += el.count if el else 0
+    return total
 
 
-def minmax_from_headers(spark: SparkSession, paths: list[str]) -> dict[str, float]:
+def minmax_from_headers(
+    spark: SparkSession | None, paths: list[str]
+) -> dict[str, float]:
     """Metadata-only MIN/MAX(x,y,z) in world coordinates from LAS headers
-    (AggregatePlan semantics)."""
-    from pyspark.sql import functions as F
-
-    row = (
-        las_headers(spark, paths)
-        .agg(
-            F.min("x_min").alias("x_min"), F.max("x_max").alias("x_max"),
-            F.min("y_min").alias("y_min"), F.max("y_max").alias("y_max"),
-            F.min("z_min").alias("z_min"), F.max("z_max").alias("z_max"),
-        )
-        .collect()[0]
-    )
-    return row.asDict()
+    (AggregatePlan semantics, ExtraStrategies.scala:49-76) — driver-side
+    only, no Spark job."""
+    headers = [LasHeader.parse_file(p) for p in paths]
+    out: dict[str, float] = {}
+    for i, c in enumerate("xyz"):
+        out[f"{c}_min"] = min(h.pmin[i] for h in headers)
+        out[f"{c}_max"] = max(h.pmax[i] for h in headers)
+    return out
 
 
 def las_info(path: str) -> str:

@@ -1,0 +1,111 @@
+"""Structured Streaming behavioral tests: watermark late-data dropping with
+a multi-batch file-source replay (the part the batch-equivalent oracle
+cannot cover)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+
+def _write_events(spark, path: str, rows: list[tuple[int, str]]) -> None:
+    """rows: (event_id, 'YYYY-MM-DD HH:MM:SS') written as one parquet file."""
+    df = spark.createDataFrame(
+        [(i, ts) for i, ts in rows], "event_id long, ts_s string"
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+def test_watermark_drops_late_data(spark):
+    src = tempfile.mkdtemp(prefix="stream_late_")
+    ckpt = tempfile.mkdtemp(prefix="stream_late_ckpt_")
+
+    # batch 1: 3 events in the 12:00 window, 2 in the 14:00 window
+    _write_events(
+        spark,
+        src,
+        [(1, "2024-06-01 12:00:10"), (2, "2024-06-01 12:10:00"), (3, "2024-06-01 12:30:00"),
+         (4, "2024-06-01 14:00:00"), (5, "2024-06-01 14:05:00")],
+    )
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp")
+        .parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.date_format("w.start", "HH:mm").alias("ws"), "n")
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_sink")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: two LATE events for the closed 12:00 window (watermark is
+        # 13:55) -> must be dropped; plus one on-time event at 15:00
+        _write_events(
+            spark, src,
+            [(6, "2024-06-01 12:40:00"), (7, "2024-06-01 12:41:00"),
+             (8, "2024-06-01 15:00:00")],
+        )
+        q.processAllAvailable()
+        # batch 3: advance watermark far enough to flush the 14:00/15:00 windows
+        _write_events(spark, src, [(9, "2024-06-01 18:00:00")])
+        q.processAllAvailable()
+        time.sleep(1)
+        q.processAllAvailable()
+        got = {r.ws: r.n for r in spark.table("late_sink").collect()}
+    finally:
+        q.stop()
+    # 12:00 window emitted with the original 3 rows — the 2 late arrivals
+    # were dropped, not merged, and append mode never re-emits a closed window
+    assert got.get("12:00") == 3, got
+    assert got.get("14:00") == 2, got
+    assert got.get("15:00") == 1, got
+
+
+def test_stream_dedup_matches_batch(spark):
+    """dropDuplicatesWithinWatermark on a replayed stream keeps one row per
+    key, matching the deterministic batch formulation's key set."""
+    from spark_iqmulus_spark.session import load_tables
+    from spark_iqmulus_spark.streaming.windows import q_stream_dedup
+
+    sf = "/root/testdata/sf0.001"
+    t = load_tables(spark, sf)
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    src = tempfile.mkdtemp(prefix="stream_dedup_")
+    os.symlink(
+        os.path.abspath(f"{sf}/events.parquet"), os.path.join(src, "events.parquet")
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .parquet(src)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_sink")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_dd_"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        streamed = {
+            (r.user_id, r.event_type) for r in spark.table("dedup_sink").collect()
+        }
+    finally:
+        q.stop()
+    batch = {
+        (r.user_id, r.event_type) for r in q_stream_dedup(spark, sf).collect()
+    }
+    assert streamed == batch
