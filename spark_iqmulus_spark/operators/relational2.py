@@ -1,0 +1,238 @@
+"""Extended relational surface: pivot/unpivot, ntile, exact percentiles,
+correlated subqueries, grouping sets, lateral explode, conditional
+aggregation, null-handling scalars.  Same contract as operators.relational:
+every query paired with a DuckDB oracle, deterministic orderings, rounded
+float aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..session import load_tables
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot linestatus into columns (wide aggregation)."""
+    t = load_tables(spark, sf_dir)
+    p = (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum("l_quantity"), 4))
+    )
+    return p.select(
+        "l_returnflag",
+        F.col("F").alias("qty_f"),
+        F.col("O").alias("qty_o"),
+    )
+
+
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot two measures into (measure, value) rows + aggregate."""
+    t = load_tables(spark, sf_dir)
+    stacked = t["lineitem"].selectExpr(
+        "l_returnflag",
+        "stack(2, 'qty', l_quantity, 'price', l_extendedprice) AS (measure, value)",
+    )
+    return stacked.groupBy("l_returnflag", "measure").agg(
+        F.round(F.sum("value"), 4).alias("total")
+    )
+
+
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE(4) quartiles over a total order (unique tiebreak)."""
+    t = load_tables(spark, sf_dir)
+    w = W.orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
+    return (
+        t["orders"]
+        .withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 4).alias("lo"),
+            F.round(F.max("o_totalprice"), 4).alias("hi"),
+        )
+    )
+
+
+def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (continuous interpolation) — Spark ``percentile``
+    == DuckDB ``quantile_cont``."""
+    t = load_tables(spark, sf_dir)
+    return t["lineitem"].agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+        F.round(F.expr("percentile(l_discount, 0.25)"), 4).alias("p25_disc"),
+    )
+
+
+def q_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (decorrelated by Catalyst into a join):
+    orders above their customer's average order value."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey
+        FROM orders o
+        WHERE o_totalprice > 1.5 * (
+            SELECT avg(o_totalprice) FROM orders i WHERE i.o_custkey = o.o_custkey
+        )
+        """
+    )
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping_id disambiguation."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               grouping(l_returnflag) AS g_flag,
+               grouping(l_linestatus) AS g_status,
+               round(sum(l_quantity), 4) AS sum_qty,
+               count(1) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+def q_explode_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral posexplode over the embedding array (first 3 positions)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["embeddings"]
+        .select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+        .where(F.col("pos") < 3)
+        .groupBy("pos")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("val").cast("double")), 4).alias("sum_val"),
+        )
+    )
+
+
+def q_cond_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation: FILTER-style counts without multiple scans."""
+    t = load_tables(spark, sf_dir)
+    return t["orders"].agg(
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_f"),
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_o"),
+        F.round(
+            F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice")).otherwise(0.0)),
+            4,
+        ).alias("urgent_total"),
+        F.round(F.avg(F.when(F.col("o_totalprice") > 50000, F.col("o_totalprice"))), 4).alias(
+            "avg_big"
+        ),
+    )
+
+
+def q_null_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling scalars over an outer-join result: coalesce / nullif /
+    null-safe equality."""
+    t = load_tables(spark, sf_dir)
+    j = t["customer"].join(
+        t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_outer"
+    )
+    return (
+        j.select(
+            "c_custkey",
+            F.coalesce(F.col("o_totalprice"), F.lit(0.0)).alias("price0"),
+            F.nullif(F.col("o_orderstatus"), F.lit("F")).alias("status_nf"),
+            F.col("o_orderkey").eqNullSafe(F.lit(None).cast("long")).alias("is_orderless"),
+        )
+        .groupBy("c_custkey")
+        .agg(
+            F.round(F.sum("price0"), 4).alias("total"),
+            F.count("status_nf").alias("n_nonf"),
+            F.sum(F.col("is_orderless").cast("int")).alias("n_null_rows"),
+        )
+    )
+
+
+QUERIES = {
+    "q_pivot": q_pivot,
+    "q_unpivot": q_unpivot,
+    "q_window_ntile": q_window_ntile,
+    "q_percentile": q_percentile,
+    "q_subquery_correlated": q_subquery_correlated,
+    "q_grouping_sets": q_grouping_sets,
+    "q_explode_lateral": q_explode_lateral,
+    "q_cond_agg": q_cond_agg,
+    "q_null_scalars": q_null_scalars,
+}
+
+ORACLES = {
+    "q_pivot": """
+        SELECT l_returnflag,
+               round(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 4) AS qty_f,
+               round(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 4) AS qty_o
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "q_unpivot": """
+        SELECT l_returnflag, measure, round(sum(value), 4) AS total FROM (
+            SELECT l_returnflag, 'qty' AS measure, l_quantity AS value FROM lineitem
+            UNION ALL
+            SELECT l_returnflag, 'price', l_extendedprice FROM lineitem
+        ) GROUP BY 1, 2
+    """,
+    "q_window_ntile": """
+        SELECT quartile, count(*) AS n,
+               round(min(o_totalprice), 4) AS lo, round(max(o_totalprice), 4) AS hi
+        FROM (
+            SELECT o_totalprice,
+                   ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+            FROM orders
+        ) GROUP BY quartile
+    """,
+    "q_percentile": """
+        SELECT round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+               round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+               round(quantile_cont(l_discount, 0.25), 4) AS p25_disc
+        FROM lineitem
+    """,
+    "q_subquery_correlated": """
+        SELECT o_orderkey, o_custkey
+        FROM orders o
+        WHERE o_totalprice > 1.5 * (
+            SELECT avg(o_totalprice) FROM orders i WHERE i.o_custkey = o.o_custkey
+        )
+    """,
+    "q_grouping_sets": """
+        SELECT l_returnflag, l_linestatus,
+               grouping(l_returnflag) AS g_flag,
+               grouping(l_linestatus) AS g_status,
+               round(sum(l_quantity), 4) AS sum_qty,
+               count(1) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    "q_explode_lateral": """
+        SELECT pos, count(*) AS n, round(sum(val), 4) AS sum_val FROM (
+            SELECT 0 AS pos, CAST(embedding[1] AS DOUBLE) AS val FROM embeddings
+            UNION ALL
+            SELECT 1, CAST(embedding[2] AS DOUBLE) FROM embeddings
+            UNION ALL
+            SELECT 2, CAST(embedding[3] AS DOUBLE) FROM embeddings
+        ) GROUP BY pos
+    """,
+    "q_cond_agg": """
+        SELECT count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+               count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+               round(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                              THEN o_totalprice ELSE 0.0 END), 4) AS urgent_total,
+               round(avg(o_totalprice) FILTER (WHERE o_totalprice > 50000), 4) AS avg_big
+        FROM orders
+    """,
+    "q_null_scalars": """
+        SELECT c_custkey,
+               round(sum(coalesce(o_totalprice, 0.0)), 4) AS total,
+               count(nullif(o_orderstatus, 'F')) AS n_nonf,
+               sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_null_rows
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    """,
+}

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 #: modules that export QUERIES (name -> callable) and ORACLES (name -> sql)
 _MODULES = (
     "spark_iqmulus_spark.operators.relational",
+    "spark_iqmulus_spark.operators.relational2",
     "spark_iqmulus_spark.operators.pointcloud",
     "spark_iqmulus_spark.operators.dedup",
     "spark_iqmulus_spark.operators.similarity",

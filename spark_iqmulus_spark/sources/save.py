@@ -1,0 +1,81 @@
+"""Direct save helpers (A20) + provenance-partitioned write-back (A17).
+
+The reference exposes ``df.saveAsPly/saveAsLas/saveAsXyz`` direct actions
+(``ply/package.scala:40-69``, ``las/package.scala:45-98``,
+``xyz/package.scala:40-61``) that write one file per partition — and its
+LAS variant materializes whole partitions in memory to compute stats
+(``las/package.scala:67-68``), a scalability hazard.  Here the same user
+intent routes through the DataSource writers (streaming stats, commit-phase
+header merge), so ``save_las(df, path)`` is just ergonomic sugar.
+
+``save_partitioned_by_fid`` restores the reference's commit-rename behavior
+(``PlyRelation.scala:65-72``: ``fid=N`` partition dirs renamed back to the
+original source file names recorded in the ``fid`` column metadata): one
+output file per source file, named after the source.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+
+def save_ply(df: DataFrame, path: str, little_endian: bool = True, mode: str = "overwrite") -> None:
+    (
+        df.write.format("ply")
+        .mode(mode)
+        .option("littleendian", "true" if little_endian else "false")
+        .save(path)
+    )
+
+
+def save_las(
+    df: DataFrame,
+    path: str,
+    lasformat: int | None = None,
+    minor: int = 2,
+    scale: tuple[float, float, float] = (0.01, 0.01, 0.01),
+    offset: tuple[float, float, float] = (0.0, 0.0, 0.0),
+    mode: str = "overwrite",
+) -> None:
+    w = (
+        df.write.format("las")
+        .mode(mode)
+        .option("minor", str(minor))
+        .option("scale", ",".join(str(v) for v in scale))
+        .option("offset", ",".join(str(v) for v in offset))
+    )
+    if lasformat is not None:
+        w = w.option("lasformat", str(lasformat))
+    w.save(path)
+
+
+def save_xyz(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    from .xyz import write_xyz
+
+    write_xyz(df, path, mode=mode)
+
+
+def save_partitioned_by_fid(df: DataFrame, out_dir: str, fmt: str = "las", **opts) -> list[str]:
+    """Write one output file per source file, restoring original base names.
+
+    Source paths come from the ``fid`` column metadata (populated by the
+    readers — the reference keeps them the same way,
+    BinarySectionRelation.scala:138-142).  Each fid's rows are filtered and
+    written through the normal committing writer; the per-file loop runs on
+    the driver but each write is a distributed job, so this scales with the
+    *number of files*, not rows.
+    """
+    fid_field = next(f for f in df.schema.fields if f.name == "fid")
+    paths = (fid_field.metadata or {}).get("paths")
+    if not paths:
+        raise ValueError("fid column has no 'paths' metadata — not a point-cloud read?")
+    saver = {"las": save_las, "ply": save_ply, "xyz": save_xyz}[fmt]
+    written = []
+    for fid, src in enumerate(paths):
+        base = os.path.splitext(os.path.basename(src))[0]
+        dest = os.path.join(out_dir, base)
+        saver(df.where(df.fid == fid), dest, **opts)
+        written.append(dest)
+    return written

@@ -1,0 +1,88 @@
+"""Tests for direct-save helpers / fid-partitioned write-back (A17/A20) and
+the custom stateful streaming operator."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from .fixtures import make_las, make_ply_xyz
+
+
+def test_save_helpers(spark, tmp_path):
+    from spark_iqmulus_spark.sources.save import save_las, save_ply
+
+    src = str(tmp_path / "s.las")
+    make_las(src, n=500, fmt=1)
+    df = spark.read.format("las").load(src)
+    out = str(tmp_path / "saved_las")
+    save_las(df, out, lasformat=1)
+    assert spark.read.format("las").load(out).count() == 500
+
+    psrc = str(tmp_path / "s.ply")
+    make_ply_xyz(psrc, n=300)
+    pdf = spark.read.format("ply").load(psrc)
+    pout = str(tmp_path / "saved_ply")
+    save_ply(pdf, pout)
+    assert spark.read.format("ply").load(pout).count() == 300
+
+
+def test_save_partitioned_by_fid_restores_names(spark, tmp_path):
+    """A17 rename semantics: one output per source file, original base name."""
+    from spark_iqmulus_spark.sources.save import save_partitioned_by_fid
+
+    a, b = str(tmp_path / "tile_a.las"), str(tmp_path / "tile_b.las")
+    make_las(a, n=120, fmt=0, seed=1)
+    make_las(b, n=80, fmt=0, seed=2)
+    df = spark.read.format("las").load([a, b])
+    out = str(tmp_path / "writeback")
+    written = save_partitioned_by_fid(df, out, fmt="las", lasformat=0)
+    assert sorted(os.path.basename(w) for w in written) == ["tile_a", "tile_b"]
+    assert spark.read.format("las").load(os.path.join(out, "tile_a")).count() == 120
+    assert spark.read.format("las").load(os.path.join(out, "tile_b")).count() == 80
+
+
+def test_stateful_running_totals(spark):
+    """applyInPandasWithState totals over a replayed stream == batch groupBy."""
+    from spark_iqmulus_spark.session import load_tables
+    from spark_iqmulus_spark.streaming.stateful import running_user_totals
+
+    sf = "/root/testdata/sf0.001"
+    t = load_tables(spark, sf)
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    src = tempfile.mkdtemp(prefix="stateful_src_")
+    os.symlink(
+        os.path.abspath(f"{sf}/events.parquet"), os.path.join(src, "events.parquet")
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .parquet(src)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    q = (
+        running_user_totals(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("totals_sink")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_st_"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # update mode: keep the LAST emission per key
+        got = {
+            r.user_id: (r.n_events, r.total_value)
+            for r in spark.table("totals_sink").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        r.user_id: (r.n, r.total)
+        for r in t["events"]
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .collect()
+    }
+    assert got == want
