@@ -167,9 +167,107 @@ def q_sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF path
+
+N_CELLS = 16
+N_PROBE = 4
+
+
+def _cell_scores(vec, centroids: list[list[float]]):
+    """Array of cosine scores of ``vec`` against each (L2-normalized)
+    centroid — one JVM expression per centroid, no Python in the loop."""
+    norm = F.sqrt(_dot(vec, vec))
+    return F.array(
+        *[
+            _dot(vec, F.array(*[F.lit(v) for v in c])) / norm
+            for c in centroids
+        ]
+    )
+
+
+def ivf_assign(vectors: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """vec_id → inverted-file cell = argmax centroid cosine (1-based)."""
+    scores = _cell_scores(F.col("embedding"), centroids)
+    return vectors.withColumn(
+        "cell", F.array_position(scores, F.array_max(scores))
+    )
+
+
+def q_sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via an IVF (inverted-file) index: corpus vectors are
+    assigned to the nearest of ``N_CELLS`` centroids; each query probes its
+    ``N_PROBE`` best cells and re-ranks exactly within them.
+
+    Centroids here are a deterministic sample (every ``N/N_CELLS``-th vector
+    by vec_id, L2-normalized) — at production scale they come from a k-means
+    fit, but the *query plan* is identical: centroids broadcast as literals,
+    cell assignment is a codegen'd argmax, the candidate join is an equi-join
+    on ``cell`` (shuffle-partitioned by cell — the classic IVF layout), and
+    only ``N_PROBE/N_CELLS`` of the corpus is scored per query.  Rows-only
+    oracle (cell geometry is engine-specific); recall vs brute force is
+    asserted in tests/test_operators.py::test_knn_ivf_recall.
+    """
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    n = e.count()
+    step = max(n // N_CELLS, 1)
+    cents = (
+        e.where((F.col("vec_id") % step == 0) & (F.col("vec_id") / step < N_CELLS))
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    import math
+
+    centroids = []
+    for row in cents:
+        v = [float(x) for x in row[0]]
+        nrm = math.sqrt(sum(x * x for x in v)) or 1.0
+        centroids.append([x / nrm for x in v])
+
+    corpus = ivf_assign(e, centroids).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"), "cell"
+    )
+    q_scores = _cell_scores(F.col("embedding"), centroids)
+    probe_structs = F.slice(
+        F.sort_array(
+            F.zip_with(
+                q_scores,
+                F.sequence(F.lit(1), F.lit(len(centroids))),
+                lambda s, i: F.struct(s.alias("score"), i.alias("cell")),
+            ),
+            asc=False,
+        ),
+        1,
+        N_PROBE,
+    )
+    queries = (
+        e.where(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.explode(probe_structs).alias("probe"),
+        )
+        .select("query_id", "qv", F.col("probe.cell").alias("cell"))
+    )
+    cand = (
+        corpus.join(F.broadcast(queries), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", _cosine(F.col("qv"), F.col("cv")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
 QUERIES = {
     "q_sim_knn": q_sim_knn,
     "q_sim_knn_lsh": q_sim_knn_lsh,
+    "q_sim_knn_ivf": q_sim_knn_ivf,
 }
 
 ORACLES = {

@@ -53,6 +53,20 @@ def test_knn_lsh_recall(spark):
     assert recall >= 0.4, f"knn LSH recall {recall:.2f}"
 
 
+def test_knn_ivf_recall(spark):
+    """IVF probe of 4/16 cells must recover a meaningful fraction of exact
+    top-k; same caveat as LSH — testdata embeddings are near-orthogonal, so
+    the bound asserts the index works, not that it matches brute force."""
+    from spark_iqmulus_spark.operators.similarity import q_sim_knn, q_sim_knn_ivf
+
+    brute = {(r.query_id, r.neighbor_id) for r in q_sim_knn(spark, SF).collect()}
+    ivf = {(r.query_id, r.neighbor_id) for r in q_sim_knn_ivf(spark, SF).collect()}
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.3, f"knn IVF recall {recall:.2f}"
+    # every query returns a full top-k from the probed cells
+    assert len(ivf) == len(brute)
+
+
 def test_multimodal_stub_and_plumbing(spark):
     from spark_iqmulus_spark.operators.multimodal import (
         decode_image,
