@@ -153,7 +153,42 @@ def q_null_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shape 6-table join: two big fact tables (lineitem, orders)
+    joined on their keys, dims reduced via customer/supplier nation match,
+    tiny nation/region explicitly broadcast.  The declarative plan lets
+    Catalyst reorder the join tree and AQE pick broadcast vs shuffle per
+    side — the scale property is that only the lineitem⋈orders edge ever
+    shuffles fact-sized data."""
+    t = load_tables(spark, sf_dir)
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            t["supplier"],
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(
+            (F.col("r_name") == "ASIA")
+            & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(revenue), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
 QUERIES = {
+    "q_join_multiway": q_join_multiway,
     "q_pivot": q_pivot,
     "q_unpivot": q_unpivot,
     "q_window_ntile": q_window_ntile,
@@ -166,6 +201,22 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_join_multiway": """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+               count(*) AS n_lineitems
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+    """,
     "q_pivot": """
         SELECT l_returnflag,
                round(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 4) AS qty_f,

@@ -22,6 +22,7 @@ _MODULES = (
     "spark_iqmulus_spark.operators.text",
     "spark_iqmulus_spark.operators.multimodal",
     "spark_iqmulus_spark.streaming.windows",
+    "spark_iqmulus_spark.streaming.stateful",
 )
 
 
