@@ -187,7 +187,46 @@ def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: stddev/variance/correlation/covariance —
+    all partial-aggregatable (single shuffle on the group key)."""
+    t = load_tables(spark, sf_dir)
+    return t["lineitem"].groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 4).alias("covar_qty_disc"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank / cume_dist within
+    order-status partitions."""
+    t = load_tables(spark, sf_dir)
+    w = W.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return t["orders"].select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered array aggregation: distinct sorted market segments per
+    nation (collect_set is partial-aggregatable; sort is per-group O(k))."""
+    t = load_tables(spark, sf_dir)
+    return t["customer"].groupBy("c_nationkey").agg(
+        F.sort_array(F.collect_set("c_mktsegment")).alias("segments"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
 QUERIES = {
+    "q_agg_stats": q_agg_stats,
+    "q_window_dist": q_window_dist,
+    "q_array_agg": q_array_agg,
     "q_join_multiway": q_join_multiway,
     "q_pivot": q_pivot,
     "q_unpivot": q_unpivot,
@@ -201,6 +240,28 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_agg_stats": """
+        SELECT l_returnflag,
+               round(stddev_samp(l_quantity), 4) AS sd_qty,
+               round(var_samp(l_quantity), 4) AS var_qty,
+               round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+               round(covar_samp(l_quantity, l_discount), 4) AS covar_qty_disc,
+               count(*) AS n
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "q_window_dist": """
+        SELECT o_orderkey, o_orderstatus,
+               round(percent_rank() OVER w, 6) AS pr,
+               round(cume_dist() OVER w, 6) AS cd
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+    "q_array_agg": """
+        SELECT c_nationkey,
+               list_sort(list(DISTINCT c_mktsegment)) AS segments,
+               count(*) AS n_customers
+        FROM customer GROUP BY c_nationkey
+    """,
     "q_join_multiway": """
         SELECT n_name,
                round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
