@@ -169,6 +169,48 @@ QUERIES = {
     "q_text_fingerprint": q_text_fingerprint,
 }
 
+def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation — the composed pipeline a training-data
+    run executes: normalize → exact-dedup (keep lowest doc_id per normalized
+    text; at scale the dedup key is ``sha2(norm)`` as in q_dedup_exact —
+    equality on the norm itself here keeps the oracle engine-agnostic) →
+    quality gate (≥10 tokens, ≥0.3 type/token diversity) → language-ID →
+    per (source, predicted-lang) rollup.  One shuffle for the dedup window,
+    one for the final aggregate; every scoring expression is codegen'd."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir)
+    toks = _tokens()
+    n_tok = F.size(toks)
+    diversity = F.round(F.size(F.array_distinct(toks)) / n_tok, 6)
+    s_en, s_es, s_zh = (_marker_score(lang) for lang in ("en", "es", "zh"))
+    pred = (
+        F.when((s_en >= s_es) & (s_en >= s_zh), "en")
+        .when(s_es >= s_zh, "es")
+        .otherwise("zh")
+    )
+    d = t["documents"].select(
+        "doc_id",
+        "source",
+        _norm().alias("norm"),
+        n_tok.alias("n_tok"),
+        diversity.alias("div"),
+        pred.alias("pred_lang"),
+    )
+    w = W.partitionBy("norm").orderBy("doc_id")
+    kept = (
+        d.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("n_tok") >= 10) & (F.col("div") >= 0.3))
+    )
+    return kept.groupBy("source", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+    )
+
+
+QUERIES["q_pipeline_curate"] = q_pipeline_curate
+
+
 _SQL_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 _SQL_TOKS = f"string_split({_SQL_NORM}, ' ')"
 
@@ -179,6 +221,31 @@ def _sql_marker(markers: tuple[str, ...]) -> str:
 
 
 ORACLES = {
+    "q_pipeline_curate": f"""
+        WITH d AS (
+            SELECT doc_id, source,
+                   {_SQL_NORM} AS norm,
+                   len({_SQL_TOKS}) AS n_tok,
+                   round(CAST(len(list_distinct({_SQL_TOKS})) AS DOUBLE)
+                         / len({_SQL_TOKS}), 6) AS div,
+                   {_sql_marker(LANG_MARKERS['en'])} AS s_en,
+                   {_sql_marker(LANG_MARKERS['es'])} AS s_es,
+                   {_sql_marker(LANG_MARKERS['zh'])} AS s_zh
+            FROM documents
+        ), dd AS (
+            SELECT *, row_number() OVER (PARTITION BY norm ORDER BY doc_id) AS rn
+            FROM d
+        )
+        SELECT source,
+               CASE WHEN s_en >= s_es AND s_en >= s_zh THEN 'en'
+                    WHEN s_es >= s_zh THEN 'es'
+                    ELSE 'zh' END AS pred_lang,
+               count(*) AS n_docs,
+               sum(n_tok) AS total_tokens
+        FROM dd
+        WHERE rn = 1 AND n_tok >= 10 AND div >= 0.3
+        GROUP BY 1, 2
+    """,
     "q_text_stats": f"""
         WITH per_doc AS (
             SELECT lang,

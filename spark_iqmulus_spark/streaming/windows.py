@@ -157,7 +157,79 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-stream interval join: clicks joined to purchases by the
+    same user within 30 minutes, both sides watermarked — the state-store
+    retains only a bounded window of each side (watermark + interval bound),
+    which is what makes stream-stream joins feasible on unbounded input.
+    Replayed to completion (availableNow) so the append-mode result equals
+    the batch interval self-join, making it oracle-checkable."""
+    import os
+    import uuid
+
+    from ..session import normalize_session
+
+    normalize_session(spark)
+    path = f"{sf_dir}/events.parquet"
+    raw_schema = spark.read.parquet(path).schema
+    stream_dir = tempfile.mkdtemp(prefix="stream_join_")
+    os.symlink(os.path.abspath(path), os.path.join(stream_dir, "events.parquet"))
+
+    def src():
+        return (
+            spark.readStream.schema(raw_schema)
+            .format("parquet")
+            .load(stream_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+
+    clicks = (
+        src()
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("cu"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("cts"),
+        )
+        .withWatermark("cts", "1 hour")
+    )
+    buys = (
+        src()
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("bu"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("bts"),
+        )
+        .withWatermark("bts", "1 hour")
+    )
+    joined = clicks.join(
+        buys,
+        (F.col("cu") == F.col("bu"))
+        & (F.col("bts") >= F.col("cts"))
+        & (F.col("bts") <= F.col("cts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select(
+        F.col("cu").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        F.date_format("cts", _TS_FMT).alias("click_ts"),
+        F.date_format("bts", _TS_FMT).alias("purchase_ts"),
+    )
+    name = f"q_stream_join_{uuid.uuid4().hex[:8]}"
+    query = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_sj_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)
+
+
 QUERIES = {
+    "q_stream_join": q_stream_join,
     "q_stream_tumbling": q_stream_tumbling,
     "q_stream_sliding": q_stream_sliding,
     "q_stream_session": q_stream_session,
@@ -166,6 +238,17 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_stream_join": f"""
+        SELECT a.user_id,
+               a.event_id AS click_id,
+               b.event_id AS purchase_id,
+               {_TS_ORACLE.format(c="a.ts")} AS click_ts,
+               {_TS_ORACLE.format(c="b.ts")} AS purchase_ts
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND a.event_type = 'click' AND b.event_type = 'purchase'
+         AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    """,
     "q_stream_tumbling": f"""
         SELECT {_TS_ORACLE.format(c="date_trunc('hour', ts)")} AS window_start,
                event_type, count(*) AS n, round(sum(value), 4) AS sum_value

@@ -92,6 +92,16 @@ def test_semi_join_no_distinct_shuffle(spark, tables):
     assert "LeftSemi" in p
 
 
+def test_multiway_join_plan(spark, tables):
+    """6-table join: dims must broadcast; no cartesian/nested-loop edges."""
+    from spark_iqmulus_spark.operators.relational2 import q_join_multiway
+
+    p = plan_text(q_join_multiway(spark, SF_DIR), "simple")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
 def test_whole_stage_codegen_on_hot_path(spark, tables):
     """The scan→filter→partial-agg pipeline must run inside whole-stage
     codegen (JVM, vectorized) — no Python eval in the hot path."""
