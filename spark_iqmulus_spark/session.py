@@ -48,6 +48,9 @@ def get_spark(app_name: str = "spark_iqmulus_spark", cpus: int | None = None) ->
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # bigger Arrow batches amortize per-batch Python/IPC overhead in the
+        # DataSource write path (measured ~8% on the LAS round-trip)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "131072")
         .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")

@@ -175,13 +175,18 @@ class LasReader(DataSourceReader):
         return True
 
     def partitions(self):
+        from .pointcloud_common import effective_partition_bytes
+
+        kept = [
+            (fid, section, hdr)
+            for fid, section, hdr in _las_sections(self.paths)
+            if not (self.range_filters and not self._file_can_match(hdr))
+        ]  # header says no point can match → whole file skipped
+        total = sum(s.count * s.stride for _, s, _ in kept)
+        target = effective_partition_bytes(total, self.partition_bytes)
         parts = []
-        for fid, section, hdr in _las_sections(self.paths):
-            if self.range_filters and not self._file_can_match(hdr):
-                continue  # header says no point can match — skip whole file
-            for start, n in plan_record_ranges(
-                section.count, section.stride, self.partition_bytes
-            ):
+        for fid, section, hdr in kept:
+            for start, n in plan_record_ranges(section.count, section.stride, target):
                 parts.append(SectionPartition(section, start, n, fid))
         return parts
 

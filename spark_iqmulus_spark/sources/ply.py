@@ -131,11 +131,14 @@ class PlyReader(DataSourceReader):
         )
 
     def partitions(self):
+        from .pointcloud_common import effective_partition_bytes
+
+        secs = _sections(self.paths, self.element)
+        total = sum(s.count * s.stride for _, s, _ in secs)
+        target = effective_partition_bytes(total, self.partition_bytes)
         parts = []
-        for fid, section, _ in _sections(self.paths, self.element):
-            for start, n in plan_record_ranges(
-                section.count, section.stride, self.partition_bytes
-            ):
+        for fid, section, _ in secs:
+            for start, n in plan_record_ranges(section.count, section.stride, target):
                 parts.append(SectionPartition(section, start, n, fid))
         return parts
 
