@@ -118,6 +118,61 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_components(pairs: DataFrame, max_rounds: int = 10) -> DataFrame:
+    """Connected components over near-dup pairs by iterative min-label
+    propagation: each round every node takes the min label among itself and
+    its neighbors; converges in O(cluster diameter) rounds (near-dup
+    clusters are shallow — pairs/triples — so 2-3 rounds in practice,
+    ``max_rounds`` is a safety cap).
+
+    Scale: each round is one shuffle-join on node id + one min-aggregate —
+    the same cost profile as large-graph CC (Hash-Min); lineage is
+    truncated per round with ``localCheckpoint`` so plans stay bounded.
+    The convergence probe is a ``limit(1).count()`` — O(1) rows to the
+    driver, never the label set."""
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).cache()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        neigh = edges.join(
+            labels.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), "label")
+        new_labels = (
+            labels.union(neigh).groupBy("node").agg(F.min("label").alias("label"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.withColumnRenamed("label", "new_label")
+            .join(labels, "node")
+            .where(F.col("new_label") != F.col("label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup *groups*: connected components over the exact n-gram Jaccard
+    pair set (the step that turns pairwise similarity into keep/drop
+    decisions — one keeper per cluster).  Iterative distributed algorithm
+    with a full oracle: DuckDB reproduces it with a recursive CTE."""
+    pairs = q_dedup_ngram(spark, sf_dir).select("doc_a", "doc_b")
+    labels = dedup_components(pairs)
+    return labels.groupBy(F.col("label").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("size"),
+        F.sort_array(F.collect_list("node")).alias("members"),
+    )
+
+
 #: number of minhash permutations and LSH banding layout (4 bands × 4 rows
 #: → candidate if any band matches; detects Jaccard ≳ 0.3 with high recall).
 MINHASH_K = 16
@@ -322,6 +377,7 @@ QUERIES = {
     "q_dedup_minhash": q_dedup_minhash,
     "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_embed": q_dedup_embed,
+    "q_dedup_clusters": q_dedup_clusters,
 }
 
 ORACLES = {
@@ -357,6 +413,45 @@ ORACLES = {
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) >= {JACCARD_T}
+    """,
+    "q_dedup_clusters": f"""
+        WITH RECURSIVE toks AS (
+            SELECT doc_id,
+                   string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS words
+            FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(generate_series(1, len(words) - 2),
+                          i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
+            FROM toks WHERE len(words) >= 3
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+        ), keep AS (
+            SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {MAX_DF}
+        ), shf AS (
+            SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)
+        ), inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+            FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), pairs AS (
+            SELECT doc_a, doc_b FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6)
+                  >= {JACCARD_T}
+        ), edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs
+        ), reach AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        ), lab AS (
+            SELECT a AS node, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+        )
+        SELECT cluster_id, count(*) AS size, list_sort(list(node)) AS members
+        FROM lab GROUP BY cluster_id
     """,
     "q_dedup_embed": f"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

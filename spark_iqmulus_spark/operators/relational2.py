@@ -223,8 +223,28 @@ def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (value-based, not row-based): 7-day trailing
+    revenue per order within its status partition.  RANGE frames include
+    all ties of the current order value, so the result is deterministic
+    without a unique tiebreaker — unlike ROWS frames."""
+    t = load_tables(spark, sf_dir)
+    w = (
+        W.partitionBy("o_orderstatus")
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return t["orders"].select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.sum("o_totalprice").over(w), 4).alias("trailing_7d"),
+        F.count(F.lit(1)).over(w).alias("n_in_window"),
+    )
+
+
 QUERIES = {
     "q_agg_stats": q_agg_stats,
+    "q_window_range": q_window_range,
     "q_window_dist": q_window_dist,
     "q_array_agg": q_array_agg,
     "q_join_multiway": q_join_multiway,
@@ -240,6 +260,14 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_window_range": """
+        SELECT o_orderkey, o_orderstatus,
+               round(sum(o_totalprice) OVER w, 4) AS trailing_7d,
+               count(*) OVER w AS n_in_window
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderdate
+                     RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+    """,
     "q_agg_stats": """
         SELECT l_returnflag,
                round(stddev_samp(l_quantity), 4) AS sd_qty,
