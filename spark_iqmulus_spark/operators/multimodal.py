@@ -97,9 +97,89 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"q_multimodal": q_multimodal}
+#: frame size for the frame-sampling path (bytes) — the audio/video
+#: "frame-sample" plumbing shape: one payload → many fixed-size frames.
+FRAME_BYTES = 128
+
+FRAME_SCHEMA = (
+    "doc_id long, source string, frame_idx int, frame_len int, byte_sum long"
+)
+
+
+def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Split each payload into fixed-size frames with per-frame stats —
+    the exact batch/row-explosion shape a real audio frame-sampler or
+    video keyframe extractor uses (1 input row → N output rows inside
+    mapInPandas; the expansion never touches the driver)."""
+    import numpy as np
+
+    for pdf in batches:
+        doc_ids, sources, idxs, lens, sums = [], [], [], [], []
+        for doc_id, source, payload in zip(
+            pdf["doc_id"], pdf["source"], pdf["payload"]
+        ):
+            for fi, start in enumerate(range(0, len(payload), FRAME_BYTES)):
+                frame = payload[start : start + FRAME_BYTES]
+                doc_ids.append(doc_id)
+                sources.append(source)
+                idxs.append(fi)
+                lens.append(len(frame))
+                sums.append(int(np.frombuffer(frame, dtype=np.uint8).sum()))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(doc_ids, dtype="int64"),
+                "source": pd.Series(sources, dtype="object"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "frame_len": pd.Series(lens, dtype="int32"),
+                "byte_sum": pd.Series(sums, dtype="int64"),
+            }
+        )
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling pipeline: binary payloads → fixed-size frames
+    (mapInPandas row explosion) → per-source rollup.  Oracle reproduces the
+    frame math from the (ASCII) text with substring arithmetic."""
+    t = load_tables(spark, sf_dir)
+    payloads = with_payload(t["documents"]).repartition("source")
+    frames = payloads.mapInPandas(sample_frames, schema=FRAME_SCHEMA)
+    return frames.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum("frame_len").alias("total_bytes"),
+        F.sum("byte_sum").alias("total_byte_sum"),
+        F.max("frame_idx").alias("max_frame_idx"),
+    )
+
+
+QUERIES = {
+    "q_multimodal": q_multimodal,
+    "q_multimodal_frames": q_multimodal_frames,
+}
 
 ORACLES = {
+    "q_multimodal_frames": f"""
+        WITH f AS (
+            SELECT doc_id, source,
+                   unnest(generate_series(
+                       0, CAST(ceil(length(text) / {FRAME_BYTES}.0) AS INT) - 1
+                   )) AS frame_idx,
+                   text
+            FROM documents
+        ), frames AS (
+            SELECT doc_id, source, frame_idx,
+                   substring(text, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES}) AS frame
+            FROM f
+        )
+        SELECT source,
+               count(*) AS n_frames,
+               sum(length(frame)) AS total_bytes,
+               sum(list_sum(list_transform(
+                   generate_series(1, length(frame)),
+                   i -> ascii(substring(frame, i, 1))
+               ))) AS total_byte_sum,
+               max(frame_idx) AS max_frame_idx
+        FROM frames GROUP BY source
+    """,
     "q_multimodal": """
         SELECT source, count(*) AS n_docs,
                sum(octet_length(encode(text))) AS total_bytes,
