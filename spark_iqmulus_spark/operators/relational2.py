@@ -242,8 +242,53 @@ def q_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert semantics without a table format: full-outer join of
+    target (orders) with an updates source (10% price correction for
+    urgent orders), coalescing matched rows — matched→update,
+    unmatched-source→insert, unmatched-target→keep.  One shuffle on the
+    merge key; at scale the same plan runs over bucketed tables with zero
+    shuffle (operators/partitioning.py)."""
+    t = load_tables(spark, sf_dir)
+    target = t["orders"].select("o_orderkey", "o_orderstatus", "o_totalprice")
+    updates = (
+        t["orders"]
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 1.1, 4).alias("new_price"),
+        )
+    )
+    merged = target.join(updates, "o_orderkey", "full_outer")
+    return merged.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.coalesce(F.col("new_price"), F.col("o_totalprice")), 4).alias(
+            "o_totalprice"
+        ),
+        F.col("new_price").isNotNull().alias("was_updated"),
+    )
+
+
+def q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group capping (domain-balancing a training corpus): keep the
+    K = 10 longest documents per source.  Window top-k per key — Spark
+    executes rank-filter windows with partial per-partition pruning; the
+    shuffle carries only the group key."""
+    t = load_tables(spark, sf_dir)
+    w = W.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        t["documents"]
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 10)
+        .select("source", "doc_id", "n_chars", "rk")
+    )
+
+
 QUERIES = {
     "q_agg_stats": q_agg_stats,
+    "q_merge_upsert": q_merge_upsert,
+    "q_cap_per_source": q_cap_per_source,
     "q_window_range": q_window_range,
     "q_window_dist": q_window_dist,
     "q_array_agg": q_array_agg,
@@ -260,6 +305,24 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_merge_upsert": """
+        SELECT t.o_orderkey, t.o_orderstatus,
+               round(coalesce(u.new_price, t.o_totalprice), 4) AS o_totalprice,
+               u.new_price IS NOT NULL AS was_updated
+        FROM orders t
+        FULL OUTER JOIN (
+            SELECT o_orderkey, round(o_totalprice * 1.1, 4) AS new_price
+            FROM orders WHERE o_orderpriority = '1-URGENT'
+        ) u USING (o_orderkey)
+    """,
+    "q_cap_per_source": """
+        SELECT source, doc_id, n_chars, rk FROM (
+            SELECT source, doc_id, n_chars,
+                   row_number() OVER (
+                       PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+            FROM documents
+        ) WHERE rk <= 10
+    """,
     "q_window_range": """
         SELECT o_orderkey, o_orderstatus,
                round(sum(o_totalprice) OVER w, 4) AS trailing_7d,
