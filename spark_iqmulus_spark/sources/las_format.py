@@ -129,7 +129,12 @@ class LasHeader:
     creation_doy: int = 1
     creation_year: int = 2026
     vlrs: list[Vlr] = field(default_factory=list)
+    evlrs: list[Vlr] = field(default_factory=list)
     extra_fields: list[ExtraField] = field(default_factory=list)
+    #: EVLR chain location (LAS 1.4 header bytes 235/243); consumed by
+    #: ``parse_file`` which can seek — EVLRs live after the point data.
+    evlr_offset: int = 0
+    evlr_count: int = 0
 
     # -- derived ------------------------------------------------------------
 
@@ -161,7 +166,25 @@ class LasHeader:
     @classmethod
     def parse_file(cls, path: str) -> "LasHeader":
         with open(path, "rb") as f:
-            return cls.parse(f.read(1 << 16), location=path)
+            hdr = cls.parse(f.read(1 << 16), location=path)
+            # EVLR walk (LAS 1.4): extended VLRs live *after* the point
+            # data; 60-byte record header with a u64 payload length.
+            # ExtraBytes descriptors are honored from EVLRs too.
+            if hdr.evlr_count and hdr.evlr_offset:
+                f.seek(hdr.evlr_offset)
+                for _ in range(hdr.evlr_count):
+                    head = f.read(60)
+                    if len(head) < 60:
+                        break
+                    user_id = head[2:18].rstrip(b"\0").decode("ascii", "replace")
+                    (record_id,) = struct.unpack_from("<H", head, 18)
+                    (length,) = struct.unpack_from("<Q", head, 20)
+                    desc = head[28:60].rstrip(b"\0").decode("ascii", "replace")
+                    payload = f.read(length)
+                    hdr.evlrs.append(Vlr(user_id, record_id, desc, payload))
+                    if user_id == "LASF_Spec" and record_id == 4:
+                        hdr.extra_fields.extend(_parse_extra_bytes(payload))
+        return hdr
 
     @classmethod
     def parse(cls, buf: bytes, location: str = "") -> "LasHeader":
@@ -183,7 +206,10 @@ class LasHeader:
         xmax, xmin, ymax, ymin, zmax, zmin = struct.unpack_from("<6d", buf, 179)
         pdr_nb = legacy_nb
         by_return: tuple[int, ...] = tuple(legacy_by_return) + (0,) * 10
+        evlr_offset = evlr_count = 0
         if minor >= 4:
+            (evlr_offset,) = struct.unpack_from("<Q", buf, 235)
+            (evlr_count,) = struct.unpack_from("<I", buf, 243)
             (count14,) = struct.unpack_from("<Q", buf, 247)
             ret14 = struct.unpack_from("<15Q", buf, 255)
             if count14:
@@ -208,6 +234,8 @@ class LasHeader:
             generating_software=buf[58:90].rstrip(b"\0").decode("ascii", "replace"),
             creation_doy=struct.unpack_from("<H", buf, 90)[0],
             creation_year=struct.unpack_from("<H", buf, 92)[0],
+            evlr_offset=evlr_offset,
+            evlr_count=evlr_count,
         )
         # VLR walk (headers only retained + ExtraBytes decoded)
         pos = header_size

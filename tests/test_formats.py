@@ -111,3 +111,52 @@ def test_las_info(tmp_path):
     assert "point data format:          1" in report
     assert "number of point records:    100" in report
     assert "scale factor x y z:         0.01 0.01 0.01" in report
+
+
+def test_las14_evlr_extrabytes(tmp_path, spark):
+    """LAS 1.4 EVLRs (after point data) are walked and ExtraBytes
+    descriptors in them extend the schema, like VLR-hosted ones."""
+    import struct
+
+    import numpy as np
+
+    from spark_iqmulus_spark.sources.las_format import (
+        ExtraField,
+        LasHeader,
+        _serialize_extra_bytes,
+    )
+
+    n = 200
+    stride = 20 + 4  # format 0 + one f4 extra field
+    hdr = LasHeader(version_minor=4, pdr_format=0, pdr_nb=n, pdr_length=stride)
+    raw = bytearray(hdr.to_bytes())
+    rng = np.random.default_rng(7)
+    pts = np.zeros(n, dtype=np.dtype([("x", "<i4"), ("y", "<i4"), ("z", "<i4"),
+                                      ("intensity", "<u2"), ("flags", "<u1"),
+                                      ("classification", "<u1"), ("angle", "<i1"),
+                                      ("user", "<u1"), ("source", "<u2"),
+                                      ("reflectance", "<f4")]))
+    pts["x"] = rng.integers(-1000, 1000, n)
+    pts["reflectance"] = rng.normal(0, 1, n).astype(np.float32)
+    payload = _serialize_extra_bytes([ExtraField("reflectance", "f4")])
+    evlr = bytearray(60)
+    evlr[2:18] = b"LASF_Spec".ljust(16, b"\0")
+    struct.pack_into("<H", evlr, 18, 4)
+    struct.pack_into("<Q", evlr, 20, len(payload))
+    start_evlr = len(raw) + n * stride
+    struct.pack_into("<Q", raw, 235, start_evlr)
+    struct.pack_into("<I", raw, 243, 1)
+    p = str(tmp_path / "evlr.las")
+    with open(p, "wb") as f:
+        f.write(bytes(raw) + pts.tobytes() + bytes(evlr) + payload)
+
+    parsed = LasHeader.parse_file(p)
+    assert [f.name for f in parsed.extra_fields] == ["reflectance"]
+    assert len(parsed.evlrs) == 1 and parsed.evlrs[0].record_id == 4
+    assert parsed.stride == stride
+
+    df = spark.read.format("las").load(p)
+    assert "reflectance" in df.columns
+    assert df.count() == n
+    got = sorted(r[0] for r in df.select("x").collect())
+    assert got == sorted(int(v) for v in pts["x"])
