@@ -26,6 +26,7 @@ A19), ``minor`` (version, default 2), ``scale``/``offset`` (comma triples),
 from __future__ import annotations
 
 import os
+import struct
 import sys
 import uuid
 from dataclasses import dataclass
@@ -78,7 +79,7 @@ def _las_sections(paths: list[str]) -> list[tuple[int, BinarySection, LasHeader]
     for fid, path in enumerate(paths):
         try:
             hdr = LasHeader.parse_file(path)
-        except (OSError, ValueError) as exc:
+        except (OSError, ValueError, struct.error) as exc:
             print(f"WARNING: skipping unreadable LAS {path}: {exc}", file=sys.stderr)
             continue
         fields = [SectionField(n, c) for n, c in POINT_FORMATS[hdr.pdr_format]]

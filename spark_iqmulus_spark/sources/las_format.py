@@ -190,6 +190,8 @@ class LasHeader:
     def parse(cls, buf: bytes, location: str = "") -> "LasHeader":
         if buf[:4] != SIGNATURE:
             raise ValueError(f"{location}: not a LAS file (magic {buf[:4]!r})")
+        if len(buf) < min(HEADER_SIZE.values()):
+            raise ValueError(f"{location}: truncated LAS header ({len(buf)} bytes)")
         (major, minor) = struct.unpack_from("<BB", buf, 24)
         if minor not in HEADER_SIZE:
             raise ValueError(f"{location}: unsupported LAS 1.{minor}")

@@ -18,6 +18,7 @@ file APIs.  Options: ``element`` (default ``vertex``), ``littleEndian``
 from __future__ import annotations
 
 import os
+import struct
 import sys
 import uuid
 from dataclasses import dataclass
@@ -49,7 +50,7 @@ def _sections(paths: list[str], element: str) -> list[tuple[int, BinarySection, 
     for fid, path in enumerate(paths):
         try:
             hdr = PlyHeader.parse_file(path)
-        except (OSError, ValueError) as exc:
+        except (OSError, ValueError, struct.error) as exc:
             print(f"WARNING: skipping unreadable PLY {path}: {exc}", file=sys.stderr)
             continue
         el = hdr.element(element)

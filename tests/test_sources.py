@@ -230,3 +230,25 @@ def test_schema_merge_unit():
     assert [f.dataType for f in m.fields[:3]] == [T.DoubleType()] * 3
     inten = m.fields[3]
     assert inten.name == "intensity" and inten.nullable  # one-sided → nullable
+
+
+def test_unreadable_files_skipped(spark, tmp_path):
+    """Unreadable/corrupt files are skipped with a warning, not failed —
+    reference behavior (PlyRelation.scala:101-115, LasRelation.scala:41-55)."""
+    from .fixtures import make_las, make_ply_xyz
+
+    good_ply = str(tmp_path / "good.ply")
+    make_ply_xyz(good_ply, n=50)
+    (tmp_path / "bad.ply").write_bytes(b"not a ply file at all")
+    df = spark.read.format("ply").load(str(tmp_path))
+    assert df.count() == 50
+    assert df.select("fid").distinct().count() == 1
+
+    las_dir = tmp_path / "las"
+    las_dir.mkdir()
+    good_las = str(las_dir / "good.las")
+    make_las(good_las, n=70, fmt=0)
+    (las_dir / "bad.las").write_bytes(b"LASX" + b"\0" * 100)  # bad magic
+    (las_dir / "trunc.las").write_bytes(b"LASF" + b"\0" * 10)  # truncated
+    df = spark.read.format("las").load(str(las_dir))
+    assert df.count() == 70
