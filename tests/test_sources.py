@@ -252,3 +252,44 @@ def test_unreadable_files_skipped(spark, tmp_path):
     (las_dir / "trunc.las").write_bytes(b"LASF" + b"\0" * 10)  # truncated
     df = spark.read.format("las").load(str(las_dir))
     assert df.count() == 70
+
+
+def test_ply_element_option(spark, tmp_path):
+    """A PLY with two fixed-stride elements: the ``element`` read option
+    selects which section becomes the DataFrame (reference:
+    PlyRelation.scala:98, default 'vertex')."""
+    import numpy as np
+
+    from spark_iqmulus_spark.sources.ply_format import (
+        PlyElement,
+        PlyHeader,
+        PlyProperty,
+    )
+
+    rng = np.random.default_rng(11)
+    verts = rng.random((40, 3)).astype(np.float32)
+    normals = rng.random((25, 3)).astype(np.float32)
+    hdr = PlyHeader(
+        location="",
+        little_endian=True,
+        elements=[
+            PlyElement(
+                "vertex", 40, [PlyProperty(c, "f4") for c in ("x", "y", "z")]
+            ),
+            PlyElement(
+                "normal", 25, [PlyProperty(c, "f4") for c in ("nx", "ny", "nz")]
+            ),
+        ],
+    )
+    p = str(tmp_path / "two.ply")
+    with open(p, "wb") as f:
+        f.write(hdr.to_bytes() + verts.tobytes() + normals.tobytes())
+
+    dv = spark.read.format("ply").load(p)
+    assert dv.count() == 40 and {"x", "y", "z"} <= set(dv.columns)
+    dn = spark.read.format("ply").option("element", "normal").load(p)
+    assert dn.count() == 25 and {"nx", "ny", "nz"} <= set(dn.columns)
+    # the second section's decode starts after the first element's bytes
+    got = sorted(round(r.nx, 5) for r in dn.collect())
+    want = sorted(round(float(v), 5) for v in normals[:, 0])
+    assert got == want
