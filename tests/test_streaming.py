@@ -109,3 +109,44 @@ def test_stream_dedup_matches_batch(spark):
         (r.user_id, r.event_type) for r in q_stream_dedup(spark, sf).collect()
     }
     assert streamed == batch
+
+
+def test_foreach_batch_parquet_sink(spark, tmp_path):
+    """foreachBatch parquet sink: replayed stream output equals the batch
+    table; re-running the same batch id is idempotent (overwrite, not
+    append)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from spark_iqmulus_spark.streaming.sinks import (
+        parquet_batch_sink,
+        stream_to_parquet,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    os.symlink(
+        os.path.abspath(f"{sf}/events.parquet"), os.path.join(src, "events.parquet")
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .parquet(src)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    out = str(tmp_path / "out")
+    q = stream_to_parquet(stream, out, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+
+    n_events = spark.read.parquet(f"{sf}/events.parquet").count()
+    written = spark.read.parquet(out)
+    assert written.count() == n_events
+
+    # idempotence: re-running a batch id replaces, not duplicates
+    batch_df = spark.read.parquet(f"{sf}/events.parquet").limit(10)
+    parquet_batch_sink(out)(batch_df, 0)
+    parquet_batch_sink(out)(batch_df, 0)
+    again = spark.read.parquet(out)
+    assert again.where(F.col("__batch_id") == 0).count() == 10
