@@ -62,7 +62,7 @@ def test_ply_write_roundtrip(spark, tmp_path):
     assert a == b
 
 
-@pytest.mark.parametrize("fmt", [0, 1, 3, 6])
+@pytest.mark.parametrize("fmt", list(range(11)))
 def test_las_read(spark, tmp_path, fmt):
     p = str(tmp_path / f"f{fmt}.las")
     arr = make_las(p, n=5000, fmt=fmt)
