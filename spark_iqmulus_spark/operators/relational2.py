@@ -285,8 +285,53 @@ def q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history build (CDC pattern without a table format):
+    per-user purchase events become versioned rows with
+    [valid_from, valid_to) intervals and an is_current flag — lead() over
+    the change stream; one shuffle on the entity key."""
+    t = load_tables(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    changes = t["events"].where(F.col("event_type") == "purchase")
+    return changes.select(
+        "user_id",
+        "event_id",
+        F.round("value", 4).alias("value"),
+        F.date_format("ts", fmt).alias("valid_from"),
+        F.date_format(F.lead("ts").over(w), fmt).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed columns: build a map from entries, look up / inspect with
+    map functions — all codegen'd JVM expressions."""
+    t = load_tables(spark, sf_dir)
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"),
+        F.lit("priority"), F.col("o_orderpriority"),
+    )
+    return (
+        t["orders"]
+        .select(
+            "o_orderkey",
+            m.alias("m"),
+        )
+        .select(
+            "o_orderkey",
+            F.col("m")["status"].alias("status"),
+            F.col("m")["priority"].alias("priority"),
+            F.size("m").alias("n_keys"),
+            F.sort_array(F.map_keys("m")).alias("keys"),
+        )
+    )
+
+
 QUERIES = {
     "q_agg_stats": q_agg_stats,
+    "q_scd2": q_scd2,
+    "q_map_funcs": q_map_funcs,
     "q_merge_upsert": q_merge_upsert,
     "q_cap_per_source": q_cap_per_source,
     "q_window_range": q_window_range,
@@ -305,6 +350,23 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_scd2": """
+        SELECT user_id, event_id, round(value, 4) AS value,
+               strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+               strftime(lead(ts) OVER w, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+               lead(ts) OVER w IS NULL AS is_current
+        FROM events
+        WHERE event_type = 'purchase'
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "q_map_funcs": """
+        SELECT o_orderkey,
+               o_orderstatus AS status,
+               o_orderpriority AS priority,
+               2 AS n_keys,
+               ['priority', 'status'] AS keys
+        FROM orders
+    """,
     "q_merge_upsert": """
         SELECT t.o_orderkey, t.o_orderstatus,
                round(coalesce(u.new_price, t.o_totalprice), 4) AS o_totalprice,
