@@ -137,6 +137,22 @@ def q_las_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ply_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PLY header-catalog metadata: element count / stride / file count
+    answered from headers only (A13-equivalent for PLY — O(files), zero
+    point-data bytes read)."""
+    from ..plans.header_catalog import ply_headers
+
+    d = _ply_dir(spark, sf_dir)
+    paths = [os.path.join(d, f) for f in os.listdir(d) if f.endswith(".ply")]
+    cat = ply_headers(spark, paths)
+    return cat.agg(
+        F.sum("count").alias("n_points"),
+        F.max("stride").alias("stride"),
+        F.count(F.lit(1)).alias("n_files"),
+    )
+
+
 def q_xyz_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """part → tab-separated XYZ text → read with default-ish schema → agg."""
     from ..sources.xyz import read_xyz, write_xyz
@@ -166,6 +182,7 @@ QUERIES = {
     "q_ply_roundtrip": q_ply_roundtrip,
     "q_las_filter": q_las_filter,
     "q_las_meta": q_las_meta,
+    "q_ply_meta": q_ply_meta,
     "q_xyz_roundtrip": q_xyz_roundtrip,
 }
 
@@ -204,6 +221,12 @@ ORACLES = {
                round(max(p_partkey) * 0.01::DOUBLE, 6) AS x_max,
                round(min(CAST(round(p_retailprice * 100, 0) AS INTEGER)) * 0.01::DOUBLE, 6) AS z_min,
                round(max(CAST(round(p_retailprice * 100, 0) AS INTEGER)) * 0.01::DOUBLE, 6) AS z_max
+        FROM part
+    """,
+    "q_ply_meta": """
+        SELECT count(*) AS n_points,
+               13 AS stride,       -- x,y,z float32 + classification int8
+               1 AS n_files        -- PLY commit merges parts into one file
         FROM part
     """,
     "q_xyz_roundtrip": f"""

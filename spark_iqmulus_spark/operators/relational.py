@@ -303,6 +303,53 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same as-of semantics as ``q_join_asof``, via the *other* canonical
+    formulation: cogrouped ``applyInPandas`` + ``pd.merge_asof`` per user.
+    Demonstrates the Arrow-batched escape hatch for operators Spark lacks;
+    the window formulation (q_join_asof) remains the preferred plan — this
+    one pays a Python worker round-trip but the same single shuffle on
+    user_id.  Identical oracle (DuckDB native ASOF JOIN)."""
+    import pandas as pd
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("view_value")
+    )
+
+    def asof(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame(
+                columns=["event_id", "user_id", "ts_s", "asof_view_value"]
+            )
+        left = left.sort_values("ts")
+        right = right.sort_values("ts")
+        merged = pd.merge_asof(
+            left, right.drop(columns=["user_id"]), on="ts", direction="backward"
+        )
+        return pd.DataFrame(
+            {
+                "event_id": merged["event_id"],
+                "user_id": merged["user_id"],
+                "ts_s": merged["ts"].dt.strftime("%Y-%m-%d %H:%M:%S.%f"),
+                "asof_view_value": merged["view_value"].round(4),
+            }
+        )
+
+    return (
+        purch.groupBy("user_id")
+        .cogroup(views.groupBy("user_id"))
+        .applyInPandas(
+            asof,
+            "event_id long, user_id long, ts_s string, asof_view_value double",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # windows / sort
 
@@ -542,6 +589,7 @@ QUERIES = {
     "q_join_anti": q_join_anti,
     "q_join_theta": q_join_theta,
     "q_join_asof": q_join_asof,
+    "q_join_asof_pandas": q_join_asof_pandas,
     "q_window_rank": q_window_rank,
     "q_window_frame": q_window_frame,
     "q_sort_limit": q_sort_limit,
@@ -641,6 +689,14 @@ ORACLES = {
         GROUP BY p_brand
     """,
     "q_join_asof": f"""
+        SELECT p.event_id, p.user_id,
+               {_TS_ORACLE.format(c='p.ts')} AS ts_s,
+               round(v.value, 4) AS asof_view_value
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+    "q_join_asof_pandas": f"""
         SELECT p.event_id, p.user_id,
                {_TS_ORACLE.format(c='p.ts')} AS ts_s,
                round(v.value, 4) AS asof_view_value
