@@ -86,3 +86,57 @@ def test_stateful_running_totals(spark):
         .collect()
     }
     assert got == want
+
+
+def test_stateful_across_micro_batches(spark, tmp_path):
+    """State must persist across micro-batches: 4-file source with
+    maxFilesPerTrigger=1 → 4 batches; final per-key totals equal the batch
+    aggregate (and some keys must appear in >1 batch for the test to mean
+    anything)."""
+    from spark_iqmulus_spark.session import load_tables
+    from spark_iqmulus_spark.streaming.stateful import running_user_totals
+
+    sf = "/root/testdata/sf0.001"
+    t = load_tables(spark, sf)
+    src = str(tmp_path / "split_events")
+    raw = spark.read.parquet(f"{sf}/events.parquet")
+    raw.repartition(4).write.parquet(src)
+    raw_schema = raw.schema
+
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    q = (
+        running_user_totals(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("totals_mb")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sink = spark.table("totals_mb")
+    # keys emitted more than once ⇒ state genuinely crossed batches
+    multi = sink.groupBy("user_id").count().where(F.col("count") > 1).count()
+    assert multi > 0
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in sink.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("total_value", "n_events").alias("total_value"),
+        )
+        .collect()
+    }
+    want = {
+        r.user_id: (r.n, r.total)
+        for r in t["events"]
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .collect()
+    }
+    assert got == want
