@@ -328,8 +328,34 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same engine through ``spark.sql`` — TPC-H Q3 shape over the
+    registered views (CTE + join + agg + order/limit).  Demonstrates that
+    the declared surface is reachable from raw SQL, not just the DataFrame
+    API; the plan is identical (same Catalyst pipeline)."""
+    load_tables(spark, sf_dir)  # registers temp views
+    return spark.sql(
+        """
+        WITH big_cust AS (
+            SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        )
+        SELECT o.o_orderkey,
+               round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM orders o
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN big_cust c ON o.o_custkey = c.c_custkey
+        WHERE o.o_orderstatus = 'O'
+        GROUP BY o.o_orderkey
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 50
+        """
+    )
+
+
 QUERIES = {
     "q_agg_stats": q_agg_stats,
+    "q_sql_api": q_sql_api,
     "q_scd2": q_scd2,
     "q_map_funcs": q_map_funcs,
     "q_merge_upsert": q_merge_upsert,
@@ -350,6 +376,21 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_sql_api": """
+        WITH big_cust AS (
+            SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        )
+        SELECT o.o_orderkey,
+               round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM orders o
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN big_cust c ON o.o_custkey = c.c_custkey
+        WHERE o.o_orderstatus = 'O'
+        GROUP BY o.o_orderkey
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 50
+    """,
     "q_scd2": """
         SELECT user_id, event_id, round(value, 4) AS value,
                strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
