@@ -293,3 +293,46 @@ def test_ply_element_option(spark, tmp_path):
     got = sorted(round(r.nx, 5) for r in dn.collect())
     want = sorted(round(float(v), 5) for v in normals[:, 0])
     assert got == want
+
+
+def test_user_journey_las_to_relational(spark, tmp_path):
+    """End-to-end: LAS tiles → world coordinates → spatial filter → join
+    with a parquet dimension → aggregate.  The full path a consumer of the
+    reference library runs, crossing source / functions / relational."""
+    from spark_iqmulus_spark.functions.scaled import with_world_coords
+    from .fixtures import make_las
+
+    tiles = []
+    for i in range(3):
+        p = str(tmp_path / f"tile_{i}.las")
+        make_las(p, n=2000, fmt=1, seed=i)
+        tiles.append(p)
+    pts = spark.read.format("las").load(tiles)
+    world = with_world_coords(pts)  # x/y/z become offset + scale * raw
+
+    cls_dim = spark.createDataFrame(
+        [(c, "ground" if c == 2 else "other") for c in range(1, 7)],
+        "classification int, cls_name string",
+    )
+    out = (
+        world.where(F.col("x") > 0)
+        .join(F.broadcast(cls_dim), "classification")
+        .groupBy("fid", "cls_name")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("x"), 4).alias("avg_x"),
+        )
+    )
+    rows = out.collect()
+    assert {r.fid for r in rows} == {0, 1, 2}
+    assert {r.cls_name for r in rows} == {"ground", "other"}
+    # ground truth for one tile from the raw array
+    import numpy as np
+
+    arr0 = make_las(str(tmp_path / "re.las"), n=2000, fmt=1, seed=0)
+    mask = arr0["x"] > 0
+    want_n = int(
+        ((arr0["classification"][mask] == 2)).sum()
+    )
+    got_n = sum(r.n for r in rows if r.fid == 0 and r.cls_name == "ground")
+    assert got_n == want_n
