@@ -21,8 +21,12 @@ feasible are:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..session import load_tables
 
 
 def write_bucketed(
@@ -76,3 +80,73 @@ def salted_join(
     )
     out = lg.join(sm, [on, "__salt"], how)
     return out.drop("__salt")
+
+
+# ---------------------------------------------------------------------------
+# declared queries — the utilities under the driver's correctness gate
+
+_BUCKET_CACHE: dict[str, bool] = {}
+
+
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join over pre-bucketed tables: both sides written once in
+    the same bucket layout (the pay-the-shuffle-once pattern for repeated
+    100 TB joins), then joined with **zero Exchange** — plan pinned in
+    tests/test_partitioning.py.  Result is byte-identical to the plain
+    join, which is what the oracle checks."""
+    t = load_tables(spark, sf_dir)
+    if not _BUCKET_CACHE.get(sf_dir):
+        base = tempfile.mkdtemp(prefix="bucketed_q_")
+        write_bucketed(
+            t["lineitem"].select("l_orderkey", "l_quantity"),
+            "q_li_bucketed", f"{base}/li", ["l_orderkey"], 8,
+            sort_cols=["l_orderkey"],
+        )
+        write_bucketed(
+            t["orders"].select(
+                F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+            ),
+            "q_ord_bucketed", f"{base}/ord", ["l_orderkey"], 8,
+            sort_cols=["l_orderkey"],
+        )
+        _BUCKET_CACHE[sf_dir] = True
+    joined = spark.table("q_li_bucketed").join(
+        spark.table("q_ord_bucketed"), "l_orderkey"
+    )
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+    )
+
+
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-robust salted equi-join (hot keys split across n_salt shuffle
+    partitions); semantically identical to the plain join — the oracle is
+    the plain-join SQL."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].select("l_orderkey", "l_quantity", "l_linenumber")
+    ords = t["orders"].select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    joined = salted_join(li, ords, "l_orderkey", n_salt=8, salt_from="l_linenumber")
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+    )
+
+
+_JOIN_ORACLE = """
+    SELECT o_orderstatus, count(*) AS n, round(sum(l_quantity), 4) AS sum_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+"""
+
+QUERIES = {
+    "q_join_bucketed": q_join_bucketed,
+    "q_join_salted": q_join_salted,
+}
+
+ORACLES = {
+    "q_join_bucketed": _JOIN_ORACLE,
+    "q_join_salted": _JOIN_ORACLE,
+}

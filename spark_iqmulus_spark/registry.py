@@ -17,6 +17,7 @@ _MODULES = (
     "spark_iqmulus_spark.operators.relational",
     "spark_iqmulus_spark.operators.relational2",
     "spark_iqmulus_spark.operators.pointcloud",
+    "spark_iqmulus_spark.operators.partitioning",
     "spark_iqmulus_spark.operators.dedup",
     "spark_iqmulus_spark.operators.similarity",
     "spark_iqmulus_spark.operators.text",
