@@ -1,0 +1,100 @@
+"""Z-order (Morton) spatial clustering for point-cloud layouts.
+
+At 100 TB the dominant cost of spatial queries is how many files/row-groups
+a bounding-box predicate touches.  The reference keeps file layout as-is
+(one relation per input tile); the standard scale technique is to re-cluster
+by a space-filling curve so nearby points land in the same partition and
+min/max statistics become selective.  This module provides:
+
+- :func:`morton_key`: bit-interleaved Morton code of two non-negative int
+  columns as a single JVM expression chain (no UDF, fully codegen);
+- :func:`cluster_by_morton`: range-repartition + in-partition sort by the
+  Morton key — after writing, each file's x/y bounds are tight, so
+  header-bounds skipping (LAS source ``pushdown`` option) or parquet
+  min/max pruning eliminates most of the data for box queries.
+
+``q_zorder`` puts the key computation under the oracle gate (DuckDB
+reproduces the interleaving with integer bit arithmetic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import load_tables
+
+MORTON_BITS = 10
+
+
+def morton_key(x: Column, y: Column, bits: int = MORTON_BITS) -> Column:
+    """Interleave the low ``bits`` bits of non-negative ints ``x`` and ``y``
+    into a Morton code (x → even bit positions, y → odd)."""
+    acc = F.lit(0).cast("long")
+    for i in range(bits):
+        xbit = F.shiftright(x, i).bitwiseAND(F.lit(1)).cast("long")
+        ybit = F.shiftright(y, i).bitwiseAND(F.lit(1)).cast("long")
+        acc = acc + F.shiftleft(xbit, 2 * i) + F.shiftleft(ybit, 2 * i + 1)
+    return acc
+
+
+def cluster_by_morton(
+    df: DataFrame, x: str, y: str, num_partitions: int, bits: int = MORTON_BITS
+) -> DataFrame:
+    """Spatially cluster ``df``: range-partition on the Morton key and sort
+    within partitions, so a subsequent write produces files with tight
+    per-file x/y bounds.  One range shuffle (sampled boundaries — skew-safe
+    for clustered point distributions)."""
+    keyed = df.withColumn("__morton", morton_key(F.col(x), F.col(y), bits))
+    return (
+        keyed.repartitionByRange(num_partitions, "__morton")
+        .sortWithinPartitions("__morton")
+        .drop("__morton")
+    )
+
+
+def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton codes over the ``part`` table's (partkey mod 1024, size)
+    plane + a per-curve-quadrant rollup — checks both the interleaving
+    math and the clustering property (quadrant = top 2 bits)."""
+    t = load_tables(spark, sf_dir)
+    x = (F.col("p_partkey") % 1024).cast("int")
+    y = F.col("p_size").cast("int")
+    keyed = t["part"].select(
+        "p_partkey",
+        morton_key(x, y).alias("morton"),
+    )
+    return (
+        keyed.withColumn(
+            "quadrant", F.shiftright(F.col("morton"), 2 * MORTON_BITS - 2)
+        )
+        .groupBy("quadrant")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("morton").alias("min_key"),
+            F.max("morton").alias("max_key"),
+            F.sum("morton").alias("sum_keys"),
+        )
+    )
+
+
+QUERIES = {"q_zorder": q_zorder}
+
+ORACLES = {
+    "q_zorder": f"""
+        WITH keyed AS (
+            SELECT p_partkey,
+                   list_sum(list_transform(generate_series(0, {MORTON_BITS - 1}),
+                       i -> ((((p_partkey % 1024) >> i) & 1) << (2*i))
+                            + (((p_size >> i) & 1) << (2*i + 1))
+                   )) AS morton
+            FROM part
+        )
+        SELECT morton >> {2 * MORTON_BITS - 2} AS quadrant,
+               count(*) AS n,
+               min(morton) AS min_key,
+               max(morton) AS max_key,
+               sum(morton) AS sum_keys
+        FROM keyed GROUP BY 1
+    """,
+}

@@ -18,6 +18,7 @@ _MODULES = (
     "spark_iqmulus_spark.operators.relational2",
     "spark_iqmulus_spark.operators.pointcloud",
     "spark_iqmulus_spark.operators.partitioning",
+    "spark_iqmulus_spark.operators.spatial",
     "spark_iqmulus_spark.operators.dedup",
     "spark_iqmulus_spark.operators.similarity",
     "spark_iqmulus_spark.operators.text",

@@ -96,3 +96,31 @@ def test_salted_join_spreads_hot_key(spark):
         .select("s").distinct().count()
     )
     assert n_buckets > 1
+
+
+def test_morton_clustering_tightens_bounds(spark):
+    """After cluster_by_morton, per-partition x/y bounding boxes must be
+    far tighter than random partitioning — the property that makes
+    file-level min/max skipping effective."""
+    from pyspark.sql import functions as F
+
+    from spark_iqmulus_spark.operators.spatial import cluster_by_morton
+
+    n = 40_000
+    pts = spark.range(n).select(
+        (F.col("id") * 2654435761 % 1024).cast("int").alias("x"),
+        (F.col("id") * 40503 % 1024).cast("int").alias("y"),
+    )
+
+    def mean_area(df):
+        part = df.withColumn("p", F.spark_partition_id())
+        boxes = part.groupBy("p").agg(
+            (F.max("x") - F.min("x")).alias("dx"),
+            (F.max("y") - F.min("y")).alias("dy"),
+        )
+        row = boxes.agg(F.avg(F.col("dx") * F.col("dy"))).collect()[0][0]
+        return float(row)
+
+    random_area = mean_area(pts.repartition(16))
+    clustered_area = mean_area(cluster_by_morton(pts, "x", "y", 16))
+    assert clustered_area < random_area / 3, (clustered_area, random_area)
