@@ -353,9 +353,37 @@ def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python user-defined *table* function (PySpark 4 UDTF API): one row
+    in, N rows out — each document chunked into 10-word windows, applied
+    via SQL LATERAL.  Arrow-batched like other Python UDFs; the lateral
+    expansion happens executor-side, never on the driver."""
+    from pyspark.sql.functions import udtf
+
+    load_tables(spark, sf_dir)
+
+    @udtf(returnType="chunk_idx int, n_words int, first_word string")
+    class ChunkWords:
+        def eval(self, text: str):
+            words = text.split(" ")
+            for i in range(0, len(words), 10):
+                chunk = words[i : i + 10]
+                yield i // 10, len(chunk), chunk[0]
+
+    spark.udtf.register("chunk_words", ChunkWords)
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.n_words, c.first_word
+        FROM documents d, LATERAL chunk_words(d.text) c
+        WHERE d.doc_id < 50
+        """
+    )
+
+
 QUERIES = {
     "q_agg_stats": q_agg_stats,
     "q_sql_api": q_sql_api,
+    "q_udtf": q_udtf,
     "q_scd2": q_scd2,
     "q_map_funcs": q_map_funcs,
     "q_merge_upsert": q_merge_upsert,
@@ -376,6 +404,22 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_udtf": """
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS words
+            FROM documents WHERE doc_id < 50
+        ), chunks AS (
+            SELECT doc_id,
+                   unnest(generate_series(
+                       0, CAST(ceil(len(words) / 10.0) AS INT) - 1)) AS chunk_idx,
+                   words
+            FROM w
+        )
+        SELECT doc_id, chunk_idx,
+               least(10, len(words) - chunk_idx * 10) AS n_words,
+               words[chunk_idx * 10 + 1] AS first_word
+        FROM chunks
+    """,
     "q_sql_api": """
         WITH big_cust AS (
             SELECT c_custkey FROM customer WHERE c_acctbal > 5000
