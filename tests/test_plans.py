@@ -102,6 +102,30 @@ def test_multiway_join_plan(spark, tables):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_las_scan_plan_shape(spark, tmp_path):
+    """Point-cloud pipeline: Python appears ONLY at the BatchScan; filter
+    and partial aggregation run JVM-side above it (no BatchEvalPython),
+    and the aggregate map-side combines before the exchange."""
+    from pyspark.sql import functions as F
+
+    from tests.fixtures import make_las
+
+    p = str(tmp_path / "plan.las")
+    make_las(p, n=1000, fmt=1)
+    df = (
+        spark.read.format("las")
+        .load(p)
+        .where(F.col("classification") <= 3)
+        .groupBy("classification")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    plan = plan_text(df, "simple")
+    assert "BatchScan las" in plan
+    assert "partial_count" in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.index("Filter") < plan.index("BatchScan")  # filter above scan only
+
+
 def test_whole_stage_codegen_on_hot_path(spark, tables):
     """The scan→filter→partial-agg pipeline must run inside whole-stage
     codegen (JVM, vectorized) — no Python eval in the hot path."""
