@@ -371,12 +371,58 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for embedding near-dup detection: hyperplane-LSH band
+    buckets (reusing operators.similarity.lsh_signatures) generate candidate
+    pairs via an equi-join on (band, value); exact cosine re-checks only
+    candidates.  Replaces q_dedup_embed's O(N²) scored pairs with
+    O(Σ bucket²); rows-only oracle (banding is engine-specific), recall vs
+    the exact pair set asserted in tests/test_operators.py."""
+    from .similarity import lsh_signatures
+
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"].select("vec_id", "embedding")
+    dim = len(e.select("embedding").first()[0])
+    sigs = lsh_signatures(e, dim)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("sig"), b * 4).bitwiseAND(F.lit(15)).alias("val"),
+            )
+            for b in range(4)
+        ]
+    )
+    banded = sigs.select(
+        "vec_id", "embedding", F.explode(bands).alias("bb")
+    ).select("vec_id", "embedding", "bb.band", "bb.val")
+    a = banded.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "band", "val"
+    )
+    b = banded.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), "band", "val"
+    )
+    cos = _dot(F.col("ea"), F.col("eb")) / (
+        F.sqrt(_dot(F.col("ea"), F.col("ea"))) * F.sqrt(_dot(F.col("eb"), F.col("eb")))
+    )
+    return (
+        a.join(b, ["band", "val"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "ea", "eb")
+        .distinct()
+        .withColumn("cos", F.round(cos, 6))
+        .where(F.col("cos") >= COSINE_T)
+        .select("vec_a", "vec_b", "cos")
+    )
+
+
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_ngram": q_dedup_ngram,
     "q_dedup_minhash": q_dedup_minhash,
     "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_embed": q_dedup_embed,
+    "q_dedup_embed_lsh": q_dedup_embed_lsh,
     "q_dedup_clusters": q_dedup_clusters,
 }
 

@@ -99,3 +99,18 @@ def test_asof_join_semantics(spark):
     t = load_tables(spark, SF)
     purchases = t["events"].where("event_type = 'purchase'").count()
     assert res.count() == purchases  # left-join semantics: one row each
+
+
+def test_embed_lsh_recall(spark):
+    """LSH-bucketed embed dedup must recover a meaningful share of the
+    exact near-dup pairs (same caveat as other LSH tests: synthetic
+    embeddings are near-orthogonal, so the bound is loose)."""
+    from spark_iqmulus_spark.operators.dedup import q_dedup_embed, q_dedup_embed_lsh
+
+    exact = {(r.vec_a, r.vec_b) for r in q_dedup_embed(spark, SF).collect()}
+    lsh = {(r.vec_a, r.vec_b) for r in q_dedup_embed_lsh(spark, SF).collect()}
+    assert exact, "fixture should contain near-dup embedding pairs"
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.3, f"embed LSH recall {recall:.2f}"
+    # candidates that survive the cosine check are a subset of exact pairs
+    assert lsh <= exact
