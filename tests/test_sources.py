@@ -336,3 +336,29 @@ def test_user_journey_las_to_relational(spark, tmp_path):
     )
     got_n = sum(r.n for r in rows if r.fid == 0 and r.cls_name == "ground")
     assert got_n == want_n
+
+
+def test_las_file_skipping_reduces_partitions(spark, tmp_path):
+    """Header-bounds pushdown must actually prune scan partitions: two
+    tiles with disjoint raw x-ranges; a selective predicate plans a scan
+    over only the matching tile's partitions."""
+    from spark_iqmulus_spark.sources.save import save_las
+
+    d = tmp_path / "tiles"
+    lo = spark.range(1000).selectExpr(
+        "CAST(id AS INT) AS x", "CAST(id AS INT) AS y", "CAST(0 AS INT) AS z"
+    )
+    hi = spark.range(1000).selectExpr(
+        "CAST(id + 1000000 AS INT) AS x", "CAST(id AS INT) AS y", "CAST(0 AS INT) AS z"
+    )
+    save_las(lo.coalesce(1), str(d / "lo"))
+    save_las(hi.coalesce(1), str(d / "hi"))
+    paths = [str(d / "lo" / "data.las"), str(d / "hi" / "data.las")]
+
+    plain = spark.read.format("las").load(paths)
+    pushed = spark.read.format("las").option("pushdown", "true").load(paths)
+    q = pushed.where(F.col("x") < 500000)
+    assert q.count() == 1000  # correctness unchanged
+    n_all = plain.rdd.getNumPartitions()
+    n_skip = q.rdd.getNumPartitions()
+    assert n_skip < n_all, (n_skip, n_all)
