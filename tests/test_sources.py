@@ -362,3 +362,22 @@ def test_las_file_skipping_reduces_partitions(spark, tmp_path):
     n_all = plain.rdd.getNumPartitions()
     n_skip = q.rdd.getNumPartitions()
     assert n_skip < n_all, (n_skip, n_all)
+
+
+def test_las_write_v14(spark, tmp_path):
+    """Writer 'minor' option: LAS 1.4 output (375-byte header, u64 counts)
+    round-trips and records the version."""
+    from spark_iqmulus_spark.sources.las_format import LasHeader
+    from spark_iqmulus_spark.sources.save import save_las
+
+    src = str(tmp_path / "s.las")
+    make_las(src, n=1500, fmt=1)
+    df = spark.read.format("las").load(src)
+    out = str(tmp_path / "v14")
+    save_las(df, out, minor=4)
+    hdr = LasHeader.parse_file(f"{out}/data.las")
+    assert (hdr.version_major, hdr.version_minor) == (1, 4)
+    assert hdr.header_size == 375 and hdr.pdr_nb == 1500
+    back = spark.read.format("las").load(out)
+    assert back.count() == 1500
+    assert back.agg(F.sum("x")).collect()[0][0] == df.agg(F.sum("x")).collect()[0][0]
