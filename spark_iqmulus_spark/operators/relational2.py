@@ -380,10 +380,49 @@ def q_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency table via df.stat.crosstab (pairwise frequency counts —
+    a single hash aggregate + pivot under the hood)."""
+    t = load_tables(spark, sf_dir)
+    ct = t["lineitem"].stat.crosstab("l_returnflag", "l_linestatus")
+    first = ct.columns[0]
+    value_cols = sorted(ct.columns[1:])
+    return ct.select(
+        F.col(first).alias("returnflag"),
+        *[F.col(f"`{c}`").alias(f"n_{c.lower()}") for c in value_cols],
+    )
+
+
+def q_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT type: parse the events JSON props column into
+    variant, extract typed fields with variant_get — the semi-structured
+    path that replaces string-JSON reparsing at every access."""
+    t = load_tables(spark, sf_dir)
+    v = t["events"].select(
+        "event_id", F.parse_json("props").alias("v")
+    )
+    return (
+        v.select(
+            "event_id",
+            F.try_variant_get(F.col("v"), "$.k", "int").alias("k"),
+        )
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.count_if(F.col("k").isNull()).alias("n_null"),
+        )
+    )
+
+
 QUERIES = {
     "q_agg_stats": q_agg_stats,
     "q_sql_api": q_sql_api,
     "q_udtf": q_udtf,
+    "q_crosstab": q_crosstab,
+    "q_variant": q_variant,
     "q_scd2": q_scd2,
     "q_map_funcs": q_map_funcs,
     "q_merge_upsert": q_merge_upsert,
@@ -404,6 +443,20 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_crosstab": """
+        SELECT l_returnflag AS returnflag,
+               count(*) FILTER (WHERE l_linestatus = 'F') AS n_f,
+               count(*) FILTER (WHERE l_linestatus = 'O') AS n_o
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "q_variant": """
+        SELECT count(*) AS n,
+               sum(CAST(json_extract(props, '$.k') AS INT)) AS sum_k,
+               min(CAST(json_extract(props, '$.k') AS INT)) AS min_k,
+               max(CAST(json_extract(props, '$.k') AS INT)) AS max_k,
+               count(*) FILTER (WHERE json_extract(props, '$.k') IS NULL) AS n_null
+        FROM events
+    """,
     "q_udtf": """
         WITH w AS (
             SELECT doc_id, string_split(text, ' ') AS words
