@@ -199,7 +199,16 @@ class LasHeader:
         (pdr_offset,) = struct.unpack_from("<I", buf, 96)
         (n_vlr,) = struct.unpack_from("<I", buf, 100)
         (fmt_raw,) = struct.unpack_from("<B", buf, 104)
-        pdr_format = fmt_raw & 0x3F  # mask the laszip compression bits
+        if fmt_raw & 0x80:
+            # laszip sets the high bit of the point format id; the records
+            # are compressed chunks, not fixed-stride — decoding would
+            # return garbage, so fail loudly (file gets skipped with a
+            # warning by the source, like other unreadable files)
+            raise ValueError(
+                f"{location}: LAZ (laszip-compressed) input not supported — "
+                "decompress to .las first"
+            )
+        pdr_format = fmt_raw & 0x3F
         (pdr_length,) = struct.unpack_from("<H", buf, 105)
         (legacy_nb,) = struct.unpack_from("<I", buf, 107)
         legacy_by_return = struct.unpack_from("<5I", buf, 111)

@@ -228,8 +228,41 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-and-island sessionization — the windowing formulation
+    (lag + cumulative sum of gap>threshold) of what ``session_window``
+    computes natively; both are in the surface because the island pattern
+    generalizes to non-time gaps (sequence breaks, value changes).  One
+    shuffle on user_id."""
+    t = load_tables(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    with_flag = t["events"].withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap >= 30 * 60 * 1_000_000), 1).otherwise(0),
+    )
+    sessions = with_flag.withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            W.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_format(F.min("ts"), _TS_FMT).alias("session_start"),
+        F.round(
+            (F.max(F.unix_micros(F.col("ts"))) - F.min(F.unix_micros(F.col("ts"))))
+            / 60e6,
+            4,
+        ).alias("duration_min"),
+    )
+
+
 QUERIES = {
     "q_stream_join": q_stream_join,
+    "q_sessionize_batch": q_sessionize_batch,
     "q_stream_tumbling": q_stream_tumbling,
     "q_stream_sliding": q_stream_sliding,
     "q_stream_session": q_stream_session,
@@ -238,6 +271,29 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_sessionize_batch": f"""
+        WITH flagged AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                >= 1800000000
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sessions AS (
+            SELECT user_id, ts,
+                   sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_seq
+            FROM flagged
+        )
+        SELECT user_id, session_seq,
+               count(*) AS n_events,
+               {_TS_ORACLE.format(c="min(ts)")} AS session_start,
+               round((epoch_us(max(ts)) - epoch_us(min(ts))) / 60000000.0, 4)
+                   AS duration_min
+        FROM sessions GROUP BY user_id, session_seq
+    """,
     "q_stream_join": f"""
         SELECT a.user_id,
                a.event_id AS click_id,

@@ -160,3 +160,22 @@ def test_las14_evlr_extrabytes(tmp_path, spark):
     assert df.count() == n
     got = sorted(r[0] for r in df.select("x").collect())
     assert got == sorted(int(v) for v in pts["x"])
+
+
+def test_laz_detected_and_rejected(tmp_path):
+    """laszip-compressed files (high bit of the format id) fail with a
+    clear message instead of decoding garbage."""
+    import struct
+
+    import pytest as _pytest
+
+    from spark_iqmulus_spark.sources.las_format import LasHeader
+    from tests.fixtures import make_las
+
+    p = str(tmp_path / "c.las")
+    make_las(p, n=10, fmt=1)
+    raw = bytearray(open(p, "rb").read())
+    struct.pack_into("<B", raw, 104, 0x80 | 1)  # set compression bit
+    open(p, "wb").write(bytes(raw))
+    with _pytest.raises(ValueError, match="LAZ"):
+        LasHeader.parse_file(p)
