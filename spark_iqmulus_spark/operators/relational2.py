@@ -417,8 +417,75 @@ def q_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregates (bit_and / bit_or / bit_xor) — partial-aggregatable
+    like any commutative monoid."""
+    t = load_tables(spark, sf_dir)
+    return t["lineitem"].groupBy("l_returnflag").agg(
+        F.bit_and(F.col("l_linenumber")).alias("band"),
+        F.bit_or(F.col("l_linenumber")).alias("bor"),
+        F.bit_xor(F.col("l_linenumber")).alias("bxor"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp interval arithmetic: shifted timestamps, week truncation,
+    month deltas — the temporal scalar family beyond q_date_funcs."""
+    t = load_tables(spark, sf_dir)
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    base = t["orders"].select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("timestamp").alias("od"),
+    )
+    return base.select(
+        "o_orderkey",
+        F.date_format(F.col("od") + F.expr("INTERVAL 90 MINUTES"), fmt).alias(
+            "plus_90m"
+        ),
+        F.date_format(F.date_trunc("week", "od"), fmt).alias("week_start"),
+        F.round(
+            F.months_between(F.lit("2001-01-01").cast("timestamp"), F.col("od")), 4
+        ).alias("months_to_2001"),
+        F.dayofweek("od").alias("dow"),
+    )
+
+
+def q_percentile_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group percentiles (interpolating, DuckDB quantile_cont
+    semantics).  At scale the approximate t-digest (percentile_approx) is
+    the plan; exact is the correctness baseline."""
+    t = load_tables(spark, sf_dir)
+    return t["lineitem"].groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("p50_qty"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_window_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last window values with explicit frames — per order-status,
+    every order sees the cheapest and priciest order keys."""
+    t = load_tables(spark, sf_dir)
+    w = (
+        W.partitionBy("o_orderstatus")
+        .orderBy("o_totalprice", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return t["orders"].select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.first("o_orderkey").over(w).alias("cheapest_key"),
+        F.last("o_orderkey").over(w).alias("priciest_key"),
+    )
+
+
 QUERIES = {
     "q_agg_stats": q_agg_stats,
+    "q_agg_bitwise": q_agg_bitwise,
+    "q_interval_arith": q_interval_arith,
+    "q_percentile_group": q_percentile_group,
+    "q_window_firstlast": q_window_firstlast,
     "q_sql_api": q_sql_api,
     "q_udtf": q_udtf,
     "q_crosstab": q_crosstab,
@@ -443,6 +510,41 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_agg_bitwise": """
+        SELECT l_returnflag,
+               bit_and(l_linenumber) AS band,
+               bit_or(l_linenumber) AS bor,
+               bit_xor(l_linenumber) AS bxor,
+               count(*) AS n
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "q_interval_arith": """
+        SELECT o_orderkey,
+               strftime(o_orderdate + INTERVAL 90 MINUTE, '%Y-%m-%d %H:%M:%S')
+                   AS plus_90m,
+               strftime(date_trunc('week', o_orderdate), '%Y-%m-%d %H:%M:%S')
+                   AS week_start,
+               round(12.0 * (2001 - year(o_orderdate))
+                     + (1 - month(o_orderdate))
+                     + (1 - day(o_orderdate)) / 31.0, 4) AS months_to_2001,
+               dayofweek(o_orderdate) + 1 AS dow
+        FROM orders
+    """,
+    "q_percentile_group": """
+        SELECT l_returnflag,
+               round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+               round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+               count(*) AS n
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "q_window_firstlast": """
+        SELECT o_orderkey, o_orderstatus,
+               first_value(o_orderkey) OVER w AS cheapest_key,
+               last_value(o_orderkey) OVER w AS priciest_key
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
     "q_crosstab": """
         SELECT l_returnflag AS returnflag,
                count(*) FILTER (WHERE l_linestatus = 'F') AS n_f,
