@@ -328,6 +328,28 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_JSON_CACHE: dict[str, str] = {}
+
+
+def q_source_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source round-trip: supplier → .jsonl → schema'd read →
+    rollup.  Line-delimited JSON splits by newline, so reads parallelize
+    like any text source; an explicit schema avoids the inference scan."""
+    import tempfile
+
+    t = load_tables(spark, sf_dir)
+    out = _JSON_CACHE.get(sf_dir)
+    if out is None:
+        out = tempfile.mkdtemp(prefix="src_json_")
+        t["supplier"].write.mode("overwrite").json(out)
+        _JSON_CACHE[sf_dir] = out
+    back = spark.read.schema(t["supplier"].schema).json(out)
+    return back.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("s_acctbal"), 4).alias("total_bal"),
+    )
+
+
 def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same engine through ``spark.sql`` — TPC-H Q3 shape over the
     registered views (CTE + join + agg + order/limit).  Demonstrates that
@@ -487,6 +509,7 @@ QUERIES = {
     "q_percentile_group": q_percentile_group,
     "q_window_firstlast": q_window_firstlast,
     "q_sql_api": q_sql_api,
+    "q_source_json": q_source_json,
     "q_udtf": q_udtf,
     "q_crosstab": q_crosstab,
     "q_variant": q_variant,
@@ -574,6 +597,11 @@ ORACLES = {
                least(10, len(words) - chunk_idx * 10) AS n_words,
                words[chunk_idx * 10 + 1] AS first_word
         FROM chunks
+    """,
+    "q_source_json": """
+        SELECT s_nationkey, count(*) AS n,
+               round(sum(s_acctbal), 4) AS total_bal
+        FROM supplier GROUP BY s_nationkey
     """,
     "q_sql_api": """
         WITH big_cust AS (
