@@ -260,6 +260,40 @@ def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_range_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same range join as ``q_join_theta`` expressed as a **bucketized
+    equi-join** — the scale path when BOTH sides are fact-sized and BNLJ's
+    O(N×M) is infeasible: quantize the range dimension into fixed buckets
+    (width = interval length, so each interval spans ≤ 2 buckets), explode
+    the interval side to its covered buckets, equi-join on bucket id (an
+    ordinary shuffled hash join), then re-apply the exact predicate.
+    Shuffle volume is O(N + 2M) rows, never O(N×M); identical result set,
+    identical oracle."""
+    bucket = 100
+    t = load_tables(spark, sf_dir)
+    p = t["part"].select("p_partkey", "p_brand", "p_retailprice")
+    s = t["supplier"].select("s_suppkey", "s_acctbal")
+    pb = p.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.floor((F.col("p_retailprice") - 100.0) / bucket),
+                F.floor(F.col("p_retailprice") / bucket),
+            )
+        ),
+    )
+    sb = s.withColumn("bucket", F.floor(F.col("s_acctbal") / bucket))
+    return (
+        pb.join(sb, "bucket")
+        .where(
+            (F.col("s_acctbal") >= F.col("p_retailprice") - 100.0)
+            & (F.col("s_acctbal") <= F.col("p_retailprice"))
+        )
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
 def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (the canonical time-series operator Spark lacks natively):
     for each 'purchase' event, the value of the most recent prior-or-equal
@@ -588,6 +622,7 @@ QUERIES = {
     "q_join_semi": q_join_semi,
     "q_join_anti": q_join_anti,
     "q_join_theta": q_join_theta,
+    "q_join_range_bucket": q_join_range_bucket,
     "q_join_asof": q_join_asof,
     "q_join_asof_pandas": q_join_asof_pandas,
     "q_window_rank": q_window_rank,
@@ -683,6 +718,12 @@ ORACLES = {
         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
     """,
     "q_join_theta": """
+        SELECT p_brand, count(*) AS n_pairs
+        FROM part JOIN supplier
+          ON s_acctbal >= p_retailprice - 100.0 AND s_acctbal <= p_retailprice
+        GROUP BY p_brand
+    """,
+    "q_join_range_bucket": """
         SELECT p_brand, count(*) AS n_pairs
         FROM part JOIN supplier
           ON s_acctbal >= p_retailprice - 100.0 AND s_acctbal <= p_retailprice

@@ -92,6 +92,22 @@ def test_semi_join_no_distinct_shuffle(spark, tables):
     assert "LeftSemi" in p
 
 
+def test_range_bucket_join_is_equi(spark, tables):
+    """The bucketized range join must plan as an equi-join (hash/SMJ on
+    bucket id), never a nested-loop — that's its whole point."""
+    from spark_iqmulus_spark.operators.relational import q_join_range_bucket
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = plan_text(q_join_range_bucket(spark, SF_DIR), "simple")
+        assert "BroadcastNestedLoopJoin" not in p
+        assert "CartesianProduct" not in p
+        assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_multiway_join_plan(spark, tables):
     """6-table join: dims must broadcast; no cartesian/nested-loop edges."""
     from spark_iqmulus_spark.operators.relational2 import q_join_multiway
