@@ -25,6 +25,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ..session import load_tables
 
@@ -80,6 +81,91 @@ def salted_join(
     )
     out = lg.join(sm, [on, "__salt"], how)
     return out.drop("__salt")
+
+
+def with_global_row_number(
+    df: DataFrame,
+    order_col: str,
+    tiebreak_col: str,
+    num_buckets: int = 32,
+    rn_col: str = "rn",
+) -> DataFrame:
+    """Exact global row number WITHOUT a single-partition window.
+
+    ``Window.orderBy`` with no partition key moves the entire table into one
+    task (Spark warns about it); at 100 TB that is a non-starter.  Standard
+    two-phase distributed ranking instead:
+
+    1. one cheap pass computes ``num_buckets - 1`` approximate range
+       boundaries on ``order_col`` (``approxQuantile`` — driver holds only
+       O(num_buckets) values);
+    2. rows are assigned a bucket by *value* (ties always share a bucket, so
+       ordering across buckets stays total regardless of boundary error);
+       per-bucket counts (O(num_buckets) rows) turn into cumulative offsets
+       on the driver-sized side of a broadcast join;
+    3. ``row_number`` runs per bucket in parallel; global rank = bucket
+       offset + local rank, ordered by ``(order_col, tiebreak_col)``.
+
+    Boundary imprecision affects only balance, never correctness.
+    """
+    qs = [i / num_buckets for i in range(1, num_buckets)]
+    bounds = sorted(set(df.approxQuantile(order_col, qs, 0.001)))
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + F.when(F.col(order_col) > F.lit(b), 1).otherwise(0)
+    bdf = df.withColumn("__bucket", bucket)
+    offsets = (
+        bdf.groupBy("__bucket")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn(
+            "__offset",
+            F.coalesce(
+                F.sum("__n").over(
+                    W.orderBy("__bucket").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__bucket", "__offset")
+    )
+    w = W.partitionBy("__bucket").orderBy(order_col, tiebreak_col)
+    return (
+        bdf.join(F.broadcast(offsets), "__bucket")
+        .withColumn(rn_col, F.row_number().over(w) + F.col("__offset"))
+        .drop("__bucket", "__offset")
+    )
+
+
+def q_window_ntile_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global NTILE(4) via :func:`with_global_row_number` — value-identical
+    to ``q_window_ntile`` (same oracle) but with no single-partition stage:
+    the only unpartitioned window runs over the O(num_buckets) offsets
+    table.  This is the 100 TB path for any global-order operator (ntile,
+    percent_rank, median-by-rank, global top-k with rank)."""
+    t = load_tables(spark, sf_dir)
+    ranked = with_global_row_number(
+        t["orders"], "o_totalprice", "o_orderkey", num_buckets=32
+    )
+    total = ranked.agg(F.count(F.lit(1)).alias("__total"))
+    # SQL NTILE: with n rows and k tiles, q = n div k and r = n % k; the
+    # first r tiles get q+1 rows.  Expressed closed-form over the rank.
+    quart = (
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn(
+            "quartile",
+            F.expr(
+                "CASE WHEN rn <= (__total % 4) * ((__total div 4) + 1) "
+                "THEN ceil(rn / ((__total div 4) + 1)) "
+                "ELSE (__total % 4) + ceil((rn - (__total % 4) * ((__total div 4) + 1)) "
+                "/ (__total div 4)) END"
+            ),
+        )
+    )
+    return quart.groupBy("quartile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("o_totalprice"), 4).alias("lo"),
+        F.round(F.max("o_totalprice"), 4).alias("hi"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -141,12 +227,24 @@ _JOIN_ORACLE = """
     GROUP BY o_orderstatus
 """
 
+_NTILE_ORACLE = """
+    SELECT quartile, count(*) AS n,
+           round(min(o_totalprice), 4) AS lo, round(max(o_totalprice), 4) AS hi
+    FROM (
+        SELECT o_totalprice,
+               ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+        FROM orders
+    ) GROUP BY quartile
+"""
+
 QUERIES = {
     "q_join_bucketed": q_join_bucketed,
     "q_join_salted": q_join_salted,
+    "q_window_ntile_scalable": q_window_ntile_scalable,
 }
 
 ORACLES = {
     "q_join_bucketed": _JOIN_ORACLE,
     "q_join_salted": _JOIN_ORACLE,
+    "q_window_ntile_scalable": _NTILE_ORACLE,
 }

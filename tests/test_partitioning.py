@@ -98,6 +98,37 @@ def test_salted_join_spreads_hot_key(spark):
     assert n_buckets > 1
 
 
+def test_global_row_number_matches_window(spark, tables):
+    """Two-phase distributed ranking == single-partition window ranking,
+    and the full-data window in its plan is bucket-partitioned (the only
+    unpartitioned window is over the O(buckets) offsets side)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from spark_iqmulus_spark.operators.partitioning import with_global_row_number
+
+    ords = tables["orders"].select("o_orderkey", "o_totalprice")
+    scalable = with_global_row_number(
+        ords, "o_totalprice", "o_orderkey", num_buckets=8
+    ).select("o_orderkey", "rn")
+    reference = ords.withColumn(
+        "rn", F.row_number().over(W.orderBy("o_totalprice", "o_orderkey"))
+    ).select("o_orderkey", "rn")
+    assert scalable.exceptAll(reference).count() == 0
+    assert reference.exceptAll(scalable).count() == 0
+    p = plan_text(scalable, "formatted")
+    assert "row_number()windowspecdefinition(__bucket" in p.replace(" ", ""), p
+
+
+def test_ntile_scalable_matches_window_ntile(spark):
+    from spark_iqmulus_spark.operators.partitioning import q_window_ntile_scalable
+    from spark_iqmulus_spark.operators.relational2 import q_window_ntile
+
+    a = {tuple(r) for r in q_window_ntile_scalable(spark, SF_DIR).collect()}
+    b = {tuple(r) for r in q_window_ntile(spark, SF_DIR).collect()}
+    assert a == b
+
+
 def test_morton_clustering_tightens_bounds(spark):
     """After cluster_by_morton, per-partition x/y bounding boxes must be
     far tighter than random partitioning — the property that makes
