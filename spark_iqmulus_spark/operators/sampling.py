@@ -1,0 +1,153 @@
+"""Deterministic sampling and dataset splitting for training-data pipelines.
+
+At 100 TB, `df.sample()` / `rand()` are the wrong tool for corpus curation:
+they are non-reproducible across retries (a recomputed task re-rolls its
+random numbers, so a failed-and-retried stage can emit a *different* sample)
+and unstable under repartitioning.  The standard fix is **hash-based
+sampling**: a row is kept iff a cryptographic hash of its stable key falls
+under a threshold.  Membership is then a pure function of the key — stable
+across retries, executors, engines, and reruns — and different salts give
+independent samples.
+
+We hash with ``md5`` (same definition in every engine, so the DuckDB oracle
+runs the *identical* expression) and compare the first 4 hex digits
+lexicographically against ``fraction * 16^4``; keys are uniformly spread, so
+the realized rate converges to ``fraction`` (binomial, not exact-n).
+
+The reference delegates all row selection to the host engine (SURVEY.md
+§2B); these operators are part of the §2C training-pipeline extension
+surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import load_tables
+
+
+def _hash_bucket(key: Column, salt: str) -> Column:
+    """First 4 hex digits of md5(salt || key) — a uniform draw in
+    [0, 16^4) encoded as a lexicographically ordered hex string."""
+    return F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 4)
+
+
+def _threshold(fraction: float) -> str:
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return format(round(fraction * 0x10000), "04x")
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = "s0"
+) -> DataFrame:
+    """Keep ≈``fraction`` of rows, decided purely by ``md5(salt||key)``.
+
+    Reproducible across runs/retries/partitionings; disjoint samples come
+    from disjoint hash ranges, independent samples from different salts.
+    """
+    return df.where(_hash_bucket(F.col(key_col), salt) < _threshold(fraction))
+
+
+def split_train_test(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    salt: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Label every row with a split name by partitioning the hash range
+    according to ``weights`` (e.g. ``{"train": .8, "val": .1, "test": .1}``).
+
+    Splits are disjoint, exhaustive, and stable: a given key lands in the
+    same split forever (the property that prevents train/test leakage when
+    the corpus is re-ingested or grows).
+    """
+    total = sum(weights.values())
+    bucket = _hash_bucket(F.col(key_col), salt)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        cond = bucket < F.lit(_threshold(acc))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn(split_col, expr)
+
+
+# ---------------------------------------------------------------------------
+# declared queries
+
+
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% deterministic sample of documents, rolled up by language."""
+    t = load_tables(spark, sf_dir)
+    s = deterministic_sample(t["documents"], "doc_id", 0.10, salt="s1")
+    return s.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("chars"),
+    )
+
+
+def q_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test split with per-split, per-source stats."""
+    t = load_tables(spark, sf_dir)
+    s = split_train_test(
+        t["documents"], "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return s.groupBy("split", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum rates (downsample the dominant source, keep the rest):
+    the `sampleBy` pattern, deterministic so the oracle can replay it."""
+    t = load_tables(spark, sf_dir)
+    bucket = _hash_bucket(F.col("doc_id"), "s2")
+    rate = F.when(F.col("source") == "web", F.lit(_threshold(0.05))).otherwise(
+        F.lit(_threshold(0.5))
+    )
+    return (
+        t["documents"]
+        .where(bucket < rate)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+_SAMPLE_FILTER = "substr(md5('s1' || CAST(doc_id AS VARCHAR)), 1, 4) < '199a'"
+
+QUERIES = {
+    "q_sample_hash": q_sample_hash,
+    "q_split_train_test": q_split_train_test,
+    "q_sample_stratified": q_sample_stratified,
+}
+
+ORACLES = {
+    "q_sample_hash": f"""
+        SELECT lang, count(*) AS n_docs, sum(n_chars) AS chars
+        FROM documents WHERE {_SAMPLE_FILTER}
+        GROUP BY lang
+    """,
+    "q_split_train_test": """
+        SELECT CASE
+                 WHEN substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd' THEN 'train'
+                 WHEN substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+                 ELSE 'test'
+               END AS split,
+               source, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
+        FROM documents
+        GROUP BY 1, 2
+    """,
+    "q_sample_stratified": """
+        SELECT source, count(*) AS n_docs
+        FROM documents
+        WHERE substr(md5('s2' || CAST(doc_id AS VARCHAR)), 1, 4) <
+              CASE WHEN source = 'web' THEN '0ccd' ELSE '8000' END
+        GROUP BY source
+    """,
+}

@@ -20,6 +20,7 @@ _MODULES = (
     "spark_iqmulus_spark.operators.partitioning",
     "spark_iqmulus_spark.operators.spatial",
     "spark_iqmulus_spark.operators.dedup",
+    "spark_iqmulus_spark.operators.sampling",
     "spark_iqmulus_spark.operators.similarity",
     "spark_iqmulus_spark.operators.text",
     "spark_iqmulus_spark.operators.multimodal",

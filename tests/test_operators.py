@@ -114,3 +114,34 @@ def test_embed_lsh_recall(spark):
     assert recall >= 0.3, f"embed LSH recall {recall:.2f}"
     # candidates that survive the cosine check are a subset of exact pairs
     assert lsh <= exact
+
+
+def test_deterministic_sample_stable_and_disjoint(spark):
+    """Hash-based sampling must be invariant to partitioning/retries
+    (unlike rand()), realize ≈fraction, and give disjoint splits."""
+    from spark_iqmulus_spark.operators.sampling import (
+        deterministic_sample,
+        split_train_test,
+    )
+    from spark_iqmulus_spark.session import load_tables
+
+    docs = load_tables(spark, SF)["documents"]
+    a = {r.doc_id for r in deterministic_sample(docs, "doc_id", 0.2).collect()}
+    b = {
+        r.doc_id
+        for r in deterministic_sample(docs.repartition(17), "doc_id", 0.2).collect()
+    }
+    assert a == b  # membership is a pure function of the key
+    n = docs.count()
+    assert 0.1 * n < len(a) < 0.3 * n
+    # different salts -> (near-)independent samples, same-rate overlap ≈ 4%
+    c = {r.doc_id for r in deterministic_sample(docs, "doc_id", 0.2, "other").collect()}
+    assert a != c
+
+    split = split_train_test(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = dict(
+        split.groupBy("split").count().rdd.map(lambda r: (r["split"], r["count"])).collect()
+    )
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > 5 * counts["test"]  # ≈8:1 with binomial noise
+    assert sum(counts.values()) == n  # exhaustive + disjoint
