@@ -177,6 +177,25 @@ def q_xyz_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pc_voxel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voxel-grid downsample of the LAS round-trip cloud (one hash agg,
+    shuffle bounded by occupied voxels), then a summary the oracle can
+    recompute from ``part``: voxel count, conservation of points, densest
+    voxel, centroid sums."""
+    from .spatial import voxel_downsample
+
+    register_sources(spark)
+    df = spark.read.format("las").load(_las_dir(spark, sf_dir))
+    vox = voxel_downsample(df, (64.0, 8.0, 1000.0))
+    return vox.agg(
+        F.count(F.lit(1)).alias("n_voxels"),
+        F.sum("n_pts").alias("n_points"),
+        F.max("n_pts").alias("max_pts"),
+        F.round(F.sum("cx"), 2).alias("sum_cx"),
+        F.round(F.sum("cz"), 2).alias("sum_cz"),
+    )
+
+
 QUERIES = {
     "q_las_roundtrip": q_las_roundtrip,
     "q_ply_roundtrip": q_ply_roundtrip,
@@ -184,12 +203,26 @@ QUERIES = {
     "q_las_meta": q_las_meta,
     "q_ply_meta": q_ply_meta,
     "q_xyz_roundtrip": q_xyz_roundtrip,
+    "q_pc_voxel": q_pc_voxel,
 }
 
 # derivations repeated inline so each oracle is self-contained
 _Z = "CAST(round(p_retailprice * 100, 0) AS INTEGER)"
 
 ORACLES = {
+    "q_pc_voxel": f"""
+        SELECT count(*) AS n_voxels, sum(n_pts) AS n_points, max(n_pts) AS max_pts,
+               round(sum(cx), 2) AS sum_cx, round(sum(cz), 2) AS sum_cz
+        FROM (
+            SELECT floor(x / 64.0) AS vx, floor(y / 8.0) AS vy,
+                   floor(z / 1000.0) AS vz,
+                   count(*) AS n_pts, avg(x) AS cx, avg(z) AS cz
+            FROM (
+                SELECT CAST(p_partkey AS INTEGER) AS x, p_size AS y, {_Z} AS z
+                FROM part
+            ) GROUP BY 1, 2, 3
+        )
+    """,
     "q_las_roundtrip": f"""
         SELECT count(*) AS n,
                sum(CAST(p_partkey AS INTEGER)) AS sum_x,

@@ -53,6 +53,36 @@ def cluster_by_morton(
     )
 
 
+def voxel_downsample(
+    df: DataFrame,
+    cell: tuple[float, float, float],
+    x: str = "x",
+    y: str = "y",
+    z: str = "z",
+) -> DataFrame:
+    """Voxel-grid thinning — the canonical LiDAR point-cloud reduction.
+
+    Each point maps to the voxel ``(floor(x/cx), floor(y/cy), floor(z/cz))``;
+    one output row per occupied voxel carries the centroid and point count.
+    A single hash aggregate: shuffle volume is bounded by *occupied voxel*
+    count, not input points, so a 100 TB cloud reduces in one pass with
+    map-side partial aggregation (no window, no sort).  The reference has
+    no reduction operators (it delegates everything past the scan,
+    SURVEY.md §2B); this is part of the §2C extension surface.
+    """
+    cx, cy, cz = cell
+    return df.groupBy(
+        F.floor(F.col(x) / cx).alias("vx"),
+        F.floor(F.col(y) / cy).alias("vy"),
+        F.floor(F.col(z) / cz).alias("vz"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_pts"),
+        F.avg(x).alias("cx"),
+        F.avg(y).alias("cy"),
+        F.avg(z).alias("cz"),
+    )
+
+
 def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton codes over the ``part`` table's (partkey mod 1024, size)
     plane + a per-curve-quadrant rollup — checks both the interleaving
