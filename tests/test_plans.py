@@ -151,3 +151,35 @@ def test_whole_stage_codegen_on_hot_path(spark, tables):
     codegen = plan_text(df, "codegen")
     assert "WholeStageCodegen" in codegen
     assert "BatchEvalPython" not in plan_text(df, "simple")
+
+
+def test_bloom_filter_join_pruning(spark, tables):
+    """Spark's runtime Bloom-filter injection (the row-level pre-shuffle
+    pruning that matters for selective fact-fact joins at 100 TB) must fire
+    on our join shape.  It is gated by default on a >=10 GB application-side
+    scan — exactly the at-scale case — so the test lowers only that MIN
+    threshold; everything else is default config."""
+    old_app = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li, o = tables["lineitem"], tables["orders"]
+        j = li.join(
+            o.where("o_orderstatus = 'F' AND o_totalprice > 100000"),
+            li.l_orderkey == o.o_orderkey,
+        )
+        p = plan_text(j, "simple")
+        assert "bloom_filter_agg" in p, p
+        assert "might_contain" in p, p
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            old_app,
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
