@@ -83,6 +83,50 @@ def salted_join(
     return out.drop("__salt")
 
 
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dest: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_within: list[str] | None = None,
+) -> int:
+    """Rewrite a parquet dataset into ≈``target_file_bytes`` files.
+
+    Long-running ingest (streaming sinks, per-task point-cloud writers)
+    accretes small files; at cluster scale the resulting per-file open/seek
+    overhead and scheduler pressure dominate scan time.  Sizing from the
+    *source bytes on disk* (not row counts) keeps output files near the
+    parquet row-group sweet spot; optional ``sort_within`` re-clusters rows
+    so min/max page stats stay selective after compaction.  Returns the
+    number of output files.  Uses coalesce when only merging (no shuffle);
+    a full repartition only when re-sorting.
+    """
+    import os
+
+    df = spark.read.parquet(src)
+    total = _dir_bytes(src)  # local FS; on HDFS/S3 swap in the FileSystem API
+    n_files = max(1, -(-total // target_file_bytes))
+    if sort_within:
+        out = df.repartition(n_files).sortWithinPartitions(*sort_within)
+    else:
+        out = df.coalesce(n_files)
+    out.write.mode("overwrite").parquet(dest)
+    return sum(1 for f in os.listdir(dest) if f.endswith(".parquet"))
+
+
+def _dir_bytes(path: str) -> int:
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        total += sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files
+            if f.endswith(".parquet")
+        )
+    return total
+
+
 def with_global_row_number(
     df: DataFrame,
     order_col: str,

@@ -155,3 +155,45 @@ def test_morton_clustering_tightens_bounds(spark):
     random_area = mean_area(pts.repartition(16))
     clustered_area = mean_area(cluster_by_morton(pts, "x", "y", 16))
     assert clustered_area < random_area / 3, (clustered_area, random_area)
+
+
+def test_compact_parquet_merges_small_files(spark, tables, tmp_path):
+    """Many small files -> few target-sized files, zero row loss; sorted
+    variant keeps rows clustered for min/max page-stat selectivity."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from spark_iqmulus_spark.operators.partitioning import compact_parquet
+
+    src = str(tmp_path / "small")
+    tables["lineitem"].repartition(64).write.parquet(src)
+    import os
+
+    assert sum(f.endswith(".parquet") for f in os.listdir(src)) == 64
+
+    dest = str(tmp_path / "compact")
+    n = compact_parquet(spark, src, dest, target_file_bytes=64 * 1024 * 1024)
+    assert n <= 2
+    assert spark.read.parquet(dest).count() == tables["lineitem"].count()
+
+    dest2 = str(tmp_path / "compact_sorted")
+    compact_parquet(
+        spark, src, dest2, target_file_bytes=1 << 20, sort_within=["l_orderkey"]
+    )
+    sorted_df = spark.read.parquet(dest2)
+    assert sorted_df.count() == tables["lineitem"].count()
+    # within every output partition the sort key must be non-decreasing
+    bad = (
+        sorted_df.select(
+            "l_orderkey", F.spark_partition_id().alias("p")
+        )
+        .withColumn(
+            "prev",
+            F.lag("l_orderkey").over(
+                W.partitionBy("p").orderBy(F.monotonically_increasing_id())
+            ),
+        )
+        .where("prev IS NOT NULL AND prev > l_orderkey")
+        .count()
+    )
+    assert bad == 0
