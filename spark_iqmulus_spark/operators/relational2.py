@@ -57,6 +57,29 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): aggregate the fact table,
+    HAVING-filter the groups, join the surviving keys back to the dims,
+    global top-k.  The HAVING filter runs before the join, so only
+    qualifying orderkeys (a tiny fraction) reach the join — at scale the
+    aggregate output is broadcast-able and the plan never shuffles the
+    fact table twice."""
+    t = load_tables(spark, sf_dir)
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("tot_qty"))
+        .where(F.col("tot_qty") > 300)
+    )
+    return (
+        big.join(t["orders"], big.l_orderkey == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_name", "o_orderkey", "o_orderdate", "o_totalprice", "tot_qty")
+        .orderBy(F.desc("tot_qty"), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
 def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles (continuous interpolation) — Spark ``percentile``
     == DuckDB ``quantile_cont``."""
@@ -524,6 +547,7 @@ QUERIES = {
     "q_pivot": q_pivot,
     "q_unpivot": q_unpivot,
     "q_window_ntile": q_window_ntile,
+    "q_tpch_q18": q_tpch_q18,
     "q_percentile": q_percentile,
     "q_subquery_correlated": q_subquery_correlated,
     "q_grouping_sets": q_grouping_sets,
@@ -711,6 +735,17 @@ ORACLES = {
             UNION ALL
             SELECT l_returnflag, 'price', l_extendedprice FROM lineitem
         ) GROUP BY 1, 2
+    """,
+    "q_tpch_q18": """
+        SELECT c_name, o_orderkey, o_orderdate, o_totalprice, tot_qty
+        FROM (
+            SELECT l_orderkey, sum(l_quantity) AS tot_qty
+            FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+        ) big
+        JOIN orders ON big.l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY tot_qty DESC, o_orderkey
+        LIMIT 100
     """,
     "q_window_ntile": """
         SELECT quartile, count(*) AS n,
