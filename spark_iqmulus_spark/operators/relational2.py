@@ -57,6 +57,31 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RECURSIVE_SQL = """
+    WITH RECURSIVE walk AS (
+        SELECT p_partkey AS node, p_partkey AS cur, 0 AS depth FROM part
+        UNION ALL
+        SELECT node, CAST(floor(cur / 10) AS BIGINT), depth + 1
+        FROM walk WHERE cur > 0
+    )
+    SELECT depth, count(*) AS n, sum(node) AS sum_node
+    FROM walk GROUP BY depth
+"""
+
+
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4.x WITH RECURSIVE): walk a derived hierarchy
+    (parent = child div 10, an acyclic digit-truncation tree over part
+    keys) and aggregate per depth.  Bounded recursion — each iteration is
+    a distributed self-join on the previous frontier only, so state is
+    O(frontier), never O(closure).  Note Spark supports only UNION ALL in
+    the recursive branch (no UNION-distinct), which is why cyclic-graph
+    closure (q_dedup_clusters) stays on the explicit iterative path.
+    Identical SQL runs on the DuckDB side."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_RECURSIVE_SQL)
+
+
 def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape (large-volume customers): aggregate the fact table,
     HAVING-filter the groups, join the surviving keys back to the dims,
@@ -548,6 +573,7 @@ QUERIES = {
     "q_unpivot": q_unpivot,
     "q_window_ntile": q_window_ntile,
     "q_tpch_q18": q_tpch_q18,
+    "q_recursive_cte": q_recursive_cte,
     "q_percentile": q_percentile,
     "q_subquery_correlated": q_subquery_correlated,
     "q_grouping_sets": q_grouping_sets,
@@ -736,6 +762,7 @@ ORACLES = {
             SELECT l_returnflag, 'price', l_extendedprice FROM lineitem
         ) GROUP BY 1, 2
     """,
+    "q_recursive_cte": _RECURSIVE_SQL,
     "q_tpch_q18": """
         SELECT c_name, o_orderkey, o_orderdate, o_totalprice, tot_qty
         FROM (
