@@ -57,6 +57,30 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi join (`<=>`): NULL keys match each other instead of
+    dropping out.  Keys are nulled where the comment lacks a marker, so
+    both engines see real NULL matches; Spark still plans `<=>` as a hash
+    join (EqualNullSafe is an equi-key), not a nested loop."""
+    t = load_tables(spark, sf_dir)
+    a = t["orders"].select(
+        F.nullif(F.col("o_custkey") % 50, F.lit(0)).alias("k"),
+        F.col("o_totalprice"),
+    )
+    b = (
+        t["customer"]
+        .select(F.nullif(F.col("c_custkey") % 50, F.lit(0)).alias("k2"))
+        .groupBy("k2")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    joined = a.join(b, a.k.eqNullSafe(F.col("k2")))
+    return joined.groupBy(F.coalesce("k", F.lit(-1)).alias("key")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_cust").alias("sum_cust"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
 _RECURSIVE_SQL = """
     WITH RECURSIVE walk AS (
         SELECT p_partkey AS node, p_partkey AS cur, 0 AS depth FROM part
@@ -574,6 +598,7 @@ QUERIES = {
     "q_window_ntile": q_window_ntile,
     "q_tpch_q18": q_tpch_q18,
     "q_recursive_cte": q_recursive_cte,
+    "q_join_nullsafe": q_join_nullsafe,
     "q_percentile": q_percentile,
     "q_subquery_correlated": q_subquery_correlated,
     "q_grouping_sets": q_grouping_sets,
@@ -763,6 +788,18 @@ ORACLES = {
         ) GROUP BY 1, 2
     """,
     "q_recursive_cte": _RECURSIVE_SQL,
+    "q_join_nullsafe": """
+        WITH a AS (
+            SELECT nullif(o_custkey % 50, 0) AS k, o_totalprice FROM orders
+        ), b AS (
+            SELECT nullif(c_custkey % 50, 0) AS k2, count(*) AS n_cust
+            FROM customer GROUP BY 1
+        )
+        SELECT coalesce(k, -1) AS key, count(*) AS n, sum(n_cust) AS sum_cust,
+               round(sum(o_totalprice), 2) AS sum_price
+        FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k2
+        GROUP BY 1
+    """,
     "q_tpch_q18": """
         SELECT c_name, o_orderkey, o_orderdate, o_totalprice, tot_qty
         FROM (
