@@ -317,3 +317,61 @@ ORACLES = {
         FROM toks
     """,
 }
+
+
+#: contamination n-gram width (4 balances recall vs the tiny synthetic
+#: vocabulary: 3-grams flag nearly everything, 5-grams almost nothing);
+#: benchmark membership = doc_id % 97 == 0
+_CONTAM_N = 4
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: flag corpus documents sharing any
+    word-4-gram with a held-out benchmark set (here the deterministic
+    ``doc_id % 97 == 0`` slice; in production, the eval suites).  Grams are
+    md5-hashed (engine-portable; at scale xxhash64 halves the bytes) and
+    the benchmark gram set — small by construction, like real eval suites —
+    is broadcast, so the corpus side never shuffles.  The decontamination
+    step every training pipeline runs before a data release."""
+    t = load_tables(spark, sf_dir)
+    words = _tokens()
+    n = _CONTAM_N
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.md5(
+                F.concat_ws(
+                    " ", *[F.element_at(words, i + k) for k in range(1, n + 1)]
+                )
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = t["documents"].select(
+        "doc_id", "source", F.explode(grams).alias("gram")
+    )
+    bench = g.where(F.col("doc_id") % 97 == 0).select("gram").distinct()
+    corpus = g.where(F.col("doc_id") % 97 != 0)
+    hits = corpus.join(F.broadcast(bench), "gram").select("doc_id", "source").distinct()
+    return hits.groupBy("source").agg(F.count(F.lit(1)).alias("n_contaminated"))
+
+
+QUERIES["q_contamination"] = q_contamination
+
+ORACLES["q_contamination"] = f"""
+    WITH toks AS (
+        SELECT doc_id, source, {_SQL_TOKS} AS words FROM documents
+    ), g AS (
+        SELECT doc_id, source,
+               unnest(list_transform(generate_series(1, len(words) - 3),
+                      i -> md5(words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                               || ' ' || words[i+3]))) AS gram
+        FROM toks WHERE len(words) >= 4
+    ), bench AS (
+        SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
+    ), hits AS (
+        SELECT DISTINCT doc_id, source FROM g JOIN bench USING (gram)
+        WHERE doc_id % 97 <> 0
+    )
+    SELECT source, count(*) AS n_contaminated FROM hits GROUP BY source
+"""
