@@ -57,6 +57,48 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping between two nations): five-way join
+    where both ends of each lineitem resolve to a nation and only two
+    nation *pairs* survive (OR of the two directions).  The nation filter
+    lands on broadcast dims, so the only fact-side work is lineitem joining
+    broadcast supplier/orders paths — Catalyst pushes the pair predicate
+    below the aggregate."""
+    t = load_tables(spark, sf_dir)
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        t["lineitem"]
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(n1, F.col("s_nationkey") == F.col("s_nk"))
+        .join(n2, F.col("c_nationkey") == F.col("c_nk"))
+        .where(
+            (
+                (F.col("supp_nation") == "NATION_0")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_0")
+            )
+        )
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
 def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Null-safe equi join (`<=>`): NULL keys match each other instead of
     dropping out.  Keys are nulled where the comment lacks a marker, so
@@ -599,6 +641,7 @@ QUERIES = {
     "q_tpch_q18": q_tpch_q18,
     "q_recursive_cte": q_recursive_cte,
     "q_join_nullsafe": q_join_nullsafe,
+    "q_tpch_q7": q_tpch_q7,
     "q_percentile": q_percentile,
     "q_subquery_correlated": q_subquery_correlated,
     "q_grouping_sets": q_grouping_sets,
@@ -788,6 +831,24 @@ ORACLES = {
         ) GROUP BY 1, 2
     """,
     "q_recursive_cte": _RECURSIVE_SQL,
+    "q_tpch_q7": """
+        SELECT supp_nation, cust_nation, l_year,
+               round(sum(volume), 2) AS revenue, count(*) AS n_items
+        FROM (
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   year(l_shipdate) AS l_year,
+                   l_extendedprice * (1 - l_discount) AS volume
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE (n1.n_name = 'NATION_0' AND n2.n_name = 'NATION_1')
+               OR (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_0')
+        )
+        GROUP BY 1, 2, 3
+    """,
     "q_join_nullsafe": """
         WITH a AS (
             SELECT nullif(o_custkey % 50, 0) AS k, o_totalprice FROM orders
