@@ -145,3 +145,28 @@ def test_deterministic_sample_stable_and_disjoint(spark):
     assert set(counts) == {"train", "val", "test"}
     assert counts["train"] > 5 * counts["test"]  # ≈8:1 with binomial noise
     assert sum(counts.values()) == n  # exhaustive + disjoint
+
+
+def test_registry_contract():
+    """Driver-contract invariants, no Spark needed: modules all import
+    (registry would silently skip a broken one), every oracle key has a
+    query, and only the five declared approximate ops are rows-only."""
+    import io
+    from contextlib import redirect_stderr
+
+    from spark_iqmulus_spark.registry import all_oracles, all_queries
+
+    buf = io.StringIO()
+    with redirect_stderr(buf):
+        qs, os_ = all_queries(), all_oracles()
+    assert "failed to import" not in buf.getvalue(), buf.getvalue()
+    assert set(os_) <= set(qs)
+    assert set(qs) - set(os_) == {
+        "q_dedup_embed_lsh",
+        "q_dedup_minhash",
+        "q_dedup_simhash",
+        "q_sim_knn_ivf",
+        "q_sim_knn_lsh",
+    }
+    assert all(callable(f) for f in qs.values())
+    assert all(isinstance(s, str) and s.strip() for s in os_.values())
