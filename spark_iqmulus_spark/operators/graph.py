@@ -1,0 +1,283 @@
+"""Graph operators over the embedding similarity graph.
+
+Extension surface (SURVEY.md §2C): the reference has no graph operators, but a
+training-data pipeline needs them — near-duplicate *clusters* are connected
+components, quality propagation is PageRank-shaped, and candidate-pair
+generation is link prediction.  The graph here is the embedding near-dup graph
+(nodes = vec_ids, edges = pairs with cosine >= ``dedup.COSINE_T``), reusing the
+exact oracle-matched pair definition from ``operators.dedup.q_dedup_embed`` so
+edge sets agree bit-for-bit between Spark and DuckDB.
+
+Every algorithm is pure DataFrame (joins + aggregations — no driver-side
+adjacency structures, no ``collect()``), so it distributes like any other
+relational pipeline:
+
+- **triangles** uses degree-ordered edge orientation ("compact-forward"):
+  each edge is directed from its lower-(degree, id) endpoint to the higher
+  one, bounding per-vertex join fan-out by O(arboricity) instead of
+  O(max degree) — the standard trick that makes triangle enumeration viable
+  on power-law graphs at 100 TB scale.  Scalar-only joins on int keys, all
+  shuffle-hash/broadcast-able.
+- **bfs_levels** is frontier-expansion: each hop is one join + distinct +
+  anti-join, i.e. O(hops) shuffles with the frontier usually tiny; no
+  per-node state on the driver.
+- **pagerank** is the classic power iteration as repeated join + groupBy —
+  one shuffle per iteration keyed on node id; degrees and N ride along as
+  columns (crossJoin with 1-row aggregates → broadcast, never a collect).
+
+Oracles: DuckDB recursive CTE (BFS) and loop-unrolled CTEs (PageRank) —
+full hash-match coverage, not rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import q_dedup_embed
+
+#: shared DuckDB CTE prefix: edge set identical to the q_dedup_embed oracle.
+_EDGE_CTE = """
+    WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    edges AS (
+        SELECT a.vec_id AS a, b.vec_id AS b
+        FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.40
+    ),
+    und AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges)
+"""
+
+
+def sim_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-graph edge list ``(a, b)`` with ``a < b``."""
+    return q_dedup_embed(spark, sf_dir).select(
+        F.col("vec_a").alias("a"), F.col("vec_b").alias("b")
+    )
+
+
+def _undirected(edges: DataFrame) -> DataFrame:
+    """Both directions of an ``a < b`` edge list."""
+    return edges.select("a", "b").union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """Per-node degree of the undirected graph: ``(node, degree)``."""
+    return _undirected(edges).groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+
+
+def triangles(edges: DataFrame) -> DataFrame:
+    """Enumerate triangles as sorted triples ``(ta, tb, tc)``.
+
+    Degree-ordered orientation: direct each edge from the endpoint with the
+    smaller ``(degree, id)`` to the larger, then a triangle is exactly one
+    path ``x→y, y→z`` closed by ``x→z`` — each triangle counted once, and
+    high-degree hubs never fan out (they are always the *head* of their
+    edges), which is what keeps the self-join tractable on skewed graphs.
+    """
+    deg = degrees(edges)
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("db"))
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        edges.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        )
+    )
+    xy = oriented.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    yz = oriented.select(F.col("src").alias("y"), F.col("dst").alias("z"))
+    xz = oriented.select(F.col("src").alias("x"), F.col("dst").alias("z"))
+    tri = xy.join(yz, "y").join(xz, ["x", "z"])
+    srt = F.array_sort(F.array("x", "y", "z"))
+    return tri.select(
+        srt[0].alias("ta"), srt[1].alias("tb"), srt[2].alias("tc")
+    )
+
+
+def common_neighbors(edges: DataFrame, min_common: int = 1) -> DataFrame:
+    """Link prediction: non-adjacent pairs sharing >= ``min_common``
+    neighbors — ``(node_x, node_z, n_common)`` with ``node_x < node_z``.
+    One wedge self-join + one anti-join; wedge fan-out is bounded the same
+    way as :func:`triangles` at scale (orient/salt hubs)."""
+    und = _undirected(edges)
+    left = und.select(F.col("b").alias("y"), F.col("a").alias("x"))
+    right = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    wedges = left.join(right, "y").where(F.col("x") < F.col("z"))
+    cand = wedges.groupBy("x", "z").agg(F.count(F.lit(1)).alias("n_common"))
+    cand = cand.where(F.col("n_common") >= min_common)
+    adjacent = edges.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    return cand.join(adjacent, ["x", "z"], "left_anti").select(
+        F.col("x").alias("node_x"), F.col("z").alias("node_z"), "n_common"
+    )
+
+
+def bfs_levels(edges: DataFrame, max_hops: int = 4) -> DataFrame:
+    """BFS from the minimum node id present in the graph: ``(node, level)``.
+
+    Frontier expansion — one join + distinct + anti-join per hop.  The seed
+    is the 1-row ``min(a)`` aggregate cross-joined in (never collected), so
+    the whole walk stays on the executors.
+    """
+    und = _undirected(edges)
+    seed = und.agg(F.min("a").alias("node")).withColumn("level", F.lit(0))
+    visited = seed
+    frontier = seed
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            und.join(frontier.select(F.col("node").alias("a")), "a")
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("level", F.lit(hop))
+        )
+        visited = visited.union(nxt)
+        frontier = nxt
+    return visited
+
+
+def pagerank(edges: DataFrame, iterations: int = 5, damping: float = 0.85) -> DataFrame:
+    """Power-iteration PageRank on the undirected graph: ``(node, pr)``.
+
+    ``pr_{t+1}(v) = (1-d)/N + d * Σ_{u~v} pr_t(u)/deg(u)``.  No dangling
+    nodes exist (every node in the edge set has degree >= 1), so mass is
+    conserved without a redistribution term.  Each iteration is one shuffle
+    (groupBy dst); degrees and N are carried as columns via 1-row
+    cross-joins, never collected to the driver.
+    """
+    und = _undirected(edges)
+    deg = degrees(edges)
+    n_row = deg.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    ranks = deg.crossJoin(n_row).withColumn("pr", F.lit(1.0) / F.col("n"))
+    for _ in range(iterations):
+        contrib = (
+            und.join(
+                ranks.select(
+                    F.col("node").alias("a"),
+                    (F.col("pr") / F.col("degree")).alias("share"),
+                ),
+                "a",
+            )
+            .groupBy(F.col("b").alias("node"))
+            .agg(F.sum("share").alias("s"))
+        )
+        ranks = (
+            deg.crossJoin(n_row)
+            .join(contrib, "node")
+            .withColumn(
+                "pr",
+                F.lit(1.0 - damping) / F.col("n") + F.lit(damping) * F.col("s"),
+            )
+            .select("node", "degree", "n", "pr")
+        )
+    return ranks.select("node", F.round("pr", 6).alias("pr"))
+
+
+# --------------------------------------------------------------------------
+# Declared queries over the similarity graph
+# --------------------------------------------------------------------------
+
+
+def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree of every node in the similarity graph."""
+    return degrees(sim_edges(spark, sf_dir))
+
+
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All triangles of the similarity graph (sorted triples)."""
+    return triangles(sim_edges(spark, sf_dir))
+
+
+def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicted links: non-adjacent pairs with >= 1 common neighbor."""
+    return common_neighbors(sim_edges(spark, sf_dir), min_common=1)
+
+
+def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS levels (<= 4 hops) from the minimum node id in the graph."""
+    return bfs_levels(sim_edges(spark, sf_dir), max_hops=4)
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-iteration PageRank (d=0.85) over the similarity graph."""
+    return pagerank(sim_edges(spark, sf_dir), iterations=5, damping=0.85)
+
+
+def _pagerank_oracle(iterations: int = 5) -> str:
+    """Loop-unrolled DuckDB PageRank mirroring :func:`pagerank` exactly."""
+    parts = [
+        _EDGE_CTE,
+        """, deg AS (SELECT a AS node, count(*) AS degree FROM und GROUP BY a),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+    r0 AS (SELECT node, degree, (SELECT 1.0 / n FROM nn) AS pr FROM deg)""",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f""",
+    c{i} AS (SELECT und.b AS node, sum(p.pr / p.degree) AS s
+             FROM und JOIN r{i - 1} p ON p.node = und.a GROUP BY und.b),
+    r{i} AS (SELECT deg.node, deg.degree,
+                    (SELECT 0.15 / n FROM nn) + 0.85 * c{i}.s AS pr
+             FROM deg JOIN c{i} ON c{i}.node = deg.node)"""
+        )
+    parts.append(f"\n    SELECT node, round(pr, 6) AS pr FROM r{iterations}")
+    return "".join(parts)
+
+
+QUERIES = {
+    "q_graph_degree": q_graph_degree,
+    "q_graph_triangles": q_graph_triangles,
+    "q_graph_common_neighbors": q_graph_common_neighbors,
+    "q_graph_bfs": q_graph_bfs,
+    "q_graph_pagerank": q_graph_pagerank,
+}
+
+ORACLES = {
+    "q_graph_degree": _EDGE_CTE
+    + """
+    SELECT a AS node, count(*) AS degree FROM und GROUP BY a
+    """,
+    "q_graph_triangles": _EDGE_CTE
+    + """
+    SELECT e1.a AS ta, e1.b AS tb, e2.b AS tc
+    FROM edges e1
+    JOIN edges e2 ON e2.a = e1.b
+    JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+    "q_graph_common_neighbors": _EDGE_CTE
+    + """
+    , cand AS (
+        SELECT l.a AS node_x, r.b AS node_z, count(*) AS n_common
+        FROM (SELECT b AS y, a FROM und) l
+        JOIN (SELECT a AS y, b FROM und) r ON l.y = r.y
+        WHERE l.a < r.b
+        GROUP BY 1, 2
+        HAVING count(*) >= 1
+    )
+    SELECT node_x, node_z, n_common
+    FROM cand
+    WHERE NOT EXISTS (SELECT 1 FROM edges e
+                      WHERE e.a = cand.node_x AND e.b = cand.node_z)
+    """,
+    "q_graph_bfs": _EDGE_CTE.replace("WITH emb", "WITH RECURSIVE emb", 1)
+    + """
+    , walk AS (
+        SELECT (SELECT min(a) FROM und) AS node, 0 AS lvl
+        UNION
+        SELECT und.b, walk.lvl + 1
+        FROM walk JOIN und ON und.a = walk.node
+        WHERE walk.lvl < 4
+    )
+    SELECT node, min(lvl) AS level FROM walk GROUP BY node
+    """,
+    "q_graph_pagerank": _pagerank_oracle(5),
+}

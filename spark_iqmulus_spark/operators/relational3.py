@@ -1,0 +1,326 @@
+"""More TPC-H-shaped declared queries + binning / gap-fill / ORC source.
+
+Same contract as operators.relational: every query has a co-located DuckDB
+oracle, deterministic results, identical column aliases on both sides.
+These shapes exercise optimizer paths the earlier corpus doesn't:
+left-join-then-reaggregate distributions (Q13), aggregate-vs-its-own-max
+(Q15), correlated EXISTS/NOT EXISTS self-joins on the fact table (Q21),
+anti-join + uncorrelated scalar subquery (Q22), correlated min subquery
+over a distinct pair set (Q2), fixed-width binning, and date-spine gap
+filling (sequence/explode vs generate_series).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import load_tables
+
+_ORC_CACHE: dict[str, str] = {}
+
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): left join with
+    a join-side predicate, per-customer count, then re-aggregate the counts
+    into a histogram.  Customers with no orders land in the c_count=0
+    bucket — the left join is what keeps them.  Two shuffles: by custkey,
+    then by the (tiny-cardinality) count."""
+    t = load_tables(spark, sf_dir)
+    per_cust = (
+        t["customer"]
+        .join(
+            t["orders"],
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier by quarterly revenue): aggregate
+    joined against its own global max.  The 1-row max aggregate is
+    broadcast — no global sort, no single-partition window — so the plan
+    is two scans of the *already aggregated* (small) revenue table, not of
+    lineitem."""
+    t = load_tables(spark, sf_dir)
+    rev = (
+        t["lineitem"]
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("tr")
+        )
+    )
+    mx = rev.agg(F.max("tr").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), F.col("tr") == F.col("mx"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name", F.round("tr", 2).alias("total_revenue")
+        )
+    )
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept waiting): finished orders where
+    this supplier's item shipped late (>60 days after the order date),
+    at least one other supplier contributed to the order (EXISTS), and no
+    *other* supplier shipped late (NOT EXISTS).  Catalyst rewrites the
+    EXISTS pair into a left-semi and a left-anti join on l_orderkey — three
+    passes over lineitem co-partitioned on the same key, so AQE can reuse
+    one shuffle exchange.  (The testdata has no commit/receipt dates; the
+    60-day ship lag stands in for Q21's receipt>commit predicate.)"""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT s_name, count(*) AS numwait
+        FROM lineitem l1
+        JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+        WHERE o.o_orderstatus = 'F'
+          AND l1.l_shipdate > o.o_orderdate + INTERVAL '60' DAY
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o3.o_orderdate + INTERVAL '60' DAY)
+        GROUP BY s_name
+        """
+    )
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): customers with
+    above-average positive balance and no *recent* orders — an uncorrelated
+    scalar subquery (1-row broadcast) plus a left-anti join against the
+    filtered orders, grouped by a derived customer segment."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT CAST(c_custkey % 10 AS INT) AS cntrycode,
+               count(*) AS numcust,
+               round(sum(c_acctbal), 2) AS totacctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                           WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '1999-01-01')
+        GROUP BY 1
+        """
+    )
+
+
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier per part): for small parts,
+    the supplier(s) with the minimum account balance among suppliers that
+    actually shipped that part.  The correlated min subquery decorrelates
+    into an aggregate-then-join on l_partkey; the distinct (part, supplier)
+    pair set stands in for partsupp.  Equality is on a *stored* double
+    (selection, not arithmetic), so cross-engine equality is exact."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name
+        FROM part p
+        JOIN ps ON ps.l_partkey = p.p_partkey
+        JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE p.p_size <= 3
+          AND s.s_acctbal = (SELECT min(s2.s_acctbal)
+                             FROM ps ps2
+                             JOIN supplier s2 ON s2.s_suppkey = ps2.l_suppkey
+                             WHERE ps2.l_partkey = p.p_partkey)
+        """
+    )
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width binning (width_bucket shape): order totals into 20k-wide
+    buckets with per-bucket count/min/max.  Pure column arithmetic + one
+    hash aggregate — bucket count is bounded by the value range, not the
+    row count, so the final aggregate is always tiny."""
+    t = load_tables(spark, sf_dir)
+    bucket = F.floor(F.col("o_totalprice") / 20000).cast("int")
+    return (
+        t["orders"]
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 4).alias("lo"),
+            F.round(F.max("o_totalprice"), 4).alias("hi"),
+        )
+    )
+
+
+def q_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily event counts: a generated date spine (sequence +
+    explode) cross-joined with the event-type dimension, left-joined with
+    actual daily counts so zero-activity days appear explicitly.  The spine
+    is O(days × types) — generated, never scanned — and the only shuffle is
+    the daily pre-aggregation of events."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_raw"))
+    return (
+        spine.crossJoin(types)
+        .join(daily, ["day", "event_type"], "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            F.coalesce("n_raw", F.lit(0)).alias("n_events"),
+        )
+    )
+
+
+def q_source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source round-trip: orders → ORC (zlib, Spark-native columnar
+    writer) → read back → aggregate.  ORC scans get the same Catalyst
+    pushdown/pruning treatment as parquet; this pins the second columnar
+    format end-to-end."""
+    t = load_tables(spark, sf_dir)
+    out = _ORC_CACHE.get(sf_dir)
+    if out is None:
+        out = tempfile.mkdtemp(prefix="src_orc_")
+        t["orders"].write.mode("overwrite").orc(out)
+        _ORC_CACHE[sf_dir] = out
+    back = spark.read.orc(out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+QUERIES = {
+    "q_tpch_q13": q_tpch_q13,
+    "q_tpch_q15": q_tpch_q15,
+    "q_tpch_q21": q_tpch_q21,
+    "q_tpch_q22": q_tpch_q22,
+    "q_tpch_q2": q_tpch_q2,
+    "q_histogram": q_histogram,
+    "q_date_spine": q_date_spine,
+    "q_source_orc": q_source_orc,
+}
+
+ORACLES = {
+    "q_tpch_q13": """
+        SELECT c_count, count(*) AS custdist
+        FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer
+              LEFT JOIN orders ON c_custkey = o_custkey
+                              AND o_orderpriority <> '1-URGENT'
+              GROUP BY c_custkey)
+        GROUP BY c_count
+    """,
+    "q_tpch_q15": """
+        WITH rev AS (
+            SELECT l_suppkey,
+                   sum(l_extendedprice * (1 - l_discount)) AS tr
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, round(tr, 2) AS total_revenue
+        FROM rev JOIN supplier ON s_suppkey = l_suppkey
+        WHERE tr = (SELECT max(tr) FROM rev)
+    """,
+    "q_tpch_q21": """
+        SELECT s_name, count(*) AS numwait
+        FROM lineitem l1
+        JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+        WHERE o.o_orderstatus = 'F'
+          AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY s_name
+    """,
+    "q_tpch_q22": """
+        SELECT CAST(c_custkey % 10 AS INT) AS cntrycode,
+               count(*) AS numcust,
+               round(sum(c_acctbal), 2) AS totacctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                           WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '1999-01-01')
+        GROUP BY 1
+    """,
+    "q_tpch_q2": """
+        WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name
+        FROM part p
+        JOIN ps ON ps.l_partkey = p.p_partkey
+        JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE p.p_size <= 3
+          AND s.s_acctbal = (SELECT min(s2.s_acctbal)
+                             FROM ps ps2
+                             JOIN supplier s2 ON s2.s_suppkey = ps2.l_suppkey
+                             WHERE ps2.l_partkey = p.p_partkey)
+    """,
+    "q_histogram": """
+        SELECT CAST(floor(o_totalprice / 20000) AS INT) AS bucket,
+               count(*) AS n,
+               round(min(o_totalprice), 4) AS lo,
+               round(max(o_totalprice), 4) AS hi
+        FROM orders GROUP BY 1
+    """,
+    "q_date_spine": """
+        WITH bounds AS (
+            SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1
+            FROM events
+        ),
+        spine AS (
+            SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+            FROM bounds
+        ),
+        types AS (SELECT DISTINCT event_type FROM events),
+        daily AS (
+            SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n_raw
+            FROM events GROUP BY 1, 2
+        )
+        SELECT strftime(s.day, '%Y-%m-%d') AS day,
+               t.event_type,
+               coalesce(d.n_raw, 0) AS n_events
+        FROM spine s
+        CROSS JOIN types t
+        LEFT JOIN daily d ON d.day = s.day AND d.event_type = t.event_type
+    """,
+    "q_source_orc": """
+        SELECT o_orderstatus, count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders GROUP BY o_orderstatus
+    """,
+}

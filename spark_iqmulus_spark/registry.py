@@ -16,10 +16,12 @@ from pyspark.sql import DataFrame, SparkSession
 _MODULES = (
     "spark_iqmulus_spark.operators.relational",
     "spark_iqmulus_spark.operators.relational2",
+    "spark_iqmulus_spark.operators.relational3",
     "spark_iqmulus_spark.operators.pointcloud",
     "spark_iqmulus_spark.operators.partitioning",
     "spark_iqmulus_spark.operators.spatial",
     "spark_iqmulus_spark.operators.dedup",
+    "spark_iqmulus_spark.operators.graph",
     "spark_iqmulus_spark.operators.sampling",
     "spark_iqmulus_spark.operators.similarity",
     "spark_iqmulus_spark.operators.text",

@@ -1,0 +1,79 @@
+"""Graph algorithm unit tests on handcrafted graphs (known answers).
+
+The declared q_graph_* queries are hash-checked against DuckDB by
+tools/check.py; these tests pin the *algorithms* on graphs where the
+answers are computable by hand — K4, a path, and a disconnected extra
+component — independent of the similarity-graph edge derivation.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from spark_iqmulus_spark.operators.graph import (
+    bfs_levels,
+    common_neighbors,
+    degrees,
+    pagerank,
+    triangles,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "a long, b long")
+
+
+def test_triangles_k4(spark):
+    # K4 has exactly C(4,3) = 4 triangles.
+    k4 = _edges(spark, [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)])
+    tris = {tuple(r) for r in triangles(k4).collect()}
+    assert tris == {(1, 2, 3), (1, 2, 4), (1, 3, 4), (2, 3, 4)}
+
+
+def test_triangles_path_has_none(spark):
+    path = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    assert triangles(path).count() == 0
+
+
+def test_degrees_and_common_neighbors_path(spark):
+    path = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    deg = {r["node"]: r["degree"] for r in degrees(path).collect()}
+    assert deg == {1: 1, 2: 2, 3: 2, 4: 2, 5: 1}
+    # friend-of-friend pairs on a path: skip-one neighbors only
+    cn = {(r["node_x"], r["node_z"]): r["n_common"]
+          for r in common_neighbors(path, min_common=1).collect()}
+    assert cn == {(1, 3): 1, (2, 4): 1, (3, 5): 1}
+
+
+def test_bfs_levels_path_with_island(spark):
+    # component of 1: a path; nodes 10-11 unreachable -> absent from result
+    g = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)])
+    lv = {r["node"]: r["level"] for r in bfs_levels(g, max_hops=3).collect()}
+    assert lv == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_pagerank_symmetry_and_mass(spark):
+    path = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    pr = {r["node"]: r["pr"] for r in pagerank(path, iterations=5).collect()}
+    # symmetric graph -> symmetric ranks; total mass conserved (no dangling)
+    assert math.isclose(pr[1], pr[5], abs_tol=1e-9)
+    assert math.isclose(pr[2], pr[4], abs_tol=1e-9)
+    assert math.isclose(sum(pr.values()), 1.0, abs_tol=1e-4)
+    # endpoints of a path rank below the middle's neighbors
+    assert pr[1] < pr[2]
+
+
+def test_graph_queries_registered():
+    from spark_iqmulus_spark.registry import all_oracles, all_queries
+
+    QUERIES, ORACLES = all_queries(), all_oracles()
+    for k in (
+        "q_graph_degree",
+        "q_graph_triangles",
+        "q_graph_common_neighbors",
+        "q_graph_bfs",
+        "q_graph_pagerank",
+    ):
+        assert k in QUERIES and k in ORACLES
