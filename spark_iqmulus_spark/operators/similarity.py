@@ -291,3 +291,33 @@ ORACLES = {
     # q_sim_knn_lsh: rows-only (LSH banding is engine-specific; recall vs
     # brute force asserted in tests/test_similarity.py).
 }
+
+
+def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column: ``posexplode`` the
+    vectors and average per (label, dimension).  One shuffle keyed on
+    (label, pos) — cardinality labels × dims, independent of corpus size —
+    with map-side partial aggregation doing virtually all the work; this is
+    the building block for IVF coarse quantizers and per-class drift
+    monitoring.  A per-label L2 norm of the centroid rides along as a
+    cross-check aggregate."""
+    t = load_tables(spark, sf_dir)
+    exploded = t["embeddings"].select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>"))
+    )
+    return exploded.groupBy("label", "pos").agg(
+        F.round(F.avg("col"), 6).alias("centroid"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )
+
+
+QUERIES["q_embed_centroids"] = q_embed_centroids
+
+ORACLES["q_embed_centroids"] = """
+    WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    x AS (SELECT label, unnest(generate_series(1, len(v))) AS i, v FROM e)
+    SELECT label, i - 1 AS pos,
+           round(avg(v[i]), 6) AS centroid,
+           count(*) AS n_vecs
+    FROM x GROUP BY 1, 2
+"""

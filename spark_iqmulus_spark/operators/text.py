@@ -375,3 +375,128 @@ ORACLES["q_contamination"] = f"""
     )
     SELECT source, count(*) AS n_contaminated FROM hits GROUP BY source
 """
+
+
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: top-3 terms per document by
+    ``tf * ln(N/df)``.  Three aggregations — term frequency per (doc, term),
+    document frequency per term, corpus size — then a per-document top-k
+    window.  The df and N sides are tiny (vocabulary- and 1-row-sized) and
+    broadcast; the only big shuffle is the (doc, term) frequency count,
+    partial-aggregated map-side.  Scores are rounded *before* the ranking
+    comparison so cross-engine ties resolve identically (term asc)."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir)
+    tf = (
+        t["documents"]
+        .select("doc_id", F.explode(_tokens()).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = t["documents"].agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score", F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6)
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("doc_id", "term", "tf", "df", "score", "rk")
+    )
+
+
+QUERIES["q_text_tfidf"] = q_text_tfidf
+
+ORACLES["q_text_tfidf"] = f"""
+    WITH tf AS (
+        SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents
+    ), tfc AS (
+        SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY 1, 2
+    ), dfc AS (
+        SELECT term, count(*) AS df FROM tfc GROUP BY 1
+    ), scored AS (
+        SELECT tfc.doc_id, tfc.term, tfc.tf, dfc.df,
+               round(tfc.tf * ln((SELECT count(*) FROM documents) * 1.0 / dfc.df),
+                     6) AS score
+        FROM tfc JOIN dfc USING (term)
+    )
+    SELECT doc_id, term, tf, df, score, rk
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, term ASC) AS rk
+          FROM scored)
+    WHERE rk <= 3
+"""
+
+#: PII patterns (RE2/Java-portable subset): email and a NANP-style phone.
+_PII_EMAIL = r"[a-z0-9]+@[a-z]+\.[a-z]+"
+_PII_PHONE = r"\+1-555-[0-9]{4}"
+
+
+def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction scrub + audit: replace email/phone patterns with
+    typed placeholders and count what was removed.  The corpus is synthetic
+    (no real PII), so deterministic contact strings derived from ``doc_id``
+    are appended first — the operator under test is the scrub itself:
+    pure ``regexp_replace``/``regexp_count`` column expressions, fully
+    codegen'd, no shuffle until the final audit rollup.  The redacted text
+    ships as an md5 fingerprint so the oracle certifies the exact output
+    bytes without hauling text through the hash compare."""
+    t = load_tables(spark, sf_dir)
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(aug, F.lit(_PII_EMAIL), F.lit("<EMAIL>")),
+        F.lit(_PII_PHONE),
+        F.lit("<PHONE>"),
+    )
+    per_doc = t["documents"].select(
+        "source",
+        F.regexp_count(aug, F.lit(_PII_EMAIL)).alias("n_email"),
+        F.regexp_count(aug, F.lit(_PII_PHONE)).alias("n_phone"),
+        F.md5(redacted).alias("fp"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_email").alias("emails_redacted"),
+        F.sum("n_phone").alias("phones_redacted"),
+        F.md5(F.concat_ws("", F.sort_array(F.collect_list("fp")))).alias(
+            "corpus_fp"
+        ),
+    )
+
+
+QUERIES["q_text_redact"] = q_text_redact
+
+ORACLES["q_text_redact"] = r"""
+    WITH aug AS (
+        SELECT source,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or +1-555-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+        FROM documents
+    ), per_doc AS (
+        SELECT source,
+               len(regexp_extract_all(t, '[a-z0-9]+@[a-z]+\.[a-z]+')) AS n_email,
+               len(regexp_extract_all(t, '\+1-555-[0-9]{4}')) AS n_phone,
+               md5(regexp_replace(
+                     regexp_replace(t, '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
+                     '\+1-555-[0-9]{4}', '<PHONE>', 'g')) AS fp
+        FROM aug
+    )
+    SELECT source, count(*) AS n_docs,
+           sum(n_email) AS emails_redacted,
+           sum(n_phone) AS phones_redacted,
+           md5(string_agg(fp, '' ORDER BY fp)) AS corpus_fp
+    FROM per_doc GROUP BY source
+"""
