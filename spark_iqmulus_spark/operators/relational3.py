@@ -214,6 +214,62 @@ def q_source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict sequential funnel (view → click → purchase): per user, the
+    first view, the first click *after* that view, the first purchase
+    *after* that click; one row of per-step user counts.  Three
+    aggregate-then-join steps, each keyed on user_id so all three shuffles
+    share one partitioning (AQE reuses the exchange); step outputs shrink
+    monotonically, and the final counts are 1-row cross-joins."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    s1 = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(s3.agg(F.count(F.lit(1)).alias("n_view_click_purchase")))
+    )
+
+
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity date, distinct
+    active users per (cohort, day-offset).  Two aggregations over the same
+    user_id-keyed shuffle plus a broadcast-sized cohort join — the classic
+    engagement triangle every events pipeline maintains."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select("user_id", F.to_date("ts").alias("d"))
+    cohort = ev.groupBy("user_id").agg(F.min("d").alias("d0"))
+    act = ev.distinct()
+    return (
+        act.join(cohort, "user_id")
+        .groupBy(
+            F.date_format("d0", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("d", "d0").alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
 QUERIES = {
     "q_tpch_q13": q_tpch_q13,
     "q_tpch_q15": q_tpch_q15,
@@ -221,11 +277,36 @@ QUERIES = {
     "q_tpch_q22": q_tpch_q22,
     "q_tpch_q2": q_tpch_q2,
     "q_histogram": q_histogram,
+    "q_events_funnel": q_events_funnel,
+    "q_events_retention": q_events_retention,
     "q_date_spine": q_date_spine,
     "q_source_orc": q_source_orc,
 }
 
 ORACLES = {
+    "q_events_funnel": """
+        WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                    WHERE event_type = 'view' GROUP BY user_id),
+        s2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e
+               JOIN s1 USING (user_id)
+               WHERE event_type = 'click' AND ts > t1 GROUP BY e.user_id),
+        s3 AS (SELECT e.user_id, min(ts) AS t3 FROM events e
+               JOIN s2 USING (user_id)
+               WHERE event_type = 'purchase' AND ts > t2 GROUP BY e.user_id)
+        SELECT (SELECT count(*) FROM s1) AS n_view,
+               (SELECT count(*) FROM s2) AS n_view_click,
+               (SELECT count(*) FROM s3) AS n_view_click_purchase
+    """,
+    "q_events_retention": """
+        WITH ev AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        cohort AS (SELECT user_id, min(d) AS d0 FROM ev GROUP BY user_id)
+        SELECT strftime(d0, '%Y-%m-%d') AS cohort_day,
+               date_diff('day', d0, d) AS day_offset,
+               count(DISTINCT user_id) AS n_active
+        FROM ev JOIN cohort USING (user_id)
+        GROUP BY 1, 2
+    """,
+
     "q_tpch_q13": """
         SELECT c_count, count(*) AS custdist
         FROM (SELECT c_custkey, count(o_orderkey) AS c_count
