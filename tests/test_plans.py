@@ -183,3 +183,55 @@ def test_bloom_filter_join_pruning(spark, tables):
             old_app,
         )
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+
+
+def test_q21_exists_pair_plans_as_semi_and_anti(spark, tables):
+    """Q21's EXISTS / NOT EXISTS pair must decorrelate into left-semi and
+    left-anti hash joins on the order key — never a nested-loop."""
+    from spark_iqmulus_spark.operators.relational3 import q_tpch_q21
+
+    p = plan_text(q_tpch_q21(spark, SF_DIR))
+    assert "LeftSemi" in p
+    assert "LeftAnti" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_q15_max_is_broadcast_not_global_window(spark, tables):
+    """Aggregate-vs-own-max must broadcast the 1-row max — no Window node,
+    no single-partition exchange of the revenue table."""
+    from spark_iqmulus_spark.operators.relational3 import q_tpch_q15
+
+    p = plan_text(q_tpch_q15(spark, SF_DIR))
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "Window" not in p
+
+
+def test_tfidf_df_side_is_broadcast(spark, tables):
+    """TF-IDF's document-frequency and N sides are vocabulary-/1-row-sized
+    and must broadcast; the only shuffles are the (doc,term) partial agg
+    and the per-doc ranking window."""
+    from spark_iqmulus_spark.operators.text import q_text_tfidf
+
+    p = plan_text(q_text_tfidf(spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_graph_triangles_no_cartesian(spark, tables):
+    """Triangle enumeration must stay equi-join (hash/broadcast) — a
+    cartesian product here means the orientation trick regressed."""
+    from spark_iqmulus_spark.operators.graph import q_graph_triangles
+
+    p = plan_text(q_graph_triangles(spark, SF_DIR))
+    assert "CartesianProduct" not in p
+
+
+def test_funnel_steps_share_user_partitioning(spark, tables):
+    """Funnel steps key every join and aggregate on user_id; the plan must
+    contain hash aggregates and no nested-loop joins between steps."""
+    from spark_iqmulus_spark.operators.relational3 import q_events_funnel
+
+    p = plan_text(q_events_funnel(spark, SF_DIR))
+    assert "HashAggregate" in p
+    assert "CartesianProduct" not in p
