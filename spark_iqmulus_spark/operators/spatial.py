@@ -108,7 +108,92 @@ def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"q_zorder": q_zorder}
+def radius_join(pts: DataFrame, radius: float) -> DataFrame:
+    """All point pairs within ``radius`` (2-D), via grid-cell bucketing.
+
+    Input: ``(pid, x, y)``.  Output: ``(pa, pb, d)`` with ``pa < pb``.
+
+    The classic spatial-join decomposition: bucket points into cells of
+    side ``radius``; any pair within ``radius`` must lie in the same or an
+    adjacent cell.  One side is expanded into its 3×3 cell neighborhood
+    (explode — a bounded 9× row expansion), the other side keeps only its
+    home cell, and the join is a plain equi-join on the cell key — so it
+    hash-partitions, AQE handles dense-cell skew, and no cartesian or
+    theta-join ever appears.  Each qualifying pair matches exactly once
+    (the right row sits in its unique home cell; ``pa < pb`` picks one
+    orientation), so no dedup pass is needed.
+    """
+    r = float(radius)
+    cell_x = F.floor(F.col("x") / r).cast("long")
+    cell_y = F.floor(F.col("y") / r).cast("long")
+    home = pts.select(
+        F.col("pid").alias("pb"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        cell_x.alias("cx"),
+        cell_y.alias("cy"),
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    expanded = (
+        pts.select(
+            F.col("pid").alias("pa"),
+            F.col("x").alias("ax"),
+            F.col("y").alias("ay"),
+            cell_x.alias("hx"),
+            cell_y.alias("hy"),
+            F.explode(offsets).alias("o"),
+        )
+        .select(
+            "pa",
+            "ax",
+            "ay",
+            (F.col("hx") + F.col("o.dx")).alias("cx"),
+            (F.col("hy") + F.col("o.dy")).alias("cy"),
+        )
+    )
+    d = F.sqrt(
+        (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
+        + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by"))
+    )
+    return (
+        expanded.join(home, ["cx", "cy"])
+        .where(F.col("pa") < F.col("pb"))
+        .withColumn("d", d)
+        .where(F.col("d") <= r)
+        .select("pa", "pb", "d")
+    )
+
+
+def q_pc_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius-neighbor self-join (r=3) on the part-derived point plane
+    (same deterministic derivation as the LAS fixtures: x=partkey,
+    y=size), summarized so the result is one auditable row."""
+    t = load_tables(spark, sf_dir)
+    pts = t["part"].select(
+        F.col("p_partkey").alias("pid"),
+        F.col("p_partkey").cast("double").alias("x"),
+        F.col("p_size").cast("double").alias("y"),
+    )
+    pairs = radius_join(pts, 3.0)
+    touched = pairs.select(F.col("pa").alias("pid")).union(
+        pairs.select(F.col("pb").alias("pid"))
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg("d"), 6).alias("avg_dist"),
+        F.round(F.max("d"), 6).alias("max_dist"),
+    ).crossJoin(
+        touched.agg(F.count_distinct("pid").alias("n_points_with_neighbor"))
+    )
+
+
+QUERIES = {"q_zorder": q_zorder, "q_pc_radius_join": q_pc_radius_join}
 
 ORACLES = {
     "q_zorder": f"""
@@ -126,5 +211,43 @@ ORACLES = {
                max(morton) AS max_key,
                sum(morton) AS sum_keys
         FROM keyed GROUP BY 1
+    """,
+    "q_pc_radius_join": """
+        WITH pts AS (
+            SELECT p_partkey AS pid,
+                   CAST(p_partkey AS DOUBLE) AS x,
+                   CAST(p_size AS DOUBLE) AS y
+            FROM part
+        ),
+        offs AS (
+            SELECT dxs.dx, dys.dy
+            FROM (SELECT unnest(generate_series(-1, 1)) AS dx) dxs,
+                 (SELECT unnest(generate_series(-1, 1)) AS dy) dys
+        ),
+        home AS (
+            SELECT pid AS pb, x AS bx, y AS by,
+                   CAST(floor(x / 3.0) AS BIGINT) AS cx,
+                   CAST(floor(y / 3.0) AS BIGINT) AS cy
+            FROM pts
+        ),
+        expanded AS (
+            SELECT pid AS pa, x AS ax, y AS ay,
+                   CAST(floor(x / 3.0) AS BIGINT) + dx AS cx,
+                   CAST(floor(y / 3.0) AS BIGINT) + dy AS cy
+            FROM pts CROSS JOIN offs
+        ),
+        pairs AS (
+            SELECT pa, pb,
+                   sqrt((ax - bx) * (ax - bx) + (ay - by) * (ay - by)) AS d
+            FROM expanded JOIN home USING (cx, cy)
+            WHERE pa < pb
+              AND sqrt((ax - bx) * (ax - bx) + (ay - by) * (ay - by)) <= 3.0
+        )
+        SELECT (SELECT count(*) FROM pairs) AS n_pairs,
+               (SELECT round(avg(d), 6) FROM pairs) AS avg_dist,
+               (SELECT round(max(d), 6) FROM pairs) AS max_dist,
+               (SELECT count(DISTINCT pid) FROM
+                   (SELECT pa AS pid FROM pairs
+                    UNION ALL SELECT pb FROM pairs)) AS n_points_with_neighbor
     """,
 }

@@ -170,3 +170,20 @@ def test_registry_contract():
     }
     assert all(callable(f) for f in qs.values())
     assert all(isinstance(s, str) and s.strip() for s in os_.values())
+
+
+def test_radius_join_handcrafted(spark):
+    """Pairs across cell boundaries are found; far points are not; each
+    pair appears exactly once with pa < pb."""
+    from spark_iqmulus_spark.operators.spatial import radius_join
+
+    pts = spark.createDataFrame(
+        [(1, 2.9, 0.0), (2, 3.1, 0.0), (3, 0.0, 0.0), (4, 50.0, 50.0)],
+        "pid long, x double, y double",
+    )
+    rows = radius_join(pts, 3.0).collect()
+    pairs = {(r["pa"], r["pb"]): r["d"] for r in rows}
+    assert set(pairs) == {(1, 2), (1, 3)}  # (2,3) are 3.1 apart: excluded
+    assert abs(pairs[(1, 2)] - 0.2) < 1e-9  # cross-cell pair
+    assert abs(pairs[(1, 3)] - 2.9) < 1e-9  # same-cell pair
+    assert len(rows) == len(pairs)  # no duplicate matches
