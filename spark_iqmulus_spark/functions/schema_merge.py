@@ -91,3 +91,32 @@ def merge_all(schemas: list[T.StructType]) -> T.StructType:
     for s in schemas[1:]:
         out = merge_schemas(out, s)
     return out
+
+
+def union_merged(dfs):
+    """Union DataFrames under the merged (widened) schema.
+
+    DataFrame-level counterpart of :func:`merge_all` — the query-side use of
+    the reference's cross-file schema merge (``BinarySectionRelation.scala:
+    134-137``): each input is aligned to the merged schema (missing fields
+    become typed nulls, narrower numerics are cast up the widening lattice)
+    and the results are ``unionByName``ed.  Pure column casts — no shuffle,
+    no Python; the union is plan-level (Spark concatenates partitions).
+    """
+    from pyspark.sql import functions as F
+
+    merged = merge_all([df.schema for df in dfs])
+    aligned = []
+    for df in dfs:
+        have = {f.name for f in df.schema.fields}
+        cols = [
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            if f.name in have
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in merged.fields
+        ]
+        aligned.append(df.select(cols))
+    out = aligned[0]
+    for d in aligned[1:]:
+        out = out.unionByName(d)
+    return out

@@ -269,3 +269,58 @@ ORACLES = {
         FROM part
     """,
 }
+
+
+def q_pc_union_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-format relation: the LAS cloud (int32 x/y/z + classification)
+    and the PLY cloud (float32 x/y/z + c) unioned under the merged, widened
+    schema (`functions.schema_merge.union_merged` — int+float → double,
+    one-sided fields nullable, the query-level face of the reference's
+    cross-file merge).  Per-format rollup certifies both the widening casts
+    and the null padding."""
+    from ..functions.schema_merge import union_merged
+
+    register_sources(spark)
+    las = (
+        spark.read.format("las")
+        .load(_las_dir(spark, sf_dir))
+        .select("x", "y", "z", "classification")
+        .withColumn("fmt", F.lit("las"))
+    )
+    ply = (
+        spark.read.format("ply")
+        .load(_ply_dir(spark, sf_dir))
+        .select("x", "y", "z", "c")
+        .withColumn("fmt", F.lit("ply"))
+    )
+    u = union_merged([las, ply])
+    return u.groupBy("fmt").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("x"), 2).alias("sum_x"),
+        F.min("z").alias("min_z"),
+        F.sum("classification").alias("sum_class"),
+        F.sum("c").alias("sum_c"),
+    )
+
+
+QUERIES["q_pc_union_formats"] = q_pc_union_formats
+
+ORACLES["q_pc_union_formats"] = f"""
+    WITH las AS (
+        SELECT 'las' AS fmt, count(*) AS n,
+               round(sum(CAST(CAST(p_partkey AS INTEGER) AS DOUBLE)), 2) AS sum_x,
+               min(CAST({_Z} AS DOUBLE)) AS min_z,
+               sum(p_partkey % 6 + 1) AS sum_class,
+               CAST(NULL AS BIGINT) AS sum_c
+        FROM part
+    ),
+    ply AS (
+        SELECT 'ply' AS fmt, count(*) AS n,
+               round(sum(CAST(CAST(p_partkey AS REAL) AS DOUBLE)), 2) AS sum_x,
+               min(CAST(CAST({_Z} AS REAL) AS DOUBLE)) AS min_z,
+               CAST(NULL AS BIGINT) AS sum_class,
+               sum(p_partkey % 6 + 1) AS sum_c
+        FROM part
+    )
+    SELECT * FROM las UNION ALL SELECT * FROM ply
+"""

@@ -270,6 +270,27 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate grouped percentiles (KLL-style sketch via
+    ``percentile_approx``): the scale path for `q_percentile_group` — one
+    pass, mergeable per-partition sketches, no sort, memory bounded by the
+    accuracy parameter instead of group size.  Sketch internals are
+    engine-specific, so this is a rows-only key; the error bound vs the
+    exact baseline is asserted in tests/test_operators.py."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_quantity", 0.5, 10000).alias("p50_qty"),
+            F.percentile_approx("l_extendedprice", 0.9, 10000).alias("p90_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
 QUERIES = {
     "q_tpch_q13": q_tpch_q13,
     "q_tpch_q15": q_tpch_q15,
@@ -278,6 +299,7 @@ QUERIES = {
     "q_tpch_q2": q_tpch_q2,
     "q_histogram": q_histogram,
     "q_events_funnel": q_events_funnel,
+    "q_percentile_approx": q_percentile_approx,
     "q_events_retention": q_events_retention,
     "q_date_spine": q_date_spine,
     "q_source_orc": q_source_orc,

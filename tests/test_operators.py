@@ -150,7 +150,7 @@ def test_deterministic_sample_stable_and_disjoint(spark):
 def test_registry_contract():
     """Driver-contract invariants, no Spark needed: modules all import
     (registry would silently skip a broken one), every oracle key has a
-    query, and only the five declared approximate ops are rows-only."""
+    query, and only the declared approximate ops are rows-only."""
     import io
     from contextlib import redirect_stderr
 
@@ -165,6 +165,7 @@ def test_registry_contract():
         "q_dedup_embed_lsh",
         "q_dedup_minhash",
         "q_dedup_simhash",
+        "q_percentile_approx",
         "q_sim_knn_ivf",
         "q_sim_knn_lsh",
     }
@@ -187,3 +188,20 @@ def test_radius_join_handcrafted(spark):
     assert abs(pairs[(1, 2)] - 0.2) < 1e-9  # cross-cell pair
     assert abs(pairs[(1, 3)] - 2.9) < 1e-9  # same-cell pair
     assert len(rows) == len(pairs)  # no duplicate matches
+
+
+def test_percentile_approx_error_bound(spark):
+    """The sketch quantiles must land within a tight rank-error band of the
+    exact per-group quantiles (accuracy=10000 => ~0.01% rank error; the
+    band below allows 2% of the value range to absorb discreteness)."""
+    from spark_iqmulus_spark.operators.relational2 import q_percentile_group
+    from spark_iqmulus_spark.operators.relational3 import q_percentile_approx
+
+    sf = "/root/testdata/sf0.001"
+    exact = {r["l_returnflag"]: r for r in q_percentile_group(spark, sf).collect()}
+    approx = {r["l_returnflag"]: r for r in q_percentile_approx(spark, sf).collect()}
+    assert set(exact) == set(approx)
+    for flag, e in exact.items():
+        a = approx[flag]
+        assert abs(a["p50_qty"] - e["p50_qty"]) <= max(1.0, 0.02 * e["p50_qty"])
+        assert abs(a["p90_price"] - e["p90_price"]) <= 0.02 * e["p90_price"]
