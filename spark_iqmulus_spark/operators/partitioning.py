@@ -180,6 +180,25 @@ def with_global_row_number(
     )
 
 
+def observe_counts(df, name: str, exprs: dict):
+    """Attach single-pass observability metrics to ``df``.
+
+    Wraps ``DataFrame.observe``: the returned :class:`Observation` yields
+    the metric values after the next action, computed *during* that action
+    — no second scan.  At 100 TB this is the difference between free
+    pipeline-health counters (rows kept, nulls seen, bytes summed) and
+    re-running the job to count; the idiom every curation stage here
+    should use instead of ``df.count()`` bookkeeping.
+
+    Returns ``(observed_df, observation)``.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    out = df.observe(obs, *[v.alias(k) for k, v in exprs.items()])
+    return out, obs
+
+
 def q_window_ntile_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global NTILE(4) via :func:`with_global_row_number` — value-identical
     to ``q_window_ntile`` (same oracle) but with no single-partition stage:

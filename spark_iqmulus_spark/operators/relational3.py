@@ -291,6 +291,35 @@ def q_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q_udaf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped UDAF via Spark 4's ``applyInArrow`` — the zero-copy sibling
+    of applyInPandas (`q_udaf`): group batches arrive as ``pyarrow.Table``
+    with no pandas conversion, the cheapest Python exit Spark offers.
+    Same contract as every UDF-surface key: the Python step computes an
+    exactly SQL-expressible aggregate so the oracle fully certifies it."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def summarize(table: "pa.Table") -> "pa.Table":
+        q = table.column("l_quantity")
+        return pa.table(
+            {
+                "l_linestatus": [table.column("l_linestatus")[0].as_py()],
+                "sum_qty": [round(pc.sum(q).as_py(), 4)],
+                "n": [table.num_rows],
+            }
+        )
+
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .groupBy("l_linestatus")
+        .applyInArrow(summarize, schema="l_linestatus string, sum_qty double, n long")
+    )
+
+
 QUERIES = {
     "q_tpch_q13": q_tpch_q13,
     "q_tpch_q15": q_tpch_q15,
@@ -300,12 +329,18 @@ QUERIES = {
     "q_histogram": q_histogram,
     "q_events_funnel": q_events_funnel,
     "q_percentile_approx": q_percentile_approx,
+    "q_udaf_arrow": q_udaf_arrow,
     "q_events_retention": q_events_retention,
     "q_date_spine": q_date_spine,
     "q_source_orc": q_source_orc,
 }
 
 ORACLES = {
+    "q_udaf_arrow": """
+        SELECT l_linestatus, round(sum(l_quantity), 4) AS sum_qty,
+               count(*) AS n
+        FROM lineitem GROUP BY l_linestatus
+    """,
     "q_events_funnel": """
         WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
                     WHERE event_type = 'view' GROUP BY user_id),

@@ -197,3 +197,23 @@ def test_compact_parquet_merges_small_files(spark, tables, tmp_path):
         .count()
     )
     assert bad == 0
+
+
+def test_observe_counts_single_pass(spark):
+    """Observation metrics must match a separately computed aggregate while
+    being collected during the action itself (no second scan)."""
+    from pyspark.sql import functions as F
+
+    from spark_iqmulus_spark.operators.partitioning import observe_counts
+    from spark_iqmulus_spark.session import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.001")["documents"]
+    kept = docs.where(F.col("n_chars") >= 100)
+    observed, obs = observe_counts(
+        kept,
+        "curation",
+        {"n_kept": F.count(F.lit(1)), "chars": F.sum("n_chars")},
+    )
+    n_rows = observed.count()  # the action that materializes the metrics
+    assert obs.get["n_kept"] == n_rows
+    assert obs.get["chars"] == kept.agg(F.sum("n_chars")).collect()[0][0]
