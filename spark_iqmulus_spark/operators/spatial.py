@@ -170,6 +170,88 @@ def radius_join(pts: DataFrame, radius: float) -> DataFrame:
     )
 
 
+def dimensionality_features(pts: DataFrame, radius: float) -> DataFrame:
+    """Per-point local-PCA dimensionality features (2-D structure tensor).
+
+    The distributed version of the reference's published use case —
+    Brédif/Vallet/Ferrand 2015, *Distributed dimensionality-based rendering
+    of lidar point clouds* (cited `README.md:62-67` of the reference):
+    each point's neighborhood (here: the :func:`radius_join` pair set plus
+    the point itself) yields a covariance matrix whose eigenvalue spectrum
+    classifies the point as linear / planar / scattered.  Everything is
+    closed-form column arithmetic — neighbor sums via one groupBy over the
+    pair list, 2×2 eigenvalues via the trace/determinant formula — so the
+    whole feature pipeline is two shuffles (cell join + point groupBy) and
+    stays in whole-stage codegen.
+
+    Output: ``(pid, n_nb, lam1, lam2, linearity)`` for points with >= 3
+    neighborhood members; ``linearity = (λ1-λ2)/λ1`` in [0, 1].
+    """
+    pairs = radius_join(pts, radius)
+    # undirected neighbor relation, plus each point as its own neighbor
+    nb = (
+        pairs.select(F.col("pa").alias("pid"), F.col("pb").alias("nb"))
+        .union(pairs.select(F.col("pb").alias("pid"), F.col("pa").alias("nb")))
+        .union(pts.select(F.col("pid"), F.col("pid").alias("nb")))
+    )
+    coords = pts.select(
+        F.col("pid").alias("nb"), F.col("x").alias("nx"), F.col("y").alias("ny")
+    )
+    sums = (
+        nb.join(coords, "nb")
+        .groupBy("pid")
+        .agg(
+            F.count(F.lit(1)).alias("n_nb"),
+            F.sum("nx").alias("sx"),
+            F.sum("ny").alias("sy"),
+            F.sum(F.col("nx") * F.col("nx")).alias("sxx"),
+            F.sum(F.col("nx") * F.col("ny")).alias("sxy"),
+            F.sum(F.col("ny") * F.col("ny")).alias("syy"),
+        )
+        .where(F.col("n_nb") >= 3)
+    )
+    n = F.col("n_nb").cast("double")
+    cxx = F.col("sxx") / n - (F.col("sx") / n) * (F.col("sx") / n)
+    cxy = F.col("sxy") / n - (F.col("sx") / n) * (F.col("sy") / n)
+    cyy = F.col("syy") / n - (F.col("sy") / n) * (F.col("sy") / n)
+    tr = cxx + cyy
+    disc = F.sqrt(
+        F.greatest((cxx - cyy) * (cxx - cyy) + 4 * cxy * cxy, F.lit(0.0))
+    )
+    lam1 = (tr + disc) / 2
+    lam2 = (tr - disc) / 2
+    return sums.select(
+        "pid",
+        "n_nb",
+        F.round(lam1, 6).alias("lam1"),
+        F.round(lam2, 6).alias("lam2"),
+        F.round((lam1 - lam2) / lam1, 6).alias("linearity"),
+    )
+
+
+def q_pc_dimensionality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimensionality features (r=3) on the part-derived plane, rolled up
+    per linearity decile so the result is compact and the eigen math is
+    certified across every neighborhood."""
+    t = load_tables(spark, sf_dir)
+    pts = t["part"].select(
+        F.col("p_partkey").alias("pid"),
+        F.col("p_partkey").cast("double").alias("x"),
+        F.col("p_size").cast("double").alias("y"),
+    )
+    feats = dimensionality_features(pts, 3.0)
+    return feats.groupBy(
+        F.least(F.floor(F.col("linearity") * 10), F.lit(9))
+        .cast("int")
+        .alias("lin_decile")
+    ).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.sum("lam1"), 4).alias("sum_lam1"),
+        F.round(F.sum("lam2"), 4).alias("sum_lam2"),
+        F.sum("n_nb").alias("sum_nb"),
+    )
+
+
 def q_pc_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Radius-neighbor self-join (r=3) on the part-derived point plane
     (same deterministic derivation as the LAS fixtures: x=partkey,
@@ -193,7 +275,11 @@ def q_pc_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"q_zorder": q_zorder, "q_pc_radius_join": q_pc_radius_join}
+QUERIES = {
+    "q_zorder": q_zorder,
+    "q_pc_radius_join": q_pc_radius_join,
+    "q_pc_dimensionality": q_pc_dimensionality,
+}
 
 ORACLES = {
     "q_zorder": f"""
@@ -249,5 +335,77 @@ ORACLES = {
                (SELECT count(DISTINCT pid) FROM
                    (SELECT pa AS pid FROM pairs
                     UNION ALL SELECT pb FROM pairs)) AS n_points_with_neighbor
+    """,
+    "q_pc_dimensionality": """
+        WITH pts AS (
+            SELECT p_partkey AS pid,
+                   CAST(p_partkey AS DOUBLE) AS x,
+                   CAST(p_size AS DOUBLE) AS y
+            FROM part
+        ),
+        offs AS (
+            SELECT dxs.dx, dys.dy
+            FROM (SELECT unnest(generate_series(-1, 1)) AS dx) dxs,
+                 (SELECT unnest(generate_series(-1, 1)) AS dy) dys
+        ),
+        home AS (
+            SELECT pid AS pb, x AS bx, y AS by,
+                   CAST(floor(x / 3.0) AS BIGINT) AS cx,
+                   CAST(floor(y / 3.0) AS BIGINT) AS cy
+            FROM pts
+        ),
+        expanded AS (
+            SELECT pid AS pa, x AS ax, y AS ay,
+                   CAST(floor(x / 3.0) AS BIGINT) + dx AS cx,
+                   CAST(floor(y / 3.0) AS BIGINT) + dy AS cy
+            FROM pts CROSS JOIN offs
+        ),
+        pairs AS (
+            SELECT pa, pb
+            FROM expanded JOIN home USING (cx, cy)
+            WHERE pa < pb
+              AND sqrt((ax - bx) * (ax - bx) + (ay - by) * (ay - by)) <= 3.0
+        ),
+        nb AS (
+            SELECT pa AS pid, pb AS nb FROM pairs
+            UNION ALL SELECT pb, pa FROM pairs
+            UNION ALL SELECT pid, pid FROM pts
+        ),
+        sums AS (
+            SELECT nb.pid, count(*) AS n_nb,
+                   sum(c.nx) AS sx, sum(c.ny) AS sy,
+                   sum(c.nx * c.nx) AS sxx, sum(c.nx * c.ny) AS sxy,
+                   sum(c.ny * c.ny) AS syy
+            FROM nb JOIN (SELECT pid AS nb, x AS nx, y AS ny FROM pts) c
+                 USING (nb)
+            GROUP BY nb.pid
+            HAVING count(*) >= 3
+        ),
+        feats AS (
+            SELECT pid, n_nb,
+                   round((tr + disc) / 2, 6) AS lam1,
+                   round((tr - disc) / 2, 6) AS lam2,
+                   round(((tr + disc) / 2 - (tr - disc) / 2)
+                         / ((tr + disc) / 2), 6) AS linearity
+            FROM (
+                SELECT pid, n_nb, cxx + cyy AS tr,
+                       sqrt(greatest((cxx - cyy) * (cxx - cyy)
+                                     + 4 * cxy * cxy, 0.0)) AS disc
+                FROM (
+                    SELECT pid, n_nb,
+                           sxx / n - (sx / n) * (sx / n) AS cxx,
+                           sxy / n - (sx / n) * (sy / n) AS cxy,
+                           syy / n - (sy / n) * (sy / n) AS cyy
+                    FROM (SELECT *, CAST(n_nb AS DOUBLE) AS n FROM sums)
+                )
+            )
+        )
+        SELECT CAST(least(CAST(floor(linearity * 10) AS BIGINT), 9) AS INT)
+                   AS lin_decile,
+               count(*) AS n_points,
+               round(sum(lam1), 4) AS sum_lam1,
+               round(sum(lam2), 4) AS sum_lam2,
+               sum(n_nb) AS sum_nb
+        FROM feats GROUP BY 1
     """,
 }

@@ -205,3 +205,24 @@ def test_percentile_approx_error_bound(spark):
         a = approx[flag]
         assert abs(a["p50_qty"] - e["p50_qty"]) <= max(1.0, 0.02 * e["p50_qty"])
         assert abs(a["p90_price"] - e["p90_price"]) <= 0.02 * e["p90_price"]
+
+
+def test_dimensionality_features_line_vs_blob(spark):
+    """Collinear neighborhoods must read as linear (linearity≈1); an
+    isotropic 3x3 grid neighborhood must read as scattered (≈0)."""
+    from spark_iqmulus_spark.operators.spatial import dimensionality_features
+
+    line = spark.createDataFrame(
+        [(i, float(i), 0.0) for i in range(5)], "pid long, x double, y double"
+    )
+    lf = {r["pid"]: r for r in dimensionality_features(line, 3.0).collect()}
+    assert all(abs(r["linearity"] - 1.0) < 1e-6 for r in lf.values())
+
+    grid = spark.createDataFrame(
+        [(3 * i + j, float(i), float(j)) for i in range(3) for j in range(3)],
+        "pid long, x double, y double",
+    )
+    gf = {r["pid"]: r for r in dimensionality_features(grid, 3.0).collect()}
+    center = gf[4]  # (1,1): fully symmetric neighborhood
+    assert center["n_nb"] == 9
+    assert abs(center["linearity"]) < 1e-6
