@@ -320,6 +320,47 @@ def q_udaf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): orders in a quarter with
+    at least one late line item, counted per priority.  The EXISTS
+    decorrelates to a left-semi hash join on orderkey — the fact table is
+    touched once, and the date filter prunes the orders side before the
+    join."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1996-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate + INTERVAL '60' DAY)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: for each nation, its top-2 suppliers
+    by account balance.  Catalyst rewrites the lateral into a ranked
+    window over the (broadcast-joined) supplier side — per-group top-k
+    without a driver loop; DuckDB executes the identical SQL natively."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name, t.s_name, t.s_acctbal
+        FROM nation n,
+             LATERAL (SELECT s_name, s_acctbal FROM supplier s
+                      WHERE s.s_nationkey = n.n_nationkey
+                      ORDER BY s_acctbal DESC, s_name
+                      LIMIT 2) t
+        """
+    )
+
+
 QUERIES = {
     "q_tpch_q13": q_tpch_q13,
     "q_tpch_q15": q_tpch_q15,
@@ -330,12 +371,32 @@ QUERIES = {
     "q_events_funnel": q_events_funnel,
     "q_percentile_approx": q_percentile_approx,
     "q_udaf_arrow": q_udaf_arrow,
+    "q_tpch_q4": q_tpch_q4,
+    "q_lateral_topk": q_lateral_topk,
     "q_events_retention": q_events_retention,
     "q_date_spine": q_date_spine,
     "q_source_orc": q_source_orc,
 }
 
 ORACLES = {
+    "q_tpch_q4": """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1996-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority
+    """,
+    "q_lateral_topk": """
+        SELECT n.n_name, t.s_name, t.s_acctbal
+        FROM nation n,
+             LATERAL (SELECT s_name, s_acctbal FROM supplier s
+                      WHERE s.s_nationkey = n.n_nationkey
+                      ORDER BY s_acctbal DESC, s_name
+                      LIMIT 2) t
+    """,
     "q_udaf_arrow": """
         SELECT l_linestatus, round(sum(l_quantity), 4) AS sum_qty,
                count(*) AS n
