@@ -140,3 +140,20 @@ def test_stateful_across_micro_batches(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_stream_state_v2_gated_on_protobuf(spark):
+    """transformWithStateInPandas registers only where its protobuf
+    dependency exists; where it does, it must match the v1 result."""
+    from spark_iqmulus_spark.streaming import stateful
+
+    if not stateful._tws_available():
+        assert "q_stream_state_v2" not in stateful.QUERIES
+        import pytest
+
+        pytest.skip("google.protobuf absent: transformWithState gated off")
+    v1 = {r["user_id"]: tuple(r) for r in
+          stateful.q_stream_state(spark, "/root/testdata/sf0.001").collect()}
+    v2 = {r["user_id"]: tuple(r) for r in
+          stateful.q_stream_state_v2(spark, "/root/testdata/sf0.001").collect()}
+    assert v1 == v2
