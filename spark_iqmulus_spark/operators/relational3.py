@@ -361,6 +361,86 @@ def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): six-way join where customer
+    and supplier must share a nation, restricted to one region and one
+    year.  nation/region are broadcast dims; the c_nationkey = s_nationkey
+    constraint rides as a join predicate on the fact path, so the only big
+    shuffles are the lineitem-orders and orders-customer joins."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey
+          AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey
+          AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey
+          AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+        """
+    )
+
+
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): revenue lost to returns
+    per customer in a quarter, top 20.  Ordering is on the *rounded*
+    exact per-item *cents* (the per-item product and round are bit-identical
+    IEEE ops in both engines; the integer sum is then order-independent —
+    a rounded double sum sits exactly on cent boundaries and flips) with a
+    custkey tiebreak so the top-20 cut is identical across engines; the plan is broadcast dims + one orders-lineitem shuffle +
+    TakeOrderedAndProject (never a global sort)."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name,
+               sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                        AS BIGINT)) AS revenue_cents,
+               c.c_acctbal, n.n_name
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1996-04-01'
+          AND l.l_returnflag = 'R'
+        GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+        ORDER BY revenue_cents DESC, c_custkey
+        LIMIT 20
+        """
+    )
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue): disjunction of three
+    brand/size/quantity conjunctions across the join.  Catalyst extracts
+    the common l_partkey equi-key and pushes the OR'd per-table residuals
+    below the join (partial predicate pushdown from a disjunction) — the
+    shape that distinguishes real predicate extraction from naive
+    post-join filtering."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+               AND l_quantity BETWEEN 20 AND 30)
+        """
+    )
+
+
 QUERIES = {
     "q_tpch_q13": q_tpch_q13,
     "q_tpch_q15": q_tpch_q15,
@@ -373,12 +453,57 @@ QUERIES = {
     "q_udaf_arrow": q_udaf_arrow,
     "q_tpch_q4": q_tpch_q4,
     "q_lateral_topk": q_lateral_topk,
+    "q_tpch_q5": q_tpch_q5,
+    "q_tpch_q10": q_tpch_q10,
+    "q_tpch_q19": q_tpch_q19,
     "q_events_retention": q_events_retention,
     "q_date_spine": q_date_spine,
     "q_source_orc": q_source_orc,
 }
 
 ORACLES = {
+    "q_tpch_q5": """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey
+          AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey
+          AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey
+          AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+    """,
+    "q_tpch_q10": """
+        SELECT c.c_custkey, c.c_name,
+               sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                        AS BIGINT)) AS revenue_cents,
+               c.c_acctbal, n.n_name
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1996-04-01'
+          AND l.l_returnflag = 'R'
+        GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+        ORDER BY revenue_cents DESC, c_custkey
+        LIMIT 20
+    """,
+    "q_tpch_q19": """
+        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+               AND l_quantity BETWEEN 20 AND 30)
+    """,
     "q_tpch_q4": """
         SELECT o_orderpriority, count(*) AS order_count
         FROM orders o
