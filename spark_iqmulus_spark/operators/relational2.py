@@ -92,9 +92,11 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(
         "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
     ).agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue"),
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+            ).cast("long")
+        ).alias("revenue_cents"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
@@ -294,10 +296,10 @@ def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(revenue), 2).alias("revenue"),
+            F.sum(F.round(revenue * 100, 0).cast("long")).alias("revenue_cents"),
             F.count(F.lit(1)).alias("n_lineitems"),
         )
-        .orderBy(F.col("revenue").desc(), "n_name")
+        .orderBy(F.col("revenue_cents").desc(), "n_name")
     )
 
 
@@ -476,14 +478,15 @@ def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT c_custkey FROM customer WHERE c_acctbal > 5000
         )
         SELECT o.o_orderkey,
-               round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue,
+               sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100, 0)
+                        AS BIGINT)) AS revenue_cents,
                count(*) AS n_items
         FROM orders o
         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
         JOIN big_cust c ON o.o_custkey = c.c_custkey
         WHERE o.o_orderstatus = 'O'
         GROUP BY o.o_orderkey
-        ORDER BY revenue DESC, o_orderkey
+        ORDER BY revenue_cents DESC, o_orderkey
         LIMIT 50
         """
     )
@@ -726,14 +729,15 @@ ORACLES = {
             SELECT c_custkey FROM customer WHERE c_acctbal > 5000
         )
         SELECT o.o_orderkey,
-               round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue,
+               sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100, 0)
+                        AS BIGINT)) AS revenue_cents,
                count(*) AS n_items
         FROM orders o
         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
         JOIN big_cust c ON o.o_custkey = c.c_custkey
         WHERE o.o_orderstatus = 'O'
         GROUP BY o.o_orderkey
-        ORDER BY revenue DESC, o_orderkey
+        ORDER BY revenue_cents DESC, o_orderkey
         LIMIT 50
     """,
     "q_scd2": """
@@ -803,7 +807,8 @@ ORACLES = {
     """,
     "q_join_multiway": """
         SELECT n_name,
-               round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+               sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100, 0)
+                        AS BIGINT)) AS revenue_cents,
                count(*) AS n_lineitems
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
@@ -815,7 +820,7 @@ ORACLES = {
           AND o_orderdate >= TIMESTAMP '1996-01-01'
           AND o_orderdate <  TIMESTAMP '1998-01-01'
         GROUP BY n_name
-        ORDER BY revenue DESC, n_name
+        ORDER BY revenue_cents DESC, n_name
     """,
     "q_pivot": """
         SELECT l_returnflag,
@@ -833,7 +838,8 @@ ORACLES = {
     "q_recursive_cte": _RECURSIVE_SQL,
     "q_tpch_q7": """
         SELECT supp_nation, cust_nation, l_year,
-               round(sum(volume), 2) AS revenue, count(*) AS n_items
+               sum(CAST(round(volume * 100, 0) AS BIGINT)) AS revenue_cents,
+               count(*) AS n_items
         FROM (
             SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                    year(l_shipdate) AS l_year,

@@ -58,7 +58,11 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_suppkey")
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("tr")
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+                ).cast("long")
+            ).alias("tr")
         )
     )
     mx = rev.agg(F.max("tr").alias("mx"))
@@ -66,7 +70,7 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         rev.join(F.broadcast(mx), F.col("tr") == F.col("mx"))
         .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
-            "s_suppkey", "s_name", F.round("tr", 2).alias("total_revenue")
+            "s_suppkey", "s_name", F.col("tr").alias("total_revenue_cents")
         )
     )
 
@@ -373,7 +377,8 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT n_name,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                        AS BIGINT)) AS revenue_cents
         FROM customer, orders, lineitem, supplier, nation, region
         WHERE c_custkey = o_custkey
           AND l_orderkey = o_orderkey
@@ -428,7 +433,8 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(
         """
-        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        SELECT sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                        AS BIGINT)) AS revenue_cents,
                count(*) AS n_items
         FROM lineitem JOIN part ON p_partkey = l_partkey
         WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
@@ -464,7 +470,8 @@ QUERIES = {
 ORACLES = {
     "q_tpch_q5": """
         SELECT n_name,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                        AS BIGINT)) AS revenue_cents
         FROM customer, orders, lineitem, supplier, nation, region
         WHERE c_custkey = o_custkey
           AND l_orderkey = o_orderkey
@@ -494,7 +501,8 @@ ORACLES = {
         LIMIT 20
     """,
     "q_tpch_q19": """
-        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        SELECT sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                        AS BIGINT)) AS revenue_cents,
                count(*) AS n_items
         FROM lineitem JOIN part ON p_partkey = l_partkey
         WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
@@ -562,13 +570,14 @@ ORACLES = {
     "q_tpch_q15": """
         WITH rev AS (
             SELECT l_suppkey,
-                   sum(l_extendedprice * (1 - l_discount)) AS tr
+                   sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                            AS BIGINT)) AS tr
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
               AND l_shipdate < TIMESTAMP '1996-04-01'
             GROUP BY l_suppkey
         )
-        SELECT s_suppkey, s_name, round(tr, 2) AS total_revenue
+        SELECT s_suppkey, s_name, tr AS total_revenue_cents
         FROM rev JOIN supplier ON s_suppkey = l_suppkey
         WHERE tr = (SELECT max(tr) FROM rev)
     """,
