@@ -447,6 +447,64 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q_xml_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML scalar surface (Spark 4 ``from_xml``): serialize order fields
+    into XML, parse them back with a typed schema, aggregate the parsed
+    values.  The oracle computes the same aggregate straight from the
+    columns — a hash match certifies the serialize→parse round trip
+    without DuckDB needing an XML parser."""
+    t = load_tables(spark, sf_dir)
+    xml = F.concat(
+        F.lit("<o><k>"), F.col("o_orderkey"),
+        F.lit("</k><p>"), F.col("o_totalprice"),
+        F.lit("</p><s>"), F.col("o_orderstatus"), F.lit("</s></o>"),
+    )
+    parsed = t["orders"].select(
+        F.from_xml(xml, "k BIGINT, p DOUBLE, s STRING").alias("x")
+    )
+    return parsed.groupBy(F.col("x.s").alias("status")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x.k").alias("sum_keys"),
+        F.round(F.sum("x.p"), 2).alias("sum_price"),
+    )
+
+
+def q_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe scalar surface: ``try_divide`` (NULL on zero divisor)
+    and ``try_cast`` (NULL on malformed input) — the ANSI-mode-safe
+    idioms a pipeline uses instead of letting one bad row kill a 100 TB
+    job.  Oracle expresses the same semantics with CASE / TRY_CAST."""
+    t = load_tables(spark, sf_dir)
+    div = F.try_divide(F.col("o_totalprice"), (F.col("o_custkey") % 7).cast("double"))
+    first_char = F.substring("o_orderpriority", 1, 1)
+    return t["orders"].agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(div.isNull(), 1)).alias("n_null_div"),
+        F.round(F.sum(div), 4).alias("sum_div"),
+        F.count(first_char.try_cast("int")).alias("n_numeric_prio"),
+    )
+
+
+def q_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Spark 4 datasketches HLL):
+    per-event-type user cardinality via ``hll_sketch_agg`` — the
+    re-aggregatable scale path for count-distinct (sketches union across
+    partitions/days; exact distinct needs a full shuffle of the keys).
+    Sketch bytes are engine-specific → rows-only; the estimate's error
+    bound vs exact count_distinct is asserted in tests."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
 QUERIES = {
     "q_tpch_q13": q_tpch_q13,
     "q_tpch_q15": q_tpch_q15,
@@ -462,12 +520,31 @@ QUERIES = {
     "q_tpch_q5": q_tpch_q5,
     "q_tpch_q10": q_tpch_q10,
     "q_tpch_q19": q_tpch_q19,
+    "q_xml_funcs": q_xml_funcs,
+    "q_try_funcs": q_try_funcs,
+    "q_sketch_hll": q_sketch_hll,
     "q_events_retention": q_events_retention,
     "q_date_spine": q_date_spine,
     "q_source_orc": q_source_orc,
 }
 
 ORACLES = {
+    "q_xml_funcs": """
+        SELECT o_orderstatus AS status, count(*) AS n,
+               sum(o_orderkey) AS sum_keys,
+               round(sum(o_totalprice), 2) AS sum_price
+        FROM orders GROUP BY o_orderstatus
+    """,
+    "q_try_funcs": """
+        SELECT count(*) AS n,
+               count(*) FILTER (WHERE o_custkey % 7 = 0) AS n_null_div,
+               round(sum(CASE WHEN o_custkey % 7 = 0 THEN NULL
+                              ELSE o_totalprice / (o_custkey % 7) END), 4)
+                   AS sum_div,
+               count(TRY_CAST(substr(o_orderpriority, 1, 1) AS INT))
+                   AS n_numeric_prio
+        FROM orders
+    """,
     "q_tpch_q5": """
         SELECT n_name,
                sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)

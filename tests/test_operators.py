@@ -166,6 +166,7 @@ def test_registry_contract():
         "q_dedup_minhash",
         "q_dedup_simhash",
         "q_percentile_approx",
+        "q_sketch_hll",
         "q_sim_knn_ivf",
         "q_sim_knn_lsh",
     }
@@ -226,3 +227,22 @@ def test_dimensionality_features_line_vs_blob(spark):
     center = gf[4]  # (1,1): fully symmetric neighborhood
     assert center["n_nb"] == 9
     assert abs(center["linearity"]) < 1e-6
+
+
+def test_hll_sketch_error_bound(spark):
+    """HLL estimates (lgK=12 default => ~1.6% rse) must land within 5% of
+    the exact per-group distinct counts."""
+    from pyspark.sql import functions as F
+
+    from spark_iqmulus_spark.operators.relational3 import q_sketch_hll
+    from spark_iqmulus_spark.session import load_tables
+
+    approx = {r["event_type"]: r["approx_users"]
+              for r in q_sketch_hll(spark, SF).collect()}
+    exact = {r["event_type"]: r["n"]
+             for r in load_tables(spark, SF)["events"]
+             .groupBy("event_type").agg(F.count_distinct("user_id").alias("n"))
+             .collect()}
+    assert set(approx) == set(exact)
+    for k, e in exact.items():
+        assert abs(approx[k] - e) <= max(2, 0.05 * e), (k, approx[k], e)
