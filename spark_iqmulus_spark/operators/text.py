@@ -500,3 +500,129 @@ ORACLES["q_text_redact"] = r"""
            md5(string_agg(fp, '' ORDER BY fp)) AS corpus_fp
     FROM per_doc GROUP BY source
 """
+
+def q_pipeline_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data release pipeline, composed end-to-end:
+    normalize → exact-dedup → quality gate → language-ID (the
+    `q_pipeline_curate` stages) → benchmark decontamination (drop any doc
+    sharing a word-4-gram with the held-out slice, plus the slice itself)
+    → deterministic md5-hash train/val split (retry/repartition-stable, as
+    in operators.sampling) → per (split, predicted-lang) release stats.
+
+    Composition costs one extra shuffle per stage boundary at most: dedup
+    window, gram join (bench side broadcast), final rollup — the anti-join
+    and split predicate ride on existing partitionings.  This is the query
+    a data-release run actually executes; the oracle reproduces every
+    stage in SQL."""
+    from pyspark.sql import Window as W
+
+    from .sampling import split_train_test
+
+    t = load_tables(spark, sf_dir)
+    toks = _tokens()
+    n_tok = F.size(toks)
+    diversity = F.round(F.size(F.array_distinct(toks)) / n_tok, 6)
+    s_en, s_es, s_zh = (_marker_score(lang) for lang in ("en", "es", "zh"))
+    pred = (
+        F.when((s_en >= s_es) & (s_en >= s_zh), "en")
+        .when(s_es >= s_zh, "es")
+        .otherwise("zh")
+    )
+    d = t["documents"].select(
+        "doc_id",
+        "source",
+        _norm().alias("norm"),
+        n_tok.alias("n_tok"),
+        diversity.alias("div"),
+        pred.alias("pred_lang"),
+    )
+    w = W.partitionBy("norm").orderBy("doc_id")
+    kept = (
+        d.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("n_tok") >= 10) & (F.col("div") >= 0.3))
+    )
+
+    words = _tokens()
+    n = _CONTAM_N
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.md5(
+                F.concat_ws(
+                    " ", *[F.element_at(words, i + k) for k in range(1, n + 1)]
+                )
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = t["documents"].select("doc_id", F.explode(grams).alias("gram"))
+    bench = g.where(F.col("doc_id") % 97 == 0).select("gram").distinct()
+    hits = (
+        g.where(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "gram")
+        .select("doc_id")
+        .distinct()
+    )
+
+    released = (
+        kept.where(F.col("doc_id") % 97 != 0)
+        .join(hits, "doc_id", "left_anti")
+    )
+    released = split_train_test(
+        released, "doc_id", {"train": 0.9, "val": 0.1}, salt="release"
+    )
+    return released.groupBy("split", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+QUERIES["q_pipeline_release"] = q_pipeline_release
+
+
+ORACLES["q_pipeline_release"] = f"""
+    WITH d AS (
+        SELECT doc_id, source,
+               {_SQL_NORM} AS norm,
+               len({_SQL_TOKS}) AS n_tok,
+               round(CAST(len(list_distinct({_SQL_TOKS})) AS DOUBLE)
+                     / len({_SQL_TOKS}), 6) AS div,
+               {_sql_marker(LANG_MARKERS['en'])} AS s_en,
+               {_sql_marker(LANG_MARKERS['es'])} AS s_es,
+               {_sql_marker(LANG_MARKERS['zh'])} AS s_zh
+        FROM documents
+    ), dd AS (
+        SELECT *, row_number() OVER (PARTITION BY norm ORDER BY doc_id) AS rn
+        FROM d
+    ), kept AS (
+        SELECT doc_id, n_tok,
+               CASE WHEN s_en >= s_es AND s_en >= s_zh THEN 'en'
+                    WHEN s_es >= s_zh THEN 'es'
+                    ELSE 'zh' END AS pred_lang
+        FROM dd WHERE rn = 1 AND n_tok >= 10 AND div >= 0.3
+    ), toks AS (
+        SELECT doc_id, {_SQL_TOKS} AS words FROM documents
+    ), g AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(words) - 3),
+                      i -> md5(words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                               || ' ' || words[i+3]))) AS gram
+        FROM toks WHERE len(words) >= 4
+    ), bench AS (
+        SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
+    ), hits AS (
+        SELECT DISTINCT doc_id FROM g JOIN bench USING (gram)
+        WHERE doc_id % 97 <> 0
+    ), released AS (
+        SELECT k.*,
+               CASE WHEN substring(md5('release' || CAST(doc_id AS VARCHAR)), 1, 4)
+                         < 'e666' THEN 'train' ELSE 'val' END AS split
+        FROM kept k
+        WHERE doc_id % 97 <> 0
+          AND NOT EXISTS (SELECT 1 FROM hits h WHERE h.doc_id = k.doc_id)
+    )
+    SELECT split, pred_lang, count(*) AS n_docs,
+           sum(n_tok) AS total_tokens, min(doc_id) AS first_doc
+    FROM released GROUP BY 1, 2
+"""
