@@ -235,3 +235,15 @@ def test_funnel_steps_share_user_partitioning(spark, tables):
     p = plan_text(q_events_funnel(spark, SF_DIR))
     assert "HashAggregate" in p
     assert "CartesianProduct" not in p
+
+
+def test_release_pipeline_stays_jvm_side(spark, tables):
+    """The composed release pipeline must contain no Python evaluation
+    (every stage is built-in expressions) and must broadcast the benchmark
+    gram set rather than shuffling the corpus against it."""
+    from spark_iqmulus_spark.operators.text import q_pipeline_release
+
+    p = plan_text(q_pipeline_release(spark, SF_DIR))
+    assert "BatchEvalPython" not in p
+    assert "ArrowEvalPython" not in p
+    assert "BroadcastHashJoin" in p
