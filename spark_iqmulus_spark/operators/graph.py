@@ -247,12 +247,32 @@ def _pagerank_oracle(iterations: int = 5) -> str:
     return "".join(parts)
 
 
+
+def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the similarity graph — iterative Hash-Min
+    label propagation (reusing operators.dedup.dedup_components: one
+    shuffle-join + min-aggregate per round, lineage checkpointed, converges
+    in O(diameter) rounds).  Output is one row per cluster with sorted
+    members; oracle = transitive closure via DuckDB recursive CTE."""
+    from .dedup import dedup_components
+
+    pairs = sim_edges(spark, sf_dir).select(
+        F.col("a").alias("doc_a"), F.col("b").alias("doc_b")
+    )
+    labels = dedup_components(pairs)
+    return labels.groupBy(F.col("label").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("size"),
+        F.sort_array(F.collect_list("node")).alias("members"),
+    )
+
+
 QUERIES = {
     "q_graph_degree": q_graph_degree,
     "q_graph_triangles": q_graph_triangles,
     "q_graph_common_neighbors": q_graph_common_neighbors,
     "q_graph_bfs": q_graph_bfs,
     "q_graph_pagerank": q_graph_pagerank,
+    "q_graph_components": q_graph_components,
 }
 
 ORACLES = {
@@ -292,6 +312,18 @@ ORACLES = {
         WHERE walk.lvl < 4
     )
     SELECT node, min(lvl) AS level FROM walk GROUP BY node
+    """,
+    "q_graph_components": _EDGE_CTE.replace("WITH emb", "WITH RECURSIVE emb", 1)
+    + """
+    , reach AS (
+        SELECT a, b FROM und
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN und e ON r.b = e.a
+    ), lab AS (
+        SELECT a AS node, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+    )
+    SELECT cluster_id, count(*) AS size, list_sort(list(node)) AS members
+    FROM lab GROUP BY cluster_id
     """,
     "q_graph_pagerank": _pagerank_oracle(5),
 }

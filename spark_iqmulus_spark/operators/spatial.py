@@ -275,10 +275,53 @@ def q_pc_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def height_above_ground(
+    pts: DataFrame, cell: tuple[float, float], x="x", y="y", z="z"
+) -> DataFrame:
+    """Normalize point heights against a per-cell ground estimate.
+
+    The standard LiDAR DTM-normalization step: grid the cloud, take each
+    cell's minimum z as local ground, and report every point's height
+    above it.  One hash aggregate (bounded by occupied cells) + one
+    equi-join back on the cell key — the ground table is tiny relative to
+    the cloud, so at scale it broadcasts and the cloud never shuffles.
+    Adds ``hag`` (>= 0) to the input rows.
+    """
+    cx, cy = cell
+    cell_x = F.floor(F.col(x) / cx).alias("gx")
+    cell_y = F.floor(F.col(y) / cy).alias("gy")
+    keyed = pts.withColumn("gx", cell_x).withColumn("gy", cell_y)
+    ground = keyed.groupBy("gx", "gy").agg(F.min(z).alias("ground_z"))
+    return keyed.join(F.broadcast(ground), ["gx", "gy"]).withColumn(
+        "hag", F.col(z) - F.col("ground_z")
+    )
+
+
+def q_pc_hag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Height-above-ground histogram over the part-derived cloud (cells
+    64×8, the voxel grid of `q_pc_voxel`): per-bucket point counts and
+    exact integer hag sums certify the ground join end-to-end."""
+    t = load_tables(spark, sf_dir)
+    pts = t["part"].select(
+        F.col("p_partkey").cast("double").alias("x"),
+        F.col("p_size").cast("double").alias("y"),
+        F.round(F.col("p_retailprice") * 100, 0).cast("long").alias("z"),
+    )
+    hag = height_above_ground(pts, (64.0, 8.0))
+    bucket = F.least(F.floor(F.col("hag") / 250), F.lit(9)).cast("int")
+    return hag.groupBy(bucket.alias("hag_bucket")).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("hag").alias("sum_hag"),
+        F.max("hag").alias("max_hag"),
+    )
+
+
 QUERIES = {
     "q_zorder": q_zorder,
     "q_pc_radius_join": q_pc_radius_join,
     "q_pc_dimensionality": q_pc_dimensionality,
+    "q_pc_hag": q_pc_hag,
 }
 
 ORACLES = {
@@ -297,6 +340,29 @@ ORACLES = {
                max(morton) AS max_key,
                sum(morton) AS sum_keys
         FROM keyed GROUP BY 1
+    """,
+    "q_pc_hag": """
+        WITH pts AS (
+            SELECT CAST(p_partkey AS DOUBLE) AS x,
+                   CAST(p_size AS DOUBLE) AS y,
+                   CAST(round(p_retailprice * 100, 0) AS BIGINT) AS z
+            FROM part
+        ),
+        keyed AS (
+            SELECT *, CAST(floor(x / 64.0) AS BIGINT) AS gx,
+                      CAST(floor(y / 8.0) AS BIGINT) AS gy
+            FROM pts
+        ),
+        ground AS (
+            SELECT gx, gy, min(z) AS ground_z FROM keyed GROUP BY gx, gy
+        )
+        SELECT CAST(least(floor((k.z - g.ground_z) / 250.0), 9) AS INT)
+                   AS hag_bucket,
+               count(*) AS n_points,
+               sum(k.z - g.ground_z) AS sum_hag,
+               max(k.z - g.ground_z) AS max_hag
+        FROM keyed k JOIN ground g USING (gx, gy)
+        GROUP BY 1
     """,
     "q_pc_radius_join": """
         WITH pts AS (
