@@ -108,6 +108,9 @@ def q_las_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered scan on the LAS relation (predicate + grouped agg) — the
     canonical LAS consumer query shape, via header-pushdown-enabled reader."""
     register_sources(spark)
+    # runtime-settable; required for a reader that implements pushFilters —
+    # a bare driver session doesn't carry get_spark()'s defaults
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     df = (
         spark.read.format("las")
         .option("pushdown", "true")

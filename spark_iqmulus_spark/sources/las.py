@@ -192,6 +192,10 @@ class LasReader(DataSourceReader):
         return parts
 
     def read(self, partition: SectionPartition):
+        if partition is None:
+            # partitions() legitimately returned [] (every file pruned by
+            # header bounds); Spark then probes read(None) — empty scan.
+            return
         present = {sf.name for sf in partition.section.fields}
         want = [
             f.name

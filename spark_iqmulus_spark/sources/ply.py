@@ -144,6 +144,8 @@ class PlyReader(DataSourceReader):
         return parts
 
     def read(self, partition: SectionPartition):
+        if partition is None:
+            return  # empty partition list (all files pruned) → empty scan
         data_fields = [f for f in self.out_schema.fields if f.name not in ("fid", "pid")]
         want = [f.name for f in data_fields if any(sf.name == f.name for sf in partition.section.fields)]
         raw = partition.section.read_batch(

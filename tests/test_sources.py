@@ -381,3 +381,20 @@ def test_las_write_v14(spark, tmp_path):
     back = spark.read.format("las").load(out)
     assert back.count() == 1500
     assert back.agg(F.sum("x")).collect()[0][0] == df.agg(F.sum("x")).collect()[0][0]
+
+
+def test_pushdown_all_files_pruned_yields_empty(spark, tmp_path):
+    """When header bounds prune every input file, the scan must return an
+    empty DataFrame — not crash on Spark's read(None) probe (regression:
+    the x>1000 filter at small SF prunes the only file)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tests.fixtures import make_las
+
+    las = os.path.join(str(tmp_path), "small.las")
+    make_las(las, n=100, fmt=1)  # x raw ints 0..99
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    df = spark.read.format("las").option("pushdown", "true").load(las)
+    assert df.where(F.col("x") > 10_000_000).count() == 0
