@@ -505,6 +505,43 @@ def q_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-rollup maintenance: merge a late-arriving
+    delta into an existing daily rollup by unioning the two *partial*
+    rollups and re-aggregating — never re-touching base facts.  Valid
+    because sum/count are re-aggregatable (the algebraic-aggregate
+    property every incremental pipeline relies on); avg is re-derived
+    from the merged sums.  The oracle computes the same rollup from the
+    full fact table directly, so a hash match proves partial + delta ==
+    full.  At 100 TB the base rollup is O(days × types) while the fact
+    table is the 100 TB — this pattern is why."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].withColumn("day", F.to_date("ts"))
+
+    def rollup(df):
+        return df.groupBy("day", "event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("sum_v"),
+        )
+
+    base = rollup(ev.where(F.col("event_id") % 10 != 0))       # "yesterday's" rollup
+    delta = rollup(ev.where(F.col("event_id") % 10 == 0))      # late batch
+    merged = (
+        base.unionByName(delta)
+        .groupBy("day", "event_type")
+        .agg(F.sum("n").alias("n"), F.sum("sum_v").alias("sum_v"))
+    )
+    return merged.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "n",
+        F.round("sum_v", 4).alias("sum_value"),
+        F.round(F.col("sum_v") / F.col("n"), 6).alias("avg_value"),
+    )
+
+
 QUERIES = {
     "q_tpch_q13": q_tpch_q13,
     "q_tpch_q15": q_tpch_q15,
@@ -523,12 +560,20 @@ QUERIES = {
     "q_xml_funcs": q_xml_funcs,
     "q_try_funcs": q_try_funcs,
     "q_sketch_hll": q_sketch_hll,
+    "q_incremental_rollup": q_incremental_rollup,
     "q_events_retention": q_events_retention,
     "q_date_spine": q_date_spine,
     "q_source_orc": q_source_orc,
 }
 
 ORACLES = {
+    "q_incremental_rollup": """
+        SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
+               count(*) AS n,
+               round(sum(value), 4) AS sum_value,
+               round(sum(value) / count(*), 6) AS avg_value
+        FROM events GROUP BY 1, 2
+    """,
     "q_xml_funcs": """
         SELECT o_orderstatus AS status, count(*) AS n,
                sum(o_orderkey) AS sum_keys,
