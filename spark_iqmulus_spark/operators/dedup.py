@@ -416,6 +416,35 @@ def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q_dedup_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification of near-dup candidates — the canonical
+    two-stage dedup shape: cheap candidate generation (the n-gram Jaccard
+    pair set) followed by an expensive exact verifier run ONLY on
+    candidates.  Levenshtein is O(len²) per pair, which is why it never
+    touches the full N² pair space; joining the normalized text onto the
+    candidate pairs costs two broadcast-able lookups.  Output: candidate
+    pairs with Jaccard and edit distance side by side."""
+    t = load_tables(spark, sf_dir)
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    docs = t["documents"].select("doc_id", norm.alias("norm"))
+    pairs = q_dedup_ngram(spark, sf_dir).select("doc_a", "doc_b", "jaccard")
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("norm").alias("na"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("norm").alias("nb"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            F.levenshtein("na", "nb").alias("edit_dist"),
+            (F.length("na") + F.length("nb")).alias("len_sum"),
+        )
+    )
+
+
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_ngram": q_dedup_ngram,
@@ -424,9 +453,51 @@ QUERIES = {
     "q_dedup_embed": q_dedup_embed,
     "q_dedup_embed_lsh": q_dedup_embed_lsh,
     "q_dedup_clusters": q_dedup_clusters,
+    "q_dedup_edit": q_dedup_edit,
 }
 
 ORACLES = {
+    "q_dedup_edit": f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS words
+            FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(generate_series(1, len(words) - 2),
+                          i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
+            FROM toks WHERE len(words) >= 3
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+        ), keep AS (
+            SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {MAX_DF}
+        ), shf AS (
+            SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)
+        ), inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+            FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), cand AS (
+            SELECT doc_a, doc_b,
+                   round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6)
+                       AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6)
+                  >= {JACCARD_T}
+        ), d AS (
+            SELECT doc_id,
+                   lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+            FROM documents
+        )
+        SELECT c.doc_a, c.doc_b, c.jaccard,
+               levenshtein(da.norm, db.norm) AS edit_dist,
+               length(da.norm) + length(db.norm) AS len_sum
+        FROM cand c
+        JOIN d da ON da.doc_id = c.doc_a
+        JOIN d db ON db.doc_id = c.doc_b
+    """,
     "q_dedup_exact": f"""
         SELECT sha256({_NORM}) AS content_hash,
                min(doc_id) AS keeper_doc_id, count(*) AS n_copies
