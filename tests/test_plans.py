@@ -247,3 +247,32 @@ def test_release_pipeline_stays_jvm_side(spark, tables):
     assert "BatchEvalPython" not in p
     assert "ArrowEvalPython" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_radius_join_is_equi_join(spark, tables):
+    """The grid-bucketed radius join core must plan as a hash equi-join on
+    the cell key — a cartesian/BNLJ here means the decomposition regressed.
+    (Asserted on radius_join itself: the q_pc_radius_join wrapper adds
+    intentional 1-row crossJoins for the summary scalars.)"""
+    from pyspark.sql import functions as F
+
+    from spark_iqmulus_spark.operators.spatial import radius_join
+
+    pts = tables["part"].select(
+        F.col("p_partkey").alias("pid"),
+        F.col("p_partkey").cast("double").alias("x"),
+        F.col("p_size").cast("double").alias("y"),
+    )
+    p = plan_text(radius_join(pts, 3.0))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_hag_ground_table_broadcasts(spark, tables):
+    """Height-above-ground joins the per-cell ground estimate back to the
+    cloud via broadcast — the cloud side must not shuffle for the join."""
+    from spark_iqmulus_spark.operators.spatial import q_pc_hag
+
+    p = plan_text(q_pc_hag(spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
