@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..session import load_tables
+from .text import STOPWORDS
 
 #: shingles appearing in more than this many documents are dropped from the
 #: pairwise join (boilerplate guard — mirrored in the oracle).
@@ -445,6 +446,38 @@ def q_dedup_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pick the best copy per near-dup cluster: cluster membership (from
+    connected components) joined with the composite quality score, argmax
+    per cluster via a ranking window with an explicit (quality desc,
+    doc_id) tiebreak — never max_by, whose tie choice is nondeterministic.
+    This is the decision step a dedup pipeline actually ships: which copy
+    to keep, not just which docs collide."""
+    from pyspark.sql import Window as W
+
+    from .text import q_text_quality
+
+    clusters = q_dedup_clusters(spark, sf_dir)
+    members = clusters.select(
+        "cluster_id", "size", F.explode("members").alias("doc_id")
+    )
+    quality = q_text_quality(spark, sf_dir).select("doc_id", "quality")
+    w = W.partitionBy("cluster_id").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        members.join(quality, "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "cluster_id",
+            "size",
+            F.col("doc_id").alias("keeper_doc_id"),
+            F.col("quality").alias("keeper_quality"),
+        )
+    )
+
+
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_ngram": q_dedup_ngram,
@@ -454,9 +487,76 @@ QUERIES = {
     "q_dedup_embed_lsh": q_dedup_embed_lsh,
     "q_dedup_clusters": q_dedup_clusters,
     "q_dedup_edit": q_dedup_edit,
+    "q_dedup_keep_best": q_dedup_keep_best,
 }
 
 ORACLES = {
+    "q_dedup_keep_best": f"""
+        WITH RECURSIVE toks AS (
+            SELECT doc_id,
+                   string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS words
+            FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(generate_series(1, len(words) - 2),
+                          i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
+            FROM toks WHERE len(words) >= 3
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+        ), keep AS (
+            SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {MAX_DF}
+        ), shf AS (
+            SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)
+        ), inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+            FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), pairs AS (
+            SELECT doc_a, doc_b FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6)
+                  >= {JACCARD_T}
+        ), edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs
+        ), reach AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        ), lab AS (
+            SELECT a AS node, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+        ), cl AS (
+            SELECT cluster_id, count(*) AS size, list_sort(list(node)) AS members
+            FROM lab GROUP BY cluster_id
+        ), mem AS (
+            SELECT cluster_id, size, unnest(members) AS doc_id FROM cl
+        ), q AS (
+            SELECT doc_id,
+                   round(0.3 * least(CAST(len(w2.words) AS DOUBLE) / 100.0, 1.0)
+                         + 0.3 * (CAST(len(list_distinct(w2.words)) AS DOUBLE)
+                                  / len(w2.words))
+                         + 0.2 * (1 - CAST(length(regexp_replace(w2.norm, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                                      / length(w2.norm))
+                         + 0.2 * (CAST(len(list_filter(w2.words,
+                                  t -> t IN ({', '.join("'" + s + "'" for s in STOPWORDS)}))) AS DOUBLE)
+                                  / len(w2.words)), 6) AS quality
+            FROM (
+                SELECT doc_id,
+                       lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm,
+                       string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS words
+                FROM documents
+            ) w2
+        )
+        SELECT cluster_id, size, doc_id AS keeper_doc_id, quality AS keeper_quality
+        FROM (
+            SELECT m.cluster_id, m.size, m.doc_id, q.quality,
+                   row_number() OVER (PARTITION BY m.cluster_id
+                                      ORDER BY q.quality DESC, m.doc_id) AS rk
+            FROM mem m JOIN q USING (doc_id)
+        )
+        WHERE rk = 1
+    """,
     "q_dedup_edit": f"""
         WITH toks AS (
             SELECT doc_id,

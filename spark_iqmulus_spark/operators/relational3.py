@@ -542,6 +542,32 @@ def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report analytics: each nation's share of total revenue.
+    Per-nation revenue in exact integer cents; the 1-row grand total is
+    broadcast back (never a single-partition window), and the share is a
+    ratio of exact integers rounded once."""
+    t = load_tables(spark, sf_dir)
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    per_nation = (
+        t["lineitem"]
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(cents).alias("revenue_cents"))
+    )
+    total = per_nation.agg(F.sum("revenue_cents").alias("total_cents"))
+    return per_nation.crossJoin(F.broadcast(total)).select(
+        "n_name",
+        "revenue_cents",
+        F.round(F.col("revenue_cents") / F.col("total_cents"), 6).alias("share"),
+    )
+
+
 QUERIES = {
     "q_tpch_q13": q_tpch_q13,
     "q_tpch_q15": q_tpch_q15,
@@ -561,12 +587,28 @@ QUERIES = {
     "q_try_funcs": q_try_funcs,
     "q_sketch_hll": q_sketch_hll,
     "q_incremental_rollup": q_incremental_rollup,
+    "q_share_of_total": q_share_of_total,
     "q_events_retention": q_events_retention,
     "q_date_spine": q_date_spine,
     "q_source_orc": q_source_orc,
 }
 
 ORACLES = {
+    "q_share_of_total": """
+        WITH per_nation AS (
+            SELECT n_name,
+                   sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                            AS BIGINT)) AS revenue_cents
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name
+        )
+        SELECT n_name, revenue_cents,
+               round(revenue_cents * 1.0 /
+                     (SELECT sum(revenue_cents) FROM per_nation), 6) AS share
+        FROM per_nation
+    """,
     "q_incremental_rollup": """
         SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
                count(*) AS n,
