@@ -568,6 +568,50 @@ def q_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint-validation sweep (the dbt-test / expectations surface):
+    referential integrity via anti-joins, domain checks as conditional
+    counts, primary-key uniqueness via a grouped HAVING — one row per rule
+    with its violation count (0 rows is a passing rule set; counts make
+    the failures diagnosable).  Each rule is an independent aggregate, so
+    Spark runs them as parallel jobs over cached scans; none shuffles more
+    than its own rule needs."""
+    t = load_tables(spark, sf_dir)
+
+    def one(rule, df):
+        return df.agg(F.count(F.lit(1)).alias("n_violations")).select(
+            F.lit(rule).alias("rule"), "n_violations"
+        )
+
+    orphan_li = t["lineitem"].join(
+        t["orders"], F.col("l_orderkey") == F.col("o_orderkey"), "left_anti"
+    )
+    orphan_ord = t["orders"].join(
+        t["customer"], F.col("o_custkey") == F.col("c_custkey"), "left_anti"
+    )
+    bad_qty = t["lineitem"].where(F.col("l_quantity") <= 0)
+    bad_disc = t["lineitem"].where(
+        (F.col("l_discount") < 0) | (F.col("l_discount") > 1)
+    )
+    null_keys = t["orders"].where(F.col("o_orderkey").isNull())
+    dup_pk = (
+        t["orders"].groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1)
+    )
+    out = (
+        one("lineitem_orphan_orderkey", orphan_li)
+        .unionByName(one("orders_orphan_custkey", orphan_ord))
+        .unionByName(one("lineitem_nonpositive_quantity", bad_qty))
+        .unionByName(one("lineitem_discount_out_of_range", bad_disc))
+        .unionByName(one("orders_null_pk", null_keys))
+        .unionByName(one("orders_duplicate_pk", dup_pk))
+    )
+    return out
+
+
 QUERIES = {
     "q_tpch_q13": q_tpch_q13,
     "q_tpch_q15": q_tpch_q15,
@@ -588,12 +632,39 @@ QUERIES = {
     "q_sketch_hll": q_sketch_hll,
     "q_incremental_rollup": q_incremental_rollup,
     "q_share_of_total": q_share_of_total,
+    "q_data_quality": q_data_quality,
     "q_events_retention": q_events_retention,
     "q_date_spine": q_date_spine,
     "q_source_orc": q_source_orc,
 }
 
 ORACLES = {
+    "q_data_quality": """
+        SELECT 'lineitem_orphan_orderkey' AS rule,
+               (SELECT count(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_orderkey = l.l_orderkey))
+                   AS n_violations
+        UNION ALL
+        SELECT 'orders_orphan_custkey',
+               (SELECT count(*) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = o.o_custkey))
+        UNION ALL
+        SELECT 'lineitem_nonpositive_quantity',
+               (SELECT count(*) FROM lineitem WHERE l_quantity <= 0)
+        UNION ALL
+        SELECT 'lineitem_discount_out_of_range',
+               (SELECT count(*) FROM lineitem
+                WHERE l_discount < 0 OR l_discount > 1)
+        UNION ALL
+        SELECT 'orders_null_pk',
+               (SELECT count(*) FROM orders WHERE o_orderkey IS NULL)
+        UNION ALL
+        SELECT 'orders_duplicate_pk',
+               (SELECT count(*) FROM (SELECT o_orderkey FROM orders
+                                      GROUP BY o_orderkey HAVING count(*) > 1))
+    """,
     "q_share_of_total": """
         WITH per_nation AS (
             SELECT n_name,
