@@ -612,6 +612,35 @@ def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+
+
+def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type: median absolute deviation
+    (median of |x - median|), then count points beyond 3·MAD.  Two exact
+    percentile passes + one conditional count — all on the same
+    event_type partitioning, so the three aggregations reuse one shuffle.
+    MAD is the robust scale estimate monitoring pipelines prefer over
+    stddev (one bad batch can't drag it)."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", 0.5).alias("mad"), F.first("med").alias("med2")
+    )
+    flagged = dev.join(F.broadcast(mad.select("event_type", "mad")), "event_type")
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.first(F.col("med")), 6).alias("median"),
+        F.round(F.first(F.col("mad")), 6).alias("mad"),
+        F.count(F.when(F.col("adev") > 3 * F.col("mad"), 1)).alias("n_outliers"),
+    )
+
+
 QUERIES = {
     "q_tpch_q13": q_tpch_q13,
     "q_tpch_q15": q_tpch_q15,
@@ -633,12 +662,32 @@ QUERIES = {
     "q_incremental_rollup": q_incremental_rollup,
     "q_share_of_total": q_share_of_total,
     "q_data_quality": q_data_quality,
+    "q_outlier_mad": q_outlier_mad,
     "q_events_retention": q_events_retention,
     "q_date_spine": q_date_spine,
     "q_source_orc": q_source_orc,
 }
 
 ORACLES = {
+    "q_outlier_mad": """
+        WITH med AS (
+            SELECT event_type, quantile_cont(value, 0.5) AS med
+            FROM events GROUP BY event_type
+        ), dev AS (
+            SELECT e.event_type, e.value, m.med,
+                   abs(e.value - m.med) AS adev
+            FROM events e JOIN med m USING (event_type)
+        ), mad AS (
+            SELECT event_type, quantile_cont(adev, 0.5) AS mad
+            FROM dev GROUP BY event_type
+        )
+        SELECT d.event_type, count(*) AS n,
+               round(any_value(d.med), 6) AS median,
+               round(any_value(m.mad), 6) AS mad,
+               count(*) FILTER (WHERE d.adev > 3 * m.mad) AS n_outliers
+        FROM dev d JOIN mad m USING (event_type)
+        GROUP BY d.event_type
+    """,
     "q_data_quality": """
         SELECT 'lineitem_orphan_orderkey' AS rule,
                (SELECT count(*) FROM lineitem l
