@@ -641,6 +641,113 @@ def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (market share): within one region's revenue per
+    year, the share contributed by one supplier nation — a conditional
+    share inside a grouped aggregate (sum(CASE)/sum), computed on exact
+    integer cents so the ratio is deterministic."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH base AS (
+            SELECT year(o.o_orderdate) AS o_year,
+                   CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                        AS BIGINT) AS cents,
+                   n2.n_name AS supp_nation
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+            JOIN region r ON n1.n_regionkey = r.r_regionkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+            WHERE r.r_name = 'ASIA'
+        )
+        SELECT o_year,
+               sum(CASE WHEN supp_nation = 'NATION_1' THEN cents ELSE 0 END)
+                   AS nation_cents,
+               sum(cents) AS total_cents,
+               round(sum(CASE WHEN supp_nation = 'NATION_1' THEN cents
+                              ELSE 0 END) * 1.0 / sum(cents), 6) AS mkt_share
+        FROM base GROUP BY o_year
+        """
+    )
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-delay priority audit): per delay bucket
+    (shipped within 30 days vs later), conditional counts of urgent vs
+    other orders — CASE aggregation after one fact join.  (The testdata
+    has no ship mode; the delay bucket plays its role.)"""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT CASE WHEN l.l_shipdate <= o.o_orderdate + INTERVAL '30' DAY
+                    THEN 'fast' ELSE 'slow' END AS ship_bucket,
+               sum(CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+                   AS urgent_count,
+               sum(CASE WHEN o.o_orderpriority <> '1-URGENT' THEN 1 ELSE 0 END)
+                   AS other_count
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1
+        """
+    )
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): promo-part revenue share of one
+    month's revenue — conditional cents over total cents, single join +
+    single aggregate."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT round(
+                 sum(CASE WHEN p.p_type = 'PROMO'
+                          THEN CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                          * 100, 0) AS BIGINT) ELSE 0 END)
+                 * 100.0 /
+                 sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                          AS BIGINT)), 6) AS promo_revenue_pct,
+               count(*) AS n_items
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate < TIMESTAMP '1996-02-01'
+        """
+    )
+
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (dominant suppliers): suppliers that shipped more
+    than half of some part's total shipped quantity — an EXISTS over a
+    correlated aggregate threshold, decorrelated into two aggregates
+    joined on (part, supplier) and part.  Quantities are integer-valued
+    and the threshold is 0.15 (parts here spread across ~26 suppliers, so
+    a 15% share already marks a dominant supplier; the comparison stays
+    exact because 0.15·int is computed identically in both engines)."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH per_ps AS (
+            SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+            FROM lineitem GROUP BY l_partkey, l_suppkey
+        ),
+        per_p AS (
+            SELECT l_partkey, sum(qty) AS total_qty FROM per_ps
+            GROUP BY l_partkey
+        )
+        SELECT s.s_suppkey, s.s_name,
+               count(*) AS n_dominated_parts
+        FROM per_ps ps
+        JOIN per_p p ON p.l_partkey = ps.l_partkey
+        JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+        WHERE ps.qty > 0.15 * p.total_qty
+        GROUP BY s.s_suppkey, s.s_name
+        """
+    )
+
+
 QUERIES = {
     "q_tpch_q13": q_tpch_q13,
     "q_tpch_q15": q_tpch_q15,
@@ -663,12 +770,79 @@ QUERIES = {
     "q_share_of_total": q_share_of_total,
     "q_data_quality": q_data_quality,
     "q_outlier_mad": q_outlier_mad,
+    "q_tpch_q8": q_tpch_q8,
+    "q_tpch_q12": q_tpch_q12,
+    "q_tpch_q14": q_tpch_q14,
+    "q_tpch_q20": q_tpch_q20,
     "q_events_retention": q_events_retention,
     "q_date_spine": q_date_spine,
     "q_source_orc": q_source_orc,
 }
 
 ORACLES = {
+    "q_tpch_q8": """
+        WITH base AS (
+            SELECT year(o.o_orderdate) AS o_year,
+                   CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                        AS BIGINT) AS cents,
+                   n2.n_name AS supp_nation
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+            JOIN region r ON n1.n_regionkey = r.r_regionkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+            WHERE r.r_name = 'ASIA'
+        )
+        SELECT o_year,
+               sum(CASE WHEN supp_nation = 'NATION_1' THEN cents ELSE 0 END)
+                   AS nation_cents,
+               sum(cents) AS total_cents,
+               round(sum(CASE WHEN supp_nation = 'NATION_1' THEN cents
+                              ELSE 0 END) * 1.0 / sum(cents), 6) AS mkt_share
+        FROM base GROUP BY o_year
+    """,
+    "q_tpch_q12": """
+        SELECT CASE WHEN l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY
+                    THEN 'fast' ELSE 'slow' END AS ship_bucket,
+               sum(CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+                   AS urgent_count,
+               sum(CASE WHEN o.o_orderpriority <> '1-URGENT' THEN 1 ELSE 0 END)
+                   AS other_count
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1
+    """,
+    "q_tpch_q14": """
+        SELECT round(
+                 sum(CASE WHEN p.p_type = 'PROMO'
+                          THEN CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                          * 100, 0) AS BIGINT) ELSE 0 END)
+                 * 100.0 /
+                 sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                          AS BIGINT)), 6) AS promo_revenue_pct,
+               count(*) AS n_items
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate < TIMESTAMP '1996-02-01'
+    """,
+    "q_tpch_q20": """
+        WITH per_ps AS (
+            SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+            FROM lineitem GROUP BY l_partkey, l_suppkey
+        ),
+        per_p AS (
+            SELECT l_partkey, sum(qty) AS total_qty FROM per_ps
+            GROUP BY l_partkey
+        )
+        SELECT s.s_suppkey, s.s_name,
+               count(*) AS n_dominated_parts
+        FROM per_ps ps
+        JOIN per_p p ON p.l_partkey = ps.l_partkey
+        JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+        WHERE ps.qty > 0.15 * p.total_qty
+        GROUP BY s.s_suppkey, s.s_name
+    """,
     "q_outlier_mad": """
         WITH med AS (
             SELECT event_type, quantile_cont(value, 0.5) AS med
