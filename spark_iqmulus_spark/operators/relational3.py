@@ -748,6 +748,29 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (supplier diversity per part attribute): distinct
+    supplier counts per (brand, size-band), excluding blacklisted
+    suppliers (NOT IN → anti join).  The distinct aggregate runs after the
+    exclusion, so the anti join prunes before the expensive expand."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        excluded AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        SELECT p.p_brand,
+               CAST(floor(p.p_size / 10) AS INT) AS size_band,
+               count(DISTINCT ps.l_suppkey) AS supplier_cnt
+        FROM ps
+        JOIN part p ON p.p_partkey = ps.l_partkey
+        WHERE ps.l_suppkey NOT IN (SELECT s_suppkey FROM excluded)
+        GROUP BY p.p_brand, 2
+        """
+    )
+
+
 QUERIES = {
     "q_tpch_q13": q_tpch_q13,
     "q_tpch_q15": q_tpch_q15,
@@ -774,12 +797,24 @@ QUERIES = {
     "q_tpch_q12": q_tpch_q12,
     "q_tpch_q14": q_tpch_q14,
     "q_tpch_q20": q_tpch_q20,
+    "q_tpch_q16": q_tpch_q16,
     "q_events_retention": q_events_retention,
     "q_date_spine": q_date_spine,
     "q_source_orc": q_source_orc,
 }
 
 ORACLES = {
+    "q_tpch_q16": """
+        WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        excluded AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        SELECT p.p_brand,
+               CAST(floor(p.p_size / 10) AS INT) AS size_band,
+               count(DISTINCT ps.l_suppkey) AS supplier_cnt
+        FROM ps
+        JOIN part p ON p.p_partkey = ps.l_partkey
+        WHERE ps.l_suppkey NOT IN (SELECT s_suppkey FROM excluded)
+        GROUP BY p.p_brand, 2
+    """,
     "q_tpch_q8": """
         WITH base AS (
             SELECT year(o.o_orderdate) AS o_year,
