@@ -626,3 +626,49 @@ ORACLES["q_pipeline_release"] = f"""
            sum(n_tok) AS total_tokens, min(doc_id) AS first_doc
     FROM released GROUP BY 1, 2
 """
+
+
+def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary construction: top-50 word bigrams by document
+    frequency (the counting pass behind tokenizer/vocab building and BPE
+    merge selection).  Explode → two-level aggregate (distinct per doc,
+    then df count) → global top-k via TakeOrderedAndProject with a
+    deterministic (df desc, gram asc) tiebreak."""
+    t = load_tables(spark, sf_dir)
+    words = _tokens()
+    grams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(words, i), F.element_at(words, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_doc = (
+        t["documents"]
+        .select("doc_id", F.explode(grams).alias("gram"))
+        .distinct()
+    )
+    return (
+        per_doc.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), F.asc("gram"))
+        .limit(50)
+    )
+
+
+QUERIES["q_text_vocab"] = q_text_vocab
+
+ORACLES["q_text_vocab"] = f"""
+    WITH toks AS (
+        SELECT doc_id, {_SQL_TOKS} AS words FROM documents
+    ), g AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(generate_series(1, len(words) - 1),
+                      i -> words[i] || ' ' || words[i+1])) AS gram
+        FROM toks WHERE len(words) >= 2
+    )
+    SELECT gram, count(*) AS df
+    FROM g GROUP BY gram
+    ORDER BY df DESC, gram ASC
+    LIMIT 50
+"""
