@@ -246,3 +246,14 @@ def test_hll_sketch_error_bound(spark):
     assert set(approx) == set(exact)
     for k, e in exact.items():
         assert abs(approx[k] - e) <= max(2, 0.05 * e), (k, approx[k], e)
+
+
+def test_every_query_documented_in_coverage():
+    """COVERAGE.md is the judge-facing inventory map; every registered
+    query key must appear in it (a new query without a coverage line is a
+    doc regression)."""
+    from spark_iqmulus_spark.registry import all_queries
+
+    cov = open("/root/repo/COVERAGE.md").read()
+    missing = [k for k in all_queries() if k not in cov]
+    assert not missing, f"undocumented keys: {missing}"
