@@ -672,3 +672,38 @@ ORACLES["q_text_vocab"] = f"""
     ORDER BY df DESC, gram ASC
     LIMIT 50
 """
+
+
+def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (feature hashing): map every token into one of 64
+    buckets via a portable md5-derived hash and build the global bucket
+    histogram — the fixed-dimension featurization step that needs no
+    vocabulary (and therefore no shuffle to build one).  The bucket
+    function uses ascii(md5-hex) arithmetic so DuckDB reproduces it
+    byte-for-byte; at scale the only shuffle is the 64-row aggregate."""
+    t = load_tables(spark, sf_dir)
+    tok = F.explode(_tokens()).alias("tok")
+    h = F.md5(F.col("tok"))
+    bucket = (
+        F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1))
+    ) % 64
+    return (
+        t["documents"]
+        .select(tok)
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_tokens"))
+    )
+
+
+QUERIES["q_feature_hash"] = q_feature_hash
+
+ORACLES["q_feature_hash"] = f"""
+    WITH tok AS (
+        SELECT unnest({_SQL_TOKS}) AS tok FROM documents
+    )
+    SELECT (ascii(substring(md5(tok), 1, 1)) * 256
+            + ascii(substring(md5(tok), 2, 1))) % 64 AS bucket,
+           count(*) AS n_tokens
+    FROM tok GROUP BY 1
+"""
