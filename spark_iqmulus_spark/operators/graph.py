@@ -56,11 +56,25 @@ _EDGE_CTE = """
 """
 
 
+#: per-(session, sf_dir) persisted edge list — five graph queries share one
+#: materialization of the O(N²) cosine join instead of five.
+_EDGE_CACHE: dict = {}
+
+
 def sim_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Similarity-graph edge list ``(a, b)`` with ``a < b``."""
-    return q_dedup_embed(spark, sf_dir).select(
-        F.col("vec_a").alias("a"), F.col("vec_b").alias("b")
-    )
+    """Similarity-graph edge list ``(a, b)`` with ``a < b`` (persisted and
+    cached per session+sf_dir: every graph query shares one
+    materialization of the candidate-pair join)."""
+    key = (id(spark), sf_dir)
+    df = _EDGE_CACHE.get(key)
+    if df is None:
+        df = (
+            q_dedup_embed(spark, sf_dir)
+            .select(F.col("vec_a").alias("a"), F.col("vec_b").alias("b"))
+            .persist()
+        )
+        _EDGE_CACHE[key] = df
+    return df
 
 
 def _undirected(edges: DataFrame) -> DataFrame:
