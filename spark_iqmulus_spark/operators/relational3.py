@@ -771,6 +771,39 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q_feature_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature scaling per group (the ML-preprocessing step): z-score and
+    min-max normalization of event values per event type, certified by
+    the group moments plus aggregate functionals of the normalized values
+    (mean |z| and mean of the min-max-scaled value).  One pass for the
+    moments, broadcast back, one pass for the normalized aggregates — the
+    two-pass shape any distributed scaler uses."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select("event_type", "value")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )
+    scaled = ev.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        ((F.col("value") - F.col("mu")) / F.col("sigma")).alias("z"),
+        ((F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo"))).alias("mm"),
+        "mu",
+        "sigma",
+    )
+    return scaled.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.first("mu"), 6).alias("mean"),
+        F.round(F.first("sigma"), 6).alias("stddev"),
+        F.round(F.avg(F.abs("z")), 6).alias("mean_abs_z"),
+        F.round(F.avg("mm"), 6).alias("mean_minmax"),
+    )
+
+
 QUERIES = {
     "q_tpch_q13": q_tpch_q13,
     "q_tpch_q15": q_tpch_q15,
@@ -798,12 +831,27 @@ QUERIES = {
     "q_tpch_q14": q_tpch_q14,
     "q_tpch_q20": q_tpch_q20,
     "q_tpch_q16": q_tpch_q16,
+    "q_feature_scale": q_feature_scale,
     "q_events_retention": q_events_retention,
     "q_date_spine": q_date_spine,
     "q_source_orc": q_source_orc,
 }
 
 ORACLES = {
+    "q_feature_scale": """
+        WITH stats AS (
+            SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma,
+                   min(value) AS lo, max(value) AS hi
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_type, count(*) AS n,
+               round(any_value(s.mu), 6) AS mean,
+               round(any_value(s.sigma), 6) AS stddev,
+               round(avg(abs((e.value - s.mu) / s.sigma)), 6) AS mean_abs_z,
+               round(avg((e.value - s.lo) / (s.hi - s.lo)), 6) AS mean_minmax
+        FROM events e JOIN stats s USING (event_type)
+        GROUP BY e.event_type
+    """,
     "q_tpch_q16": """
         WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
         excluded AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
