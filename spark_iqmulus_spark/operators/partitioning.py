@@ -180,6 +180,23 @@ def with_global_row_number(
     )
 
 
+def partition_stats(df):
+    """Physical-layout introspection: rows per partition via
+    ``spark_partition_id()`` — one cheap aggregate that answers the first
+    question of every skew investigation (how unbalanced are my tasks?)
+    without touching the Spark UI.  Returns a DataFrame of
+    ``(partition_id, n_rows)``; pair with `salted_join`/`repartition`
+    when max/median row counts diverge."""
+    from pyspark.sql import functions as F
+
+    return (
+        df.withColumn("__pid", F.spark_partition_id())
+        .groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(F.col("__pid").alias("partition_id"), "n_rows")
+    )
+
+
 def observe_counts(df, name: str, exprs: dict):
     """Attach single-pass observability metrics to ``df``.
 

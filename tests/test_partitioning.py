@@ -217,3 +217,17 @@ def test_observe_counts_single_pass(spark):
     n_rows = observed.count()  # the action that materializes the metrics
     assert obs.get["n_kept"] == n_rows
     assert obs.get["chars"] == kept.agg(F.sum("n_chars")).collect()[0][0]
+
+
+def test_partition_stats_balance(spark):
+    """After an explicit round-robin repartition, partition_stats must see
+    the requested partition count with near-uniform row counts."""
+    from spark_iqmulus_spark.operators.partitioning import partition_stats
+    from spark_iqmulus_spark.session import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.001")["documents"]
+    stats = partition_stats(docs.repartition(8)).collect()
+    assert len(stats) == 8
+    counts = [r["n_rows"] for r in stats]
+    assert sum(counts) == docs.count()
+    assert max(counts) - min(counts) <= 2  # round-robin is near-uniform
