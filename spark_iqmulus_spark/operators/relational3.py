@@ -804,6 +804,45 @@ def q_feature_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling anomaly detection on the daily event series: 7-day trailing
+    moving average and sample stddev per event type (frame excludes the
+    current day), flagging days whose count deviates by more than 2σ.
+    The pre-aggregation shrinks the fact table to O(days × types) before
+    any window runs, so the sort inside the window is trivial at every
+    scale."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    scored = daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "n",
+        F.round(F.avg("n").over(w), 6).alias("ma7"),
+        F.round(F.stddev_samp("n").over(w), 6).alias("sd7"),
+    )
+    return scored.withColumn(
+        "is_anomaly",
+        F.when(
+            F.col("sd7").isNotNull()
+            & (F.abs(F.col("n") - F.col("ma7")) > 2 * F.col("sd7")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+
+
 QUERIES = {
     "q_tpch_q13": q_tpch_q13,
     "q_tpch_q15": q_tpch_q15,
@@ -832,12 +871,30 @@ QUERIES = {
     "q_tpch_q20": q_tpch_q20,
     "q_tpch_q16": q_tpch_q16,
     "q_feature_scale": q_feature_scale,
+    "q_events_anomaly": q_events_anomaly,
     "q_events_retention": q_events_retention,
     "q_date_spine": q_date_spine,
     "q_source_orc": q_source_orc,
 }
 
 ORACLES = {
+    "q_events_anomaly": """
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+            FROM events GROUP BY 1, 2
+        ), scored AS (
+            SELECT strftime(day, '%Y-%m-%d') AS day, event_type, n,
+                   round(avg(n) OVER w, 6) AS ma7,
+                   round(stddev_samp(n) OVER w, 6) AS sd7
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT day, event_type, n, ma7, sd7,
+               CASE WHEN sd7 IS NOT NULL AND abs(n - ma7) > 2 * sd7
+                    THEN 1 ELSE 0 END AS is_anomaly
+        FROM scored
+    """,
     "q_feature_scale": """
         WITH stats AS (
             SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma,
