@@ -843,6 +843,38 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q_equiheight_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equi-height) histogram — the column statistic a
+    cost-based optimizer collects: quartile breakpoints via one exact
+    percentile aggregate (1-row, broadcast back), then per-bucket
+    count/min/max.  Buckets hold ~equal row counts by construction, so
+    selectivity estimates stay accurate under skew where equi-width bins
+    collapse."""
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].select("o_totalprice")
+    breaks = o.agg(
+        F.percentile("o_totalprice", 0.25).alias("b1"),
+        F.percentile("o_totalprice", 0.50).alias("b2"),
+        F.percentile("o_totalprice", 0.75).alias("b3"),
+    )
+    bucketed = o.crossJoin(F.broadcast(breaks)).select(
+        "o_totalprice",
+        (
+            F.when(F.col("o_totalprice") < F.col("b1"), 0)
+            .when(F.col("o_totalprice") < F.col("b2"), 1)
+            .when(F.col("o_totalprice") < F.col("b3"), 2)
+            .otherwise(3)
+        ).alias("bucket"),
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("o_totalprice"), 4).alias("lo"),
+        F.round(F.max("o_totalprice"), 4).alias("hi"),
+    )
+
+
 QUERIES = {
     "q_tpch_q13": q_tpch_q13,
     "q_tpch_q15": q_tpch_q15,
@@ -872,12 +904,30 @@ QUERIES = {
     "q_tpch_q16": q_tpch_q16,
     "q_feature_scale": q_feature_scale,
     "q_events_anomaly": q_events_anomaly,
+    "q_equiheight_hist": q_equiheight_hist,
     "q_events_retention": q_events_retention,
     "q_date_spine": q_date_spine,
     "q_source_orc": q_source_orc,
 }
 
 ORACLES = {
+    "q_equiheight_hist": """
+        WITH breaks AS (
+            SELECT quantile_cont(o_totalprice, 0.25) AS b1,
+                   quantile_cont(o_totalprice, 0.50) AS b2,
+                   quantile_cont(o_totalprice, 0.75) AS b3
+            FROM orders
+        )
+        SELECT CASE WHEN o_totalprice < b1 THEN 0
+                    WHEN o_totalprice < b2 THEN 1
+                    WHEN o_totalprice < b3 THEN 2
+                    ELSE 3 END AS bucket,
+               count(*) AS n,
+               round(min(o_totalprice), 4) AS lo,
+               round(max(o_totalprice), 4) AS hi
+        FROM orders, breaks
+        GROUP BY 1
+    """,
     "q_events_anomaly": """
         WITH daily AS (
             SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
