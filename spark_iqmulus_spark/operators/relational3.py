@@ -875,6 +875,30 @@ def q_equiheight_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition counts (the first-order Markov statistics a
+    sequence model starts from): per user, consecutive event pairs in
+    (ts, event_id) order via lag(), counted per (from, to) transition.
+    One window sort inside user partitions + one tiny aggregate; the
+    deterministic (ts, event_id) tiebreak makes the pairing identical in
+    both engines."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = t["events"].select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    )
+    return (
+        pairs.where(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
 QUERIES = {
     "q_tpch_q13": q_tpch_q13,
     "q_tpch_q15": q_tpch_q15,
@@ -905,12 +929,24 @@ QUERIES = {
     "q_feature_scale": q_feature_scale,
     "q_events_anomaly": q_events_anomaly,
     "q_equiheight_hist": q_equiheight_hist,
+    "q_events_transitions": q_events_transitions,
     "q_events_retention": q_events_retention,
     "q_date_spine": q_date_spine,
     "q_source_orc": q_source_orc,
 }
 
 ORACLES = {
+    "q_events_transitions": """
+        WITH pairs AS (
+            SELECT lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS from_type,
+                   event_type AS to_type
+            FROM events
+        )
+        SELECT from_type, to_type, count(*) AS n_transitions
+        FROM pairs WHERE from_type IS NOT NULL
+        GROUP BY 1, 2
+    """,
     "q_equiheight_hist": """
         WITH breaks AS (
             SELECT quantile_cont(o_totalprice, 0.25) AS b1,
