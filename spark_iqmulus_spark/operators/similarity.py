@@ -321,3 +321,67 @@ ORACLES["q_embed_centroids"] = """
            count(*) AS n_vecs
     FROM x GROUP BY 1, 2
 """
+
+
+def q_knn_label_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation: per-query label precision@k of the
+    exact kNN result — the fraction of each query's top-k neighbors that
+    share its class label, then the per-label mean.  The metric every ANN
+    deployment tracks; computed as two broadcast label lookups over the
+    (tiny) kNN result plus one aggregate."""
+    t = load_tables(spark, sf_dir)
+    labels = t["embeddings"].select("vec_id", "label")
+    knn = q_sim_knn(spark, sf_dir).select("query_id", "neighbor_id")
+    ql = labels.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
+    )
+    nl = labels.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
+    )
+    per_query = (
+        knn.join(F.broadcast(ql), "query_id")
+        .join(F.broadcast(nl), "neighbor_id")
+        .groupBy("query_id", "q_label")
+        .agg(
+            F.round(
+                F.avg((F.col("n_label") == F.col("q_label")).cast("double")), 6
+            ).alias("precision")
+        )
+    )
+    return per_query.groupBy(F.col("q_label").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.round(F.avg("precision"), 6).alias("mean_precision"),
+    )
+
+
+QUERIES["q_knn_label_precision"] = q_knn_label_precision
+
+ORACLES["q_knn_label_precision"] = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_dot_product(q.v, c.v)
+                 / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
+                 AS cos_raw
+        FROM e q JOIN e c ON q.vec_id < {N_QUERIES} AND c.vec_id != q.vec_id
+    ), ranked AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (
+                 PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rank
+        FROM scored
+    ), knn AS (
+        SELECT query_id, neighbor_id FROM ranked WHERE rank <= {TOP_K}
+    ), lab AS (SELECT vec_id, label FROM embeddings),
+    per_query AS (
+        SELECT k.query_id, ql.label AS q_label,
+               round(avg(CASE WHEN nl.label = ql.label THEN 1.0 ELSE 0.0 END), 6)
+                   AS precision
+        FROM knn k
+        JOIN lab ql ON ql.vec_id = k.query_id
+        JOIN lab nl ON nl.vec_id = k.neighbor_id
+        GROUP BY 1, 2
+    )
+    SELECT q_label AS label, count(*) AS n_queries,
+           round(avg(precision), 6) AS mean_precision
+    FROM per_query GROUP BY 1
+"""
