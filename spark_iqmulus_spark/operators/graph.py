@@ -280,6 +280,40 @@ def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_graph_clustering_coef(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient: per node with degree >= 2,
+    triangles_at_node / C(degree, 2) — how close the neighborhood is to a
+    clique.  Composes the oriented triangle enumeration with the degree
+    table (both already hash-partitioned on node id); the per-node
+    triangle count explodes each sorted triple into its three corners,
+    which is a bounded 3× expansion of the (small) triangle set."""
+    edges = sim_edges(spark, sf_dir)
+    tri = triangles(edges)
+    corners = (
+        tri.select(F.col("ta").alias("node"))
+        .union(tri.select(F.col("tb").alias("node")))
+        .union(tri.select(F.col("tc").alias("node")))
+    )
+    tri_per_node = corners.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_tri")
+    )
+    deg = degrees(edges).where(F.col("degree") >= 2)
+    return (
+        deg.join(tri_per_node, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce("n_tri", F.lit(0)).alias("n_tri"),
+            F.round(
+                F.coalesce("n_tri", F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1) / 2),
+                6,
+            ).alias("clustering_coef"),
+        )
+    )
+
+
 QUERIES = {
     "q_graph_degree": q_graph_degree,
     "q_graph_triangles": q_graph_triangles,
@@ -287,6 +321,7 @@ QUERIES = {
     "q_graph_bfs": q_graph_bfs,
     "q_graph_pagerank": q_graph_pagerank,
     "q_graph_components": q_graph_components,
+    "q_graph_clustering_coef": q_graph_clustering_coef,
 }
 
 ORACLES = {
@@ -338,6 +373,29 @@ ORACLES = {
     )
     SELECT cluster_id, count(*) AS size, list_sort(list(node)) AS members
     FROM lab GROUP BY cluster_id
+    """,
+    "q_graph_clustering_coef": _EDGE_CTE
+    + """
+    , tri AS (
+        SELECT e1.a AS ta, e1.b AS tb, e2.b AS tc
+        FROM edges e1
+        JOIN edges e2 ON e2.a = e1.b
+        JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    ), corners AS (
+        SELECT ta AS node FROM tri
+        UNION ALL SELECT tb FROM tri
+        UNION ALL SELECT tc FROM tri
+    ), tpn AS (
+        SELECT node, count(*) AS n_tri FROM corners GROUP BY node
+    ), deg AS (
+        SELECT a AS node, count(*) AS degree FROM und GROUP BY a
+    )
+    SELECT d.node, d.degree,
+           coalesce(t.n_tri, 0) AS n_tri,
+           round(coalesce(t.n_tri, 0)
+                 / (d.degree * (d.degree - 1) / 2.0), 6) AS clustering_coef
+    FROM deg d LEFT JOIN tpn t USING (node)
+    WHERE d.degree >= 2
     """,
     "q_graph_pagerank": _pagerank_oracle(5),
 }

@@ -77,3 +77,33 @@ def test_graph_queries_registered():
         "q_graph_pagerank",
     ):
         assert k in QUERIES and k in ORACLES
+
+
+def test_clustering_coef_k4_and_path(spark):
+    """K4 nodes are fully clustered (coef 1.0); path nodes have no
+    triangles (coef 0.0)."""
+    from spark_iqmulus_spark.operators.graph import degrees, triangles
+
+    # compose the metric the query computes, on handcrafted graphs
+    def coef(edges_df):
+        from pyspark.sql import functions as F
+
+        tri = triangles(edges_df)
+        corners = (
+            tri.select(F.col("ta").alias("node"))
+            .union(tri.select(F.col("tb").alias("node")))
+            .union(tri.select(F.col("tc").alias("node")))
+        )
+        tpn = corners.groupBy("node").count()
+        deg = degrees(edges_df).where(F.col("degree") >= 2)
+        out = deg.join(tpn, "node", "left").select(
+            "node",
+            (F.coalesce("count", F.lit(0))
+             / (F.col("degree") * (F.col("degree") - 1) / 2)).alias("c"),
+        )
+        return {r["node"]: r["c"] for r in out.collect()}
+
+    k4 = _edges(spark, [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)])
+    assert all(abs(c - 1.0) < 1e-9 for c in coef(k4).values())
+    path = _edges(spark, [(1, 2), (2, 3), (3, 4)])
+    assert all(c == 0.0 for c in coef(path).values())
