@@ -314,6 +314,25 @@ def q_graph_clustering_coef(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity: Pearson correlation of endpoint degrees over
+    the (directed-both-ways) edge list — one number that says whether
+    high-degree nodes attach to each other (assortative > 0) or to leaves
+    (< 0).  Two broadcast degree lookups + a single corr aggregate."""
+    edges = sim_edges(spark, sf_dir)
+    und = _undirected(edges)
+    deg = degrees(edges)
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("deg_b"))
+    joined = und.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_directed_edges"),
+        F.round(F.corr("deg_a", "deg_b"), 6).alias("assortativity"),
+        F.round(F.avg("deg_a"), 6).alias("mean_endpoint_degree"),
+    )
+
+
 QUERIES = {
     "q_graph_degree": q_graph_degree,
     "q_graph_triangles": q_graph_triangles,
@@ -322,6 +341,7 @@ QUERIES = {
     "q_graph_pagerank": q_graph_pagerank,
     "q_graph_components": q_graph_components,
     "q_graph_clustering_coef": q_graph_clustering_coef,
+    "q_graph_assortativity": q_graph_assortativity,
 }
 
 ORACLES = {
@@ -396,6 +416,16 @@ ORACLES = {
                  / (d.degree * (d.degree - 1) / 2.0), 6) AS clustering_coef
     FROM deg d LEFT JOIN tpn t USING (node)
     WHERE d.degree >= 2
+    """,
+    "q_graph_assortativity": _EDGE_CTE
+    + """
+    , deg AS (SELECT a AS node, count(*) AS degree FROM und GROUP BY a)
+    SELECT count(*) AS n_directed_edges,
+           round(corr(da.degree, db.degree), 6) AS assortativity,
+           round(avg(da.degree), 6) AS mean_endpoint_degree
+    FROM und u
+    JOIN deg da ON da.node = u.a
+    JOIN deg db ON db.node = u.b
     """,
     "q_graph_pagerank": _pagerank_oracle(5),
 }

@@ -317,11 +317,57 @@ def q_pc_hag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_pc_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terrain slope from the rasterized ground surface: per-cell ground
+    elevation (min z, as in `height_above_ground`), finite-difference
+    gradient against the +x and +y neighbor cells via two self-joins on
+    shifted cell keys, slope magnitude bucketed into a histogram.  The
+    raster is O(occupied cells) — tiny next to the cloud — so both
+    neighbor joins broadcast; this is the DTM→slope-map step of every
+    terrain pipeline."""
+    t = load_tables(spark, sf_dir)
+    pts = t["part"].select(
+        F.col("p_partkey").cast("double").alias("x"),
+        F.col("p_size").cast("double").alias("y"),
+        F.round(F.col("p_retailprice") * 100, 0).cast("long").alias("z"),
+    )
+    cs_x, cs_y = 64.0, 8.0
+    ground = pts.groupBy(
+        F.floor(F.col("x") / cs_x).cast("long").alias("gx"),
+        F.floor(F.col("y") / cs_y).cast("long").alias("gy"),
+    ).agg(F.min("z").alias("gz"))
+    right = ground.select(
+        (F.col("gx") - 1).alias("gx"), "gy", F.col("gz").alias("gz_xp")
+    )
+    up = ground.select(
+        "gx", (F.col("gy") - 1).alias("gy"), F.col("gz").alias("gz_yp")
+    )
+    grad = (
+        ground.join(F.broadcast(right), ["gx", "gy"])
+        .join(F.broadcast(up), ["gx", "gy"])
+        .select(
+            "gx",
+            "gy",
+            ((F.col("gz_xp") - F.col("gz")) / F.lit(cs_x)).alias("dzdx"),
+            ((F.col("gz_yp") - F.col("gz")) / F.lit(cs_y)).alias("dzdy"),
+        )
+    )
+    slope = F.sqrt(F.col("dzdx") * F.col("dzdx") + F.col("dzdy") * F.col("dzdy"))
+    bucket = F.least(F.floor(slope / 100), F.lit(9)).cast("int")
+    return grad.groupBy(bucket.alias("slope_bucket")).agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.round(F.avg(slope), 4).alias("mean_slope"),
+        F.round(F.max(slope), 4).alias("max_slope"),
+    )
+
+
 QUERIES = {
     "q_zorder": q_zorder,
     "q_pc_radius_join": q_pc_radius_join,
     "q_pc_dimensionality": q_pc_dimensionality,
     "q_pc_hag": q_pc_hag,
+    "q_pc_slope": q_pc_slope,
 }
 
 ORACLES = {
@@ -363,6 +409,34 @@ ORACLES = {
                max(k.z - g.ground_z) AS max_hag
         FROM keyed k JOIN ground g USING (gx, gy)
         GROUP BY 1
+    """,
+    "q_pc_slope": """
+        WITH pts AS (
+            SELECT CAST(p_partkey AS DOUBLE) AS x,
+                   CAST(p_size AS DOUBLE) AS y,
+                   CAST(round(p_retailprice * 100, 0) AS BIGINT) AS z
+            FROM part
+        ),
+        ground AS (
+            SELECT CAST(floor(x / 64.0) AS BIGINT) AS gx,
+                   CAST(floor(y / 8.0) AS BIGINT) AS gy,
+                   min(z) AS gz
+            FROM pts GROUP BY 1, 2
+        ),
+        grad AS (
+            SELECT g.gx, g.gy,
+                   (r.gz - g.gz) / 64.0 AS dzdx,
+                   (u.gz - g.gz) / 8.0 AS dzdy
+            FROM ground g
+            JOIN ground r ON r.gx = g.gx + 1 AND r.gy = g.gy
+            JOIN ground u ON u.gx = g.gx AND u.gy = g.gy + 1
+        )
+        SELECT CAST(least(floor(sqrt(dzdx*dzdx + dzdy*dzdy) / 100), 9) AS INT)
+                   AS slope_bucket,
+               count(*) AS n_cells,
+               round(avg(sqrt(dzdx*dzdx + dzdy*dzdy)), 4) AS mean_slope,
+               round(max(sqrt(dzdx*dzdx + dzdy*dzdy)), 4) AS max_slope
+        FROM grad GROUP BY 1
     """,
     "q_pc_radius_join": """
         WITH pts AS (
