@@ -707,3 +707,90 @@ ORACLES["q_feature_hash"] = f"""
            count(*) AS n_tokens
     FROM tok GROUP BY 1
 """
+
+
+#: Count-Min sketch layout: 4 hash rows × 64 buckets, md5-derived (portable).
+_CMS_SEEDS = ("r0", "r1", "r2", "r3")
+
+
+def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch heavy hitters with a full oracle: build a 4×64 CMS
+    of token frequencies (hash rows are md5-salted, so DuckDB constructs
+    the *identical* sketch), then report the 10 most frequent tokens with
+    their true counts and CMS estimates.  The estimate is min over rows of
+    the token's bucket count — always >= truth, the classic sketch
+    guarantee, here certified exactly rather than asserted
+    probabilistically.  At scale the sketch build is one 256-row aggregate
+    regardless of corpus size; the sketch is mergeable across partitions
+    and days."""
+    t = load_tables(spark, sf_dir)
+    toks = t["documents"].select(F.explode(_tokens()).alias("tok"))
+
+    def bucket(seed: str):
+        h = F.md5(F.concat(F.lit(seed), F.col("tok")))
+        return (
+            F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1))
+        ) % 64
+
+    # the sketch: counts per (row, bucket)
+    rows = None
+    for seed in _CMS_SEEDS:
+        r = toks.groupBy(bucket(seed).alias("bucket")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        ).withColumn("row", F.lit(seed))
+        rows = r if rows is None else rows.unionByName(r)
+    # true top-10 tokens
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .orderBy(F.desc("true_count"), F.asc("tok"))
+        .limit(10)
+    )
+    # estimate: min over rows of the token's bucket count
+    est = None
+    for seed in _CMS_SEEDS:
+        e = top.withColumn("row", F.lit(seed)).withColumn(
+            "bucket",
+            (
+                F.ascii(F.substring(F.md5(F.concat(F.lit(seed), F.col("tok"))), 1, 1))
+                * 256
+                + F.ascii(F.substring(F.md5(F.concat(F.lit(seed), F.col("tok"))), 2, 1))
+            )
+            % 64,
+        )
+        est = e if est is None else est.unionByName(e)
+    joined = est.join(F.broadcast(rows), ["row", "bucket"])
+    return joined.groupBy("tok", "true_count").agg(
+        F.min("cnt").alias("cms_estimate")
+    )
+
+
+QUERIES["q_sketch_cms"] = q_sketch_cms
+
+ORACLES["q_sketch_cms"] = f"""
+    WITH toks AS (
+        SELECT unnest({_SQL_TOKS}) AS tok FROM documents
+    ),
+    rows_ AS (
+        SELECT seed,
+               (ascii(substring(md5(seed || tok), 1, 1)) * 256
+                + ascii(substring(md5(seed || tok), 2, 1))) % 64 AS bucket,
+               count(*) AS cnt
+        FROM toks, (SELECT unnest(['r0','r1','r2','r3']) AS seed)
+        GROUP BY 1, 2
+    ),
+    top AS (
+        SELECT tok, count(*) AS true_count
+        FROM toks GROUP BY tok
+        ORDER BY true_count DESC, tok ASC LIMIT 10
+    ),
+    est AS (
+        SELECT t.tok, t.true_count, s.seed,
+               (ascii(substring(md5(s.seed || t.tok), 1, 1)) * 256
+                + ascii(substring(md5(s.seed || t.tok), 2, 1))) % 64 AS bucket
+        FROM top t, (SELECT unnest(['r0','r1','r2','r3']) AS seed) s
+    )
+    SELECT e.tok, e.true_count, min(r.cnt) AS cms_estimate
+    FROM est e JOIN rows_ r ON r.seed = e.seed AND r.bucket = e.bucket
+    GROUP BY 1, 2
+"""
