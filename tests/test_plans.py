@@ -276,3 +276,29 @@ def test_hag_ground_table_broadcasts(spark, tables):
     p = plan_text(q_pc_hag(spark, SF_DIR))
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_share_and_hist_broadcast_not_window(spark, tables):
+    """Ratio-to-report and equi-depth histogram must broadcast their 1-row
+    aggregates — a Window node here means a single-partition global sort
+    snuck in."""
+    from spark_iqmulus_spark.operators.relational3 import (
+        q_equiheight_hist,
+        q_share_of_total,
+    )
+
+    for q in (q_share_of_total, q_equiheight_hist):
+        p = plan_text(q(spark, SF_DIR))
+        assert "Window" not in p, q.__name__
+        assert "CartesianProduct" not in p, q.__name__
+
+
+def test_transitions_single_window_no_cartesian(spark, tables):
+    """Markov transition counting is one window over user partitions plus
+    one aggregate — nothing else."""
+    from spark_iqmulus_spark.operators.relational3 import q_events_transitions
+
+    p = plan_text(q_events_transitions(spark, SF_DIR))
+    assert p.count("Window") >= 1
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
