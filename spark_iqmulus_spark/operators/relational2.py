@@ -334,7 +334,11 @@ def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation (collect_set is partial-aggregatable; sort is per-group O(k))."""
     t = load_tables(spark, sf_dir)
     return t["customer"].groupBy("c_nationkey").agg(
-        F.sort_array(F.collect_set("c_mktsegment")).alias("segments"),
+        # driver-canon: serialize the array to a delimited string (list
+        # outputs are unhashable in the external comparator)
+        F.array_join(F.sort_array(F.collect_set("c_mktsegment")), ",").alias(
+            "segments"
+        ),
         F.count(F.lit(1)).alias("n_customers"),
     )
 
@@ -439,7 +443,9 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m")["status"].alias("status"),
             F.col("m")["priority"].alias("priority"),
             F.size("m").alias("n_keys"),
-            F.sort_array(F.map_keys("m")).alias("keys"),
+            # driver-canon: array outputs are unhashable in the external
+            # comparator — serialize to a delimited string
+            F.array_join(F.sort_array(F.map_keys("m")), ",").alias("keys"),
         )
     )
 
@@ -697,7 +703,7 @@ ORACLES = {
     """,
     "q_variant": """
         SELECT count(*) AS n,
-               sum(CAST(json_extract(props, '$.k') AS INT)) AS sum_k,
+               CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
                min(CAST(json_extract(props, '$.k') AS INT)) AS min_k,
                max(CAST(json_extract(props, '$.k') AS INT)) AS max_k,
                count(*) FILTER (WHERE json_extract(props, '$.k') IS NULL) AS n_null
@@ -729,8 +735,8 @@ ORACLES = {
             SELECT c_custkey FROM customer WHERE c_acctbal > 5000
         )
         SELECT o.o_orderkey,
-               sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100, 0)
-                        AS BIGINT)) AS revenue_cents,
+               CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100, 0)
+                        AS BIGINT)) AS BIGINT) AS revenue_cents,
                count(*) AS n_items
         FROM orders o
         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -754,7 +760,7 @@ ORACLES = {
                o_orderstatus AS status,
                o_orderpriority AS priority,
                2 AS n_keys,
-               ['priority', 'status'] AS keys
+               'priority,status' AS keys
         FROM orders
     """,
     "q_merge_upsert": """
@@ -801,14 +807,15 @@ ORACLES = {
     """,
     "q_array_agg": """
         SELECT c_nationkey,
-               list_sort(list(DISTINCT c_mktsegment)) AS segments,
+               array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',')
+                   AS segments,
                count(*) AS n_customers
         FROM customer GROUP BY c_nationkey
     """,
     "q_join_multiway": """
         SELECT n_name,
-               sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100, 0)
-                        AS BIGINT)) AS revenue_cents,
+               CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100, 0)
+                        AS BIGINT)) AS BIGINT) AS revenue_cents,
                count(*) AS n_lineitems
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
