@@ -44,7 +44,10 @@ JACCARD_T = 0.05
 #: cosine is ~0.51; 0.4 keeps output small but non-empty).
 COSINE_T = 0.40
 
-_NORM = "lower(trim(regexp_replace(text, '\\\\s+', ' ')))"
+# DuckDB-side text normalization matching the Spark side: single-backslash
+# regex in the emitted SQL plus the 'g' flag (DuckDB replaces only the first
+# match without it, and '\\s' would match a literal backslash).
+_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 
 
 def _shingles(df: DataFrame, n: int = 3) -> DataFrame:

@@ -26,8 +26,6 @@ A19), ``minor`` (version, default 2), ``scale``/``offset`` (comma triples),
 from __future__ import annotations
 
 import os
-import struct
-import sys
 import uuid
 from dataclasses import dataclass
 
@@ -61,6 +59,8 @@ from .pointcloud_common import (
     adapt_batch,
     base_schema_fields,
     expand_paths,
+    ignore_corrupt_option,
+    parse_sections,
 )
 from ..functions.schema_merge import merge_all
 
@@ -74,14 +74,16 @@ _SQL_BY_NAME = {
 }
 
 
-def _las_sections(paths: list[str]) -> list[tuple[int, BinarySection, LasHeader]]:
+def _las_sections(
+    paths: list[str], ignore_corrupt: bool = False
+) -> list[tuple[int, BinarySection, LasHeader]]:
+    """Header-parse each file; fid = position in the kept list (so the
+    schema's fid→path metadata and partition fids agree even when
+    ``ignoreCorruptFiles`` drops entries — LasRelation.scala:41-55 parity)."""
     out = []
-    for fid, path in enumerate(paths):
-        try:
-            hdr = LasHeader.parse_file(path)
-        except (OSError, ValueError, struct.error) as exc:
-            print(f"WARNING: skipping unreadable LAS {path}: {exc}", file=sys.stderr)
-            continue
+    for fid, path, hdr in parse_sections(
+        paths, LasHeader.parse_file, ignore_corrupt, "LAS"
+    ):
         fields = [SectionField(n, c) for n, c in POINT_FORMATS[hdr.pdr_format]]
         for ef in hdr.extra_fields:
             fields.append(SectionField(ef.name, ef.np_char, nodata=ef.nodata))
@@ -132,7 +134,7 @@ class LasDataSource(DataSource):
         return expand_paths(opts)
 
     def schema(self):
-        secs = _las_sections(self._paths())
+        secs = _las_sections(self._paths(), ignore_corrupt_option(self.options))
         if not secs:
             raise ValueError("no readable LAS files found")
         merged = merge_all([_las_schema(s, h) for _, s, h in secs])
@@ -161,6 +163,7 @@ class LasReader(DataSourceReader):
         self.partition_bytes = int(
             options.get("partition_bytes", DEFAULT_PARTITION_BYTES)
         )
+        self.ignore_corrupt = ignore_corrupt_option(options)
         self.range_filters: list = []  # (axis_name, lo, hi) raw-coord bounds
     def _file_can_match(self, hdr: LasHeader) -> bool:
         for col, lo, hi in self.range_filters:
@@ -180,7 +183,7 @@ class LasReader(DataSourceReader):
 
         kept = [
             (fid, section, hdr)
-            for fid, section, hdr in _las_sections(self.paths)
+            for fid, section, hdr in _las_sections(self.paths, self.ignore_corrupt)
             if not (self.range_filters and not self._file_can_match(hdr))
         ]  # header says no point can match → whole file skipped
         total = sum(s.count * s.stride for _, s, _ in kept)

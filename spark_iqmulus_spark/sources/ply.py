@@ -3,8 +3,9 @@
 Read path (A1/A4-A11 of SURVEY.md §2A): per-file header parse on the driver,
 cross-file schema merge with numeric widening, record-aligned partitions,
 vectorized numpy→Arrow decode on executors with ``fid``/``pid`` provenance
-columns.  Unreadable files are skipped with a warning, as the reference does
-(PlyRelation.scala:101-115).
+columns.  ``.option("ignoreCorruptFiles", "true")`` skips unreadable files
+with a warning, as the reference does unconditionally
+(PlyRelation.scala:101-115); the default fails fast.
 
 Write path (A16/A17): each task streams Arrow batches into a binary sidecar
 part-file and reports ``(part_path, count)``; the driver-side ``commit``
@@ -18,8 +19,6 @@ file APIs.  Options: ``element`` (default ``vertex``), ``littleEndian``
 from __future__ import annotations
 
 import os
-import struct
-import sys
 import uuid
 from dataclasses import dataclass
 
@@ -41,22 +40,28 @@ from .pointcloud_common import (
     adapt_batch,
     base_schema_fields,
     expand_paths,
+    ignore_corrupt_option,
+    parse_sections,
 )
 from ..functions.schema_merge import merge_all
 
 
-def _sections(paths: list[str], element: str) -> list[tuple[int, BinarySection, PlyHeader]]:
+def _sections(
+    paths: list[str], element: str, ignore_corrupt: bool = False
+) -> list[tuple[int, BinarySection, PlyHeader]]:
+    """Header-parse each file; fid = position in the kept list (so the
+    schema's fid→path metadata and partition fids agree even when
+    ``ignoreCorruptFiles`` drops entries — PlyRelation.scala:101-115 parity)."""
+
+    def parse_one(path: str) -> PlyHeader:
+        hdr = PlyHeader.parse_file(path)
+        if hdr.element(element) is None:
+            raise ValueError(f"no element {element!r}")
+        return hdr
+
     out = []
-    for fid, path in enumerate(paths):
-        try:
-            hdr = PlyHeader.parse_file(path)
-        except (OSError, ValueError, struct.error) as exc:
-            print(f"WARNING: skipping unreadable PLY {path}: {exc}", file=sys.stderr)
-            continue
+    for fid, path, hdr in parse_sections(paths, parse_one, ignore_corrupt, "PLY"):
         el = hdr.element(element)
-        if el is None:
-            print(f"WARNING: {path} has no element {element!r}; skipping", file=sys.stderr)
-            continue
         section = BinarySection(
             path=path,
             offset=hdr.section_offset(element),
@@ -105,7 +110,9 @@ class PlyDataSource(DataSource):
 
     def schema(self):
         element = self.options.get("element", "vertex")
-        secs = _sections(self._paths(), element)
+        secs = _sections(
+            self._paths(), element, ignore_corrupt_option(self.options)
+        )
         if not secs:
             raise ValueError("no readable PLY files found")
         merged = merge_all([_section_schema(s) for _, s, _ in secs])
@@ -130,11 +137,12 @@ class PlyReader(DataSourceReader):
         self.partition_bytes = int(
             options.get("partition_bytes", DEFAULT_PARTITION_BYTES)
         )
+        self.ignore_corrupt = ignore_corrupt_option(options)
 
     def partitions(self):
         from .pointcloud_common import effective_partition_bytes
 
-        secs = _sections(self.paths, self.element)
+        secs = _sections(self.paths, self.element, self.ignore_corrupt)
         total = sum(s.count * s.stride for _, s, _ in secs)
         target = effective_partition_bytes(total, self.partition_bytes)
         parts = []

@@ -83,6 +83,44 @@ def expand_paths(options) -> list[str]:
     return sorted(set(out))
 
 
+def ignore_corrupt_option(options) -> bool:
+    """Spark-convention corrupt-file toggle for the point-cloud sources.
+
+    ``.option("ignoreCorruptFiles", "true")`` (keys arrive lowercased) makes
+    header parsing skip unreadable files with a warning, like the reference
+    does unconditionally (PlyRelation.scala:101-115, LasRelation.scala:41-55);
+    the default is strict — one bad tile fails fast rather than silently
+    shrinking a 100k-file read.
+    """
+    return options.get("ignorecorruptfiles", "false").lower() == "true"
+
+
+def parse_sections(paths, parse_one, ignore_corrupt: bool, kind: str):
+    """Parse per-file headers, assigning ``fid`` from the KEPT list position.
+
+    ``parse_one(path)`` returns a parsed header object or raises.  When
+    ``ignore_corrupt`` is set, failures are warned and skipped; fid is the
+    index within the surviving list, so the schema's fid→path metadata and
+    the partition fids always agree (they are both built from this output).
+    """
+    import sys
+
+    out = []
+    for path in paths:
+        try:
+            parsed = parse_one(path)
+        except Exception as exc:
+            if ignore_corrupt:
+                print(
+                    f"WARNING: skipping unreadable {kind} {path}: {exc}",
+                    file=sys.stderr,
+                )
+                continue
+            raise ValueError(f"unreadable {kind} file {path}: {exc}") from exc
+        out.append((len(out), path, parsed))
+    return out
+
+
 @dataclass
 class SectionPartition(InputPartition):
     """One record-aligned range of one file's binary section (picklable)."""

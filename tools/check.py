@@ -23,38 +23,151 @@ sys.path.insert(0, "/root/repo")
 from spark_iqmulus_spark.session import TABLES, get_spark  # noqa: E402
 
 
-def canon(v) -> str:
+class CanonHazard(Exception):
+    """Value shape that would crash or mis-hash the external driver's
+    pandas-based canonicalizer (lists/maps are unhashable in its sort;
+    int-vs-float type drift hashes differently)."""
+
+
+def canon(v, strict: bool = False) -> str:
+    import datetime
     import decimal
 
     if v is None:
         return "NULL"
     if isinstance(v, decimal.Decimal):
         v = float(v)
+    if isinstance(v, bool):
+        return str(bool(v)).lower()
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        if v == int(v) and abs(v) < 1e15:
+        if math.isinf(v):
+            return "Inf" if v > 0 else "-Inf"
+        if not strict and v == int(v) and abs(v) < 1e15:
             return str(int(v))
+        # strict: 123.0 stays "123.0", distinct from int "123" — mirrors
+        # the driver, which hash-mismatches int vs float (e.g. DuckDB
+        # HUGEINT canonicalized via float repr vs Spark BIGINT).
         return repr(round(v, 9))
-    if isinstance(v, bool):
-        return str(bool(v)).lower()
     if isinstance(v, bytes):
         return v.hex()
-    if isinstance(v, list):
+    if isinstance(v, (list, tuple, dict, set)):
+        if strict:
+            raise CanonHazard(
+                f"driver-unsafe output value of type {type(v).__name__}: "
+                f"{str(v)[:80]}"
+            )
+        if isinstance(v, dict):
+            return (
+                "{"
+                + ",".join(
+                    f"{canon(k)}:{canon(x)}" for k, x in sorted(v.items())
+                )
+                + "}"
+            )
         return "[" + ",".join(canon(x) for x in v) + "]"
+    if isinstance(v, (datetime.date, datetime.datetime, datetime.time, int, str)):
+        return str(v)
+    if strict:
+        # Row/struct objects and anything else exotic would also diverge
+        # between the two engines' python renderings.
+        raise CanonHazard(f"driver-unsafe output type {type(v).__name__}")
     return str(v)
 
 
-def table_hash(cols: list[str], rows: list[tuple]) -> tuple[str, list[str]]:
+#: DuckDB fetchall() returns exact Python ints even for HUGEINT, so the
+#: value-level hash can't see the drift the driver sees (it canonicalizes
+#: through pandas, where HUGEINT becomes float64 and renders "123.0" against
+#: Spark's int "123").  Strict mode therefore compares TYPE CLASSES between
+#: the Spark schema and the DuckDB relation types: any int-vs-float /
+#: date-vs-timestamp class mismatch, and any HUGEINT or DECIMAL output at
+#: all, is a guaranteed or likely driver hash-mismatch.
+_DUCK_INT = {
+    "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+    "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
+}
+_DUCK_FLOAT = {"FLOAT", "DOUBLE", "REAL"}
+
+
+def _duck_class(t: str) -> str:
+    t = str(t).upper()
+    if t in _DUCK_INT:
+        return "int"
+    if t in _DUCK_FLOAT:
+        return "float"
+    if t in ("HUGEINT", "UHUGEINT"):
+        return "hugeint"
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    if t == "DATE":
+        return "date"
+    if t.startswith("TIMESTAMP"):
+        return "timestamp"
+    return "other"
+
+
+def _spark_class(dt) -> str:
+    s = dt.simpleString()
+    if s in ("tinyint", "smallint", "int", "bigint"):
+        return "int"
+    if s in ("float", "double"):
+        return "float"
+    if s.startswith("decimal"):
+        return "decimal"
+    if s == "date":
+        return "date"
+    if s.startswith("timestamp"):
+        return "timestamp"
+    return "other"
+
+
+def type_class_problems(spark_schema, ocols: list[str], otypes: list) -> list[str]:
+    sclasses = {f.name: _spark_class(f.dataType) for f in spark_schema.fields}
+    out = []
+    for c, t in zip(ocols, otypes):
+        oc = _duck_class(t)
+        sc = sclasses.get(c)
+        if oc == "hugeint":
+            out.append(
+                f"col {c!r}: oracle HUGEINT (driver renders as float vs "
+                f"spark {sc}) — CAST the aggregate AS BIGINT"
+            )
+        elif oc == "decimal" or sc == "decimal":
+            out.append(
+                f"col {c!r}: decimal output (spark={sc} oracle={oc}) — "
+                f"driver canonicalization of Decimal diverges; cast to "
+                f"DOUBLE/BIGINT on both sides"
+            )
+        elif sc is not None and sc != oc and {sc, oc} <= {"int", "float"}:
+            out.append(
+                f"col {c!r}: int/float class mismatch spark={sc} "
+                f"oracle={oc} — driver renders 123 vs 123.0"
+            )
+        elif sc is not None and sc != oc and {sc, oc} <= {"date", "timestamp"}:
+            out.append(
+                f"col {c!r}: date/timestamp class mismatch spark={sc} "
+                f"oracle={oc}"
+            )
+    return out
+
+
+def table_hash(
+    cols: list[str], rows: list[tuple], strict: bool = False
+) -> tuple[str, list[str]]:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    lines = sorted("|".join(canon(r[i]) for i in order) for r in rows)
+    lines = sorted(
+        "|".join(canon(r[i], strict) for i in order) for r in rows
+    )
     h = hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
     return h, lines
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--strict"]
+    strict = "--strict" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as entrymod
 
@@ -83,26 +196,42 @@ def main() -> int:
             n_fail += 1
             continue
         if name not in oracles:
+            if strict:
+                # rows-only keys still get a driver-side canonicalization
+                # of the Spark output — list/map columns would crash it.
+                try:
+                    table_hash(scols, [tuple(r) for r in srows], strict=True)
+                except CanonHazard as exc:
+                    print(f"FAIL {name}: {exc}")
+                    n_fail += 1
+                    continue
             print(f"rows-only {name}: {len(srows)} rows  [{time.time()-t0:.1f}s]")
             n_rows_only += 1
             continue
         try:
-            ores = con.execute(oracles[name])
-            ocols = [d[0] for d in ores.description]
-            orows = ores.fetchall()
+            orel = con.sql(oracles[name])
+            ocols = list(orel.columns)
+            otypes = list(orel.types)
+            orows = orel.fetchall()
         except Exception:
             print(f"FAIL {name}: oracle error")
             traceback.print_exc()
             n_fail += 1
             continue
         problems = []
+        if strict:
+            problems.extend(type_class_problems(sdf.schema, ocols, otypes))
         if len(srows) != len(orows):
             problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
         if sorted(scols) != sorted(ocols):
             problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
         if not problems:
-            sh, sl = table_hash(scols, [tuple(r) for r in srows])
-            oh, ol = table_hash(ocols, orows)
+            try:
+                sh, sl = table_hash(scols, [tuple(r) for r in srows], strict)
+                oh, ol = table_hash(ocols, orows, strict)
+            except CanonHazard as exc:
+                problems.append(str(exc))
+                sh = oh = None
             if sh != oh:
                 problems.append("value-hash mismatch")
                 diffs = [
