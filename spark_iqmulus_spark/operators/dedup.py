@@ -89,8 +89,10 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     sh = _shingles(t["documents"]).cache()
     df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # per-shingle / per-doc frames grow with the corpus — no broadcast
+    # hints; AQE broadcasts while small, shuffles when not.
     sh_f = sh.join(
-        F.broadcast(df_counts.where(F.col("df") <= MAX_DF).select("shingle")),
+        df_counts.where(F.col("df") <= MAX_DF).select("shingle"),
         "shingle",
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
@@ -104,11 +106,11 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         inter.join(
-            F.broadcast(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))),
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")),
             "doc_a",
         )
         .join(
-            F.broadcast(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))),
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")),
             "doc_b",
         )
         .withColumn(
@@ -173,7 +175,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = dedup_components(pairs)
     return labels.groupBy(F.col("label").alias("cluster_id")).agg(
         F.count(F.lit(1)).alias("size"),
-        F.sort_array(F.collect_list("node")).alias("members"),
+        # string-joined, not an array column: keeps the output hashable for
+        # the driver's pandas canonicalizer
+        F.array_join(F.sort_array(F.collect_list("node")), ",").alias("members"),
     )
 
 
@@ -233,24 +237,41 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t["documents"]
     cand = lsh_candidate_pairs(minhash_signatures(docs))
     sh = _shingles(docs)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+
+    # verification is CANDIDATE-BOUNDED — the whole point of LSH banding.
+    # 1. semi-join shingles down to documents that appear in some candidate
+    #    pair (at 100 TB that is a small fraction of the corpus);
+    # 2. compute intersections by routing each candidate pair through its
+    #    two shingle sets (join on doc_a, then equi-join on (doc_b, shingle))
+    #    — cost Σ_pairs |shingles(a)|, linear in candidates, never the
+    #    all-pairs shingle self-join (which would be quadratic and make the
+    #    banding decorative).
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_c = sh.join(cand_ids, "doc_id", "left_semi")
+    sizes = sh_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh_c.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh_c.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
-        a.join(b, "shingle")
-        .where(F.col("doc_a") < F.col("doc_b"))
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    # sizes grows with the candidate set — plain equi-joins; AQE broadcasts
+    # while it is small and shuffles when it is not.
     return (
         cand.join(inter, ["doc_a", "doc_b"], "left")
         .na.fill({"inter": 0})
         .join(
-            F.broadcast(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))),
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")),
             "doc_a",
         )
         .join(
-            F.broadcast(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))),
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")),
             "doc_b",
         )
         .withColumn(
@@ -462,9 +483,15 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .text import q_text_quality
 
-    clusters = q_dedup_clusters(spark, sf_dir)
-    members = clusters.select(
-        "cluster_id", "size", F.explode("members").alias("doc_id")
+    pairs = q_dedup_ngram(spark, sf_dir).select("doc_a", "doc_b")
+    labels = dedup_components(pairs)
+    members = (
+        labels.withColumn(
+            "size", F.count(F.lit(1)).over(W.partitionBy("label"))
+        )
+        .select(
+            F.col("label").alias("cluster_id"), "size", F.col("node").alias("doc_id")
+        )
     )
     quality = q_text_quality(spark, sf_dir).select("doc_id", "quality")
     w = W.partitionBy("cluster_id").orderBy(F.desc("quality"), F.asc("doc_id"))
@@ -530,10 +557,10 @@ ORACLES = {
         ), lab AS (
             SELECT a AS node, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
         ), cl AS (
-            SELECT cluster_id, count(*) AS size, list_sort(list(node)) AS members
-            FROM lab GROUP BY cluster_id
+            SELECT cluster_id, count(*) AS size FROM lab GROUP BY cluster_id
         ), mem AS (
-            SELECT cluster_id, size, unnest(members) AS doc_id FROM cl
+            SELECT l.cluster_id, c.size, l.node AS doc_id
+            FROM lab l JOIN cl c USING (cluster_id)
         ), q AS (
             SELECT doc_id,
                    round(0.3 * least(CAST(len(w2.words) AS DOUBLE) / 100.0, 1.0)
@@ -670,7 +697,8 @@ ORACLES = {
         ), lab AS (
             SELECT a AS node, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
         )
-        SELECT cluster_id, count(*) AS size, list_sort(list(node)) AS members
+        SELECT cluster_id, count(*) AS size,
+               array_to_string(list_sort(list(node)), ',') AS members
         FROM lab GROUP BY cluster_id
     """,
     "q_dedup_embed": f"""

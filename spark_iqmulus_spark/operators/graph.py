@@ -276,7 +276,9 @@ def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = dedup_components(pairs)
     return labels.groupBy(F.col("label").alias("cluster_id")).agg(
         F.count(F.lit(1)).alias("size"),
-        F.sort_array(F.collect_list("node")).alias("members"),
+        # string-joined, not an array column: keeps the output hashable for
+        # the driver's pandas canonicalizer
+        F.array_join(F.sort_array(F.collect_list("node")), ",").alias("members"),
     )
 
 
@@ -325,7 +327,8 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = degrees(edges)
     da = deg.select(F.col("node").alias("a"), F.col("degree").alias("deg_a"))
     db = deg.select(F.col("node").alias("b"), F.col("degree").alias("deg_b"))
-    joined = und.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
+    # per-node degree frames grow with the graph — plain joins, AQE decides
+    joined = und.join(da, "a").join(db, "b")
     return joined.agg(
         F.count(F.lit(1)).alias("n_directed_edges"),
         F.round(F.corr("deg_a", "deg_b"), 6).alias("assortativity"),
@@ -391,7 +394,8 @@ ORACLES = {
     ), lab AS (
         SELECT a AS node, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
     )
-    SELECT cluster_id, count(*) AS size, list_sort(list(node)) AS members
+    SELECT cluster_id, count(*) AS size,
+           array_to_string(list_sort(list(node)), ',') AS members
     FROM lab GROUP BY cluster_id
     """,
     "q_graph_clustering_coef": _EDGE_CTE

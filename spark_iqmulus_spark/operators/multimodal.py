@@ -172,19 +172,19 @@ ORACLES = {
         )
         SELECT source,
                count(*) AS n_frames,
-               sum(length(frame)) AS total_bytes,
-               sum(list_sum(list_transform(
+               CAST(sum(length(frame)) AS BIGINT) AS total_bytes,
+               CAST(sum(list_sum(list_transform(
                    generate_series(1, length(frame)),
                    i -> ascii(substring(frame, i, 1))
-               ))) AS total_byte_sum,
+               ))) AS BIGINT) AS total_byte_sum,
                max(frame_idx) AS max_frame_idx
         FROM frames GROUP BY source
     """,
     "q_multimodal": """
         SELECT source, count(*) AS n_docs,
-               sum(octet_length(encode(text))) AS total_bytes,
-               sum(ascii(substring(text, 1, 1))) AS sum_first_byte,
-               sum(ascii(substring(text, length(text), 1))) AS sum_last_byte
+               CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+               CAST(sum(ascii(substring(text, 1, 1))) AS BIGINT) AS sum_first_byte,
+               CAST(sum(ascii(substring(text, length(text), 1))) AS BIGINT) AS sum_last_byte
         FROM documents GROUP BY source
     """,
 }

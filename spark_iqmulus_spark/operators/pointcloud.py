@@ -214,7 +214,7 @@ _Z = "CAST(round(p_retailprice * 100, 0) AS INTEGER)"
 
 ORACLES = {
     "q_pc_voxel": f"""
-        SELECT count(*) AS n_voxels, sum(n_pts) AS n_points, max(n_pts) AS max_pts,
+        SELECT count(*) AS n_voxels, CAST(sum(n_pts) AS BIGINT) AS n_points, max(n_pts) AS max_pts,
                round(sum(cx), 2) AS sum_cx, round(sum(cz), 2) AS sum_cz
         FROM (
             SELECT floor(x / 64.0) AS vx, floor(y / 8.0) AS vy,
@@ -228,8 +228,8 @@ ORACLES = {
     """,
     "q_las_roundtrip": f"""
         SELECT count(*) AS n,
-               sum(CAST(p_partkey AS INTEGER)) AS sum_x,
-               sum(p_size) AS sum_intensity,
+               CAST(sum(CAST(p_partkey AS INTEGER)) AS BIGINT) AS sum_x,
+               CAST(sum(p_size) AS BIGINT) AS sum_intensity,
                round(sum(CAST(p_partkey AS INTEGER) * 0.01::DOUBLE), 4) AS sum_world_x,
                max({_Z}) AS max_z,
                CAST(min(p_partkey % 180 - 90) AS TINYINT) AS min_angle,
@@ -241,12 +241,12 @@ ORACLES = {
                round(sum(CAST(CAST(p_partkey AS REAL) AS DOUBLE)), 4) AS sum_x,
                round(CAST(min(CAST(p_size AS REAL)) AS DOUBLE), 4) AS min_y,
                round(CAST(max(CAST({_Z} AS REAL)) AS DOUBLE), 4) AS max_z,
-               sum(p_partkey % 6 + 1) AS sum_class
+               CAST(sum(p_partkey % 6 + 1) AS BIGINT) AS sum_class
         FROM part
     """,
     "q_las_filter": """
         SELECT CAST(p_partkey % 6 + 1 AS TINYINT) AS classification,
-               count(*) AS n, sum(p_size) AS sum_y
+               count(*) AS n, CAST(sum(p_size) AS BIGINT) AS sum_y
         FROM part
         WHERE p_partkey > 1000 AND (p_partkey % 6 + 1) <= 3
         GROUP BY 1
@@ -313,7 +313,7 @@ ORACLES["q_pc_union_formats"] = f"""
         SELECT 'las' AS fmt, count(*) AS n,
                round(sum(CAST(CAST(p_partkey AS INTEGER) AS DOUBLE)), 2) AS sum_x,
                min(CAST({_Z} AS DOUBLE)) AS min_z,
-               sum(p_partkey % 6 + 1) AS sum_class,
+               CAST(sum(p_partkey % 6 + 1) AS BIGINT) AS sum_class,
                CAST(NULL AS BIGINT) AS sum_c
         FROM part
     ),
@@ -322,7 +322,7 @@ ORACLES["q_pc_union_formats"] = f"""
                round(sum(CAST(CAST(p_partkey AS REAL) AS DOUBLE)), 2) AS sum_x,
                min(CAST(CAST({_Z} AS REAL) AS DOUBLE)) AS min_z,
                CAST(NULL AS BIGINT) AS sum_class,
-               sum(p_partkey % 6 + 1) AS sum_c
+               CAST(sum(p_partkey % 6 + 1) AS BIGINT) AS sum_c
         FROM part
     )
     SELECT * FROM las UNION ALL SELECT * FROM ply

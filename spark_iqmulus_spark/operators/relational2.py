@@ -132,7 +132,7 @@ _RECURSIVE_SQL = """
         SELECT node, CAST(floor(cur / 10) AS BIGINT), depth + 1
         FROM walk WHERE cur > 0
     )
-    SELECT depth, count(*) AS n, sum(node) AS sum_node
+    SELECT depth, count(*) AS n, CAST(sum(node) AS BIGINT) AS sum_node
     FROM walk GROUP BY depth
 """
 
@@ -845,7 +845,8 @@ ORACLES = {
     "q_recursive_cte": _RECURSIVE_SQL,
     "q_tpch_q7": """
         SELECT supp_nation, cust_nation, l_year,
-               sum(CAST(round(volume * 100, 0) AS BIGINT)) AS revenue_cents,
+               CAST(sum(CAST(round(volume * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents,
                count(*) AS n_items
         FROM (
             SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
@@ -869,7 +870,7 @@ ORACLES = {
             SELECT nullif(c_custkey % 50, 0) AS k2, count(*) AS n_cust
             FROM customer GROUP BY 1
         )
-        SELECT coalesce(k, -1) AS key, count(*) AS n, sum(n_cust) AS sum_cust,
+        SELECT coalesce(k, -1) AS key, count(*) AS n, CAST(sum(n_cust) AS BIGINT) AS sum_cust,
                round(sum(o_totalprice), 2) AS sum_price
         FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k2
         GROUP BY 1
@@ -937,7 +938,7 @@ ORACLES = {
         SELECT c_custkey,
                round(sum(coalesce(o_totalprice, 0.0)), 4) AS total,
                count(nullif(o_orderstatus, 'F')) AS n_nonf,
-               sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_null_rows
+               CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_rows
         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         GROUP BY c_custkey
     """,

@@ -666,11 +666,12 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHERE r.r_name = 'ASIA'
         )
         SELECT o_year,
-               sum(CASE WHEN supp_nation = 'NATION_1' THEN cents ELSE 0 END)
-                   AS nation_cents,
-               sum(cents) AS total_cents,
-               round(sum(CASE WHEN supp_nation = 'NATION_1' THEN cents
-                              ELSE 0 END) * 1.0 / sum(cents), 6) AS mkt_share
+               CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN cents ELSE 0 END)
+                   AS BIGINT) AS nation_cents,
+               CAST(sum(cents) AS BIGINT) AS total_cents,
+               round(CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN cents
+                              ELSE 0 END) AS DOUBLE)
+                     / CAST(sum(cents) AS DOUBLE), 6) AS mkt_share
         FROM base GROUP BY o_year
         """
     )
@@ -686,10 +687,10 @@ def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT CASE WHEN l.l_shipdate <= o.o_orderdate + INTERVAL '30' DAY
                     THEN 'fast' ELSE 'slow' END AS ship_bucket,
-               sum(CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
-                   AS urgent_count,
-               sum(CASE WHEN o.o_orderpriority <> '1-URGENT' THEN 1 ELSE 0 END)
-                   AS other_count
+               CAST(sum(CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS urgent_count,
+               CAST(sum(CASE WHEN o.o_orderpriority <> '1-URGENT' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS other_count
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         GROUP BY 1
         """
@@ -704,12 +705,12 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT round(
-                 sum(CASE WHEN p.p_type = 'PROMO'
+                 CAST(sum(CASE WHEN p.p_type = 'PROMO'
                           THEN CAST(round(l.l_extendedprice * (1 - l.l_discount)
                                           * 100, 0) AS BIGINT) ELSE 0 END)
-                 * 100.0 /
-                 sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
-                          AS BIGINT)), 6) AS promo_revenue_pct,
+                      AS DOUBLE) * 100.0 /
+                 CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                          AS BIGINT)) AS DOUBLE), 6) AS promo_revenue_pct,
                count(*) AS n_items
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
@@ -1022,31 +1023,32 @@ ORACLES = {
             WHERE r.r_name = 'ASIA'
         )
         SELECT o_year,
-               sum(CASE WHEN supp_nation = 'NATION_1' THEN cents ELSE 0 END)
-                   AS nation_cents,
-               sum(cents) AS total_cents,
-               round(sum(CASE WHEN supp_nation = 'NATION_1' THEN cents
-                              ELSE 0 END) * 1.0 / sum(cents), 6) AS mkt_share
+               CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN cents ELSE 0 END)
+                   AS BIGINT) AS nation_cents,
+               CAST(sum(cents) AS BIGINT) AS total_cents,
+               round(CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN cents
+                              ELSE 0 END) AS DOUBLE)
+                     / CAST(sum(cents) AS DOUBLE), 6) AS mkt_share
         FROM base GROUP BY o_year
     """,
     "q_tpch_q12": """
         SELECT CASE WHEN l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY
                     THEN 'fast' ELSE 'slow' END AS ship_bucket,
-               sum(CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
-                   AS urgent_count,
-               sum(CASE WHEN o.o_orderpriority <> '1-URGENT' THEN 1 ELSE 0 END)
-                   AS other_count
+               CAST(sum(CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS urgent_count,
+               CAST(sum(CASE WHEN o.o_orderpriority <> '1-URGENT' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS other_count
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         GROUP BY 1
     """,
     "q_tpch_q14": """
         SELECT round(
-                 sum(CASE WHEN p.p_type = 'PROMO'
+                 CAST(sum(CASE WHEN p.p_type = 'PROMO'
                           THEN CAST(round(l.l_extendedprice * (1 - l.l_discount)
                                           * 100, 0) AS BIGINT) ELSE 0 END)
-                 * 100.0 /
-                 sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
-                          AS BIGINT)), 6) AS promo_revenue_pct,
+                      AS DOUBLE) * 100.0 /
+                 CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                          AS BIGINT)) AS DOUBLE), 6) AS promo_revenue_pct,
                count(*) AS n_items
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
@@ -1117,8 +1119,8 @@ ORACLES = {
     "q_share_of_total": """
         WITH per_nation AS (
             SELECT n_name,
-                   sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
-                            AS BIGINT)) AS revenue_cents
+                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                            AS BIGINT)) AS BIGINT) AS revenue_cents
             FROM lineitem
             JOIN supplier ON l_suppkey = s_suppkey
             JOIN nation ON s_nationkey = n_nationkey
@@ -1138,7 +1140,7 @@ ORACLES = {
     """,
     "q_xml_funcs": """
         SELECT o_orderstatus AS status, count(*) AS n,
-               sum(o_orderkey) AS sum_keys,
+               CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
                round(sum(o_totalprice), 2) AS sum_price
         FROM orders GROUP BY o_orderstatus
     """,
@@ -1154,8 +1156,8 @@ ORACLES = {
     """,
     "q_tpch_q5": """
         SELECT n_name,
-               sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
-                        AS BIGINT)) AS revenue_cents
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                        AS BIGINT)) AS BIGINT) AS revenue_cents
         FROM customer, orders, lineitem, supplier, nation, region
         WHERE c_custkey = o_custkey
           AND l_orderkey = o_orderkey
@@ -1170,8 +1172,8 @@ ORACLES = {
     """,
     "q_tpch_q10": """
         SELECT c.c_custkey, c.c_name,
-               sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
-                        AS BIGINT)) AS revenue_cents,
+               CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                        AS BIGINT)) AS BIGINT) AS revenue_cents,
                c.c_acctbal, n.n_name
         FROM customer c
         JOIN orders o ON c.c_custkey = o.o_custkey
@@ -1185,8 +1187,8 @@ ORACLES = {
         LIMIT 20
     """,
     "q_tpch_q19": """
-        SELECT sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
-                        AS BIGINT)) AS revenue_cents,
+        SELECT CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                        AS BIGINT)) AS BIGINT) AS revenue_cents,
                count(*) AS n_items
         FROM lineitem JOIN part ON p_partkey = l_partkey
         WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
@@ -1254,8 +1256,8 @@ ORACLES = {
     "q_tpch_q15": """
         WITH rev AS (
             SELECT l_suppkey,
-                   sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
-                            AS BIGINT)) AS tr
+                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                            AS BIGINT)) AS BIGINT) AS tr
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
               AND l_shipdate < TIMESTAMP '1996-04-01'

@@ -129,7 +129,7 @@ QUERIES = {
 
 ORACLES = {
     "q_sample_hash": f"""
-        SELECT lang, count(*) AS n_docs, sum(n_chars) AS chars
+        SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
         FROM documents WHERE {_SAMPLE_FILTER}
         GROUP BY lang
     """,

@@ -340,7 +340,7 @@ def q_knn_label_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_query = (
         knn.join(F.broadcast(ql), "query_id")
-        .join(F.broadcast(nl), "neighbor_id")
+        .join(nl, "neighbor_id")  # per-corpus-vector labels — no hint
         .groupBy("query_id", "q_label")
         .agg(
             F.round(

@@ -293,7 +293,9 @@ def height_above_ground(
     cell_y = F.floor(F.col(y) / cy).alias("gy")
     keyed = pts.withColumn("gx", cell_x).withColumn("gy", cell_y)
     ground = keyed.groupBy("gx", "gy").agg(F.min(z).alias("ground_z"))
-    return keyed.join(F.broadcast(ground), ["gx", "gy"]).withColumn(
+    # ground is per-occupied-cell — usually tiny, but grows with coverage
+    # area; no hint, AQE broadcasts while small
+    return keyed.join(ground, ["gx", "gy"]).withColumn(
         "hag", F.col(z) - F.col("ground_z")
     )
 
@@ -344,8 +346,8 @@ def q_pc_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gx", (F.col("gy") - 1).alias("gy"), F.col("gz").alias("gz_yp")
     )
     grad = (
-        ground.join(F.broadcast(right), ["gx", "gy"])
-        .join(F.broadcast(up), ["gx", "gy"])
+        ground.join(right, ["gx", "gy"])  # same-cardinality cell frames — no hint
+        .join(up, ["gx", "gy"])
         .select(
             "gx",
             "gy",
@@ -374,17 +376,17 @@ ORACLES = {
     "q_zorder": f"""
         WITH keyed AS (
             SELECT p_partkey,
-                   list_sum(list_transform(generate_series(0, {MORTON_BITS - 1}),
+                   CAST(list_sum(list_transform(generate_series(0, {MORTON_BITS - 1}),
                        i -> ((((p_partkey % 1024) >> i) & 1) << (2*i))
                             + (((p_size >> i) & 1) << (2*i + 1))
-                   )) AS morton
+                   )) AS BIGINT) AS morton
             FROM part
         )
         SELECT morton >> {2 * MORTON_BITS - 2} AS quadrant,
                count(*) AS n,
-               min(morton) AS min_key,
-               max(morton) AS max_key,
-               sum(morton) AS sum_keys
+               CAST(min(morton) AS BIGINT) AS min_key,
+               CAST(max(morton) AS BIGINT) AS max_key,
+               CAST(sum(morton) AS BIGINT) AS sum_keys
         FROM keyed GROUP BY 1
     """,
     "q_pc_hag": """
@@ -405,7 +407,7 @@ ORACLES = {
         SELECT CAST(least(floor((k.z - g.ground_z) / 250.0), 9) AS INT)
                    AS hag_bucket,
                count(*) AS n_points,
-               sum(k.z - g.ground_z) AS sum_hag,
+               CAST(sum(k.z - g.ground_z) AS BIGINT) AS sum_hag,
                max(k.z - g.ground_z) AS max_hag
         FROM keyed k JOIN ground g USING (gx, gy)
         GROUP BY 1
@@ -545,7 +547,7 @@ ORACLES = {
                count(*) AS n_points,
                round(sum(lam1), 4) AS sum_lam1,
                round(sum(lam2), 4) AS sum_lam2,
-               sum(n_nb) AS sum_nb
+               CAST(sum(n_nb) AS BIGINT) AS sum_nb
         FROM feats GROUP BY 1
     """,
 }

@@ -241,7 +241,7 @@ ORACLES = {
                     WHEN s_es >= s_zh THEN 'es'
                     ELSE 'zh' END AS pred_lang,
                count(*) AS n_docs,
-               sum(n_tok) AS total_tokens
+               CAST(sum(n_tok) AS BIGINT) AS total_tokens
         FROM dd
         WHERE rn = 1 AND n_tok >= 10 AND div >= 0.3
         GROUP BY 1, 2
@@ -256,11 +256,11 @@ ORACLES = {
             FROM documents
         )
         SELECT lang, count(*) AS n_docs,
-               sum(n_tokens) AS total_tokens,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
                round(avg(n_tokens), 4) AS avg_tokens,
                round(avg(CAST(n_distinct AS DOUBLE) / n_tokens), 6) AS avg_diversity,
                round(avg(CAST(sum_tok_len AS DOUBLE) / n_tokens), 6) AS avg_tok_len,
-               sum(n_chars) AS total_chars
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
         FROM per_doc GROUP BY lang
     """,
     "q_text_langid": f"""
@@ -301,8 +301,8 @@ ORACLES = {
     """,
     "q_text_tokens": f"""
         SELECT source, count(*) AS n_docs,
-               sum(len({_SQL_TOKS})) AS total_ws_tokens,
-               sum(len(regexp_extract_all({_SQL_NORM}, '{_BPE_RE}'))) AS total_bpe_tokens
+               CAST(sum(len({_SQL_TOKS})) AS BIGINT) AS total_ws_tokens,
+               CAST(sum(len(regexp_extract_all({_SQL_NORM}, '{_BPE_RE}'))) AS BIGINT) AS total_bpe_tokens
         FROM documents GROUP BY source
     """,
     "q_text_fingerprint": f"""
@@ -397,7 +397,7 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = t["documents"].agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df), "term")
+        tf.join(df, "term")  # per-term frame grows with vocab — AQE decides
         .crossJoin(F.broadcast(n))
         .withColumn(
             "score", F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6)
@@ -495,8 +495,8 @@ ORACLES["q_text_redact"] = r"""
         FROM aug
     )
     SELECT source, count(*) AS n_docs,
-           sum(n_email) AS emails_redacted,
-           sum(n_phone) AS phones_redacted,
+           CAST(sum(n_email) AS BIGINT) AS emails_redacted,
+           CAST(sum(n_phone) AS BIGINT) AS phones_redacted,
            md5(string_agg(fp, '' ORDER BY fp)) AS corpus_fp
     FROM per_doc GROUP BY source
 """
@@ -623,7 +623,7 @@ ORACLES["q_pipeline_release"] = f"""
           AND NOT EXISTS (SELECT 1 FROM hits h WHERE h.doc_id = k.doc_id)
     )
     SELECT split, pred_lang, count(*) AS n_docs,
-           sum(n_tok) AS total_tokens, min(doc_id) AS first_doc
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens, min(doc_id) AS first_doc
     FROM released GROUP BY 1, 2
 """
 

@@ -12,6 +12,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLES = (
     "region",
@@ -81,6 +82,28 @@ def _ts_ns_columns(path: str) -> list[str]:
     ]
 
 
+def ts_micros_if_long(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Convert ``col`` from epoch-nanos long to a microsecond timestamp —
+    only when the column actually IS a long.
+
+    The testdata parquet has stored ``ts`` as TIMESTAMP(NANOS) (scanned as
+    long under ``nanosAsLong``) in some generations and as
+    TIMESTAMP_NTZ(MICROS) in others; a blind ``ts div 1000`` breaks on the
+    latter (DATATYPE_MISMATCH).  Every reader of the events stream must go
+    through this (the batch path's ``load_tables`` does the equivalent via
+    the parquet footer)."""
+    from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
+
+    dt = df.schema[col].dataType
+    if isinstance(dt, LongType):
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    elif isinstance(dt, TimestampNTZType):
+        # wall-clock-preserving under the UTC session zone; gives downstream
+        # code one timestamp type (unix_micros etc. reject TIMESTAMP_NTZ)
+        df = df.withColumn(col, F.col(col).cast(TimestampType()))
+    return df
+
+
 #: (session id, sf_dir) → loaded table dict.  DataFrames are immutable plan
 #: handles, so reuse is safe; the cache saves a parquet-footer read per table
 #: per query call (measurable across an 80-query correctness run).
@@ -119,6 +142,10 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         df = spark.read.parquet(path)
         for c in _ts_ns_columns(path):
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        for f in df.schema.fields:
+            if isinstance(f.dataType, T.TimestampNTZType):
+                # one timestamp type everywhere (see ts_micros_if_long)
+                df = df.withColumn(f.name, F.col(f.name).cast(T.TimestampType()))
         df.createOrReplaceTempView(name)
         out[name] = df
     _TABLE_CACHE[key] = out

@@ -3,9 +3,9 @@
 Read path (A1/A4-A11 of SURVEY.md §2A): per-file header parse on the driver,
 cross-file schema merge with numeric widening, record-aligned partitions,
 vectorized numpy→Arrow decode on executors with ``fid``/``pid`` provenance
-columns.  ``.option("ignoreCorruptFiles", "true")`` skips unreadable files
-with a warning, as the reference does unconditionally
-(PlyRelation.scala:101-115); the default fails fast.
+columns.  Unreadable files are skipped with a warning by default, as the
+reference does unconditionally (PlyRelation.scala:101-115);
+``.option("ignoreCorruptFiles", "false")`` opts into fail-fast.
 
 Write path (A16/A17): each task streams Arrow batches into a binary sidecar
 part-file and reports ``(part_path, count)``; the driver-side ``commit``

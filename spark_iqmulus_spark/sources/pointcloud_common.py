@@ -84,15 +84,18 @@ def expand_paths(options) -> list[str]:
 
 
 def ignore_corrupt_option(options) -> bool:
-    """Spark-convention corrupt-file toggle for the point-cloud sources.
+    """Corrupt-file toggle for the point-cloud sources — reference parity.
 
-    ``.option("ignoreCorruptFiles", "true")`` (keys arrive lowercased) makes
-    header parsing skip unreadable files with a warning, like the reference
-    does unconditionally (PlyRelation.scala:101-115, LasRelation.scala:41-55);
-    the default is strict — one bad tile fails fast rather than silently
-    shrinking a 100k-file read.
+    The reference skips unreadable files with a warning, unconditionally
+    (PlyRelation.scala:101-115, LasRelation.scala:41-55), so that is the
+    default here: one bad tile in a 100k-tile read degrades to a stderr
+    warning, not a failed job.  ``.option("ignoreCorruptFiles", "false")``
+    (keys arrive lowercased) opts into strict fail-fast semantics.  The
+    session conf ``spark.sql.files.ignoreCorruptFiles`` cannot be honored:
+    Python data sources are instantiated in a planner-side Python worker
+    process with no SparkSession, so the per-read option is the only knob.
     """
-    return options.get("ignorecorruptfiles", "false").lower() == "true"
+    return options.get("ignorecorruptfiles", "true").lower() == "true"
 
 
 def parse_sections(paths, parse_one, ignore_corrupt: bool, kind: str):

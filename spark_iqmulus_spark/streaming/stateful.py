@@ -63,7 +63,7 @@ def q_stream_state(spark, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import functions as F
 
-    from ..session import normalize_session
+    from ..session import normalize_session, ts_micros_if_long
 
     normalize_session(spark)  # nanosAsLong/UTC before the raw parquet read
     raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
@@ -72,11 +72,7 @@ def q_stream_state(spark, sf_dir: str) -> DataFrame:
         os.path.abspath(os.path.join(sf_dir, "events.parquet")),
         os.path.join(src, "events.parquet"),
     )
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .parquet(src)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = ts_micros_if_long(spark.readStream.schema(raw_schema).parquet(src))
     sink = f"qss_{uuid.uuid4().hex[:8]}"
     q = (
         running_user_totals(stream)
@@ -160,7 +156,7 @@ def q_stream_state_v2(spark, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import functions as F
 
-    from ..session import normalize_session
+    from ..session import normalize_session, ts_micros_if_long
 
     normalize_session(spark)  # nanosAsLong/UTC before the raw parquet read
     # transformWithState requires the RocksDB state store provider
@@ -174,11 +170,7 @@ def q_stream_state_v2(spark, sf_dir: str) -> DataFrame:
         os.path.abspath(os.path.join(sf_dir, "events.parquet")),
         os.path.join(src, "events.parquet"),
     )
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .parquet(src)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = ts_micros_if_long(spark.readStream.schema(raw_schema).parquet(src))
     sink = f"qss2_{uuid.uuid4().hex[:8]}"
     q = (
         running_user_totals_v2(stream)

@@ -94,11 +94,13 @@ def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
 
-    from ..session import normalize_session
+    from ..session import normalize_session, ts_micros_if_long
 
     normalize_session(spark)
     path = f"{sf_dir}/events.parquet"
-    raw_schema = spark.read.parquet(path).schema  # ts arrives as epoch-nanos long
+    # ts is epoch-nanos long OR timestamp depending on testdata generation;
+    # ts_micros_if_long handles both
+    raw_schema = spark.read.parquet(path).schema
 
     # the file stream source requires a directory; expose the single parquet
     # file through a symlink dir (testdata itself is read-only)
@@ -106,10 +108,9 @@ def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.symlink(os.path.abspath(path), os.path.join(stream_dir, "events.parquet"))
 
     stream = (
-        spark.readStream.schema(raw_schema)
-        .format("parquet")
-        .load(stream_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_micros_if_long(
+            spark.readStream.schema(raw_schema).format("parquet").load(stream_dir)
+        )
         .withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -167,7 +168,7 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import uuid
 
-    from ..session import normalize_session
+    from ..session import normalize_session, ts_micros_if_long
 
     normalize_session(spark)
     path = f"{sf_dir}/events.parquet"
@@ -176,11 +177,8 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.symlink(os.path.abspath(path), os.path.join(stream_dir, "events.parquet"))
 
     def src():
-        return (
-            spark.readStream.schema(raw_schema)
-            .format("parquet")
-            .load(stream_dir)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return ts_micros_if_long(
+            spark.readStream.schema(raw_schema).format("parquet").load(stream_dir)
         )
 
     clicks = (
@@ -282,9 +280,9 @@ ORACLES = {
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ), sessions AS (
             SELECT user_id, ts,
-                   sum(new_session) OVER (
+                   CAST(sum(new_session) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id
-                       ROWS UNBOUNDED PRECEDING) AS session_seq
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
             FROM flagged
         )
         SELECT user_id, session_seq,

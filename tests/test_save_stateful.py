@@ -56,11 +56,9 @@ def test_stateful_running_totals(spark):
     os.symlink(
         os.path.abspath(f"{sf}/events.parquet"), os.path.join(src, "events.parquet")
     )
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .parquet(src)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    from spark_iqmulus_spark.session import ts_micros_if_long
+
+    stream = ts_micros_if_long(spark.readStream.schema(raw_schema).parquet(src))
     q = (
         running_user_totals(stream)
         .writeStream.outputMode("update")
@@ -103,11 +101,12 @@ def test_stateful_across_micro_batches(spark, tmp_path):
     raw.repartition(4).write.parquet(src)
     raw_schema = raw.schema
 
-    stream = (
+    from spark_iqmulus_spark.session import ts_micros_if_long
+
+    stream = ts_micros_if_long(
         spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
     q = (
         running_user_totals(stream)

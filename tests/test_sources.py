@@ -233,8 +233,11 @@ def test_schema_merge_unit():
 
 
 def test_unreadable_files_skipped(spark, tmp_path):
-    """Unreadable/corrupt files are skipped with a warning, not failed —
-    reference behavior (PlyRelation.scala:101-115, LasRelation.scala:41-55)."""
+    """Unreadable/corrupt files are skipped with a warning by default —
+    reference behavior (PlyRelation.scala:101-115, LasRelation.scala:41-55);
+    ``.option("ignoreCorruptFiles", "false")`` opts into fail-fast."""
+    import pytest
+
     from .fixtures import make_las, make_ply_xyz
 
     good_ply = str(tmp_path / "good.ply")
@@ -243,6 +246,15 @@ def test_unreadable_files_skipped(spark, tmp_path):
     df = spark.read.format("ply").load(str(tmp_path))
     assert df.count() == 50
     assert df.select("fid").distinct().count() == 1
+
+    # strict opt-out: one bad tile fails fast
+    with pytest.raises(Exception, match="unreadable"):
+        (
+            spark.read.format("ply")
+            .option("ignoreCorruptFiles", "false")
+            .load(str(tmp_path))
+            .count()
+        )
 
     las_dir = tmp_path / "las"
     las_dir.mkdir()

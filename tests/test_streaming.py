@@ -83,10 +83,10 @@ def test_stream_dedup_matches_batch(spark):
     os.symlink(
         os.path.abspath(f"{sf}/events.parquet"), os.path.join(src, "events.parquet")
     )
+    from spark_iqmulus_spark.session import ts_micros_if_long
+
     stream = (
-        spark.readStream.schema(raw_schema)
-        .parquet(src)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_micros_if_long(spark.readStream.schema(raw_schema).parquet(src))
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
@@ -131,11 +131,9 @@ def test_foreach_batch_parquet_sink(spark, tmp_path):
     os.symlink(
         os.path.abspath(f"{sf}/events.parquet"), os.path.join(src, "events.parquet")
     )
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .parquet(src)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    from spark_iqmulus_spark.session import ts_micros_if_long
+
+    stream = ts_micros_if_long(spark.readStream.schema(raw_schema).parquet(src))
     out = str(tmp_path / "out")
     q = stream_to_parquet(stream, out, str(tmp_path / "ckpt"))
     q.awaitTermination()
