@@ -86,10 +86,15 @@ _PRIORITY = (
     "q_subquery_in",
     "q_udf_scalar",
     "q_udaf",
-    # next-most-important extras (§2A/§2C adjacents) up to the 50-key window
-    "q_pc_voxel",
-    "q_pc_union_formats",
-    "q_multimodal_frames",
+    # rotation slots up to the 50-key window: previously-unwindowed keys
+    # (incl. the a21d483 canonicalization fixes) get a driver-green row;
+    # the rotated-out extras (q_pc_voxel, q_pc_union_formats,
+    # q_multimodal_frames) remain oracle-gated via tools/check.py.
+    "q_sql_api",
+    "q_variant",
+    "q_map_funcs",
+    "q_array_agg",
+    "q_join_multiway",
 )
 
 

@@ -164,12 +164,20 @@ class PlyReader(DataSourceReader):
 
 @dataclass
 class PlyCommit(WriterCommitMessage):
-    part_path: str
-    count: int
+    #: per-task part sidecars: (fid, part_path, count).  fid is -1 for the
+    #: single-output mode (input had no fid provenance).
+    parts: list
 
 
 class PlyWriter(DataSourceArrowWriter):
-    """Task-side body writer + driver-side header-merge commit (A16/A17)."""
+    """Task-side body writer + driver-side header-merge commit (A16/A17).
+
+    When the written DataFrame carries ``fid`` provenance (the reader's
+    column metadata maps fid → original source path), the commit restores
+    the reference's rename semantics (PlyRelation.scala:65-72): one output
+    file per source fid, named after the source file's base name.  Without
+    provenance, all parts merge into a single ``data.ply``.
+    """
 
     def __init__(self, options, schema: T.StructType, overwrite: bool):
         self.path = options.get("path")
@@ -185,6 +193,14 @@ class PlyWriter(DataSourceArrowWriter):
             for f in schema.fields
             if f.name not in ("fid", "pid")
         ]
+        # fid → source path, when reading provenance rode along
+        # (``restoreNames=false`` opts out, keeping one data.ply)
+        self.fid_paths = None
+        restore = options.get("restorenames", "true").lower() != "false"
+        if restore and any(f.name == "fid" for f in schema.fields):
+            meta = schema["fid"].metadata or {}
+            if meta.get("paths"):
+                self.fid_paths = list(meta["paths"])
 
     def _dtype(self) -> np.dtype:
         prefix = "<" if self.little_endian else ">"
@@ -192,44 +208,86 @@ class PlyWriter(DataSourceArrowWriter):
 
     def write(self, iterator) -> PlyCommit:
         os.makedirs(self.path, exist_ok=True)
-        part = os.path.join(self.path, f".part-{uuid.uuid4().hex}.plybin")
         dtype = self._dtype()
-        count = 0
-        with open(part, "wb") as out:
+        handles: dict[int, tuple] = {}  # fid → (path, file, count)
+
+        def _sink(fid: int):
+            h = handles.get(fid)
+            if h is None:
+                p = os.path.join(self.path, f".part-{uuid.uuid4().hex}-f{fid}.plybin")
+                h = [p, open(p, "wb"), 0]
+                handles[fid] = h
+            return h
+
+        try:
             for batch in iterator:
                 n = batch.num_rows
                 rec = np.empty(n, dtype=dtype)
                 for name, _ in self.data_fields:
                     col = batch.column(batch.schema.get_field_index(name))
                     rec[name] = col.to_numpy(zero_copy_only=False)
-                out.write(rec.tobytes())
-                count += n
-        return PlyCommit(part_path=part, count=count)
+                if self.fid_paths is None:
+                    groups = [(-1, rec)]
+                else:
+                    fids = batch.column(
+                        batch.schema.get_field_index("fid")
+                    ).to_numpy(zero_copy_only=False)
+                    groups = [
+                        (int(fid), rec[fids == fid]) for fid in np.unique(fids)
+                    ]
+                for fid, sub in groups:
+                    h = _sink(fid)
+                    h[1].write(sub.tobytes())
+                    h[2] += len(sub)
+        finally:
+            for h in handles.values():
+                h[1].close()
+        return PlyCommit(parts=[(fid, h[0], h[2]) for fid, h in handles.items()])
 
-    def commit(self, messages) -> None:
-        total = sum(m.count for m in messages)
-        props = [
-            PlyProperty(name=n, np_char=c) for n, c in self.data_fields
-        ]
+    def _merge_one(self, dest: str, parts: list, total: int) -> None:
+        props = [PlyProperty(name=n, np_char=c) for n, c in self.data_fields]
         header = PlyHeader(
-            location=self.path,
+            location=dest,
             little_endian=self.little_endian,
             elements=[PlyElement(self.element, total, props)],
             comments=["written by spark_iqmulus_spark"],
         )
-        final = os.path.join(self.path, "data.ply")
-        with open(final, "wb") as out:
+        with open(dest, "wb") as out:
             out.write(header.to_bytes())
-            for m in messages:
-                with open(m.part_path, "rb") as src:
+            for part_path in parts:
+                with open(part_path, "rb") as src:
                     while True:
                         chunk = src.read(1 << 20)
                         if not chunk:
                             break
                         out.write(chunk)
-                os.remove(m.part_path)
+                os.remove(part_path)
+
+    def commit(self, messages) -> None:
+        by_fid: dict[int, list] = {}
+        counts: dict[int, int] = {}
+        for m in messages:
+            for fid, part_path, count in m.parts:
+                by_fid.setdefault(fid, []).append(part_path)
+                counts[fid] = counts.get(fid, 0) + count
+        names: dict[int, str] = {}
+        if self.fid_paths is not None:
+            bases = [
+                os.path.splitext(os.path.basename(p))[0] for p in self.fid_paths
+            ]
+            dup = {b for b in bases if bases.count(b) > 1}
+            names = {
+                fid: (f"{b}-fid{fid}.ply" if b in dup else f"{b}.ply")
+                for fid, b in enumerate(bases)
+            }
+        for fid, parts in sorted(by_fid.items()):
+            dest = os.path.join(self.path, names.get(fid, "data.ply"))
+            self._merge_one(dest, sorted(parts), counts[fid])
 
     def abort(self, messages) -> None:
         for m in messages:
-            if m is not None and os.path.exists(m.part_path):
-                os.remove(m.part_path)
+            if m is None:
+                continue
+            for _, part_path, _ in m.parts:
+                if os.path.exists(part_path):
+                    os.remove(part_path)

@@ -44,6 +44,32 @@ def test_save_partitioned_by_fid_restores_names(spark, tmp_path):
     assert spark.read.format("las").load(os.path.join(out, "tile_b")).count() == 80
 
 
+def test_ply_writer_restores_source_names(spark, tmp_path):
+    """A17 commit-rename parity (PlyRelation.scala:65-72): writing a
+    DataFrame that carries fid provenance produces one output .ply per
+    source fid, named after the source file; fid-less input keeps one
+    data.ply."""
+    a, b = str(tmp_path / "tile_a.ply"), str(tmp_path / "tile_b.ply")
+    make_ply_xyz(a, n=40)
+    make_ply_xyz(b, n=60)
+    df = spark.read.format("ply").load([a, b])
+    out = str(tmp_path / "writeback")
+    df.write.format("ply").mode("overwrite").save(out)
+    assert sorted(f for f in os.listdir(out) if f.endswith(".ply")) == [
+        "tile_a.ply",
+        "tile_b.ply",
+    ]
+    assert spark.read.format("ply").load(os.path.join(out, "tile_a.ply")).count() == 40
+    assert spark.read.format("ply").load(os.path.join(out, "tile_b.ply")).count() == 60
+
+    # fid-less frame (e.g. synthesized) → single merged data.ply, as before
+    plain = df.drop("fid", "pid")
+    out2 = str(tmp_path / "plain")
+    plain.write.format("ply").mode("overwrite").save(out2)
+    assert [f for f in os.listdir(out2) if f.endswith(".ply")] == ["data.ply"]
+    assert spark.read.format("ply").load(out2).count() == 100
+
+
 def test_stateful_running_totals(spark):
     """applyInPandasWithState totals over a replayed stream == batch groupBy."""
     from spark_iqmulus_spark.session import load_tables
