@@ -4,12 +4,13 @@ Four families, all expressed over the ``documents`` / ``embeddings`` tables:
 
 - **exact**     — content-hash groupBy (sha256 of normalized text)
 - **n-gram Jaccard** — exact shingle-set similarity via a shingle self-join
-- **MinHash + LSH**  — minhash signatures (xxhash64) banded into buckets;
-  candidates verified with exact Jaccard (rows-only oracle: xxhash64 is not
-  reproducible in DuckDB; recall vs the exact n-gram pairs is asserted in
-  tests/test_dedup.py)
+- **MinHash + LSH**  — minhash signatures (md5, DuckDB-reproducible →
+  full oracle hash check) banded into buckets; candidates verified with
+  exact Jaccard bounded by the candidate set; recall vs the exact n-gram
+  pairs additionally asserted in tests/test_operators.py
 - **SimHash**   — 64-bit simhash + banded hamming-distance candidate pairs
-  (rows-only oracle, same reason)
+  (rows-only oracle: the bit-level hash arithmetic has no DuckDB
+  equivalent)
 - **embedding cosine** — near-duplicate pairs by cosine similarity
 
 Scale design (the point of this module at 100 TB):
@@ -188,11 +189,15 @@ BANDS = 4
 
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """doc_id → 16 minhash values, computed as min(xxhash64(seed, shingle))
-    per seed.  Single groupBy over exploded shingles; all JVM built-ins."""
+    """doc_id → 16 minhash values, computed as min(md5(seed || ':' ||
+    shingle)) per seed.  Single groupBy over exploded shingles; all JVM
+    built-ins.  md5 (not xxhash64) on purpose: it is bit-identical in
+    DuckDB, which makes the whole MinHash-LSH pipeline oracle-checkable;
+    it costs ~2× xxhash64 per shingle, but hashing is a vanishing fraction
+    of the pipeline (the explode and the two shuffles dominate)."""
     sh = _shingles(docs)
     aggs = [
-        F.min(F.xxhash64(F.lit(j), F.col("shingle"))).alias(f"mh{j}")
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"mh{j}")
         for j in range(MINHASH_K)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
@@ -207,8 +212,14 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.xxhash64(
-                    *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"mh{b * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ],
+                    )
                 ).alias("bucket"),
             )
             for b in range(BANDS)
@@ -230,9 +241,9 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup detection: signature → band → bucket join →
     exact-Jaccard verification of candidates only.  Deterministic (fixed
-    seeds) but xxhash64 has no DuckDB equivalent → rows-only check;
-    tests/test_dedup.py asserts candidates ⊇ exact pairs at the LSH design
-    threshold."""
+    seeds, md5 hashing reproducible in DuckDB) → full oracle hash check;
+    tests/test_operators.py additionally asserts candidates ⊇ exact pairs
+    at the LSH design threshold."""
     t = load_tables(spark, sf_dir)
     docs = t["documents"]
     cand = lsh_candidate_pairs(minhash_signatures(docs))
@@ -712,6 +723,53 @@ ORACLES = {
                     / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
                     6) >= {COSINE_T}
     """,
-    # q_dedup_minhash / q_dedup_simhash: rows-only (xxhash64 not available in
-    # DuckDB); recall asserted against exact pairs in tests/test_dedup.py.
+    # q_dedup_simhash: rows-only (the bit-level hash arithmetic has no
+    # DuckDB equivalent); recall asserted in tests/test_operators.py.
+    "q_dedup_minhash": f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS words
+            FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(generate_series(1, len(words) - 2),
+                          i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
+            FROM toks WHERE len(words) >= 3
+        ), mh AS (
+            SELECT doc_id,
+                   {', '.join(f"min(md5('{j}:' || shingle)) AS mh{j}" for j in range(MINHASH_K))}
+            FROM sh GROUP BY doc_id
+        ), bands AS (
+            {' UNION ALL '.join(
+                "SELECT doc_id, {b} AS band, md5({expr}) AS bucket FROM mh".format(
+                    b=b,
+                    expr=" || '|' || ".join(
+                        f"mh{b * (MINHASH_K // BANDS) + r}"
+                        for r in range(MINHASH_K // BANDS)
+                    ),
+                )
+                for b in range(BANDS)
+            )}
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                        AND a.doc_id < b.doc_id
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+        ), inter AS (
+            SELECT c.doc_a, c.doc_b, count(*) AS inter
+            FROM cand c
+            JOIN sh a ON a.doc_id = c.doc_a
+            JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+            GROUP BY 1, 2
+        )
+        SELECT c.doc_a, c.doc_b,
+               round(CAST(coalesce(i.inter, 0) AS DOUBLE)
+                     / (sa.n_sh + sb.n_sh - coalesce(i.inter, 0)), 6) AS jaccard
+        FROM cand c
+        LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+        JOIN sizes sa ON sa.doc_id = c.doc_a
+        JOIN sizes sb ON sb.doc_id = c.doc_b
+    """,
 }

@@ -302,3 +302,17 @@ def test_transitions_single_window_no_cartesian(spark, tables):
     assert p.count("Window") >= 1
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_minhash_verify_is_candidate_bounded(spark, tables):
+    """The minhash exact-verify stage must be bounded by the LSH candidate
+    set: shingles are semi-joined down to candidate doc_ids before any
+    intersection join (a plan without the LeftSemi would be the all-pairs
+    shingle self-join — quadratic, making the banding decorative)."""
+    from spark_iqmulus_spark.operators.dedup import q_dedup_minhash
+
+    p = plan_text(q_dedup_minhash(spark, SF_DIR))
+    assert "LeftSemi" in p
+    # no cartesian product anywhere in the verify pipeline
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
