@@ -8,9 +8,9 @@ Four families, all expressed over the ``documents`` / ``embeddings`` tables:
   full oracle hash check) banded into buckets; candidates verified with
   exact Jaccard bounded by the candidate set; recall vs the exact n-gram
   pairs additionally asserted in tests/test_operators.py
-- **SimHash**   — 64-bit simhash + banded hamming-distance candidate pairs
-  (rows-only oracle: the bit-level hash arithmetic has no DuckDB
-  equivalent)
+- **SimHash**   — 64-bit simhash (md5-nibble bit construction, DuckDB-
+  reproducible → full oracle hash check) + banded hamming-distance
+  candidate pairs
 - **embedding cosine** — near-duplicate pairs by cosine similarity
 
 Scale design (the point of this module at 100 TB):
@@ -22,8 +22,8 @@ Scale design (the point of this module at 100 TB):
   bucket — the standard trick in web-scale dedup);
 - MinHash/SimHash banding turns O(N²) comparison into per-bucket joins of
   expected O(1) size; exact verification runs only on candidates;
-- all hashing is JVM-side (``xxhash64``/``sha2`` are codegen'd built-ins) —
-  no Python in the hot path.
+- all hashing is JVM-side (``md5``/``sha2``/``xxhash64`` are codegen'd
+  built-ins) — no Python in the hot path.
 """
 
 from __future__ import annotations
@@ -293,6 +293,13 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_mask(k: int) -> int:
+    """Signed-long literal for bit ``k`` (bit 63 is the two's-complement
+    sign bit — the same negative value in Spark longs and DuckDB BIGINTs)."""
+    m = 1 << k
+    return m - (1 << 64) if m >= (1 << 63) else m
+
+
 def simhash_64(docs: DataFrame) -> DataFrame:
     """64-bit SimHash per document from distinct token hashes.
 
@@ -300,7 +307,11 @@ def simhash_64(docs: DataFrame) -> DataFrame:
     k-th bit; the sign gives the fingerprint bit.  Expressed as explode(64
     positions) + two hash-aggregates — ~64× row amplification on *tokens*,
     which is fine because tokens are already exploded; at extreme scale the
-    same computation folds into 64 conditional-sum aggregate columns."""
+    same computation folds into 64 conditional-sum aggregate columns.
+
+    Token hash = first 16 hex chars of md5 read nibble-wise (hex char →
+    4 bits) — md5, not xxhash64, so DuckDB reproduces the fingerprint
+    bit-for-bit and the downstream pair query is oracle-checkable."""
     tokens = (
         docs.select(
             "doc_id",
@@ -309,27 +320,36 @@ def simhash_64(docs: DataFrame) -> DataFrame:
             ).alias("tok"),
         )
         .distinct()
-        .withColumn("h", F.xxhash64("tok"))
+        .withColumn("h", F.md5("tok"))
     )
-    # shiftright/shiftleft take literal bit counts only → carry (k, mask)
-    # pairs as a literal array; bit 63's mask is the sign bit (two's
-    # complement min-long), which bitwiseAND handles correctly.
-    def _mask(k: int) -> int:
-        m = 1 << k
-        return m - (1 << 64) if m >= (1 << 63) else m
-
+    # shiftright/shiftleft take literal bit counts only → carry per-bit
+    # constants as a literal struct array: mask (the bit's signed-long
+    # value), pos (1-based hex char holding the bit), dv (divisor that
+    # brings the bit to the low position within its nibble).
     km = F.array(
         *[
-            F.struct(F.lit(k).alias("k"), F.lit(_mask(k)).cast("long").alias("mask"))
+            F.struct(
+                F.lit(k).alias("k"),
+                F.lit(_simhash_mask(k)).cast("long").alias("mask"),
+                F.lit(k // 4 + 1).alias("pos"),
+                F.lit(1 << (3 - k % 4)).alias("dv"),
+            )
             for k in range(64)
         ]
     )
     bits = (
         tokens.select("doc_id", "h", F.explode(km).alias("km"))
-        .select("doc_id", "h", "km.k", "km.mask")
+        .select("doc_id", "h", "km.k", "km.mask", "km.pos", "km.dv")
         .withColumn(
             "contrib",
-            F.when(F.col("h").bitwiseAND(F.col("mask")) != 0, 1).otherwise(-1),
+            F.when(
+                F.expr(
+                    "((instr('0123456789abcdef', substring(h, pos, 1)) - 1) "
+                    "div dv) % 2"
+                )
+                == 1,
+                1,
+            ).otherwise(-1),
         )
     )
     bit_sums = bits.groupBy("doc_id", "k", "mask").agg(F.sum("contrib").alias("s"))
@@ -341,7 +361,7 @@ def simhash_64(docs: DataFrame) -> DataFrame:
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 64-bit fingerprints, banded into 4×16-bit
     chunks for candidate generation, verified by hamming distance <= 6.
-    Deterministic; rows-only check (xxhash64)."""
+    Deterministic (md5-derived bits) → full oracle hash check."""
     t = load_tables(spark, sf_dir)
     sigs = simhash_64(t["documents"])
     chunks = sigs.select(
@@ -412,8 +432,9 @@ def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets (reusing operators.similarity.lsh_signatures) generate candidate
     pairs via an equi-join on (band, value); exact cosine re-checks only
     candidates.  Replaces q_dedup_embed's O(N²) scored pairs with
-    O(Σ bucket²); rows-only oracle (banding is engine-specific), recall vs
-    the exact pair set asserted in tests/test_operators.py."""
+    O(Σ bucket²); full oracle hash check (the md5-derived hyperplanes are
+    engine-neutral), recall vs the exact pair set additionally asserted in
+    tests/test_operators.py."""
     from .similarity import lsh_signatures
 
     t = load_tables(spark, sf_dir)
@@ -725,6 +746,7 @@ ORACLES = {
     """,
     # q_dedup_simhash: rows-only (the bit-level hash arithmetic has no
     # DuckDB equivalent); recall asserted in tests/test_operators.py.
+    # q_dedup_embed_lsh: appended below (shares similarity's plane CTE).
     "q_dedup_minhash": f"""
         WITH toks AS (
             SELECT doc_id,
@@ -773,3 +795,90 @@ ORACLES = {
         JOIN sizes sb ON sb.doc_id = c.doc_b
     """,
 }
+
+
+def _embed_lsh_oracle() -> str:
+    """DuckDB reproduction of q_dedup_embed_lsh: same banded-signature CTE
+    as the similarity oracles (md5-derived ±1 hyperplanes are
+    engine-neutral), candidate pairs by shared (band, val), exact cosine
+    re-check at the same threshold."""
+    from .similarity import _lsh_banded_cte
+
+    return _lsh_banded_cte() + f"""
+        , cand AS (
+            SELECT DISTINCT a.vec_id AS vec_a, a.v AS ea,
+                            b.vec_id AS vec_b, b.v AS eb
+            FROM banded a
+            JOIN banded b ON a.band = b.band AND a.val = b.val
+            WHERE a.vec_id < b.vec_id
+        )
+        SELECT vec_a, vec_b,
+               round(list_dot_product(ea, eb)
+                     / (sqrt(list_dot_product(ea, ea))
+                        * sqrt(list_dot_product(eb, eb))), 6) AS cos
+        FROM cand
+        WHERE round(list_dot_product(ea, eb)
+                    / (sqrt(list_dot_product(ea, ea))
+                       * sqrt(list_dot_product(eb, eb))), 6) >= {COSINE_T}
+    """
+
+
+ORACLES["q_dedup_embed_lsh"] = _embed_lsh_oracle()
+
+
+def _simhash_oracle() -> str:
+    """DuckDB reproduction of q_dedup_simhash: identical md5-nibble bit
+    construction (same (k, mask, pos, dv) constants as simhash_64), 4×16-bit
+    chunk banding, hamming via bit_count(xor).  The >>/& pair is safe across
+    engines: & 65535 masks away the arithmetic-vs-logical shift difference
+    on negative fingerprints."""
+    def _mask_lit(k: int) -> str:
+        m = _simhash_mask(k)
+        # most-negative long can't be written as one literal (the positive
+        # half overflows before negation applies)
+        return "(-9223372036854775807 - 1)" if m == -(1 << 63) else str(m)
+
+    km_rows = ", ".join(
+        f"({k}, {_mask_lit(k)}::BIGINT, {k // 4 + 1}, {1 << (3 - k % 4)})"
+        for k in range(64)
+    )
+    return f"""
+        WITH tok AS (
+            SELECT DISTINCT doc_id, unnest(string_split({_NORM}, ' ')) AS tok
+            FROM documents
+        ), hashed AS (
+            SELECT doc_id, md5(tok) AS h FROM tok
+        ), km(k, mask, pos, dv) AS (
+            VALUES {km_rows}
+        ), bits AS (
+            SELECT doc_id, k, mask,
+                   CASE WHEN ((strpos('0123456789abcdef', substr(h, pos, 1)) - 1)
+                              // dv) % 2 = 1
+                        THEN 1 ELSE -1 END AS contrib
+            FROM hashed CROSS JOIN km
+        ), s AS (
+            SELECT doc_id, k, mask, sum(contrib) AS s
+            FROM bits GROUP BY 1, 2, 3
+        ), sim AS (
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN s >= 0 THEN mask ELSE 0 END) AS BIGINT)
+                       AS simhash
+            FROM s GROUP BY doc_id
+        ), chunks AS (
+            SELECT doc_id, simhash, c.chunk,
+                   (simhash >> (c.chunk * 16)) & 65535 AS val
+            FROM sim CROSS JOIN (VALUES (0), (1), (2), (3)) c(chunk)
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                            a.simhash AS sh_a, b.simhash AS sh_b
+            FROM chunks a
+            JOIN chunks b ON a.chunk = b.chunk AND a.val = b.val
+                         AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b)) AS hamming
+        FROM cand
+        WHERE bit_count(xor(sh_a, sh_b)) <= 6
+    """
+
+
+ORACLES["q_dedup_simhash"] = _simhash_oracle()

@@ -121,7 +121,8 @@ def q_sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     4-bit band with the query signature; exact cosine re-rank within
     candidates.  Recall < 1 by design (asserted >= 0.6 vs brute force in
     tests); at scale this replaces the Q×N scored join with per-bucket
-    joins.  Rows-only oracle (banding choices are engine-specific)."""
+    joins.  Full oracle hash check: the md5-derived ±1 hyperplanes are
+    engine-neutral, so DuckDB reproduces the banding bit-for-bit."""
     t = load_tables(spark, sf_dir)
     e = t["embeddings"]
     dim = len(e.select("embedding").first()[0])
@@ -204,8 +205,9 @@ def q_sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     fit, but the *query plan* is identical: centroids broadcast as literals,
     cell assignment is a codegen'd argmax, the candidate join is an equi-join
     on ``cell`` (shuffle-partitioned by cell — the classic IVF layout), and
-    only ``N_PROBE/N_CELLS`` of the corpus is scored per query.  Rows-only
-    oracle (cell geometry is engine-specific); recall vs brute force is
+    only ``N_PROBE/N_CELLS`` of the corpus is scored per query.  Full
+    oracle hash check (the deterministic centroid sample and argmax cell
+    assignment are reproducible in SQL); recall vs brute force is
     asserted in tests/test_operators.py::test_knn_ivf_recall.
     """
     t = load_tables(spark, sf_dir)
@@ -288,9 +290,139 @@ ORACLES = {
         SELECT query_id, neighbor_id, round(cos_raw, 6) AS cos, rank
         FROM ranked WHERE rank <= {TOP_K}
     """,
-    # q_sim_knn_lsh: rows-only (LSH banding is engine-specific; recall vs
-    # brute force asserted in tests/test_similarity.py).
 }
+
+
+#: testdata embedding dimensionality (constant across scale factors); the
+#: LSH/IVF oracles embed the deterministic hyperplane constants for this dim.
+EMB_DIM = 64
+
+
+def _lsh_banded_cte() -> str:
+    """Shared DuckDB CTE: per-vector (band, val) from the same deterministic
+    ±1 hyperplanes as :func:`lsh_signatures` (md5-derived, engine-neutral).
+    The projections are plain list_dot_product folds, which q_sim_knn's
+    hash-green oracle already shows to be bit-identical to Spark's
+    zip_with/aggregate fold."""
+    planes = _hyperplanes(EMB_DIM)
+    proj_cols = ",\n               ".join(
+        "list_dot_product(v, ["
+        + ", ".join("1.0" if h > 0 else "-1.0" for h in plane)
+        + f"]) AS p{j}"
+        for j, plane in enumerate(planes)
+    )
+    bits_per_band = N_PLANES // LSH_BANDS
+    band_selects = " UNION ALL ".join(
+        "SELECT vec_id, v, {b} AS band, {val} AS val FROM proj".format(
+            b=b,
+            val=" + ".join(
+                f"(CASE WHEN p{b * bits_per_band + r} >= 0 THEN {1 << r} ELSE 0 END)"
+                for r in range(bits_per_band)
+            ),
+        )
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        proj AS (
+            SELECT vec_id, v,
+               {proj_cols}
+            FROM e
+        ),
+        banded AS ({band_selects})
+    """
+
+
+ORACLES["q_sim_knn_ivf"] = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    params AS (
+        SELECT greatest(CAST(count(*) AS BIGINT) // {N_CELLS}, 1) AS step FROM e
+    ),
+    -- deterministic centroid sample: every step-th vector by vec_id,
+    -- L2-normalized; cell ids are 1-based positions in vec_id order
+    -- (mirrors the Spark side's ordered collect + array_position)
+    cents AS (
+        SELECT row_number() OVER (ORDER BY vec_id) AS cell,
+               list_transform(v, x -> x / nrm) AS cv
+        FROM (
+            SELECT e.vec_id, e.v,
+                   CASE WHEN sqrt(list_dot_product(e.v, e.v)) = 0 THEN 1.0
+                        ELSE sqrt(list_dot_product(e.v, e.v)) END AS nrm
+            FROM e, params
+            WHERE e.vec_id % params.step = 0
+              AND CAST(e.vec_id AS DOUBLE) / params.step < {N_CELLS}
+        )
+    ),
+    scores AS (
+        SELECT e.vec_id, e.v, c.cell,
+               list_dot_product(e.v, c.cv) / sqrt(list_dot_product(e.v, e.v))
+                   AS score
+        FROM e CROSS JOIN cents c
+    ),
+    -- argmax cell per vector; ties -> lowest cell (array_position
+    -- returns the FIRST max on the Spark side)
+    assign AS (
+        SELECT vec_id, v, cell FROM (
+            SELECT vec_id, v, cell,
+                   row_number() OVER (
+                     PARTITION BY vec_id ORDER BY score DESC, cell ASC) AS rk
+            FROM scores
+        ) WHERE rk = 1
+    ),
+    -- each query probes its N_PROBE best cells; Spark's sort_array(desc)
+    -- over (score, cell) structs breaks score ties by HIGHER cell
+    probes AS (
+        SELECT vec_id AS query_id, v AS qv, cell FROM (
+            SELECT vec_id, v, cell,
+                   row_number() OVER (
+                     PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS rk
+            FROM scores WHERE vec_id < {N_QUERIES}
+        ) WHERE rk <= {N_PROBE}
+    ),
+    cand AS (
+        SELECT p.query_id, p.qv, a.vec_id AS neighbor_id, a.v AS cv
+        FROM assign a JOIN probes p ON a.cell = p.cell
+        WHERE a.vec_id != p.query_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id,
+               list_dot_product(qv, cv)
+                 / (sqrt(list_dot_product(qv, qv))
+                    * sqrt(list_dot_product(cv, cv))) AS cos_raw,
+               row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY list_dot_product(qv, cv)
+                          / (sqrt(list_dot_product(qv, qv))
+                             * sqrt(list_dot_product(cv, cv))) DESC,
+                          neighbor_id) AS rank
+        FROM cand
+    )
+    SELECT query_id, neighbor_id, round(cos_raw, 6) AS cos, rank
+    FROM ranked WHERE rank <= {TOP_K}
+"""
+
+ORACLES["q_sim_knn_lsh"] = _lsh_banded_cte() + f"""
+        , cand AS (
+            SELECT DISTINCT q.vec_id AS query_id, q.v AS qv,
+                            c.vec_id AS neighbor_id, c.v AS cv
+            FROM banded q
+            JOIN banded c ON q.band = c.band AND q.val = c.val
+            WHERE q.vec_id < {N_QUERIES} AND c.vec_id != q.vec_id
+        ), scored AS (
+            SELECT query_id, neighbor_id,
+                   list_dot_product(qv, cv)
+                     / (sqrt(list_dot_product(qv, qv))
+                        * sqrt(list_dot_product(cv, cv))) AS cos_raw
+            FROM cand
+        ), ranked AS (
+            SELECT query_id, neighbor_id, cos_raw,
+                   row_number() OVER (
+                     PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, round(cos_raw, 6) AS cos, rank
+        FROM ranked WHERE rank <= {TOP_K}
+"""
 
 
 def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
