@@ -236,11 +236,9 @@ class LasReaderWithPushdown(LasReader):
 
 @dataclass
 class LasCommit(WriterCommitMessage):
-    part_path: str
-    count: int
-    pmin: tuple
-    pmax: tuple
-    return_counts: tuple
+    #: per-task part sidecars: (fid, part_path, count, pmin, pmax,
+    #: return_counts).  fid is -1 for single-output mode (no provenance).
+    parts: list
 
 
 class LasWriter(DataSourceArrowWriter):
@@ -249,6 +247,11 @@ class LasWriter(DataSourceArrowWriter):
     Unlike the reference's ``saveAsLas`` (which materializes whole partitions
     to compute stats — las/package.scala:67-68, flagged in SURVEY §4.2), stats
     are running numpy min/max per batch: O(batch) memory.
+
+    Like the PLY writer, the commit restores original source file names
+    when the written DataFrame carries ``fid`` provenance — one valid
+    ``.las`` per source tile (with per-tile header stats) from one
+    distributed job; fid-less input merges into a single ``data.las``.
     """
 
     def __init__(self, options, schema: T.StructType, overwrite: bool):
@@ -267,20 +270,33 @@ class LasWriter(DataSourceArrowWriter):
         )
         self.schema = schema
         self.fields = POINT_FORMATS[self.fmt]
+        self.fid_paths = None
+        restore = options.get("restorenames", "true").lower() != "false"
+        if restore and any(f.name == "fid" for f in schema.fields):
+            meta = schema["fid"].metadata or {}
+            if meta.get("paths"):
+                self.fid_paths = list(meta["paths"])
 
     def _dtype(self) -> np.dtype:
         return np.dtype([(n, "<" + c) for n, c in self.fields])
 
     def write(self, iterator) -> LasCommit:
         os.makedirs(self.path, exist_ok=True)
-        part = os.path.join(self.path, f".part-{uuid.uuid4().hex}.lasbin")
         dtype = self._dtype()
         in_names = set(self.schema.names)
-        count = 0
-        pmin = [np.inf] * 3
-        pmax = [-np.inf] * 3
-        ret = np.zeros(15, dtype=np.int64)
-        with open(part, "wb") as out:
+        # fid → [path, file, count, pmin, pmax, ret]
+        sinks: dict[int, list] = {}
+
+        def _sink(fid: int) -> list:
+            s = sinks.get(fid)
+            if s is None:
+                p = os.path.join(self.path, f".part-{uuid.uuid4().hex}-f{fid}.lasbin")
+                s = [p, open(p, "wb"), 0, [np.inf] * 3, [-np.inf] * 3,
+                     np.zeros(15, dtype=np.int64)]
+                sinks[fid] = s
+            return s
+
+        try:
             for batch in iterator:
                 n = batch.num_rows
                 rec = np.zeros(n, dtype=dtype)  # absent fields stay zero-filled
@@ -288,35 +304,66 @@ class LasWriter(DataSourceArrowWriter):
                     if name in in_names:
                         col = batch.column(batch.schema.get_field_index(name))
                         rec[name] = col.to_numpy(zero_copy_only=False)
-                for axis, name in enumerate("xyz"):
-                    world = self.offset[axis] + self.scale[axis] * rec[name].astype(np.float64)
-                    if n:
-                        pmin[axis] = min(pmin[axis], float(world.min()))
-                        pmax[axis] = max(pmax[axis], float(world.max()))
-                if self.fmt < 6:
-                    r = rec["flags"] & 0x7
+                if self.fid_paths is None:
+                    groups = [(-1, rec)]
                 else:
-                    r = rec["return"] & 0xF
-                ret += np.bincount(np.minimum(r, 14), minlength=15).astype(np.int64)
-                out.write(rec.tobytes())
-                count += n
+                    fids = batch.column(
+                        batch.schema.get_field_index("fid")
+                    ).to_numpy(zero_copy_only=False)
+                    groups = [
+                        (int(fid), rec[fids == fid]) for fid in np.unique(fids)
+                    ]
+                for fid, sub in groups:
+                    s = _sink(fid)
+                    m = len(sub)
+                    for axis, name in enumerate("xyz"):
+                        world = (
+                            self.offset[axis]
+                            + self.scale[axis] * sub[name].astype(np.float64)
+                        )
+                        if m:
+                            s[3][axis] = min(s[3][axis], float(world.min()))
+                            s[4][axis] = max(s[4][axis], float(world.max()))
+                    if self.fmt < 6:
+                        r = sub["flags"] & 0x7
+                    else:
+                        r = sub["return"] & 0xF
+                    s[5] += np.bincount(
+                        np.minimum(r, 14), minlength=15
+                    ).astype(np.int64)
+                    s[1].write(sub.tobytes())
+                    s[2] += m
+        finally:
+            for s in sinks.values():
+                s[1].close()
         return LasCommit(
-            part_path=part,
-            count=count,
-            pmin=tuple(pmin),
-            pmax=tuple(pmax),
-            return_counts=tuple(int(v) for v in ret),
+            parts=[
+                (
+                    fid,
+                    s[0],
+                    s[2],
+                    tuple(s[3]),
+                    tuple(s[4]),
+                    tuple(int(v) for v in s[5]),
+                )
+                for fid, s in sinks.items()
+            ]
         )
 
-    def commit(self, messages) -> None:
-        total = sum(m.count for m in messages)
-        pmin = [min((m.pmin[i] for m in messages if m.count), default=0.0) for i in range(3)]
-        pmax = [max((m.pmax[i] for m in messages if m.count), default=0.0) for i in range(3)]
-        ret = [sum(m.return_counts[i] for m in messages) for i in range(15)]
+    def _merge_one(self, dest: str, parts: list) -> None:
+        """parts: list of (part_path, count, pmin, pmax, ret) for one fid."""
+        total = sum(p[1] for p in parts)
+        pmin = [
+            min((p[2][i] for p in parts if p[1]), default=0.0) for i in range(3)
+        ]
+        pmax = [
+            max((p[3][i] for p in parts if p[1]), default=0.0) for i in range(3)
+        ]
+        ret = [sum(p[4][i] for p in parts) for i in range(15)]
         # formats 6-10 and >2^32 points require LAS 1.4 — auto-upgrade
         minor = 4 if (self.fmt >= 6 or total >= 2**32) else self.minor
         header = LasHeader(
-            location=self.path,
+            location=dest,
             version_minor=minor,
             pdr_format=self.fmt,
             pdr_nb=total,
@@ -326,19 +373,42 @@ class LasWriter(DataSourceArrowWriter):
             pmax=tuple(pmax),
             pdr_return_nb=tuple(ret),
         )
-        final = os.path.join(self.path, "data.las")
-        with open(final, "wb") as out:
+        with open(dest, "wb") as out:
             out.write(header.to_bytes())
-            for m in messages:
-                with open(m.part_path, "rb") as src:
+            for p in sorted(parts):
+                with open(p[0], "rb") as src:
                     while True:
                         chunk = src.read(1 << 20)
                         if not chunk:
                             break
                         out.write(chunk)
-                os.remove(m.part_path)
+                os.remove(p[0])
+
+    def commit(self, messages) -> None:
+        by_fid: dict[int, list] = {}
+        for m in messages:
+            for fid, part_path, count, pmin, pmax, ret in m.parts:
+                by_fid.setdefault(fid, []).append(
+                    (part_path, count, pmin, pmax, ret)
+                )
+        names: dict[int, str] = {}
+        if self.fid_paths is not None:
+            bases = [
+                os.path.splitext(os.path.basename(p))[0] for p in self.fid_paths
+            ]
+            dup = {b for b in bases if bases.count(b) > 1}
+            names = {
+                fid: (f"{b}-fid{fid}.las" if b in dup else f"{b}.las")
+                for fid, b in enumerate(bases)
+            }
+        for fid, parts in sorted(by_fid.items()):
+            dest = os.path.join(self.path, names.get(fid, "data.las"))
+            self._merge_one(dest, parts)
 
     def abort(self, messages) -> None:
         for m in messages:
-            if m is not None and os.path.exists(m.part_path):
-                os.remove(m.part_path)
+            if m is None:
+                continue
+            for part in m.parts:
+                if os.path.exists(part[1]):
+                    os.remove(part[1])

@@ -69,6 +69,25 @@ def test_ply_writer_restores_source_names(spark, tmp_path):
     assert [f for f in os.listdir(out2) if f.endswith(".ply")] == ["data.ply"]
     assert spark.read.format("ply").load(out2).count() == 100
 
+    # LAS writer: same rename semantics, with per-tile header stats
+    la, lb = str(tmp_path / "cloud_a.las"), str(tmp_path / "cloud_b.las")
+    make_las(la, n=30, fmt=0, seed=3)
+    make_las(lb, n=50, fmt=0, seed=4)
+    ldf = spark.read.format("las").load([la, lb])
+    lout = str(tmp_path / "las_writeback")
+    ldf.write.format("las").mode("overwrite").option("lasformat", "0").save(lout)
+    assert sorted(f for f in os.listdir(lout) if f.endswith(".las")) == [
+        "cloud_a.las",
+        "cloud_b.las",
+    ]
+    back_a = spark.read.format("las").load(os.path.join(lout, "cloud_a.las"))
+    assert back_a.count() == 30
+    # per-tile header point count is right (metadata catalog agrees)
+    from spark_iqmulus_spark.plans.header_catalog import las_headers
+
+    cat = las_headers(spark, [os.path.join(lout, "cloud_b.las")])
+    assert cat.collect()[0]["pdr_nb"] == 50
+
 
 def test_stateful_running_totals(spark):
     """applyInPandasWithState totals over a replayed stream == batch groupBy."""

@@ -126,8 +126,9 @@ def test_las_write_roundtrip_with_stats(spark, tmp_path):
     a = df.agg(F.sum("x"), F.sum("intensity"), F.sum(F.col("time").cast("double"))).collect()[0]
     b = back.agg(F.sum("x"), F.sum("intensity"), F.sum(F.col("time").cast("double"))).collect()[0]
     assert a[0] == b[0] and a[1] == b[1] and a[2] == pytest.approx(b[2])
-    # writer header stats must equal scanned truth (A18)
-    hdr = LasHeader.parse_file(f"{out}/data.las")
+    # writer header stats must equal scanned truth (A18); the input
+    # carried fid provenance, so the output restores the source name
+    hdr = LasHeader.parse_file(f"{out}/src.las")
     assert hdr.pdr_nb == 4000
     assert sum(hdr.pdr_return_nb) == 4000
     xmin = df.agg(F.min("x")).collect()[0][0]
@@ -145,10 +146,10 @@ def test_las_format_inference_on_write(spark, tmp_path):
     df.write.format("las").mode("overwrite").save(out)
     from spark_iqmulus_spark.sources.las_format import LasHeader
 
-    assert LasHeader.parse_file(f"{out}/data.las").pdr_format == 0
+    assert LasHeader.parse_file(f"{out}/s.las").pdr_format == 0
     out2 = str(tmp_path / "forced")
     df.write.format("las").mode("overwrite").option("lasformat", "1").save(out2)
-    hdr2 = LasHeader.parse_file(f"{out2}/data.las")
+    hdr2 = LasHeader.parse_file(f"{out2}/s.las")
     assert hdr2.pdr_format == 1  # absent time column zero-filled
 
 
@@ -387,7 +388,7 @@ def test_las_write_v14(spark, tmp_path):
     df = spark.read.format("las").load(src)
     out = str(tmp_path / "v14")
     save_las(df, out, minor=4)
-    hdr = LasHeader.parse_file(f"{out}/data.las")
+    hdr = LasHeader.parse_file(f"{out}/s.las")
     assert (hdr.version_major, hdr.version_minor) == (1, 4)
     assert hdr.header_size == 375 and hdr.pdr_nb == 1500
     back = spark.read.format("las").load(out)
