@@ -58,6 +58,7 @@ from .pointcloud_common import (
     SectionPartition,
     adapt_batch,
     base_schema_fields,
+    clear_existing_outputs,
     expand_paths,
     ignore_corrupt_option,
     parse_sections,
@@ -269,6 +270,7 @@ class LasWriter(DataSourceArrowWriter):
             float(v) for v in options.get("offset", "0,0,0").split(",")
         )
         self.schema = schema
+        self.overwrite = overwrite
         self.fields = POINT_FORMATS[self.fmt]
         self.fid_paths = None
         restore = options.get("restorenames", "true").lower() != "false"
@@ -385,6 +387,7 @@ class LasWriter(DataSourceArrowWriter):
                 os.remove(p[0])
 
     def commit(self, messages) -> None:
+        clear_existing_outputs(self.path, ".las", self.overwrite)
         by_fid: dict[int, list] = {}
         for m in messages:
             for fid, part_path, count, pmin, pmax, ret in m.parts:

@@ -39,6 +39,7 @@ from .pointcloud_common import (
     SectionPartition,
     adapt_batch,
     base_schema_fields,
+    clear_existing_outputs,
     expand_paths,
     ignore_corrupt_option,
     parse_sections,
@@ -264,6 +265,7 @@ class PlyWriter(DataSourceArrowWriter):
                 os.remove(part_path)
 
     def commit(self, messages) -> None:
+        clear_existing_outputs(self.path, ".ply", self.overwrite)
         by_fid: dict[int, list] = {}
         counts: dict[int, int] = {}
         for m in messages:

@@ -98,6 +98,32 @@ def ignore_corrupt_option(options) -> bool:
     return options.get("ignorecorruptfiles", "true").lower() == "true"
 
 
+def clear_existing_outputs(path: str, ext: str, overwrite: bool) -> None:
+    """Commit-phase output hygiene for the point-cloud writers.
+
+    With name-restoring commits the output file set varies run to run, so
+    ``mode("overwrite")`` must actively remove prior ``*ext`` files (a stale
+    ``data.las`` next to a fresh ``tile_a.las`` would silently double a
+    re-read); without overwrite, any pre-existing output is an error.
+    Runs on the driver, once, before the part merge."""
+    if not os.path.isdir(path):
+        return
+    existing = [
+        f
+        for f in os.listdir(path)
+        if f.endswith(ext) and not f.startswith(".part-")
+    ]
+    if not existing:
+        return
+    if not overwrite:
+        raise FileExistsError(
+            f"output {path} already contains {ext} files {sorted(existing)[:3]}"
+            " — use mode('overwrite')"
+        )
+    for f in existing:
+        os.remove(os.path.join(path, f))
+
+
 def parse_sections(paths, parse_one, ignore_corrupt: bool, kind: str):
     """Parse per-file headers, assigning ``fid`` from the KEPT list position.
 

@@ -89,6 +89,28 @@ def test_ply_writer_restores_source_names(spark, tmp_path):
     assert cat.collect()[0]["pdr_nb"] == 50
 
 
+def test_writer_overwrite_clears_stale_outputs(spark, tmp_path):
+    """mode('overwrite') must remove previous output files even when the
+    output NAME differs between runs (rename-commit makes names vary) — a
+    stale data.las beside a fresh tile.las would double a re-read."""
+    import pytest
+
+    src = str(tmp_path / "tile.las")
+    make_las(src, n=40, fmt=0)
+    df = spark.read.format("las").load(src)
+    out = str(tmp_path / "out")
+    df.write.format("las").mode("overwrite").save(out)  # -> tile.las
+    df.write.format("las").mode("overwrite").option(
+        "restoreNames", "false"
+    ).save(out)  # -> data.las, must remove tile.las
+    assert sorted(f for f in os.listdir(out) if f.endswith(".las")) == ["data.las"]
+    assert spark.read.format("las").load(out).count() == 40
+
+    # non-overwrite into a non-empty dir is an error, not silent mixing
+    with pytest.raises(Exception, match="already contains"):
+        df.write.format("las").mode("append").save(out)
+
+
 def test_stateful_running_totals(spark):
     """applyInPandasWithState totals over a replayed stream == batch groupBy."""
     from spark_iqmulus_spark.session import load_tables
