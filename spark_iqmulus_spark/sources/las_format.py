@@ -223,7 +223,10 @@ class LasHeader:
             (evlr_count,) = struct.unpack_from("<I", buf, 243)
             (count14,) = struct.unpack_from("<Q", buf, 247)
             ret14 = struct.unpack_from("<15Q", buf, 255)
-            if count14:
+            # the 1.4 fields are authoritative (legacy slots may be zeroed
+            # for >u32 counts or formats 6-10); fall back to legacy only
+            # when a nonconforming writer left the 1.4 block entirely empty
+            if count14 or any(ret14) or not legacy_nb:
                 pdr_nb = count14
                 by_return = tuple(ret14)
         hdr = cls(
