@@ -420,6 +420,10 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(_dot(F.col("ea"), F.col("ea"))) * F.sqrt(_dot(F.col("eb"), F.col("eb")))
     )
     return (
+        # deliberate unbounded broadcast: this operator IS the documented
+        # O(N²) correctness baseline (never the scale path — that is
+        # q_dedup_embed_lsh); the non-equi pair predicate requires a BNLJ,
+        # which needs one broadcast side
         a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
         .withColumn("cos", F.round(cos, 6))
         .where(F.col("cos") >= COSINE_T)

@@ -251,6 +251,9 @@ def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = t["supplier"].select("s_suppkey", "s_acctbal")
     return (
         p.join(
+            # supplier is the dim-sized side of the non-equi band predicate;
+            # BNLJ requires a broadcast side (the scale path for fact-fact
+            # range joins is q_join_range_bucket's bucketized equi-join)
             F.broadcast(s),
             (F.col("s_acctbal") >= F.col("p_retailprice") - 100.0)
             & (F.col("s_acctbal") <= F.col("p_retailprice")),
