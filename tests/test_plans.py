@@ -316,3 +316,41 @@ def test_minhash_verify_is_candidate_bounded(spark, tables):
     # no cartesian product anywhere in the verify pipeline
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_hot_paths_stay_jvm_side(spark, tables):
+    """The declared JVM-only operators must never silently grow a Python
+    eval node (row UDF, Arrow UDF, pandas map) — Python in a 100 TB hot
+    path is a 10-100x regression that row counts would never catch.
+    Explicitly-UDF-flavored operators (q_udf_scalar, q_multimodal, the
+    pandas as-of join, ...) are exempt by design and not listed here."""
+    from spark_iqmulus_spark.registry import all_queries
+
+    qs = all_queries()
+    jvm_only = [
+        "q_text_stats",
+        "q_text_tokens",
+        "q_text_quality",
+        "q_text_langid",
+        "q_dedup_exact",
+        "q_dedup_ngram",
+        "q_dedup_minhash",
+        "q_dedup_simhash",
+        "q_sim_knn",
+        "q_pipeline_curate",
+        "q_agg_group",
+        "q_join_hash",
+        "q_window_rank",
+        "q_sort_limit",
+    ]
+    python_nodes = (
+        "BatchEvalPython",
+        "ArrowEvalPython",
+        "MapInPandas",
+        "FlatMapGroupsInPandas",
+        "PythonUDF",
+    )
+    for key in jvm_only:
+        p = plan_text(qs[key](spark, SF_DIR))
+        hits = [n for n in python_nodes if n in p]
+        assert not hits, f"{key}: Python eval node(s) {hits} in plan"
