@@ -199,7 +199,39 @@ def q_pc_voxel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pc_retile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed retile round-trip: write the derived cloud as one LAS
+    per 2048×16 (x, y) grid cell (``save_tiled_las`` — single write job,
+    fid-grouped commit), read the tile directory back, and aggregate per
+    geometric tile.  ``one_file`` certifies the physical partitioning:
+    every point of a tile landed in exactly one output file.  The oracle
+    recomputes the per-tile aggregates from ``part`` with one_file=true."""
+    from ..sources.save import save_tiled_las
+
+    register_sources(spark)
+    key = (sf_dir, "retile")
+    if key not in _CACHE or not os.path.exists(_CACHE[key]):
+        out = tempfile.mkdtemp(prefix="pc_retile_")
+        save_tiled_las(
+            _point_df(spark, sf_dir), out, (2048.0, 16.0), lasformat="1"
+        )
+        _CACHE[key] = out
+    back = spark.read.format("las").load(_CACHE[key])
+    gx = F.floor(F.col("x") / 2048).cast("long")
+    gy = F.floor(F.col("y") / 16).cast("long")
+    return (
+        back.groupBy(gx.alias("gx"), gy.alias("gy"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sum_x"),
+            F.max("intensity").alias("max_intensity"),
+            (F.countDistinct("fid") == 1).alias("one_file"),
+        )
+    )
+
+
 QUERIES = {
+    "q_pc_retile": q_pc_retile,
     "q_las_roundtrip": q_las_roundtrip,
     "q_ply_roundtrip": q_ply_roundtrip,
     "q_las_filter": q_las_filter,
@@ -213,6 +245,16 @@ QUERIES = {
 _Z = "CAST(round(p_retailprice * 100, 0) AS INTEGER)"
 
 ORACLES = {
+    "q_pc_retile": """
+        SELECT CAST(floor(CAST(p_partkey AS INTEGER) / 2048.0) AS BIGINT) AS gx,
+               CAST(floor(p_size / 16.0) AS BIGINT) AS gy,
+               count(*) AS n,
+               CAST(sum(CAST(p_partkey AS INTEGER)) AS BIGINT) AS sum_x,
+               CAST(max(p_size) AS SMALLINT) AS max_intensity,
+               true AS one_file
+        FROM part
+        GROUP BY 1, 2
+    """,
     "q_pc_voxel": f"""
         SELECT count(*) AS n_voxels, CAST(sum(n_pts) AS BIGINT) AS n_points, max(n_pts) AS max_pts,
                round(sum(cx), 2) AS sum_cx, round(sum(cz), 2) AS sum_cz

@@ -57,6 +57,62 @@ def save_xyz(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     write_xyz(df, path, mode=mode)
 
 
+def save_tiled_las(
+    df: DataFrame,
+    out_dir: str,
+    cell: tuple[float, float],
+    x: str = "x",
+    y: str = "y",
+    **opts,
+) -> list[str]:
+    """Re-tile a point cloud into a regular (x, y) grid of LAS files —
+    the canonical LiDAR "retile" operation.
+
+    Each point maps to tile ``(floor(x/cx), floor(y/cy))``; the output is
+    one valid ``.las`` per occupied tile, named ``tile_{gx}_{gy}.las``,
+    each with correct per-tile header stats.  Implementation rides the
+    writer's fid-grouping commit: occupied tiles are enumerated (one
+    aggregate — tile keys are metadata-scale, bounded by occupied cells,
+    not points), each point gets its tile's dense index as ``fid`` via a
+    broadcast join, and a SINGLE distributed write emits every tile.
+    Shuffle cost: one aggregate over tile keys + the write itself; no
+    per-tile driver jobs.
+
+    Returns the tile file names in fid order.
+    """
+    from pyspark.sql import functions as F
+
+    cx, cy = cell
+    gx = F.floor(F.col(x) / cx).cast("long")
+    gy = F.floor(F.col(y) / cy).cast("long")
+    keyed = df.withColumn("__gx", gx).withColumn("__gy", gy)
+    tiles = sorted(
+        (r["__gx"], r["__gy"])
+        for r in keyed.select("__gx", "__gy").distinct().collect()
+    )
+    names = [f"tile_{tgx}_{tgy}.las" for tgx, tgy in tiles]
+    spark = df.sparkSession
+    mapping = spark.createDataFrame(
+        [(tgx, tgy, i) for i, (tgx, tgy) in enumerate(tiles)],
+        "__gx long, __gy long, fid int",
+    )
+    fid_meta = {"paths": names}  # writer takes basenames from these
+    tiled = (
+        keyed.drop("fid", "pid")
+        .join(F.broadcast(mapping), ["__gx", "__gy"])  # bounded: one row/tile
+        .drop("__gx", "__gy")
+        .withColumn(
+            "fid",
+            F.col("fid").alias("fid", metadata=fid_meta),
+        )
+    )
+    w = tiled.write.format("las").mode("overwrite")
+    for k, v in opts.items():
+        w = w.option(k, str(v))
+    w.save(out_dir)
+    return [os.path.join(out_dir, n) for n in names]
+
+
 def save_partitioned_by_fid(df: DataFrame, out_dir: str, fmt: str = "las", **opts) -> list[str]:
     """Write one output file per source file, restoring original base names.
 

@@ -89,6 +89,37 @@ def test_ply_writer_restores_source_names(spark, tmp_path):
     assert cat.collect()[0]["pdr_nb"] == 50
 
 
+def test_save_tiled_las(spark, tmp_path):
+    """Distributed retile: one .las per occupied grid cell from a single
+    write job, each with correct per-tile count and header bounds."""
+    from spark_iqmulus_spark.sources.las_format import LasHeader
+    from spark_iqmulus_spark.sources.save import save_tiled_las
+
+    src = str(tmp_path / "cloud.las")
+    make_las(src, n=4000, fmt=0)
+    df = spark.read.format("las").load(src)
+    out = str(tmp_path / "tiles")
+    # x is int32 in raw units; pick cells that split the data into a grid
+    xr = df.agg(F.min("x"), F.max("x"), F.min("y"), F.max("y")).collect()[0]
+    cx = (xr[1] - xr[0]) / 2 + 1
+    cy = (xr[3] - xr[2]) / 2 + 1
+    written = save_tiled_las(df, out, (cx, cy), lasformat=0)
+    files = sorted(f for f in os.listdir(out) if f.endswith(".las"))
+    assert files == sorted(os.path.basename(w) for w in written)
+    assert 1 < len(files) <= 9
+    total = 0
+    for f in files:
+        hdr = LasHeader.parse_file(os.path.join(out, f))
+        n = spark.read.format("las").load(os.path.join(out, f)).count()
+        assert hdr.pdr_nb == n  # per-tile header count is per-tile truth
+        total += n
+    assert total == 4000  # exhaustive, disjoint
+    # tiles are spatially disjoint: each file's x-bounds fit its cell width
+    for f in files:
+        hdr = LasHeader.parse_file(os.path.join(out, f))
+        assert (hdr.pmax[0] - hdr.pmin[0]) <= cx * 0.01 + 1e-6  # scale 0.01
+
+
 def test_writer_overwrite_clears_stale_outputs(spark, tmp_path):
     """mode('overwrite') must remove previous output files even when the
     output NAME differs between runs (rename-commit makes names vary) — a
