@@ -131,14 +131,31 @@ def parse_sections(paths, parse_one, ignore_corrupt: bool, kind: str):
     ``ignore_corrupt`` is set, failures are warned and skipped; fid is the
     index within the surviving list, so the schema's fid→path metadata and
     the partition fids always agree (they are both built from this output).
+
+    Headers are parsed in an I/O-bound thread pool: a 100k-tile read plans
+    in seconds instead of minutes of serial open/seek/read (each header is
+    one small read; Python releases the GIL during file I/O).  Results are
+    re-assembled in ``paths`` order, so fid assignment is identical to the
+    serial loop.
     """
     import sys
+    from concurrent.futures import ThreadPoolExecutor
+
+    def attempt(path):
+        try:
+            return (path, parse_one(path), None)
+        except Exception as exc:  # re-raised or warned in order below
+            return (path, None, exc)
+
+    if len(paths) > 1:
+        with ThreadPoolExecutor(max_workers=min(32, len(paths))) as pool:
+            results = list(pool.map(attempt, paths))
+    else:
+        results = [attempt(p) for p in paths]
 
     out = []
-    for path in paths:
-        try:
-            parsed = parse_one(path)
-        except Exception as exc:
+    for path, parsed, exc in results:
+        if exc is not None:
             if ignore_corrupt:
                 print(
                     f"WARNING: skipping unreadable {kind} {path}: {exc}",
