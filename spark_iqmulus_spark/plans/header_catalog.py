@@ -20,13 +20,14 @@ from pyspark.sql import DataFrame, Row, SparkSession
 
 from ..sources.las_format import LasHeader
 from ..sources.ply_format import PlyHeader
+from ..sources.pointcloud_common import pmap_headers
 
 
 def las_headers(spark: SparkSession, paths: list[str]) -> DataFrame:
     """One row per LAS file: the FIXTURES.md F8 catalog schema."""
     rows = []
-    for p in sorted(paths):
-        h = LasHeader.parse_file(p)
+    sorted_paths = sorted(paths)
+    for p, h in zip(sorted_paths, pmap_headers(LasHeader.parse_file, sorted_paths)):
         rows.append(
             Row(
                 location=p,
@@ -47,8 +48,8 @@ def las_headers(spark: SparkSession, paths: list[str]) -> DataFrame:
 def ply_headers(spark: SparkSession, paths: list[str], element: str = "vertex") -> DataFrame:
     """One row per PLY file: element count/stride and layout facts."""
     rows = []
-    for p in sorted(paths):
-        h = PlyHeader.parse_file(p)
+    sorted_paths = sorted(paths)
+    for p, h in zip(sorted_paths, pmap_headers(PlyHeader.parse_file, sorted_paths)):
         el = h.element(element)
         rows.append(
             Row(
@@ -73,10 +74,10 @@ def count_from_headers(
     is O(files) of driver-side header reads; ``spark`` is accepted for API
     symmetry but unused."""
     if fmt == "las":
-        return sum(LasHeader.parse_file(p).pdr_nb for p in paths)
+        return sum(h.pdr_nb for h in pmap_headers(LasHeader.parse_file, paths))
     total = 0
-    for p in paths:
-        el = PlyHeader.parse_file(p).element(element)
+    for h in pmap_headers(PlyHeader.parse_file, paths):
+        el = h.element(element)
         total += el.count if el else 0
     return total
 
@@ -87,7 +88,7 @@ def minmax_from_headers(
     """Metadata-only MIN/MAX(x,y,z) in world coordinates from LAS headers
     (AggregatePlan semantics, ExtraStrategies.scala:49-76) — driver-side
     only, no Spark job."""
-    headers = [LasHeader.parse_file(p) for p in paths]
+    headers = pmap_headers(LasHeader.parse_file, paths)
     out: dict[str, float] = {}
     for i, c in enumerate("xyz"):
         out[f"{c}_min"] = min(h.pmin[i] for h in headers)

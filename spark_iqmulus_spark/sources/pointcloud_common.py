@@ -124,6 +124,18 @@ def clear_existing_outputs(path: str, ext: str, overwrite: bool) -> None:
         os.remove(os.path.join(path, f))
 
 
+def pmap_headers(parse_one, paths):
+    """Order-preserving parallel map of a header parser over paths (I/O
+    bound; GIL released in file reads).  Exceptions propagate."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    paths = list(paths)
+    if len(paths) <= 1:
+        return [parse_one(p) for p in paths]
+    with ThreadPoolExecutor(max_workers=min(32, len(paths))) as pool:
+        return list(pool.map(parse_one, paths))
+
+
 def parse_sections(paths, parse_one, ignore_corrupt: bool, kind: str):
     """Parse per-file headers, assigning ``fid`` from the KEPT list position.
 
