@@ -106,6 +106,11 @@ def save_tiled_las(
             F.col("fid").alias("fid", metadata=fid_meta),
         )
     )
+    # co-locate each tile's points before writing: without this every
+    # write task opens one sidecar per tile it sees (10k tiles × 32 tasks
+    # = handle explosion); after the shuffle each task holds a few whole
+    # tiles and each output file merges from ~1 part
+    tiled = tiled.repartition("fid")
     w = tiled.write.format("las").mode("overwrite")
     for k, v in opts.items():
         w = w.option(k, str(v))
