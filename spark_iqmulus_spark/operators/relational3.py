@@ -281,16 +281,24 @@ def q_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``percentile_approx``): the scale path for `q_percentile_group` — one
     pass, mergeable per-partition sketches, no sort, memory bounded by the
     accuracy parameter instead of group size.  Sketch internals are
-    engine-specific, so this is a rows-only key; the error bound vs the
-    exact baseline is asserted in tests/test_operators.py."""
+    engine-specific, so the hash-checked output is the ERROR BOUND: exact
+    percentiles plus booleans asserting the sketch landed within 2% of
+    them (the oracle recomputes the exact side and asserts ``true``) —
+    the same bound-as-oracle reformulation as ``q_approx_distinct``."""
     t = load_tables(spark, sf_dir)
+    approx_p50 = F.percentile_approx("l_quantity", 0.5, 10000)
+    approx_p90 = F.percentile_approx("l_extendedprice", 0.9, 10000)
+    exact_p50 = F.percentile("l_quantity", 0.5)
+    exact_p90 = F.percentile("l_extendedprice", 0.9)
     return (
         t["lineitem"]
         .groupBy("l_returnflag")
         .agg(
-            F.percentile_approx("l_quantity", 0.5, 10000).alias("p50_qty"),
-            F.percentile_approx("l_extendedprice", 0.9, 10000).alias("p90_price"),
             F.count(F.lit(1)).alias("n"),
+            F.round(exact_p50, 4).alias("exact_p50_qty"),
+            F.round(exact_p90, 4).alias("exact_p90_price"),
+            (F.abs(approx_p50 - exact_p50) <= 0.02 * exact_p50).alias("p50_ok"),
+            (F.abs(approx_p90 - exact_p90) <= 0.02 * exact_p90).alias("p90_ok"),
         )
     )
 
@@ -492,15 +500,20 @@ def q_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-event-type user cardinality via ``hll_sketch_agg`` — the
     re-aggregatable scale path for count-distinct (sketches union across
     partitions/days; exact distinct needs a full shuffle of the keys).
-    Sketch bytes are engine-specific → rows-only; the estimate's error
-    bound vs exact count_distinct is asserted in tests."""
+    Sketch bytes are engine-specific, so the hash-checked output is the
+    ERROR BOUND: exact distinct counts plus a boolean asserting the HLL
+    estimate landed within 5% (the oracle recomputes the exact side and
+    asserts ``true``)."""
     t = load_tables(spark, sf_dir)
+    est = F.hll_sketch_estimate(F.hll_sketch_agg("user_id"))
+    exact = F.countDistinct("user_id")
     return (
         t["events"]
         .groupBy("event_type")
         .agg(
-            F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("approx_users"),
             F.count(F.lit(1)).alias("n_events"),
+            exact.alias("exact_users"),
+            (F.abs(est - exact) <= 0.05 * exact).alias("within_5pct"),
         )
     )
 
@@ -937,6 +950,20 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_percentile_approx": """
+        SELECT l_returnflag, count(*) AS n,
+               round(quantile_cont(l_quantity, 0.5), 4) AS exact_p50_qty,
+               round(quantile_cont(l_extendedprice, 0.9), 4) AS exact_p90_price,
+               true AS p50_ok,
+               true AS p90_ok
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "q_sketch_hll": """
+        SELECT event_type, count(*) AS n_events,
+               count(DISTINCT user_id) AS exact_users,
+               true AS within_5pct
+        FROM events GROUP BY event_type
+    """,
     "q_events_transitions": """
         WITH pairs AS (
             SELECT lag(event_type) OVER (PARTITION BY user_id
