@@ -300,6 +300,94 @@ def _simhash_mask(k: int) -> int:
     return m - (1 << 64) if m >= (1 << 63) else m
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: a NEW batch (doc_id % 10 == 0) checked against
+    the EXISTING corpus (doc_id % 10 != 0) — the production ingestion
+    shape: the corpus is never re-deduped against itself, only the delta
+    is joined against it.
+
+    Per delta document: an ``exact`` verdict if its normalized content
+    hash exists in the corpus, else a ``near`` verdict with the best
+    corpus Jaccard >= {JACCARD_T} (directional shingle join, hot-shingle
+    capped), else the document is clean and not reported.  matched_doc is
+    the smallest matching corpus doc_id (deterministic).
+
+    Scale: the exact check is a semi-join on a 256-bit hash; the near
+    check shuffles delta-shingles against corpus-shingles — both sides
+    keyed, the delta side is the small one, and the hot-shingle cap
+    bounds fan-out.  Nothing rescans corpus × corpus."""
+    t = load_tables(spark, sf_dir)
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    docs = t["documents"].select("doc_id", norm.alias("norm"))
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    delta = docs.where(F.col("doc_id") % 10 == 0)
+
+    exact = (
+        delta.alias("d")
+        .join(corpus.alias("c"), F.col("d.norm") == F.col("c.norm"))
+        .groupBy(F.col("d.doc_id").alias("doc_id"))
+        .agg(F.min(F.col("c.doc_id")).alias("matched_doc"))
+        .select(
+            "doc_id",
+            F.lit("exact").alias("match_type"),
+            "matched_doc",
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+
+    sh = _shingles(t["documents"])
+    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    sh_f = sh.join(df_counts.where(F.col("df") <= MAX_DF).select("shingle"), "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    d_sh = sh_f.join(delta.select("doc_id"), "doc_id", "left_semi").select(
+        F.col("doc_id").alias("delta_id"), "shingle"
+    )
+    c_sh = sh_f.join(corpus.select("doc_id"), "doc_id", "left_semi").select(
+        F.col("doc_id").alias("corpus_id"), "shingle"
+    )
+    inter = (
+        d_sh.join(c_sh, "shingle")
+        .groupBy("delta_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    near_pairs = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("delta_id"), F.col("n_sh").alias("na")),
+            "delta_id",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("corpus_id"), F.col("n_sh").alias("nb")),
+            "corpus_id",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+        )
+        .where(F.col("jaccard") >= JACCARD_T)
+    )
+    # best corpus match per delta doc, deterministic tiebreak:
+    # (jaccard desc, corpus_id asc); exact matches win over near
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("delta_id").orderBy(
+        F.desc("jaccard"), F.asc("corpus_id")
+    )
+    near = (
+        near_pairs.join(
+            exact.select(F.col("doc_id").alias("delta_id")), "delta_id", "left_anti"
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("delta_id").alias("doc_id"),
+            F.lit("near").alias("match_type"),
+            F.col("corpus_id").alias("matched_doc"),
+            "jaccard",
+        )
+    )
+    return exact.unionByName(near)
+
+
 def simhash_64(docs: DataFrame) -> DataFrame:
     """64-bit SimHash per document from distinct token hashes.
 
@@ -545,6 +633,7 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "q_dedup_incremental": q_dedup_incremental,
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_ngram": q_dedup_ngram,
     "q_dedup_minhash": q_dedup_minhash,
@@ -663,6 +752,61 @@ ORACLES = {
         FROM cand c
         JOIN d da ON da.doc_id = c.doc_a
         JOIN d db ON db.doc_id = c.doc_b
+    """,
+    "q_dedup_incremental": f"""
+        WITH d AS (
+            SELECT doc_id, {_NORM} AS norm FROM documents
+        ), corpus AS (
+            SELECT * FROM d WHERE doc_id % 10 != 0
+        ), delta AS (
+            SELECT * FROM d WHERE doc_id % 10 = 0
+        ), exact AS (
+            SELECT dl.doc_id, 'exact' AS match_type,
+                   min(c.doc_id) AS matched_doc, 1.0 AS jaccard
+            FROM delta dl JOIN corpus c ON dl.norm = c.norm
+            GROUP BY dl.doc_id
+        ), toks AS (
+            SELECT doc_id,
+                   string_split({_NORM}, ' ') AS words
+            FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(generate_series(1, len(words) - 2),
+                          i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
+            FROM toks WHERE len(words) >= 3
+        ), keep AS (
+            SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {MAX_DF}
+        ), shf AS (
+            SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS delta_id, b.doc_id AS corpus_id, count(*) AS inter
+            FROM shf a JOIN shf b ON a.shingle = b.shingle
+            WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 != 0
+            GROUP BY 1, 2
+        ), near_pairs AS (
+            SELECT delta_id, corpus_id,
+                   round(CAST(inter AS DOUBLE)
+                         / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = delta_id
+            JOIN sizes sb ON sb.doc_id = corpus_id
+            WHERE round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6)
+                  >= {JACCARD_T}
+        ), near AS (
+            SELECT delta_id AS doc_id, 'near' AS match_type,
+                   corpus_id AS matched_doc, jaccard
+            FROM (
+                SELECT np.*,
+                       row_number() OVER (
+                           PARTITION BY delta_id
+                           ORDER BY jaccard DESC, corpus_id) AS rn
+                FROM near_pairs np
+                WHERE delta_id NOT IN (SELECT doc_id FROM exact)
+            ) WHERE rn = 1
+        )
+        SELECT * FROM exact UNION ALL SELECT * FROM near
     """,
     "q_dedup_exact": f"""
         SELECT sha256({_NORM}) AS content_hash,
