@@ -336,6 +336,7 @@ def test_hot_paths_stay_jvm_side(spark, tables):
         "q_dedup_ngram",
         "q_dedup_minhash",
         "q_dedup_simhash",
+        "q_dedup_incremental",
         "q_sim_knn",
         "q_pipeline_curate",
         "q_agg_group",
