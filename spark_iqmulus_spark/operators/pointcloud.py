@@ -17,7 +17,6 @@ Derivation (identical in Spark and SQL):
 from __future__ import annotations
 
 import os
-import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession

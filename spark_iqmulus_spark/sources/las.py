@@ -48,10 +48,8 @@ from .binary_section import BinarySection, SectionField, plan_record_ranges
 from .las_format import (
     NP_TO_SQL,
     POINT_FORMATS,
-    SQL_TO_NP,
     LasHeader,
     format_from_schema,
-    format_stride,
 )
 from .pointcloud_common import (
     DEFAULT_PARTITION_BYTES,

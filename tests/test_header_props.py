@@ -14,7 +14,6 @@ from hypothesis import given, settings, strategies as st
 
 from spark_iqmulus_spark.sources.las_format import (
     HEADER_SIZE,
-    POINT_FORMATS,
     LasHeader,
     format_stride,
 )
