@@ -99,3 +99,43 @@ def minmax_from_headers(
 def las_info(path: str) -> str:
     """lasinfo-style header report (A23 — LasHeader.scala:246-284)."""
     return LasHeader.parse_file(path).info()
+
+
+def scan_report(paths: list[str], fmt: str = "las") -> dict:
+    """Driver-side read-completeness audit for the skip-with-warning default.
+
+    The point-cloud sources default to ``ignoreCorruptFiles=true`` (reference
+    parity, PlyRelation.scala:101-115), so an unreadable tile degrades to a
+    stderr warning rather than a failed job.  This helper is the queryable
+    counterpart: parse every header on the driver and report exactly which
+    files a read of ``paths`` would include vs. skip, so pipelines can gate
+    on ``report["skipped_count"] == 0`` before trusting a result.
+
+    Returns ``{"readable": [...], "skipped": [(path, error_str), ...],
+    "readable_count": int, "skipped_count": int}``.
+    """
+    parse_one = LasHeader.parse_file if fmt == "las" else PlyHeader.parse_file
+
+    def attempt(p):
+        try:
+            parse_one(p)
+            return (p, None)
+        except Exception as exc:
+            return (p, str(exc))
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    paths = sorted(paths)
+    if len(paths) > 1:
+        with ThreadPoolExecutor(max_workers=min(32, len(paths))) as pool:
+            results = list(pool.map(attempt, paths))
+    else:
+        results = [attempt(p) for p in paths]
+    readable = [p for p, err in results if err is None]
+    skipped = [(p, err) for p, err in results if err is not None]
+    return {
+        "readable": readable,
+        "skipped": skipped,
+        "readable_count": len(readable),
+        "skipped_count": len(skipped),
+    }

@@ -35,6 +35,14 @@ _MODULES = (
 #: the registry (the driver checks the first N keys) must see the point-cloud
 #: scans/writes (§2A), the declared relational + streaming surface (§2B), and
 #: the LLM-pipeline flagships (§2C) before the long tail of extra variants.
+#:
+#: FROZEN as of round 5: this ordering is a stable, documented priority and
+#: will not change between rounds (per ADVICE r4 — rotating keys into/out of
+#: the externally-sampled window makes cross-round results incomparable).
+#: New keys append AFTER this tuple (alphabetical registration order); the
+#: full surface — windowed or not — is verified every round by
+#: ``tools/check.py --strict`` over all keys (result logged to
+#: PROGRESS.jsonl).
 _PRIORITY = (
     # §2A point-cloud sources/sinks
     "q_las_roundtrip",
@@ -86,10 +94,8 @@ _PRIORITY = (
     "q_subquery_in",
     "q_udf_scalar",
     "q_udaf",
-    # rotation slots up to the 50-key window: previously-unwindowed keys
-    # (incl. the a21d483 canonicalization fixes) get a driver-green row;
-    # the rotated-out extras (q_pc_voxel, q_pc_union_formats,
-    # q_multimodal_frames) remain oracle-gated via tools/check.py.
+    # remaining window slots (frozen — see note above); everything past
+    # the window is equally oracle-gated via tools/check.py --strict.
     "q_sql_api",
     "q_variant",
     "q_map_funcs",

@@ -257,7 +257,18 @@ class LasWriter(DataSourceArrowWriter):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("write path required")
-        data_names = {f.name for f in schema.fields if f.name not in ("fid", "pid")}
+        # namecol: string column holding each row's destination basename —
+        # fully distributed grouped output (no driver-side name enumeration;
+        # the tile path save_tiled_las rides this).  Takes precedence over
+        # fid-provenance naming.
+        self.namecol = options.get("namecol")
+        if self.namecol is not None and self.namecol not in schema.names:
+            raise ValueError(f"namecol {self.namecol!r} not in schema")
+        data_names = {
+            f.name
+            for f in schema.fields
+            if f.name not in ("fid", "pid", self.namecol)
+        }
         forced = options.get("lasformat")
         self.fmt = int(forced) if forced is not None else format_from_schema(data_names)
         self.minor = int(options.get("minor", options.get("version", "2")))
@@ -287,10 +298,12 @@ class LasWriter(DataSourceArrowWriter):
         # fid → [path, file, count, pmin, pmax, ret]
         sinks: dict[int, list] = {}
 
-        def _sink(fid: int) -> list:
+        def _sink(fid) -> list:
             s = sinks.get(fid)
             if s is None:
-                p = os.path.join(self.path, f".part-{uuid.uuid4().hex}-f{fid}.lasbin")
+                # key is an int fid or a namecol string; uuid alone keeps the
+                # part name safe either way
+                p = os.path.join(self.path, f".part-{uuid.uuid4().hex}.lasbin")
                 s = [p, open(p, "wb"), 0, [np.inf] * 3, [-np.inf] * 3,
                      np.zeros(15, dtype=np.int64)]
                 sinks[fid] = s
@@ -304,7 +317,21 @@ class LasWriter(DataSourceArrowWriter):
                     if name in in_names:
                         col = batch.column(batch.schema.get_field_index(name))
                         rec[name] = col.to_numpy(zero_copy_only=False)
-                if self.fid_paths is None:
+                if self.namecol is not None:
+                    ncol = batch.column(
+                        batch.schema.get_field_index(self.namecol)
+                    )
+                    if ncol.null_count:
+                        raise ValueError(
+                            f"null destination name in {self.namecol!r} —"
+                            " null/NaN coordinates in the tiling keys?"
+                        )
+                    names_arr = np.asarray(ncol.to_pylist(), dtype=object)
+                    groups = [
+                        (str(nm), rec[names_arr == nm])
+                        for nm in sorted(set(names_arr.tolist()))
+                    ]
+                elif self.fid_paths is None:
                     groups = [(-1, rec)]
                 else:
                     fids = batch.column(
@@ -392,6 +419,22 @@ class LasWriter(DataSourceArrowWriter):
                 by_fid.setdefault(fid, []).append(
                     (part_path, count, pmin, pmax, ret)
                 )
+        if self.namecol is not None:
+            for name, parts in sorted(by_fid.items()):
+                if (
+                    not name
+                    or "/" in name
+                    or "\\" in name
+                    or "\0" in name
+                    or name in (".", "..")
+                ):
+                    raise ValueError(
+                        f"invalid destination basename {name!r} in namecol"
+                    )
+                if not name.endswith(".las"):
+                    name += ".las"
+                self._merge_one(os.path.join(self.path, name), parts)
+            return
         names: dict[int, str] = {}
         if self.fid_paths is not None:
             bases = [
@@ -403,6 +446,15 @@ class LasWriter(DataSourceArrowWriter):
                 for fid, b in enumerate(bases)
             }
         for fid, parts in sorted(by_fid.items()):
+            if self.fid_paths is not None and fid not in names:
+                # silently funneling unknown fids into one shared dest would
+                # overwrite earlier merges ('wb' per fid) and lose points
+                raise ValueError(
+                    f"fid {fid} has no entry in the fid column's 'paths'"
+                    f" metadata ({len(self.fid_paths)} paths) — refusing to"
+                    " write; fix the fid values or set"
+                    " .option('restoreNames','false')"
+                )
             dest = os.path.join(self.path, names.get(fid, "data.las"))
             self._merge_one(dest, parts)
 

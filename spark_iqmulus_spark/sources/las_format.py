@@ -229,6 +229,11 @@ class LasHeader:
             if count14 or any(ret14) or not legacy_nb:
                 pdr_nb = count14
                 by_return = tuple(ret14)
+                if not count14 and any(ret14):
+                    # nonconforming writer zeroed count14 but filled the
+                    # per-return slots: a 0 count would plan zero records
+                    # from a file that has data — derive it instead
+                    pdr_nb = legacy_nb or sum(ret14)
         hdr = cls(
             location=location,
             version_major=major,

@@ -283,6 +283,15 @@ class PlyWriter(DataSourceArrowWriter):
                 for fid, b in enumerate(bases)
             }
         for fid, parts in sorted(by_fid.items()):
+            if self.fid_paths is not None and fid not in names:
+                # silently funneling unknown fids into one shared dest would
+                # overwrite earlier merges ('wb' per fid) and lose points
+                raise ValueError(
+                    f"fid {fid} has no entry in the fid column's 'paths'"
+                    f" metadata ({len(self.fid_paths)} paths) — refusing to"
+                    " write; fix the fid values or set"
+                    " .option('restoreNames','false')"
+                )
             dest = os.path.join(self.path, names.get(fid, "data.ply"))
             self._merge_one(dest, sorted(parts), counts[fid])
 

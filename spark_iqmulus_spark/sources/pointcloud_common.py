@@ -166,9 +166,11 @@ def parse_sections(paths, parse_one, ignore_corrupt: bool, kind: str):
         results = [attempt(p) for p in paths]
 
     out = []
+    skipped = 0
     for path, parsed, exc in results:
         if exc is not None:
             if ignore_corrupt:
+                skipped += 1
                 print(
                     f"WARNING: skipping unreadable {kind} {path}: {exc}",
                     file=sys.stderr,
@@ -176,6 +178,18 @@ def parse_sections(paths, parse_one, ignore_corrupt: bool, kind: str):
                 continue
             raise ValueError(f"unreadable {kind} file {path}: {exc}") from exc
         out.append((len(out), path, parsed))
+    if skipped:
+        # headline count so a shrunk read is visible at a glance, not only
+        # via per-file lines buried in the log (ADVICE r4); the driver-side
+        # audit path is plans.header_catalog.scan_report(paths, fmt)
+        print(
+            f"WARNING: {kind} read skipped {skipped}/{len(results)} unreadable"
+            " file(s) (ignoreCorruptFiles=true default — reference parity,"
+            " PlyRelation.scala:101-115); pass"
+            " .option('ignoreCorruptFiles','false') for fail-fast, or audit"
+            " with header_catalog.scan_report()",
+            file=sys.stderr,
+        )
     return out
 
 

@@ -11,7 +11,10 @@ header merge), so ``save_las(df, path)`` is just ergonomic sugar.
 ``save_partitioned_by_fid`` restores the reference's commit-rename behavior
 (``PlyRelation.scala:65-72``: ``fid=N`` partition dirs renamed back to the
 original source file names recorded in the ``fid`` column metadata): one
-output file per source file, named after the source.
+output file per source file, named after the source — a single distributed
+job riding the writers' fid-grouped commit.  ``save_tiled_las`` re-tiles to
+a regular grid through the writer's ``namecol`` grouped commit, with no
+driver-side tile enumeration.
 """
 
 from __future__ import annotations
@@ -63,6 +66,7 @@ def save_tiled_las(
     cell: tuple[float, float],
     x: str = "x",
     y: str = "y",
+    on_invalid: str = "error",
     **opts,
 ) -> list[str]:
     """Re-tile a point cloud into a regular (x, y) grid of LAS files —
@@ -70,52 +74,58 @@ def save_tiled_las(
 
     Each point maps to tile ``(floor(x/cx), floor(y/cy))``; the output is
     one valid ``.las`` per occupied tile, named ``tile_{gx}_{gy}.las``,
-    each with correct per-tile header stats.  Implementation rides the
-    writer's fid-grouping commit: occupied tiles are enumerated (one
-    aggregate — tile keys are metadata-scale, bounded by occupied cells,
-    not points), each point gets its tile's dense index as ``fid`` via a
-    broadcast join, and a SINGLE distributed write emits every tile.
-    Shuffle cost: one aggregate over tile keys + the write itself; no
-    per-tile driver jobs.
+    each with correct per-tile header stats.  Fully distributed: the tile
+    name is computed as a *column expression* and the writer's ``namecol``
+    grouped commit emits every tile from ONE job — no driver-side tile
+    enumeration (at 100 TB a fine grid is 10⁶-10⁷ occupied cells; nothing
+    here collects them).  Shuffle cost: one hash repartition on the tile
+    name (co-locating each tile's points so each output merges from ~1
+    part) + the write itself.
 
-    Returns the tile file names in fid order.
+    Null/NaN ``x``/``y`` cannot be tiled: ``on_invalid="error"`` (default)
+    fails the job with a clear message; ``"drop"`` filters such points out.
+
+    Returns the written tile paths (sorted; listed from the output dir —
+    O(tiles) driver memory for the *return value only*, not the write).
     """
     from pyspark.sql import functions as F
 
     cx, cy = cell
-    gx = F.floor(F.col(x) / cx).cast("long")
-    gy = F.floor(F.col(y) / cy).cast("long")
-    keyed = df.withColumn("__gx", gx).withColumn("__gy", gy)
-    tiles = sorted(
-        (r["__gx"], r["__gy"])
-        for r in keyed.select("__gx", "__gy").distinct().collect()
+    xc, yc = F.col(x), F.col(y)
+    valid = xc.isNotNull() & yc.isNotNull()
+    dtypes = dict(df.dtypes)
+    for cname in (x, y):
+        if dtypes.get(cname) in ("float", "double"):
+            valid = valid & ~F.isnan(F.col(cname))
+    gx = F.floor(xc / cx).cast("long")
+    gy = F.floor(yc / cy).cast("long")
+    name = F.concat_ws(
+        "", F.lit("tile_"), gx, F.lit("_"), gy, F.lit(".las")
     )
-    names = [f"tile_{tgx}_{tgy}.las" for tgx, tgy in tiles]
-    spark = df.sparkSession
-    mapping = spark.createDataFrame(
-        [(tgx, tgy, i) for i, (tgx, tgy) in enumerate(tiles)],
-        "__gx long, __gy long, fid int",
-    )
-    fid_meta = {"paths": names}  # writer takes basenames from these
+    if on_invalid == "drop":
+        df = df.where(valid)
+    elif on_invalid != "error":
+        raise ValueError(f"on_invalid must be 'error' or 'drop', got {on_invalid!r}")
+    # under "error", an invalid point yields a null name and the writer
+    # task raises with a clear message (nulls never silently drop)
     tiled = (
-        keyed.drop("fid", "pid")
-        .join(F.broadcast(mapping), ["__gx", "__gy"])  # bounded: one row/tile
-        .drop("__gx", "__gy")
-        .withColumn(
-            "fid",
-            F.col("fid").alias("fid", metadata=fid_meta),
-        )
+        df.drop("fid", "pid")
+        .withColumn("__file__", F.when(valid, name))
+        .repartition("__file__")
     )
-    # co-locate each tile's points before writing: without this every
-    # write task opens one sidecar per tile it sees (10k tiles × 32 tasks
-    # = handle explosion); after the shuffle each task holds a few whole
-    # tiles and each output file merges from ~1 part
-    tiled = tiled.repartition("fid")
-    w = tiled.write.format("las").mode("overwrite")
+    w = (
+        tiled.write.format("las")
+        .mode("overwrite")
+        .option("namecol", "__file__")
+    )
     for k, v in opts.items():
         w = w.option(k, str(v))
     w.save(out_dir)
-    return [os.path.join(out_dir, n) for n in names]
+    return sorted(
+        os.path.join(out_dir, f)
+        for f in os.listdir(out_dir)
+        if f.endswith(".las")
+    )
 
 
 def save_partitioned_by_fid(df: DataFrame, out_dir: str, fmt: str = "las", **opts) -> list[str]:
@@ -123,20 +133,42 @@ def save_partitioned_by_fid(df: DataFrame, out_dir: str, fmt: str = "las", **opt
 
     Source paths come from the ``fid`` column metadata (populated by the
     readers — the reference keeps them the same way,
-    BinarySectionRelation.scala:138-142).  Each fid's rows are filtered and
-    written through the normal committing writer; the per-file loop runs on
-    the driver but each write is a distributed job, so this scales with the
-    *number of files*, not rows.
+    BinarySectionRelation.scala:138-142).  One SINGLE distributed job: the
+    LAS/PLY writers' commit already groups parts by ``fid`` and restores
+    per-source names, so this is sugar over ``df.write`` plus a
+    co-locating repartition — no per-file rescan of the input (the r3
+    helper ran one filtered job per fid: F passes over the data; gone).
+    XYZ (no grouped-commit writer) routes through the CSV writer's
+    ``partitionBy("fid")`` + a driver-side directory rename, still one job.
     """
     fid_field = next(f for f in df.schema.fields if f.name == "fid")
     paths = (fid_field.metadata or {}).get("paths")
     if not paths:
         raise ValueError("fid column has no 'paths' metadata — not a point-cloud read?")
-    saver = {"las": save_las, "ply": save_ply, "xyz": save_xyz}[fmt]
-    written = []
-    for fid, src in enumerate(paths):
-        base = os.path.splitext(os.path.basename(src))[0]
-        dest = os.path.join(out_dir, base)
-        saver(df.where(df.fid == fid), dest, **opts)
-        written.append(dest)
-    return written
+    bases = [os.path.splitext(os.path.basename(p))[0] for p in paths]
+    if fmt in ("las", "ply"):
+        ext = f".{fmt}"
+        w = df.repartition("fid").write.format(fmt).mode("overwrite")
+        for k, v in opts.items():
+            w = w.option(k, str(v))
+        w.save(out_dir)
+        return [os.path.join(out_dir, b + ext) for b in bases]
+    if fmt == "xyz":
+        cols = [c for c in df.columns if c != "pid"]
+        (
+            df.select(*cols)
+            .repartition("fid")
+            .write.mode("overwrite")
+            .partitionBy("fid")
+            .options(sep="\t")
+            .csv(out_dir)
+        )
+        written = []
+        for fid, b in enumerate(bases):
+            src = os.path.join(out_dir, f"fid={fid}")
+            dest = os.path.join(out_dir, b)
+            if os.path.isdir(src):
+                os.rename(src, dest)
+                written.append(dest)
+        return written
+    raise ValueError(f"unsupported format {fmt!r}")

@@ -30,7 +30,8 @@ def test_save_helpers(spark, tmp_path):
 
 
 def test_save_partitioned_by_fid_restores_names(spark, tmp_path):
-    """A17 rename semantics: one output per source file, original base name."""
+    """A17 rename semantics: one output per source file, original base name,
+    from a SINGLE distributed job (no per-fid rescan of the input)."""
     from spark_iqmulus_spark.sources.save import save_partitioned_by_fid
 
     a, b = str(tmp_path / "tile_a.las"), str(tmp_path / "tile_b.las")
@@ -39,9 +40,23 @@ def test_save_partitioned_by_fid_restores_names(spark, tmp_path):
     df = spark.read.format("las").load([a, b])
     out = str(tmp_path / "writeback")
     written = save_partitioned_by_fid(df, out, fmt="las", lasformat=0)
-    assert sorted(os.path.basename(w) for w in written) == ["tile_a", "tile_b"]
-    assert spark.read.format("las").load(os.path.join(out, "tile_a")).count() == 120
-    assert spark.read.format("las").load(os.path.join(out, "tile_b")).count() == 80
+    assert sorted(os.path.basename(w) for w in written) == [
+        "tile_a.las",
+        "tile_b.las",
+    ]
+    assert spark.read.format("las").load(os.path.join(out, "tile_a.las")).count() == 120
+    assert spark.read.format("las").load(os.path.join(out, "tile_b.las")).count() == 80
+
+    # xyz path: partitionBy single job + dir rename
+    xout = str(tmp_path / "writeback_xyz")
+    xw = save_partitioned_by_fid(df, xout, fmt="xyz")
+    assert sorted(os.path.basename(w) for w in xw) == ["tile_a", "tile_b"]
+    from spark_iqmulus_spark.sources.xyz import read_xyz
+
+    assert (
+        read_xyz(spark, os.path.join(xout, "tile_a"), df.drop("fid", "pid").schema).count()
+        == 120
+    )
 
 
 def test_ply_writer_restores_source_names(spark, tmp_path):
@@ -118,6 +133,50 @@ def test_save_tiled_las(spark, tmp_path):
     for f in files:
         hdr = LasHeader.parse_file(os.path.join(out, f))
         assert (hdr.pmax[0] - hdr.pmin[0]) <= cx * 0.01 + 1e-6  # scale 0.01
+
+
+def test_save_tiled_las_is_driver_enumeration_free():
+    """Scale pin (VERDICT r4 item 2): the tile path must not enumerate
+    occupied tiles on the driver — at 100 TB a fine grid is 10⁶-10⁷ cells.
+    The only permitted driver-side listing is the post-write os.listdir for
+    the return value."""
+    import inspect
+
+    from spark_iqmulus_spark.sources import save
+
+    src = inspect.getsource(save.save_tiled_las)
+    assert ".collect()" not in src and ".toPandas()" not in src
+    src_fid = inspect.getsource(save.save_partitioned_by_fid)
+    # one distributed job: no per-fid filtered writes in a driver loop
+    assert ".where(" not in src_fid and ".filter(" not in src_fid
+
+
+def test_save_tiled_las_invalid_coords(spark, tmp_path):
+    """Null coordinates: on_invalid='error' fails loudly (never silent
+    drops); on_invalid='drop' filters and writes the rest."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from spark_iqmulus_spark.sources.save import save_tiled_las
+
+    src = str(tmp_path / "cloud.las")
+    make_las(src, n=200, fmt=0)
+    df = (
+        spark.read.format("las")
+        .load(src)
+        .withColumn(
+            "x", F.when(F.col("pid") < 5, None).otherwise(F.col("x"))
+        )
+    )
+    with pytest.raises(Exception, match="null destination name"):
+        save_tiled_las(df, str(tmp_path / "t_err"), (1e9, 1e9), lasformat=0)
+    written = save_tiled_las(
+        df, str(tmp_path / "t_drop"), (1e9, 1e9), on_invalid="drop", lasformat=0
+    )
+    total = sum(
+        spark.read.format("las").load(w).count() for w in written
+    )
+    assert total == 195
 
 
 def test_writer_overwrite_clears_stale_outputs(spark, tmp_path):
