@@ -156,9 +156,11 @@ def q_stream_state_v2(spark, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import functions as F
 
+    from ..compat import ensure_protobuf_on_workers
     from ..session import normalize_session, ts_micros_if_long
 
     normalize_session(spark)  # nanosAsLong/UTC before the raw parquet read
+    ensure_protobuf_on_workers(spark)  # vendored protobuf for worker procs
     # transformWithState requires the RocksDB state store provider
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
@@ -194,15 +196,20 @@ def q_stream_state_v2(spark, sf_dir: str) -> DataFrame:
 
 def _tws_available() -> bool:
     """transformWithStateInPandas drives state through a protobuf-based
-    sidecar protocol; without google.protobuf the driver worker crashes at
-    init (verified: ImportError in transform_with_state_driver_worker).
-    Gate the declared query on the dependency — the implementation above
-    is complete and activates wherever protobuf is installed."""
+    sidecar protocol.  ``ensure_protobuf`` vendors a minimal pure-Python
+    protobuf runtime (``spark_iqmulus_spark._vendor``) when no real
+    distribution is installed, which makes the protocol work in this
+    container too; the gate stays for environments where even the shim
+    cannot load."""
+    from ..compat import ensure_protobuf
+
+    if not ensure_protobuf():
+        return False
     try:
-        from google.protobuf import descriptor  # noqa: F401
+        import pyspark.sql.streaming.proto.StateMessage_pb2  # noqa: F401
 
         return True
-    except ImportError:
+    except Exception:
         return False
 
 
