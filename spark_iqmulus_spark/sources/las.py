@@ -166,11 +166,24 @@ class LasReader(DataSourceReader):
         self.range_filters: list = []  # (axis_name, lo, hi) raw-coord bounds
     def _file_can_match(self, hdr: LasHeader) -> bool:
         for col, lo, hi in self.range_filters:
-            axis = "xyz".index(col)
-            scale, offset = hdr.scale[axis], hdr.offset[axis]
-            # unscale world bounds into raw int space (ExtraStrategies.scala:53)
-            raw_min = (hdr.pmin[axis] - offset) / scale if scale else hdr.pmin[axis]
-            raw_max = (hdr.pmax[axis] - offset) / scale if scale else hdr.pmax[axis]
+            if col in ("x", "y", "z"):
+                axis = "xyz".index(col)
+                scale, offset = hdr.scale[axis], hdr.offset[axis]
+                # unscale world bounds into raw int space (ExtraStrategies.scala:53)
+                raw_min = (hdr.pmin[axis] - offset) / scale if scale else hdr.pmin[axis]
+                raw_max = (hdr.pmax[axis] - offset) / scale if scale else hdr.pmax[axis]
+            else:
+                # ExtraBytes-described fields may carry min/max in their
+                # descriptor (las_format._parse_extra_bytes); either bound
+                # may be absent → unbounded on that side.  Columns with no
+                # header bounds can never skip.
+                ef = next(
+                    (e for e in hdr.extra_fields if e.name == col), None
+                )
+                if ef is None:
+                    continue
+                raw_min = ef.vmin if ef.vmin is not None else float("-inf")
+                raw_max = ef.vmax if ef.vmax is not None else float("inf")
             if lo is not None and raw_max < lo:
                 return False
             if hi is not None and raw_min > hi:
@@ -217,16 +230,20 @@ class LasReaderWithPushdown(LasReader):
     flag is off."""
 
     def pushFilters(self, filters):
+        # any column is recorded: x/y/z skip via header pmin/pmax; other
+        # columns skip when an ExtraBytes descriptor carries min/max bounds
+        # (columns without header bounds are simply never skipped)
         for f in filters:
             try:
                 col = f.attribute[-1] if hasattr(f, "attribute") else None
-                if col in ("x", "y", "z"):
-                    if isinstance(f, (GreaterThan, GreaterThanOrEqual)):
-                        self.range_filters.append((col, float(f.value), None))
-                    elif isinstance(f, (LessThan, LessThanOrEqual)):
-                        self.range_filters.append((col, None, float(f.value)))
-                    elif isinstance(f, EqualTo):
-                        self.range_filters.append((col, float(f.value), float(f.value)))
+                if not col or col in ("fid", "pid"):
+                    continue
+                if isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                    self.range_filters.append((col, float(f.value), None))
+                elif isinstance(f, (LessThan, LessThanOrEqual)):
+                    self.range_filters.append((col, None, float(f.value)))
+                elif isinstance(f, EqualTo):
+                    self.range_filters.append((col, float(f.value), float(f.value)))
             except Exception:
                 pass
         # every filter is re-evaluated by Spark: skipping is I/O-only

@@ -88,6 +88,14 @@ def make_las(
         amp = rng.integers(0, 1000, n, dtype=np.int64).astype(np.int32)
         amp[rng.random(n) < 0.05] = -9999
         arr["amplitude"] = amp
+        # descriptor min/max (options bits 0x02/0x04) — the bounds source
+        # for ExtraBytes file skipping; amplitude excludes the nodata value
+        extras[0].vmin = float(arr["reflectance"].min())
+        extras[0].vmax = float(arr["reflectance"].max())
+        valid_amp = amp[amp != -9999]
+        if len(valid_amp):
+            extras[1].vmin = int(valid_amp.min())
+            extras[1].vmax = int(valid_amp.max())
 
     world = {c: offset[i] + scale[i] * arr[c].astype(np.float64) for i, c in enumerate("xyz")}
     ret = arr["flags"] & 0x7 if fmt < 6 else arr["return"] & 0xF

@@ -377,6 +377,44 @@ def test_las_file_skipping_reduces_partitions(spark, tmp_path):
     assert n_skip < n_all, (n_skip, n_all)
 
 
+def test_las_extrabytes_bounds_file_skipping(spark, tmp_path):
+    """VERDICT r4 item 5: range predicates on ExtraBytes-described fields
+    skip whole files via the descriptor's min/max.  A file whose
+    reflectance bounds cannot match contributes ZERO partitions; columns
+    without header bounds never skip; correctness is unchanged (Spark
+    re-evaluates every filter)."""
+    from pyspark.sql.datasource import GreaterThan, LessThan
+
+    from spark_iqmulus_spark.sources.las import LasReaderWithPushdown
+
+    src = str(tmp_path / "eb.las")
+    arr = make_las(src, n=400, fmt=1, extra=True)
+    refl_max = float(arr["reflectance"].max())
+
+    # direct reader: a filter beyond the descriptor max prunes the file
+    reader = LasReaderWithPushdown([src], {}, None)
+    reader.pushFilters([GreaterThan(("reflectance",), refl_max + 1.0)])
+    assert reader.partitions() == []
+
+    # within bounds → file planned
+    reader2 = LasReaderWithPushdown([src], {}, None)
+    reader2.pushFilters([LessThan(("reflectance",), refl_max)])
+    assert len(reader2.partitions()) > 0
+
+    # column with no header bounds (intensity) can never skip
+    reader3 = LasReaderWithPushdown([src], {}, None)
+    reader3.pushFilters([GreaterThan(("intensity",), 10_000_000.0)])
+    assert len(reader3.partitions()) > 0
+
+    # e2e: correctness identical with and without pushdown
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    plain = spark.read.format("las").load(src)
+    pushed = spark.read.format("las").option("pushdown", "true").load(src)
+    pred = F.col("reflectance") > refl_max - 5.0
+    assert pushed.where(pred).count() == plain.where(pred).count()
+    assert pushed.where(F.col("reflectance") > refl_max + 1.0).count() == 0
+
+
 def test_las_write_v14(spark, tmp_path):
     """Writer 'minor' option: LAS 1.4 output (375-byte header, u64 counts)
     round-trips and records the version."""
