@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_POINTS = 600_000
+N_POINTS = int(os.environ.get("SPARK_GRAFT_PC_POINTS", "600000"))
 RUNS = 3
 
 
@@ -99,12 +99,27 @@ def main() -> None:
     results["bench_las_meta"] = _timed(las_meta)
     results["bench_write_roundtrip"] = _timed(write_roundtrip)
 
+    # headline total stays the sum of the 8 BASELINE.md metrics above so it
+    # remains comparable across rounds
+    total = round(sum(results.values()), 4)
+
+    # -- LLM-pipeline tripwires (BASELINE.md §extras; excluded from total) --
+    # regression guards for the candidate-bounded MinHash verify and the
+    # banded ANN path (VERDICT r4 item 8)
+    from spark_iqmulus_spark.operators import dedup, similarity
+
+    for name, q in (
+        ("bench_dedup_minhash", dedup.q_dedup_minhash),
+        ("bench_sim_lsh", similarity.q_sim_knn_lsh),
+    ):
+        results[name] = _timed(lambda q=q: q(spark, SF_DIR).collect())
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
             {
                 "metric": "headline_total",
-                "value": round(sum(results.values()), 4),
+                "value": total,
                 "unit": "sec",
                 "queries": results,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

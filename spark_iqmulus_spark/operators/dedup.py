@@ -88,7 +88,16 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-equi-join on shingle (shuffle on shingle, never a cross join) →
     count intersections → Jaccard from per-doc shingle counts."""
     t = load_tables(spark, sf_dir)
-    sh = _shingles(t["documents"]).cache()
+    return ngram_pairs(t["documents"])
+
+
+def ngram_pairs(docs: DataFrame) -> DataFrame:
+    """q_dedup_ngram's pipeline over an arbitrary ``(doc_id, text)`` frame.
+
+    The MAX_DF stop-shingle cap is the skew bound: per-join-key work is at
+    most MAX_DF² rows, so one viral boilerplate shingle can never drive a
+    straggler task (pinned by ``tests/test_partitioning.py``)."""
+    sh = _shingles(docs).cache()
     df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     # per-shingle / per-doc frames grow with the corpus — no broadcast
     # hints; AQE broadcasts while small, shuffles when not.

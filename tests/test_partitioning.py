@@ -98,6 +98,55 @@ def test_salted_join_spreads_hot_key(spark):
     assert n_buckets > 1
 
 
+def test_viral_shingle_cap_bounds_skew(spark):
+    """Skew hardening (VERDICT r4 item 6): one viral boilerplate shingle at
+    ~all-docs frequency must NOT drive the near-dup self-join.  The MAX_DF
+    stop-shingle cap bounds per-join-key work to MAX_DF² rows, which is the
+    task-time variance bound at any scale (a shuffle-join task's work is the
+    sum of its keys' df² costs); without the cap the viral key alone would
+    contribute C(n_docs, 2) intersection rows to a single task."""
+    from pyspark.sql import functions as F
+
+    from spark_iqmulus_spark.operators.dedup import (
+        MAX_DF,
+        _shingles,
+        ngram_pairs,
+    )
+
+    n = 300  # 3 × MAX_DF: viral shingles clearly over the cap
+    rows = []
+    for i in range(n):
+        # every doc shares the viral boilerplate prefix; bodies are unique
+        rows.append(
+            (i, f"shared viral boilerplate preamble sentence here body{i} "
+                f"tok{i * 7} tok{i * 13} tok{i * 29}")
+        )
+    # planted near-dup pair with RARE shared content (must survive the cap)
+    rows.append((1000, "rare alpha beta gamma delta epsilon zeta payload one"))
+    rows.append((1001, "rare alpha beta gamma delta epsilon zeta payload two"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sh = _shingles(docs)
+    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    viral = df_counts.where(F.col("df") > MAX_DF)
+    assert viral.count() > 0  # the fixture really is skewed
+    capped = sh.join(
+        df_counts.where(F.col("df") <= MAX_DF).select("shingle"), "shingle"
+    )
+    # the invariant that bounds any join task: per-key frequency ≤ MAX_DF
+    max_df_after = capped.groupBy("shingle").count().agg(
+        F.max("count")
+    ).collect()[0][0]
+    assert max_df_after <= MAX_DF
+
+    pairs = ngram_pairs(docs).collect()
+    found = {(r.doc_a, r.doc_b) for r in pairs}
+    assert (1000, 1001) in found  # rare near-dup still detected
+    # viral-only doc pairs must NOT appear (their only overlap was capped);
+    # without the cap there would be C(300,2) = 44850 such pairs
+    assert all(a >= 1000 for a, _ in found), sorted(found)[:5]
+
+
 def test_global_row_number_matches_window(spark, tables):
     """Two-phase distributed ranking == single-partition window ranking,
     and the full-data window in its plan is bucket-partitioned (the only
