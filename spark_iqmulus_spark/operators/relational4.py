@@ -1,0 +1,338 @@
+"""The six TPC-H shapes the earlier corpora left out: Q1, Q3, Q6, Q9,
+Q11, Q17 — completing the full 22-query suite.
+
+Same contract as operators.relational: every query has a co-located DuckDB
+oracle, deterministic results, identical column aliases on both sides.
+Monetary aggregates are summed as integer cents (``CAST(round(x*100,0) AS
+BIGINT)``) so cross-engine hashes are exact regardless of double summation
+order; derived averages divide those exact integers, so both engines round
+the same value.
+
+The testdata has no ``partsupp`` table, so Q9's supply cost and Q11's
+stock value are derived from ``p_retailprice`` × ``l_quantity`` (the same
+adaptation ``q_tpch_q2``/``q_tpch_q20`` already use) — the *plan shapes*
+(multiway fact join with grouped profit; group-by + uncorrelated scalar
+threshold subquery) are the point, not the constants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import load_tables
+
+
+def _cents(col):
+    """Exact integer cents for a monetary double expression."""
+    return F.round(col * 100, 0).cast("long")
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary report): one full scan of lineitem with a
+    shipdate filter pushed to the parquet reader, grouped on the
+    2-value x 2-value (returnflag, linestatus) key.  All sums are partial
+    (map-side combine) so the shuffle moves ~8 rows per task no matter the
+    input size; averages are derived from the exact integer sums after the
+    aggregate, not re-aggregated."""
+    t = load_tables(spark, sf_dir)
+    agg = (
+        t["lineitem"]
+        .where(F.col("l_shipdate") <= F.lit("1998-12-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("sum_base_cents"),
+            F.sum(
+                _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("sum_disc_cents"),
+            F.sum(
+                _cents(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                )
+            ).alias("sum_charge_cents"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_cents",
+        "sum_disc_cents",
+        "sum_charge_cents",
+        F.round(F.col("sum_qty") / F.col("count_order"), 6).alias("avg_qty"),
+        F.round(F.col("sum_base_cents") / F.col("count_order") / 100.0, 6).alias(
+            "avg_price"
+        ),
+        "count_order",
+    )
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): revenue of not-yet-shipped lineitems
+    for one market segment's orders placed before a cutoff.  customer is a
+    dim (broadcast); orders->lineitem is the one real shuffle, on
+    orderkey.  Top-10 via sort+limit = distributed TakeOrdered, never a
+    global sort; orderkey added to the sort key for a deterministic
+    tiebreak."""
+    t = load_tables(spark, sf_dir)
+    cutoff = F.lit("1998-06-30")
+    cust = t["customer"].where(F.col("c_mktsegment") == "BUILDING")
+    return (
+        t["orders"]
+        .where(F.col("o_orderdate") < cutoff)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            t["lineitem"].where(F.col("l_shipdate") > cutoff),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue_cents")
+        )
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue_cents",
+        )
+        .orderBy(F.desc("revenue_cents"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecast revenue change): a single lineitem scan with
+    every predicate pushed to parquet row-group stats (shipdate range,
+    discount band, quantity cap) reduced to one row — the canonical
+    scan-dominated query; no shuffle beyond the final 1-row combine."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+            & (F.col("l_discount") >= 0.04)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                _cents(F.col("l_extendedprice") * F.col("l_discount"))
+            ).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation and year): profit on
+    'widget' parts = revenue minus a retail-price-based unit cost
+    (stand-in for ps_supplycost; see module docstring), grouped by the
+    supplier's nation and order year.  part/supplier/nation broadcast;
+    lineitem->orders is the only fact-fact shuffle.  Profit stays in
+    exact integer cents end to end (retail cents x integer quantity), so
+    negative-profit rows hash identically across engines."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation,
+               year(o.o_orderdate) AS o_year,
+               CAST(sum(
+                 CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                      AS BIGINT)
+                 - CAST(round(p.p_retailprice * 100, 0) AS BIGINT)
+                   * CAST(l.l_quantity AS BIGINT)
+               ) AS BIGINT) AS profit_cents
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE p.p_name LIKE '%widget%'
+        GROUP BY n.n_name, year(o.o_orderdate)
+        """
+    )
+
+
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): per-part consumed value for one
+    nation's suppliers, kept only where the part's value exceeds a fixed
+    fraction of the grand total.  The total is an uncorrelated scalar
+    subquery — a 1-row broadcast against the already-aggregated per-part
+    table, so lineitem is scanned once.  The threshold compare is integer
+    x integer (value*1000 > total), no double boundary."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH val AS (
+            SELECT l.l_partkey,
+                   CAST(sum(CAST(round(p.p_retailprice * 100, 0) AS BIGINT)
+                            * CAST(l.l_quantity AS BIGINT)) AS BIGINT)
+                       AS value_cents
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            WHERE n.n_name = 'NATION_1'
+            GROUP BY l.l_partkey
+        )
+        SELECT l_partkey, value_cents
+        FROM val
+        WHERE value_cents * 1000 > (SELECT sum(value_cents) FROM val)
+        """
+    )
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): revenue lost to orders
+    below 20% of a part's average order quantity, for one brand.  The
+    correlated avg-per-part subquery becomes a pre-aggregate joined back
+    on partkey — both sides pre-filtered to the brand's parts (broadcast
+    dim filter), so the re-join touches only the brand's lineitems.
+    avg_yearly is derived from the exact cents total after the 1-row
+    aggregate."""
+    t = load_tables(spark, sf_dir)
+    brand_parts = t["part"].where(F.col("p_brand") == "Brand#1").select("p_partkey")
+    li = t["lineitem"].join(
+        F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey")
+    )
+    avg_qty = li.groupBy("l_partkey").agg(
+        F.avg("l_quantity").alias("part_avg_qty")
+    ).withColumnRenamed("l_partkey", "ap_partkey")
+    small = li.join(
+        F.broadcast(avg_qty), F.col("l_partkey") == F.col("ap_partkey")
+    ).where(F.col("l_quantity") < 0.2 * F.col("part_avg_qty"))
+    agg = small.agg(
+        F.sum(_cents(F.col("l_extendedprice"))).alias("total_cents"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    return agg.select(
+        "total_cents",
+        "n_lines",
+        F.round(F.col("total_cents") / 700.0, 4).alias("avg_yearly"),
+    )
+
+
+QUERIES = {
+    "q_tpch_q1": q_tpch_q1,
+    "q_tpch_q3": q_tpch_q3,
+    "q_tpch_q6": q_tpch_q6,
+    "q_tpch_q9": q_tpch_q9,
+    "q_tpch_q11": q_tpch_q11,
+    "q_tpch_q17": q_tpch_q17,
+}
+
+ORACLES = {
+    "q_tpch_q1": """
+        WITH agg AS (
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                        AS BIGINT) AS sum_base_cents,
+                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                       * 100, 0) AS BIGINT))
+                        AS BIGINT) AS sum_disc_cents,
+                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                       * (1 + l_tax) * 100, 0) AS BIGINT))
+                        AS BIGINT) AS sum_charge_cents,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-12-01'
+            GROUP BY l_returnflag, l_linestatus
+        )
+        SELECT l_returnflag, l_linestatus, sum_qty, sum_base_cents,
+               sum_disc_cents, sum_charge_cents,
+               round(CAST(sum_qty AS DOUBLE) / count_order, 6) AS avg_qty,
+               round(CAST(sum_base_cents AS DOUBLE) / count_order / 100.0, 6)
+                   AS avg_price,
+               count_order
+        FROM agg
+    """,
+    "q_tpch_q3": """
+        SELECT l.l_orderkey,
+               strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               o.o_orderpriority,
+               CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                   * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-06-30'
+          AND l.l_shipdate > TIMESTAMP '1998-06-30'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue_cents DESC, o_orderdate, l.l_orderkey
+        LIMIT 10
+    """,
+    "q_tpch_q6": """
+        SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100, 0)
+                             AS BIGINT)) AS BIGINT) AS revenue_cents,
+               count(*) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_discount >= 0.04 AND l_discount <= 0.06
+          AND l_quantity < 24
+    """,
+    "q_tpch_q9": """
+        SELECT n.n_name AS nation,
+               year(o.o_orderdate) AS o_year,
+               CAST(sum(
+                 CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                      AS BIGINT)
+                 - CAST(round(p.p_retailprice * 100, 0) AS BIGINT)
+                   * CAST(l.l_quantity AS BIGINT)
+               ) AS BIGINT) AS profit_cents
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE p.p_name LIKE '%widget%'
+        GROUP BY n.n_name, year(o.o_orderdate)
+    """,
+    "q_tpch_q11": """
+        WITH val AS (
+            SELECT l.l_partkey,
+                   CAST(sum(CAST(round(p.p_retailprice * 100, 0) AS BIGINT)
+                            * CAST(l.l_quantity AS BIGINT)) AS BIGINT)
+                       AS value_cents
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            WHERE n.n_name = 'NATION_1'
+            GROUP BY l.l_partkey
+        )
+        SELECT l_partkey, value_cents
+        FROM val
+        WHERE value_cents * 1000 > (SELECT sum(value_cents) FROM val)
+    """,
+    "q_tpch_q17": """
+        WITH li AS (
+            SELECT l.*
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE p.p_brand = 'Brand#1'
+        ), avg_qty AS (
+            SELECT l_partkey AS ap_partkey, avg(l_quantity) AS part_avg_qty
+            FROM li GROUP BY l_partkey
+        ), agg AS (
+            SELECT CAST(sum(CAST(round(li.l_extendedprice * 100, 0)
+                                 AS BIGINT)) AS BIGINT) AS total_cents,
+                   count(*) AS n_lines
+            FROM li JOIN avg_qty a ON li.l_partkey = a.ap_partkey
+            WHERE li.l_quantity < 0.2 * a.part_avg_qty
+        )
+        SELECT total_cents, n_lines,
+               round(CAST(total_cents AS DOUBLE) / 700.0, 4) AS avg_yearly
+        FROM agg
+    """,
+}

@@ -17,6 +17,7 @@ _MODULES = (
     "spark_iqmulus_spark.operators.relational",
     "spark_iqmulus_spark.operators.relational2",
     "spark_iqmulus_spark.operators.relational3",
+    "spark_iqmulus_spark.operators.relational4",
     "spark_iqmulus_spark.operators.pointcloud",
     "spark_iqmulus_spark.operators.partitioning",
     "spark_iqmulus_spark.operators.spatial",
