@@ -74,6 +74,39 @@ def _ply_dir(spark: SparkSession, sf_dir: str) -> str:
     return _CACHE[key]
 
 
+def _pcd_dir(spark: SparkSession, sf_dir: str) -> str:
+    key = (sf_dir, "pcd")
+    if key not in _CACHE or not os.path.exists(_CACHE[key]):
+        register_sources(spark)
+        out = tempfile.mkdtemp(prefix="pc_pcd_")
+        df = _point_df(spark, sf_dir).select(
+            F.col("x").cast("float"),
+            F.col("y").cast("float"),
+            F.col("z").cast("float"),
+            F.col("intensity").cast("int").alias("i"),
+            F.col("classification").alias("c"),
+        )
+        df.write.format("pcd").mode("overwrite").save(out)
+        _CACHE[key] = out
+    return _CACHE[key]
+
+
+def q_pcd_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part → binary PCD write → record-aligned read → aggregate (the PCL
+    container added on top of the reference's PLY/LAS/XYZ family; fid/pid
+    provenance and commit-merge semantics identical to the PLY path)."""
+    register_sources(spark)
+    df = spark.read.format("pcd").load(_pcd_dir(spark, sf_dir))
+    return df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("x").cast("double")), 4).alias("sum_x"),
+        F.round(F.min("y").cast("double"), 4).alias("min_y"),
+        F.round(F.max("z").cast("double"), 4).alias("max_z"),
+        F.sum("i").alias("sum_intensity"),
+        F.sum("c").alias("sum_class"),
+    )
+
+
 def q_las_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """part → LAS format-1 write (streamed stats) → vectorized read →
     aggregate, incl. world-coordinate sum (scale 0.01)."""
@@ -238,6 +271,7 @@ QUERIES = {
     "q_ply_meta": q_ply_meta,
     "q_xyz_roundtrip": q_xyz_roundtrip,
     "q_pc_voxel": q_pc_voxel,
+    "q_pcd_roundtrip": q_pcd_roundtrip,
 }
 
 # derivations repeated inline so each oracle is self-contained
@@ -275,6 +309,15 @@ ORACLES = {
                max({_Z}) AS max_z,
                CAST(min(p_partkey % 180 - 90) AS TINYINT) AS min_angle,
                round(sum(CAST(p_partkey AS DOUBLE)), 4) AS sum_time
+        FROM part
+    """,
+    "q_pcd_roundtrip": f"""
+        SELECT count(*) AS n,
+               round(sum(CAST(CAST(p_partkey AS REAL) AS DOUBLE)), 4) AS sum_x,
+               round(CAST(min(CAST(p_size AS REAL)) AS DOUBLE), 4) AS min_y,
+               round(CAST(max(CAST({_Z} AS REAL)) AS DOUBLE), 4) AS max_z,
+               CAST(sum(p_size) AS BIGINT) AS sum_intensity,
+               CAST(sum(p_partkey % 6 + 1) AS BIGINT) AS sum_class
         FROM part
     """,
     "q_ply_roundtrip": f"""

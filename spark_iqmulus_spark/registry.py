@@ -118,7 +118,8 @@ def _collect(attr: str) -> dict:
                 raise ValueError(f"duplicate query key {key!r} from {modname}")
             raw[key] = value
     out = {k: raw.pop(k) for k in _PRIORITY if k in raw}
-    out.update(raw)
+    for k in sorted(raw):  # stable alphabetical tail past the frozen window
+        out[k] = raw[k]
     return out
 
 
