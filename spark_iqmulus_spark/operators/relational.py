@@ -102,20 +102,31 @@ def q_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: hash aggregate with partial+final phases and 6
-    aggregates; Catalyst plans map-side combine automatically."""
+    aggregates; Catalyst plans map-side combine automatically.  Monetary
+    sums use exact integer cents (the relational4 _cents scheme): summing
+    raw doubles is order-dependent, and at sf1 (6M rows) the error reaches
+    the round-4 boundary — cents hash-match at any scale."""
     t = load_tables(spark, sf_dir)
+    cents = lambda c: F.round(c * 100, 0).cast("long")  # noqa: E731
     return (
         t["lineitem"]
         .where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(cents(F.col("l_extendedprice"))).alias("sum_base_cents"),
+            F.sum(
+                cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("sum_disc_cents"),
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+                F.sum(F.col("l_quantity").cast("long"))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_qty"),
+            F.round(
+                F.sum(cents(F.col("l_discount"))) / F.count(F.lit(1)) / 100.0,
+                6,
+            ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -148,7 +159,10 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["lineitem"]
         .cube("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+            # exact integer cents: double sums are order-dependent at scale
+            F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")).alias(
+                "sum_cents"
+            ),
             F.count(F.lit(1)).alias("n"),
         )
     )
@@ -186,7 +200,11 @@ def q_join_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+            # exact integer cents: at sf1 the double sum's order-dependent
+            # error reaches the round-4 boundary and hashes diverge
+            F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")).alias(
+                "sum_cents"
+            ),
         )
     )
 
@@ -203,7 +221,9 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name")
         .agg(
             F.count(F.lit(1)).alias("n_cust"),
-            F.round(F.sum("c_acctbal"), 4).alias("sum_bal"),
+            F.sum(F.round(F.col("c_acctbal") * 100, 0).cast("long")).alias(
+                "sum_bal_cents"
+            ),
         )
     )
 
@@ -659,11 +679,11 @@ ORACLES = {
     """,
     "q_agg_group": """
         SELECT l_returnflag, l_linestatus,
-               round(sum(l_quantity), 4) AS sum_qty,
-               round(sum(l_extendedprice), 4) AS sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-               round(avg(l_quantity), 4) AS avg_qty,
-               round(avg(l_discount), 4) AS avg_disc,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+               round(CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*), 4) AS avg_qty,
+               round(CAST(sum(CAST(round(l_discount * 100, 0) AS BIGINT)) AS DOUBLE) / count(*) / 100.0, 6) AS avg_disc,
                count(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -683,7 +703,8 @@ ORACLES = {
     """,
     "q_agg_cube": """
         SELECT l_returnflag, l_linestatus,
-               round(sum(l_extendedprice), 4) AS sum_price, count(*) AS n
+               CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents,
+               count(*) AS n
         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
     "q_approx_distinct": """
@@ -691,12 +712,13 @@ ORACLES = {
     """,
     "q_join_hash": """
         SELECT o_orderpriority, count(*) AS n,
-               round(sum(l_extendedprice), 4) AS sum_price
+               CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority
     """,
     "q_join_broadcast": """
-        SELECT r_name, count(*) AS n_cust, round(sum(c_acctbal), 4) AS sum_bal
+        SELECT r_name, count(*) AS n_cust,
+               CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS sum_bal_cents
         FROM customer
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey

@@ -121,7 +121,9 @@ def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(F.coalesce("k", F.lit(-1)).alias("key")).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("n_cust").alias("sum_cust"),
-        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+            "sum_price_cents"
+        ),
     )
 
 
@@ -871,7 +873,7 @@ ORACLES = {
             FROM customer GROUP BY 1
         )
         SELECT coalesce(k, -1) AS key, count(*) AS n, CAST(sum(n_cust) AS BIGINT) AS sum_cust,
-               round(sum(o_totalprice), 2) AS sum_price
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_price_cents
         FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k2
         GROUP BY 1
     """,

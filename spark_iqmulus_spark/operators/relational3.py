@@ -214,7 +214,9 @@ def q_source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.orc(out)
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+            "total_cents"
+        ),
     )
 
 
@@ -475,7 +477,7 @@ def q_xml_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.groupBy(F.col("x.s").alias("status")).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x.k").alias("sum_keys"),
-        F.round(F.sum("x.p"), 2).alias("sum_price"),
+        F.sum(F.round(F.col("x.p") * 100, 0).cast("long")).alias("sum_price_cents"),
     )
 
 
@@ -1168,7 +1170,7 @@ ORACLES = {
     "q_xml_funcs": """
         SELECT o_orderstatus AS status, count(*) AS n,
                CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
-               round(sum(o_totalprice), 2) AS sum_price
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_price_cents
         FROM orders GROUP BY o_orderstatus
     """,
     "q_try_funcs": """
@@ -1366,7 +1368,7 @@ ORACLES = {
     """,
     "q_source_orc": """
         SELECT o_orderstatus, count(*) AS n,
-               round(sum(o_totalprice), 2) AS total
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
         FROM orders GROUP BY o_orderstatus
     """,
 }

@@ -65,6 +65,28 @@ def ply_headers(spark: SparkSession, paths: list[str], element: str = "vertex") 
     return spark.createDataFrame(rows)
 
 
+def pcd_headers(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """One row per PCD file: points/stride/layout facts (pcdinfo catalog)."""
+    from ..sources.pcd_format import PcdHeader
+
+    rows = []
+    sorted_paths = sorted(paths)
+    for p, h in zip(sorted_paths, pmap_headers(PcdHeader.parse_file, sorted_paths)):
+        rows.append(
+            Row(
+                location=p,
+                version=h.version,
+                data_kind=h.data_kind,
+                points=h.points,
+                width=h.width,
+                height=h.height,
+                stride=h.stride,
+                n_fields=len(h.fields),
+            )
+        )
+    return spark.createDataFrame(rows)
+
+
 def count_from_headers(
     spark: SparkSession | None, paths: list[str], fmt: str = "las", element: str = "vertex"
 ) -> int:
@@ -75,6 +97,10 @@ def count_from_headers(
     symmetry but unused."""
     if fmt == "las":
         return sum(h.pdr_nb for h in pmap_headers(LasHeader.parse_file, paths))
+    if fmt == "pcd":
+        from ..sources.pcd_format import PcdHeader
+
+        return sum(h.points for h in pmap_headers(PcdHeader.parse_file, paths))
     total = 0
     for h in pmap_headers(PlyHeader.parse_file, paths):
         el = h.element(element)
@@ -114,7 +140,14 @@ def scan_report(paths: list[str], fmt: str = "las") -> dict:
     Returns ``{"readable": [...], "skipped": [(path, error_str), ...],
     "readable_count": int, "skipped_count": int}``.
     """
-    parse_one = LasHeader.parse_file if fmt == "las" else PlyHeader.parse_file
+    if fmt == "las":
+        parse_one = LasHeader.parse_file
+    elif fmt == "pcd":
+        from ..sources.pcd_format import PcdHeader
+
+        parse_one = PcdHeader.parse_file
+    else:
+        parse_one = PlyHeader.parse_file
 
     def attempt(p):
         try:

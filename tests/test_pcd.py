@@ -166,6 +166,24 @@ def test_write_roundtrip_and_schema_merge(spark, tmp_path):
     assert src  # silence unused warning if layout changes
 
 
+def test_header_catalog(spark, tmp_path):
+    from spark_iqmulus_spark.plans.header_catalog import (
+        count_from_headers,
+        pcd_headers,
+        scan_report,
+    )
+
+    p1, p2 = str(tmp_path / "a.pcd"), str(tmp_path / "b.pcd")
+    _write_binary_pcd(p1, n=120)
+    _write_binary_pcd(p2, n=80)
+    cat = pcd_headers(spark, [p1, p2])
+    assert cat.count() == 2
+    assert {r.points for r in cat.collect()} == {120, 80}
+    assert count_from_headers(spark, [p1, p2], fmt="pcd") == 200
+    rep = scan_report([p1, p2], fmt="pcd")
+    assert rep["readable_count"] == 2 and rep["skipped_count"] == 0
+
+
 def test_corrupt_file_skip_and_strict(spark, tmp_path):
     good = str(tmp_path / "good.pcd")
     bad = str(tmp_path / "bad.pcd")
