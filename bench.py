@@ -105,14 +105,16 @@ def main() -> None:
 
     # -- LLM-pipeline tripwires (BASELINE.md §extras; excluded from total) --
     # regression guards for the candidate-bounded MinHash verify and the
-    # banded ANN path (VERDICT r4 item 8)
-    from spark_iqmulus_spark.operators import dedup, similarity
+    # banded ANN path (VERDICT r4 item 8).  SPARK_GRAFT_SKIP_EXTRAS=1 skips
+    # them (headliner-only runs at large scale factors).
+    if os.environ.get("SPARK_GRAFT_SKIP_EXTRAS", "0") != "1":
+        from spark_iqmulus_spark.operators import dedup, similarity
 
-    for name, q in (
-        ("bench_dedup_minhash", dedup.q_dedup_minhash),
-        ("bench_sim_lsh", similarity.q_sim_knn_lsh),
-    ):
-        results[name] = _timed(lambda q=q: q(spark, SF_DIR).collect())
+        for name, q in (
+            ("bench_dedup_minhash", dedup.q_dedup_minhash),
+            ("bench_sim_lsh", similarity.q_sim_knn_lsh),
+        ):
+            results[name] = _timed(lambda q=q: q(spark, SF_DIR).collect())
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(

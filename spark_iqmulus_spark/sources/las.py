@@ -52,6 +52,7 @@ from .las_format import (
     format_from_schema,
 )
 from .pointcloud_common import (
+    append_file,
     DEFAULT_PARTITION_BYTES,
     SectionPartition,
     adapt_batch,
@@ -420,12 +421,7 @@ class LasWriter(DataSourceArrowWriter):
         with open(dest, "wb") as out:
             out.write(header.to_bytes())
             for p in sorted(parts):
-                with open(p[0], "rb") as src:
-                    while True:
-                        chunk = src.read(1 << 20)
-                        if not chunk:
-                            break
-                        out.write(chunk)
+                append_file(out, p[0])
                 os.remove(p[0])
 
     def commit(self, messages) -> None:

@@ -45,6 +45,7 @@ from .binary_section import (
 )
 from .pcd_format import SPARK_TO_NP, PcdField, PcdHeader
 from .pointcloud_common import (
+    append_file,
     DEFAULT_PARTITION_BYTES,
     SectionPartition,
     adapt_batch,
@@ -313,12 +314,7 @@ class PcdWriter(DataSourceArrowWriter):
         with open(dest, "wb") as out:
             out.write(header.to_bytes())
             for part_path in parts:
-                with open(part_path, "rb") as src:
-                    while True:
-                        chunk = src.read(1 << 20)
-                        if not chunk:
-                            break
-                        out.write(chunk)
+                append_file(out, part_path)
                 os.remove(part_path)
 
     def commit(self, messages) -> None:

@@ -35,6 +35,7 @@ from pyspark.sql.datasource import (
 from .binary_section import BinarySection, SectionField, plan_record_ranges
 from .ply_format import SPARK_TO_NP, PlyElement, PlyHeader, PlyProperty
 from .pointcloud_common import (
+    append_file,
     DEFAULT_PARTITION_BYTES,
     SectionPartition,
     adapt_batch,
@@ -256,12 +257,7 @@ class PlyWriter(DataSourceArrowWriter):
         with open(dest, "wb") as out:
             out.write(header.to_bytes())
             for part_path in parts:
-                with open(part_path, "rb") as src:
-                    while True:
-                        chunk = src.read(1 << 20)
-                        if not chunk:
-                            break
-                        out.write(chunk)
+                append_file(out, part_path)
                 os.remove(part_path)
 
     def commit(self, messages) -> None:

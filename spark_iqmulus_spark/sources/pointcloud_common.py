@@ -124,6 +124,35 @@ def clear_existing_outputs(path: str, ext: str, overwrite: bool) -> None:
         os.remove(os.path.join(path, f))
 
 
+def append_file(out, src_path: str) -> None:
+    """Append ``src_path``'s bytes to the open binary file object ``out``.
+
+    Uses ``os.sendfile`` (zero-copy, in-kernel) where available — the
+    writers' commit phase concatenates every task part into the final
+    output, so this is the driver-side byte-moving hot loop; falls back to
+    1 MiB chunked copies elsewhere."""
+    with open(src_path, "rb") as src:
+        try:
+            out.flush()
+            size = os.fstat(src.fileno()).st_size
+            offset = 0
+            while offset < size:
+                sent = os.sendfile(out.fileno(), src.fileno(), offset, size - offset)
+                if sent == 0:
+                    break
+                offset += sent
+            if offset == size:
+                return
+            src.seek(offset)
+        except (AttributeError, OSError):
+            src.seek(0)
+        while True:
+            chunk = src.read(1 << 20)
+            if not chunk:
+                break
+            out.write(chunk)
+
+
 def pmap_headers(parse_one, paths):
     """Order-preserving parallel map of a header parser over paths (I/O
     bound; GIL released in file reads).  Exceptions propagate."""
