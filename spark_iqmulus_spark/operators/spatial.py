@@ -364,15 +364,124 @@ def q_pc_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def euclidean_cluster(pts: DataFrame, radius: float) -> DataFrame:
+    """Euclidean cluster extraction (the PCL/PDAL segmentation primitive):
+    connected components of the radius-neighbor graph.
+
+    ``radius_join`` builds the edge set (grid-cell bucketed equi-join — no
+    theta join, AQE handles dense-cell skew); components come from the
+    shared Hash-Min label propagation (``dedup.dedup_components``) —
+    O(cluster diameter) rounds of one keyed shuffle each, lineage truncated
+    per round.  Points with no neighbor within ``radius`` are singleton
+    clusters.  ``cluster_id`` is the min pid in the component, so labels
+    are stable across engines and runs.
+
+    Input ``(pid, x, y)``; returns ``(pid, cluster_id)``.
+    """
+    from .dedup import dedup_components
+
+    pairs = radius_join(pts, radius).select(
+        F.col("pa").alias("doc_a"), F.col("pb").alias("doc_b")
+    )
+    labels = dedup_components(pairs, max_rounds=20)
+    return (
+        pts.select("pid")
+        .join(labels.withColumnRenamed("node", "pid"), "pid", "left")
+        .select("pid", F.coalesce("label", F.col("pid")).alias("cluster_id"))
+    )
+
+
+def q_pc_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Euclidean clustering of a sparse deterministic point plane
+    (x = partkey*7 mod 2000, y = partkey*13 mod 1000 → ~0.1% area density,
+    so radius 3 yields many singletons plus small clusters), rolled up to
+    cluster-size distribution stats."""
+    t = load_tables(spark, sf_dir)
+    pts = t["part"].select(
+        F.col("p_partkey").alias("pid"),
+        ((F.col("p_partkey") * 7) % 2000).cast("double").alias("x"),
+        ((F.col("p_partkey") * 13) % 1000).cast("double").alias("y"),
+    )
+    labeled = euclidean_cluster(pts, 3.0)
+    sizes = labeled.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("size"))
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("size").alias("n_points"),
+        F.sum(F.when(F.col("size") == 1, 1).otherwise(0)).alias("n_singletons"),
+        F.max("size").alias("max_size"),
+        F.sum("cluster_id").alias("label_checksum"),
+    )
+
+
 QUERIES = {
     "q_zorder": q_zorder,
     "q_pc_radius_join": q_pc_radius_join,
     "q_pc_dimensionality": q_pc_dimensionality,
     "q_pc_hag": q_pc_hag,
     "q_pc_slope": q_pc_slope,
+    "q_pc_cluster": q_pc_cluster,
 }
 
 ORACLES = {
+    "q_pc_cluster": """
+        WITH RECURSIVE pts AS (
+            SELECT p_partkey AS pid,
+                   CAST((p_partkey * 7) % 2000 AS DOUBLE) AS x,
+                   CAST((p_partkey * 13) % 1000 AS DOUBLE) AS y
+            FROM part
+        ),
+        offs AS (
+            SELECT dxs.dx, dys.dy
+            FROM (SELECT unnest(generate_series(-1, 1)) AS dx) dxs,
+                 (SELECT unnest(generate_series(-1, 1)) AS dy) dys
+        ),
+        home AS (
+            SELECT pid AS pb, x AS bx, y AS by,
+                   CAST(floor(x / 3.0) AS BIGINT) AS cx,
+                   CAST(floor(y / 3.0) AS BIGINT) AS cy
+            FROM pts
+        ),
+        expanded AS (
+            SELECT pid AS pa, x AS ax, y AS ay,
+                   CAST(floor(x / 3.0) AS BIGINT) + dx AS cx,
+                   CAST(floor(y / 3.0) AS BIGINT) + dy AS cy
+            FROM pts CROSS JOIN offs
+        ),
+        pairs AS (
+            SELECT pa, pb
+            FROM expanded JOIN home USING (cx, cy)
+            WHERE pa < pb
+              AND sqrt((ax - bx) * (ax - bx) + (ay - by) * (ay - by)) <= 3.0
+        ),
+        edges AS (
+            SELECT pa AS a, pb AS b FROM pairs
+            UNION SELECT pb, pa FROM pairs
+        ),
+        reach AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        ),
+        lab AS (
+            SELECT a AS node, least(a, min(b)) AS cluster_id
+            FROM reach GROUP BY a
+        ),
+        labeled AS (
+            SELECT p.pid, coalesce(l.cluster_id, p.pid) AS cluster_id
+            FROM pts p LEFT JOIN lab l ON l.node = p.pid
+        ),
+        sizes AS (
+            SELECT cluster_id, count(*) AS size
+            FROM labeled GROUP BY cluster_id
+        )
+        SELECT count(*) AS n_clusters,
+               CAST(sum(size) AS BIGINT) AS n_points,
+               CAST(sum(CASE WHEN size = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_singletons,
+               CAST(max(size) AS BIGINT) AS max_size,
+               CAST(sum(cluster_id) AS BIGINT) AS label_checksum
+        FROM sizes
+    """,
     "q_zorder": f"""
         WITH keyed AS (
             SELECT p_partkey,

@@ -187,6 +187,27 @@ def test_radius_join_handcrafted(spark):
     assert len(rows) == len(pairs)  # no duplicate matches
 
 
+def test_euclidean_cluster_handcrafted(spark):
+    """A 3-point chain links transitively into one cluster (1-2 and 2-3
+    within radius but 1-3 beyond it); far points are singletons labeled by
+    their own pid; cluster_id is the min pid in the component."""
+    from spark_iqmulus_spark.operators.spatial import euclidean_cluster
+
+    pts = spark.createDataFrame(
+        [
+            (1, 0.0, 0.0),
+            (2, 2.5, 0.0),
+            (3, 5.0, 0.0),  # chain 1-2-3: d(1,3)=5 > r, still one cluster
+            (7, 200.0, 200.0),  # singleton
+            (8, 100.5, 100.0),
+            (9, 101.0, 100.5),  # pair cluster labeled 8
+        ],
+        "pid long, x double, y double",
+    )
+    got = {r["pid"]: r["cluster_id"] for r in euclidean_cluster(pts, 3.0).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 8, 9: 8}
+
+
 def test_percentile_approx_error_bound(spark):
     """The sketch quantiles must land within 2% of the exact per-group
     quantiles (accuracy=10000 => ~0.01% rank error) — the query itself
