@@ -517,3 +517,127 @@ ORACLES["q_knn_label_precision"] = f"""
            round(avg(precision), 6) AS mean_precision
     FROM per_query GROUP BY 1
 """
+
+
+# -- Product quantization (embedding compression) ---------------------------
+
+PQ_M = 4  # subspaces
+PQ_K = 8  # codes per subspace
+PQ_SUB = 16  # dims per subspace (D=64 / PQ_M)
+
+
+def q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode of the embedding corpus — the standard
+    vector-store compression step (Jégou et al., TPAMI 2011): split each
+    D=64 vector into ``PQ_M`` subvectors, encode each against a
+    ``PQ_K``-entry per-subspace codebook by argmin squared distance, and
+    report corpus-level reconstruction stats.
+
+    Codebooks here are a deterministic corpus sample (every ``N/PQ_K``-th
+    vector's slice, the q_sim_knn_ivf precedent) — production swaps in
+    per-subspace k-means, but the *plan* is identical: codebooks broadcast
+    as literals, encoding is a codegen'd argmin over PQ_K dot-product
+    expressions per subspace (no Python per row, no shuffle until the final
+    1-row aggregate), so the encode is a single map-only pass at any corpus
+    size.  Reconstruction errors are summed as exact integer micro-units
+    (the cents scheme) so the hash matches at any scale.
+    """
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    n = e.count()
+    step = max(n // PQ_K, 1)
+    sample = (
+        e.where((F.col("vec_id") % step == 0) & (F.col("vec_id") / step < PQ_K))
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    # codebook[m][k] = m-th 16-dim slice of the k-th sampled vector
+    books = [
+        [
+            [float(x) for x in row[0][m * PQ_SUB : (m + 1) * PQ_SUB]]
+            for row in sample
+        ]
+        for m in range(PQ_M)
+    ]
+
+    err_cols = []
+    code_cols = []
+    for m in range(PQ_M):
+        sub = F.slice(F.col("embedding"), m * PQ_SUB + 1, PQ_SUB)
+        d2s = []
+        for c in books[m]:
+            cc = sum(x * x for x in c)
+            d2s.append(
+                _dot(sub, sub)
+                - 2 * _dot(sub, F.array(*[F.lit(v) for v in c]))
+                + F.lit(cc)
+            )
+        arr = F.array(*d2s)
+        code = F.array_position(arr, F.array_min(arr))  # 1-based, first min
+        code_cols.append(code.alias(f"code{m}"))
+        err_cols.append(F.array_min(arr).alias(f"err{m}"))
+
+    enc = e.select("vec_id", *code_cols, *err_cols)
+    total_err = sum(F.col(f"err{m}") for m in range(PQ_M))
+    per_vec = enc.select(
+        "vec_id",
+        F.round(total_err * 1e6, 0).cast("long").alias("sq_err_micro"),
+        sum(F.col(f"code{m}") for m in range(PQ_M)).alias("code_sum"),
+    )
+    return per_vec.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.lit(PQ_M).cast("int").alias("bytes_per_vec"),
+        F.lit(64 * 4 // PQ_M).cast("int").alias("compression_x"),
+        F.round(F.sum("sq_err_micro") / F.count(F.lit(1)) / 1e6, 6).alias(
+            "mean_sq_err"
+        ),
+        F.round(F.max("sq_err_micro") / 1e6, 6).alias("max_sq_err"),
+        F.sum("code_sum").alias("code_checksum"),
+    )
+
+
+QUERIES["q_embed_pq"] = q_embed_pq
+
+ORACLES["q_embed_pq"] = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    st AS (SELECT greatest(count(*) // {PQ_K}, 1) AS step FROM e),
+    ks AS (SELECT unnest(generate_series(0, {PQ_K - 1})) AS k),
+    ms AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m),
+    cb AS (
+        SELECT ks.k, ms.m,
+               e.v[ms.m * {PQ_SUB} + 1 : ms.m * {PQ_SUB} + {PQ_SUB}] AS c
+        FROM ks CROSS JOIN ms CROSS JOIN st
+        JOIN e ON e.vec_id = ks.k * st.step
+    ),
+    sub AS (
+        SELECT e.vec_id, ms.m,
+               e.v[ms.m * {PQ_SUB} + 1 : ms.m * {PQ_SUB} + {PQ_SUB}] AS s
+        FROM e CROSS JOIN ms
+    ),
+    dist AS (
+        SELECT sub.vec_id, sub.m, cb.k,
+               list_dot_product(s, s) - 2 * list_dot_product(s, c)
+                   + list_dot_product(c, c) AS d2
+        FROM sub JOIN cb ON cb.m = sub.m
+    ),
+    best AS (
+        SELECT vec_id, m, k, d2,
+               row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rn
+        FROM dist
+    ),
+    per_vec AS (
+        SELECT vec_id,
+               CAST(round(sum(d2) * 1e6, 0) AS BIGINT) AS sq_err_micro,
+               sum(k + 1) AS code_sum
+        FROM best WHERE rn = 1 GROUP BY vec_id
+    )
+    SELECT count(*) AS n_vectors,
+           CAST({PQ_M} AS INTEGER) AS bytes_per_vec,
+           CAST({64 * 4 // PQ_M} AS INTEGER) AS compression_x,
+           round(CAST(sum(sq_err_micro) AS DOUBLE) / count(*) / 1e6, 6)
+               AS mean_sq_err,
+           round(CAST(max(sq_err_micro) AS DOUBLE) / 1e6, 6) AS max_sq_err,
+           CAST(sum(code_sum) AS BIGINT) AS code_checksum
+    FROM per_vec
+"""

