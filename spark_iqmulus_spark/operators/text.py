@@ -141,7 +141,10 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     any engine with md5).  Groups sharing a fingerprint are candidate
     near-dups."""
     t = load_tables(spark, sf_dir)
-    words = _tokens()
+    # materialize the token array first: exprs inside transform lambdas are
+    # re-evaluated per element (see dedup._shingles — 12.7× at sf0.1)
+    src = t["documents"].select("doc_id", "text", _tokens().alias("words"))
+    words = F.col("words")
     grams = F.when(
         F.size(words) >= 3,
         F.transform(
@@ -156,7 +159,7 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array(F.md5(_norm())))
-    return t["documents"].select(
+    return src.select(
         "doc_id", F.array_min(grams).alias("fingerprint")
     )
 
@@ -334,7 +337,9 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     is broadcast, so the corpus side never shuffles.  The decontamination
     step every training pipeline runs before a data release."""
     t = load_tables(spark, sf_dir)
-    words = _tokens()
+    # materialized words: no re-split per lambda element (dedup._shingles)
+    src = t["documents"].select("doc_id", "source", _tokens().alias("words"))
+    words = F.col("words")
     n = _CONTAM_N
     grams = F.when(
         F.size(words) >= n,
@@ -347,7 +352,7 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    g = t["documents"].select(
+    g = src.select(
         "doc_id", "source", F.explode(grams).alias("gram")
     )
     bench = g.where(F.col("doc_id") % 97 == 0).select("gram").distinct()
@@ -542,7 +547,9 @@ def q_pipeline_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("rn") == 1) & (F.col("n_tok") >= 10) & (F.col("div") >= 0.3))
     )
 
-    words = _tokens()
+    # materialized words: no re-split per lambda element (dedup._shingles)
+    gsrc = t["documents"].select("doc_id", _tokens().alias("words"))
+    words = F.col("words")
     n = _CONTAM_N
     grams = F.when(
         F.size(words) >= n,
@@ -555,7 +562,7 @@ def q_pipeline_release(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    g = t["documents"].select("doc_id", F.explode(grams).alias("gram"))
+    g = gsrc.select("doc_id", F.explode(grams).alias("gram"))
     bench = g.where(F.col("doc_id") % 97 == 0).select("gram").distinct()
     hits = (
         g.where(F.col("doc_id") % 97 != 0)
@@ -635,7 +642,9 @@ def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     then df count) → global top-k via TakeOrderedAndProject with a
     deterministic (df desc, gram asc) tiebreak."""
     t = load_tables(spark, sf_dir)
-    words = _tokens()
+    # materialized words: no re-split per lambda element (dedup._shingles)
+    src = t["documents"].select("doc_id", _tokens().alias("words"))
+    words = F.col("words")
     grams = F.when(
         F.size(words) >= 2,
         F.transform(
@@ -644,7 +653,7 @@ def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     per_doc = (
-        t["documents"]
+        src
         .select("doc_id", F.explode(grams).alias("gram"))
         .distinct()
     )
