@@ -116,6 +116,20 @@ def main() -> None:
         ):
             results[name] = _timed(lambda q=q: q(spark, SF_DIR).collect())
 
+        # PCD read tripwire (same shape as bench_las_read, .pcd container)
+        from tests.fixtures import make_pcd  # noqa: F401 — may not exist yet
+
+        pcd_path = os.path.join(pc_dir, "bench.pcd")
+        make_pcd(pcd_path, n=N_POINTS)
+
+        def pcd_scan():
+            df = spark.read.format("pcd").load(pcd_path)
+            df.where(F.col("label") <= 3).groupBy("label").agg(
+                F.count(F.lit(1)), F.min("x"), F.max("x")
+            ).collect()
+
+        results["bench_pcd_read"] = _timed(pcd_scan)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(

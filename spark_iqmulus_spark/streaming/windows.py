@@ -226,6 +226,90 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_stream_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL two-batch watermark late-data DROP, oracle-checkable.
+
+    The events table is split deterministically into two micro-batches
+    (``event_id % 2``), replayed through a file-source stream with a
+    10-minute watermark and append-mode tumbling counts.  After batch 1 the
+    watermark is ``max(batch1.ts) − 10 min``, so batch-2 rows belonging to
+    hour windows that already closed are *dropped by the engine* — the
+    exact semantics every late-data pipeline depends on, here pinned by a
+    value-hash oracle (DuckDB reproduces the watermark arithmetic and the
+    kept-row set).  A far-future sentinel row in a third batch advances the
+    watermark past every real window so append mode emits them all; the
+    sentinel's own window never closes and never appears.
+    """
+    import os
+    import time as _time
+    import uuid
+    from datetime import timedelta
+
+    from ..session import normalize_session
+
+    normalize_session(spark)
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select("event_id", "ts", "event_type")
+    b1 = ev.where(F.col("event_id") % 2 == 0)
+    b2 = ev.where(F.col("event_id") % 2 == 1)
+
+    # engine-side expected emission set (same arithmetic as the oracle):
+    # batch-2 rows survive iff their window end is past the batch-1 watermark
+    wm1 = b1.agg(F.max("ts")).collect()[0][0] - timedelta(minutes=10)
+    kept2 = b2.where(
+        F.date_trunc("hour", F.col("ts")) + F.expr("INTERVAL 1 HOUR") > F.lit(wm1)
+    )
+    expected_windows = (
+        b1.unionByName(kept2)
+        .select(F.date_trunc("hour", "ts").alias("w"), "event_type")
+        .distinct()
+        .count()
+    )
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    sentinel = spark.createDataFrame(
+        [(int(-1), max_ts + timedelta(days=366), "flush")], schema=ev.schema
+    )
+
+    stream_dir = tempfile.mkdtemp(prefix="stream_late_")
+    agg = (
+        spark.readStream.schema(ev.schema)
+        .parquet(stream_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("w.start", _TS_FMT).alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+    name = f"q_stream_late_{uuid.uuid4().hex[:8]}"
+    query = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_late_"))
+        .start()
+    )
+    try:
+        for batch in (b1, b2, sentinel):
+            batch.coalesce(1).write.mode("append").parquet(stream_dir)
+            query.processAllAvailable()
+        # the no-data micro-batch that emits finalized windows can lag
+        # processAllAvailable; poll until the expected window count lands
+        for _ in range(120):
+            if spark.table(name).count() >= expected_windows:
+                break
+            _time.sleep(0.25)
+            query.processAllAvailable()
+    finally:
+        query.stop()
+    out = spark.table(name).where(F.col("event_type") != "flush")
+    # drop the stream dir reference count; data lives in the memory sink
+    _ = os  # tmpdirs cleaned by OS; keep import local-style consistent
+    return out
+
+
 def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-and-island sessionization — the windowing formulation
     (lag + cumulative sum of gap>threshold) of what ``session_window``
@@ -259,6 +343,7 @@ def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "q_stream_late": q_stream_late,
     "q_stream_join": q_stream_join,
     "q_sessionize_batch": q_sessionize_batch,
     "q_stream_tumbling": q_stream_tumbling,
@@ -269,6 +354,23 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_stream_late": f"""
+        WITH b1 AS (
+            SELECT event_id, ts, event_type FROM events WHERE event_id % 2 = 0
+        ), wm AS (
+            SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM b1
+        ), kept AS (
+            SELECT event_id, ts, event_type FROM b1
+            UNION ALL
+            SELECT e.event_id, e.ts, e.event_type
+            FROM events e, wm
+            WHERE e.event_id % 2 = 1
+              AND date_trunc('hour', e.ts) + INTERVAL 1 HOUR > wm.w
+        )
+        SELECT {_TS_ORACLE.format(c="date_trunc('hour', ts)")} AS window_start,
+               event_type, count(*) AS n
+        FROM kept GROUP BY 1, 2
+    """,
     "q_sessionize_batch": f"""
         WITH flagged AS (
             SELECT user_id, event_id, ts,

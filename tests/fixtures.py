@@ -16,9 +16,37 @@ from spark_iqmulus_spark.sources.las_format import (
     _serialize_extra_bytes,
     format_stride,
 )
+from spark_iqmulus_spark.sources.pcd_format import PcdField, PcdHeader
 from spark_iqmulus_spark.sources.ply_format import PlyElement, PlyHeader, PlyProperty
 
 SEED = 42
+
+
+def make_pcd(path: str, n: int = 5995, seed: int = SEED) -> np.ndarray:
+    """Binary PCD: x/y/z float32 uniform [0,100), label int32 0..9."""
+    rng = np.random.default_rng(seed)
+    arr = np.zeros(
+        n, dtype=[("x", "<f4"), ("y", "<f4"), ("z", "<f4"), ("label", "<i4")]
+    )
+    for c in "xyz":
+        arr[c] = rng.uniform(0, 100, n).astype(np.float32)
+    arr["label"] = rng.integers(0, 10, n)
+    hdr = PcdHeader(
+        location=path,
+        fields=[
+            PcdField("x", "f4"),
+            PcdField("y", "f4"),
+            PcdField("z", "f4"),
+            PcdField("label", "i4"),
+        ],
+        width=n,
+        points=n,
+        data_kind="binary",
+    )
+    with open(path, "wb") as f:
+        f.write(hdr.to_bytes())
+        f.write(arr.tobytes())
+    return arr
 
 
 def make_ply_xyz(path: str, n: int = 5995, little_endian: bool = True, rgb: bool = False, seed: int = SEED) -> np.ndarray:
