@@ -83,6 +83,81 @@ def voxel_downsample(
     )
 
 
+def voxel_pyramid(
+    pts: DataFrame,
+    base: tuple[float, float],
+    levels: int = 4,
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """Multi-resolution LOD pyramid (the octree/quadtree build step behind
+    point-cloud LOD rendering and hypertable-style rollups): per-cell
+    ``(count, sum_x, sum_y)`` at ``levels`` resolutions, each level's cell
+    side doubling.
+
+    Built as a CASCADE, not repeated scans: level 0 is the only aggregation
+    that touches points; every coarser level re-aggregates the previous
+    level's cells (counts and sums are mergeable), so shuffle volume after
+    the first pass is bounded by occupied-cell counts, which shrink 4× per
+    level.  Returns ``(level, vx, vy, n_pts, cx, cy)`` with centroids
+    derived from the exact sums.
+    """
+    bx, by = base
+    cur = pts.groupBy(
+        F.floor(F.col(x) / bx).alias("vx"),
+        F.floor(F.col(y) / by).alias("vy"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_pts"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+    )
+    out = cur.withColumn("level", F.lit(0))
+    for lvl in range(1, levels):
+        cur = (
+            cur.groupBy(
+                F.floor(F.col("vx") / 2).alias("vx"),
+                F.floor(F.col("vy") / 2).alias("vy"),
+            )
+            .agg(
+                F.sum("n_pts").alias("n_pts"),
+                F.sum("sx").alias("sx"),
+                F.sum("sy").alias("sy"),
+            )
+        )
+        out = out.unionByName(cur.withColumn("level", F.lit(lvl)))
+    return out.select(
+        "level",
+        "vx",
+        "vy",
+        "n_pts",
+        F.round(F.col("sx") / F.col("n_pts"), 6).alias("cx"),
+        F.round(F.col("sy") / F.col("n_pts"), 6).alias("cy"),
+    )
+
+
+def q_pc_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-level LOD pyramid over the part-derived plane (integer coords, so
+    cross-engine sums are exact), rolled up per level."""
+    t = load_tables(spark, sf_dir)
+    pts = t["part"].select(
+        F.col("p_partkey").cast("double").alias("x"),
+        F.col("p_size").cast("double").alias("y"),
+    )
+    pyr = voxel_pyramid(pts, (64.0, 8.0), levels=4)
+    return (
+        pyr.groupBy("level")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("n_pts").alias("n_points"),
+            F.max("n_pts").alias("max_cell"),
+            F.sum(F.round(F.col("cx") * 1e6, 0).cast("long")).alias(
+                "sum_cx_micro"
+            ),
+        )
+        .orderBy("level")
+    )
+
+
 def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton codes over the ``part`` table's (partkey mod 1024, size)
     plane + a per-curve-quadrant rollup — checks both the interleaving
@@ -391,6 +466,64 @@ def euclidean_cluster(pts: DataFrame, radius: float) -> DataFrame:
     )
 
 
+def statistical_outlier_removal(
+    pts: DataFrame, radius: float, t: float = 2.0
+) -> DataFrame:
+    """Statistical outlier removal (the PCL ``SOR`` filter, radius flavor):
+    score each point by its mean distance to neighbors within ``radius``
+    (no-neighbor points get +inf), then drop points whose score exceeds
+    ``corpus_mean + t · corpus_stddev``.
+
+    Plan: one ``radius_join`` (grid-bucketed equi-join), one groupBy on pid
+    for per-point means, one 1-row global aggregate broadcast back via
+    cross-join — the cloud itself shuffles once, on the cell key.  Input
+    ``(pid, x, y)``; returns the inlier subset with ``mean_d``.
+    """
+    pairs = radius_join(pts, radius)
+    per_pt = (
+        pairs.select(F.col("pa").alias("pid"), "d")
+        .union(pairs.select(F.col("pb").alias("pid"), "d"))
+        .groupBy("pid")
+        .agg(F.avg("d").alias("mean_d"))
+    )
+    scored = pts.join(per_pt, "pid", "left")  # null mean_d = isolated point
+    stats = per_pt.agg(
+        F.avg("mean_d").alias("mu"), F.stddev_pop("mean_d").alias("sigma")
+    )
+    return (
+        scored.crossJoin(stats)  # 1-row stats frame — broadcast by AQE
+        .where(
+            F.col("mean_d").isNotNull()
+            & (F.col("mean_d") <= F.col("mu") + t * F.col("sigma"))
+        )
+        .select("pid", "x", "y", F.round("mean_d", 6).alias("mean_d"))
+    )
+
+
+def q_pc_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOR over the sparse deterministic plane (same derivation as
+    q_pc_cluster): isolated points and abnormally-far-neighbor points are
+    dropped; result rolled up to counts + an exact-micro-unit distance sum
+    so the hash is scale-stable."""
+    t = load_tables(spark, sf_dir)
+    pts = t["part"].select(
+        F.col("p_partkey").alias("pid"),
+        ((F.col("p_partkey") * 7) % 2000).cast("double").alias("x"),
+        ((F.col("p_partkey") * 13) % 1000).cast("double").alias("y"),
+    )
+    kept = statistical_outlier_removal(pts, 3.0, t=2.0)
+    n_in = pts.count()
+    return kept.agg(
+        F.lit(n_in).alias("n_input"),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(F.round(F.col("mean_d") * 1e6, 0).cast("long")).alias(
+            "sum_mean_d_micro"
+        ),
+        F.min("pid").alias("min_pid"),
+        F.max("pid").alias("max_pid"),
+    )
+
+
 def q_pc_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Euclidean clustering of a sparse deterministic point plane
     (x = partkey*7 mod 2000, y = partkey*13 mod 1000 → ~0.1% area density,
@@ -420,9 +553,87 @@ QUERIES = {
     "q_pc_hag": q_pc_hag,
     "q_pc_slope": q_pc_slope,
     "q_pc_cluster": q_pc_cluster,
+    "q_pc_outliers": q_pc_outliers,
+    "q_pc_pyramid": q_pc_pyramid,
 }
 
 ORACLES = {
+    "q_pc_pyramid": """
+        WITH pts AS (
+            SELECT CAST(p_partkey AS DOUBLE) AS x, CAST(p_size AS DOUBLE) AS y
+            FROM part
+        ),
+        lv AS (SELECT unnest(generate_series(0, 3)) AS level),
+        cells AS (
+            SELECT level,
+                   floor(x / (64.0 * pow(2, level))) AS vx,
+                   floor(y / (8.0 * pow(2, level))) AS vy,
+                   count(*) AS n_pts,
+                   sum(x) AS sx
+            FROM pts CROSS JOIN lv
+            GROUP BY 1, 2, 3
+        )
+        SELECT level,
+               count(*) AS n_cells,
+               CAST(sum(n_pts) AS BIGINT) AS n_points,
+               CAST(max(n_pts) AS BIGINT) AS max_cell,
+               CAST(sum(CAST(round(round(sx / n_pts, 6) * 1e6, 0) AS BIGINT))
+                    AS BIGINT) AS sum_cx_micro
+        FROM cells GROUP BY level
+    """,
+    "q_pc_outliers": """
+        WITH pts AS (
+            SELECT p_partkey AS pid,
+                   CAST((p_partkey * 7) % 2000 AS DOUBLE) AS x,
+                   CAST((p_partkey * 13) % 1000 AS DOUBLE) AS y
+            FROM part
+        ),
+        offs AS (
+            SELECT dxs.dx, dys.dy
+            FROM (SELECT unnest(generate_series(-1, 1)) AS dx) dxs,
+                 (SELECT unnest(generate_series(-1, 1)) AS dy) dys
+        ),
+        home AS (
+            SELECT pid AS pb, x AS bx, y AS by,
+                   CAST(floor(x / 3.0) AS BIGINT) AS cx,
+                   CAST(floor(y / 3.0) AS BIGINT) AS cy
+            FROM pts
+        ),
+        expanded AS (
+            SELECT pid AS pa, x AS ax, y AS ay,
+                   CAST(floor(x / 3.0) AS BIGINT) + dx AS cx,
+                   CAST(floor(y / 3.0) AS BIGINT) + dy AS cy
+            FROM pts CROSS JOIN offs
+        ),
+        pairs AS (
+            SELECT pa, pb,
+                   sqrt((ax - bx) * (ax - bx) + (ay - by) * (ay - by)) AS d
+            FROM expanded JOIN home USING (cx, cy)
+            WHERE pa < pb
+              AND sqrt((ax - bx) * (ax - bx) + (ay - by) * (ay - by)) <= 3.0
+        ),
+        per_pt AS (
+            SELECT pid, avg(d) AS mean_d FROM (
+                SELECT pa AS pid, d FROM pairs
+                UNION ALL SELECT pb, d FROM pairs
+            ) GROUP BY pid
+        ),
+        stats AS (
+            SELECT avg(mean_d) AS mu, stddev_pop(mean_d) AS sigma FROM per_pt
+        ),
+        kept AS (
+            SELECT p.pid, p.mean_d
+            FROM per_pt p, stats s
+            WHERE p.mean_d <= s.mu + 2.0 * s.sigma
+        )
+        SELECT (SELECT count(*) FROM pts) AS n_input,
+               count(*) AS n_kept,
+               CAST(sum(CAST(round(mean_d * 1e6, 0) AS BIGINT)) AS BIGINT)
+                   AS sum_mean_d_micro,
+               min(pid) AS min_pid,
+               max(pid) AS max_pid
+        FROM kept
+    """,
     "q_pc_cluster": """
         WITH RECURSIVE pts AS (
             SELECT p_partkey AS pid,

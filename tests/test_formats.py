@@ -179,3 +179,26 @@ def test_laz_detected_and_rejected(tmp_path):
     open(p, "wb").write(bytes(raw))
     with _pytest.raises(ValueError, match="LAZ"):
         LasHeader.parse_file(p)
+
+
+def test_las14_zero_count14_repair():
+    """Nonconforming 1.4 writers can zero the 64-bit count while filling the
+    per-return slots; the parser must derive a nonzero point count instead
+    of planning zero records from a file that has data (ADVICE r4)."""
+    import struct
+
+    from spark_iqmulus_spark.sources.las_format import LasHeader
+
+    ret = (3, 2) + (0,) * 13
+    hdr = LasHeader(
+        version_minor=4, pdr_format=6, pdr_nb=5, pdr_return_nb=ret
+    )
+    buf = bytearray(hdr.to_bytes())
+    struct.pack_into("<Q", buf, 247, 0)  # zero the 1.4 count field
+
+    # legacy slot still carries 5 → recovered from legacy
+    assert LasHeader.parse(bytes(buf)).pdr_nb == 5
+
+    # legacy also zeroed (spec-conformant for fmt 6-10) → sum of returns
+    struct.pack_into("<I", buf, 107, 0)
+    assert LasHeader.parse(bytes(buf)).pdr_nb == 5  # = sum(ret)

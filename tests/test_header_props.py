@@ -42,10 +42,17 @@ def las_headers(draw):
     fmt = draw(st.integers(min_value=0, max_value=10))
     # formats 6-10 require 1.4; otherwise any supported minor
     minor = 4 if fmt >= 6 else draw(st.sampled_from([0, 1, 2, 3, 4]))
+    pdr_nb = draw(st.integers(min_value=0, max_value=2**31))
+    # a zero point count with nonzero per-return counts is the
+    # NONCONFORMING-writer shape the parser deliberately repairs
+    # (las_format: count14==0 but any(ret14) → derive pdr_nb); the
+    # roundtrip identity only holds for spec-consistent headers, so pin
+    # returns to zero when the count is zero (repair has its own unit test)
+    ret_max = 2**31 if pdr_nb else 0
     return LasHeader(
         version_minor=minor,
         pdr_format=fmt,
-        pdr_nb=draw(st.integers(min_value=0, max_value=2**31)),
+        pdr_nb=pdr_nb,
         scale=draw(pos_scale),
         offset=draw(triple),
         pmin=draw(triple),
@@ -53,7 +60,7 @@ def las_headers(draw):
         pdr_return_nb=tuple(
             draw(
                 st.lists(
-                    st.integers(min_value=0, max_value=2**31),
+                    st.integers(min_value=0, max_value=ret_max),
                     min_size=15,
                     max_size=15,
                 )

@@ -222,6 +222,52 @@ def test_euclidean_cluster_handcrafted(spark):
     assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 8, 9: 8}
 
 
+def test_voxel_pyramid_cascade_equals_direct(spark):
+    """The cascaded rollup must equal aggregating raw points at every
+    level (mergeable-stat invariant — floor(floor(x/b)/2) == floor(x/2b))."""
+    from pyspark.sql import functions as F
+
+    from spark_iqmulus_spark.operators.spatial import voxel_pyramid
+
+    import random
+
+    random.seed(7)
+    rows = [(random.uniform(0, 500), random.uniform(0, 100)) for _ in range(2000)]
+    pts = spark.createDataFrame(rows, "x double, y double")
+    pyr = {
+        (r["level"], r["vx"], r["vy"]): (r["n_pts"], r["cx"])
+        for r in voxel_pyramid(pts, (10.0, 10.0), levels=3).collect()
+    }
+    for lvl in range(3):
+        side = 10.0 * (2 ** lvl)
+        direct = (
+            pts.groupBy(
+                F.floor(F.col("x") / side).alias("vx"),
+                F.floor(F.col("y") / side).alias("vy"),
+            )
+            .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("x"), 6).alias("cx"))
+            .collect()
+        )
+        for r in direct:
+            n, cx = pyr[(lvl, r["vx"], r["vy"])]
+            assert n == r["n"]
+            assert abs(cx - r["cx"]) < 1e-6
+        assert len(direct) == sum(1 for k in pyr if k[0] == lvl)
+
+
+def test_statistical_outlier_removal(spark):
+    """A tight cluster survives; a lone far point (no neighbors) and a
+    point whose only neighbors are abnormally distant are removed."""
+    from spark_iqmulus_spark.operators.spatial import statistical_outlier_removal
+
+    pts = [(i, float(i % 5) * 0.5, float(i // 5) * 0.5) for i in range(25)]
+    pts.append((100, 500.0, 500.0))  # isolated → dropped (no neighbors)
+    df = spark.createDataFrame(pts, "pid long, x double, y double")
+    kept = {r["pid"] for r in statistical_outlier_removal(df, 3.0, t=2.0).collect()}
+    assert 100 not in kept
+    assert len(kept) >= 20  # the dense grid survives
+
+
 def test_percentile_approx_error_bound(spark):
     """The sketch quantiles must land within 2% of the exact per-group
     quantiles (accuracy=10000 => ~0.01% rank error) — the query itself
