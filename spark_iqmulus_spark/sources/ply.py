@@ -29,6 +29,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    InputPartition,
     WriterCommitMessage,
 )
 
@@ -148,20 +149,96 @@ class PlyReader(DataSourceReader):
         total = sum(s.count * s.stride for _, s, _ in secs)
         target = effective_partition_bytes(total, self.partition_bytes)
         parts = []
-        for fid, section, _ in secs:
+        for fid, section, hdr in secs:
+            if hdr.is_ascii:
+                # text rows have no fixed stride → one task per file; skip
+                # the rows of any elements preceding the requested one
+                skip = 0
+                for e in hdr.elements:
+                    if e.name == self.element:
+                        break
+                    skip += e.count
+                parts.append(
+                    AsciiPlyPartition(
+                        path=section.path,
+                        fid=fid,
+                        header_length=hdr.header_length,
+                        skip_rows=skip,
+                        n_rows=section.count,
+                        fields=[(f.name, f.np_char) for f in section.fields],
+                    )
+                )
+                continue
             for start, n in plan_record_ranges(section.count, section.stride, target):
                 parts.append(SectionPartition(section, start, n, fid))
         return parts
 
-    def read(self, partition: SectionPartition):
+    def read(self, partition):
         if partition is None:
             return  # empty partition list (all files pruned) → empty scan
+        if isinstance(partition, AsciiPlyPartition):
+            yield adapt_batch(_decode_ascii(partition), self.out_schema)
+            return
         data_fields = [f for f in self.out_schema.fields if f.name not in ("fid", "pid")]
         want = [f.name for f in data_fields if any(sf.name == f.name for sf in partition.section.fields)]
         raw = partition.section.read_batch(
             partition.rec_start, partition.n_records, partition.fid, columns=want
         )
         yield adapt_batch(raw, self.out_schema)
+
+
+@dataclass
+class AsciiPlyPartition(InputPartition):
+    """One ascii-format PLY file's requested element, decoded whole."""
+
+    path: str
+    fid: int
+    header_length: int
+    skip_rows: int
+    n_rows: int
+    fields: list  # (name, np_char)
+
+
+def _decode_ascii(p: AsciiPlyPartition):
+    """Decode an ascii PLY element section to an Arrow batch with fid/pid
+    (unsigned storage bit-preserved into signed, as the binary path does)."""
+    import io as _io
+
+    import pyarrow as pa
+
+    from .binary_section import signed_char
+
+    with open(p.path, "rb") as fh:
+        fh.seek(p.header_length)
+        text = fh.read()
+    mat = np.loadtxt(
+        _io.BytesIO(text),
+        dtype=np.float64,
+        skiprows=p.skip_rows,
+        max_rows=p.n_rows or None,
+        ndmin=2,
+    )
+    if mat.size == 0:
+        mat = mat.reshape(0, len(p.fields))
+    if mat.shape[1] != len(p.fields):
+        raise ValueError(
+            f"{p.path}: ascii row width {mat.shape[1]} != "
+            f"{len(p.fields)} declared properties"
+        )
+    n = mat.shape[0]
+    names = ["fid", "pid"]
+    arrays = [
+        pa.array(np.full(n, p.fid, dtype=np.int32)),
+        pa.array(np.arange(n, dtype=np.int64)),
+    ]
+    for i, (name, np_char) in enumerate(p.fields):
+        col = mat[:, i].astype("<" + np_char)
+        target = signed_char(np_char)
+        if target != np_char:
+            col = col.view(np.dtype("<" + target))
+        arrays.append(pa.array(np.ascontiguousarray(col)))
+        names.append(name)
+    return pa.RecordBatch.from_arrays(arrays, names=names)
 
 
 @dataclass

@@ -115,6 +115,7 @@ class PlyHeader:
     comments: list[str] = field(default_factory=list)
     obj_info: list[str] = field(default_factory=list)
     header_length: int = 0  # bytes up to and including end_header newline
+    is_ascii: bool = False  # ``format ascii 1.0`` (read-only support)
 
     def element(self, name: str) -> PlyElement | None:
         for e in self.elements:
@@ -181,6 +182,12 @@ class PlyHeader:
                     hdr.little_endian = True
                 elif tok[1] == "binary_big_endian":
                     hdr.little_endian = False
+                elif tok[1] == "ascii":
+                    # text body: read-only, decoded whole-file (the reference
+                    # rejects ascii PLY outright — PlyHeader.scala:163-166;
+                    # we accept it as an interchange format, binary remains
+                    # the record-aligned scale path)
+                    hdr.is_ascii = True
                 else:
                     raise ValueError(f"{location}: unsupported PLY format {tok[1]}")
             elif kw == "comment":

@@ -449,3 +449,25 @@ def test_pushdown_all_files_pruned_yields_empty(spark, tmp_path):
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     df = spark.read.format("las").option("pushdown", "true").load(las)
     assert df.where(F.col("x") > 10_000_000).count() == 0
+
+
+def test_ply_ascii_read(spark, tmp_path):
+    """format ascii 1.0 PLY (reference rejects it; we read it whole-file),
+    including skipping a preceding element's rows."""
+    p = str(tmp_path / "a.ply")
+    with open(p, "wb") as f:
+        f.write(
+            b"ply\nformat ascii 1.0\n"
+            b"element camera 2\nproperty float cx\n"
+            b"element vertex 3\n"
+            b"property float x\nproperty float y\nproperty int c\n"
+            b"end_header\n"
+            b"9.5\n8.5\n"  # camera rows (skipped)
+            b"1.5 2.0 7\n-3.25 0.5 8\n10 20 9\n"
+        )
+    df = spark.read.format("ply").load(p)
+    assert df.columns == ["fid", "pid", "x", "y", "c"]
+    rows = sorted(df.select("x", "y", "c").collect())
+    assert rows[0] == (-3.25, 0.5, 8)
+    assert rows[2] == (10.0, 20.0, 9)
+    assert df.count() == 3
