@@ -282,11 +282,29 @@ class LasWriter(DataSourceArrowWriter):
         self.namecol = options.get("namecol")
         if self.namecol is not None and self.namecol not in schema.names:
             raise ValueError(f"namecol {self.namecol!r} not in schema")
-        data_names = {
-            f.name
-            for f in schema.fields
-            if f.name not in ("fid", "pid", self.namecol)
+        data_fields = [
+            f for f in schema.fields if f.name not in ("fid", "pid", self.namecol)
+        ]
+        # columns named by NO point format become ExtraBytes-described extra
+        # dimensions (A2 read parity in reverse: the reader already decodes
+        # them; here they round-trip).  Core fields choose the point format.
+        known = {n for flds in POINT_FORMATS.values() for n, _ in flds}
+        data_names = {f.name for f in data_fields if f.name in known}
+        _SPARK_TO_NP = {
+            "tinyint": "i1",
+            "smallint": "i2",
+            "int": "i4",
+            "bigint": "i8",
+            "float": "f4",
+            "double": "f8",
         }
+        from .las_format import ExtraField
+
+        self.extra_fields = [
+            ExtraField(f.name, _SPARK_TO_NP[f.dataType.simpleString()])
+            for f in data_fields
+            if f.name not in known
+        ]
         forced = options.get("lasformat")
         self.fmt = int(forced) if forced is not None else format_from_schema(data_names)
         self.minor = int(options.get("minor", options.get("version", "2")))
@@ -298,7 +316,9 @@ class LasWriter(DataSourceArrowWriter):
         )
         self.schema = schema
         self.overwrite = overwrite
-        self.fields = POINT_FORMATS[self.fmt]
+        self.fields = list(POINT_FORMATS[self.fmt]) + [
+            (e.name, e.np_char) for e in self.extra_fields
+        ]
         self.fid_paths = None
         restore = options.get("restorenames", "true").lower() != "false"
         if restore and any(f.name == "fid" for f in schema.fields):
@@ -323,7 +343,9 @@ class LasWriter(DataSourceArrowWriter):
                 # part name safe either way
                 p = os.path.join(self.path, f".part-{uuid.uuid4().hex}.lasbin")
                 s = [p, open(p, "wb"), 0, [np.inf] * 3, [-np.inf] * 3,
-                     np.zeros(15, dtype=np.int64)]
+                     np.zeros(15, dtype=np.int64),
+                     [np.inf] * len(self.extra_fields),
+                     [-np.inf] * len(self.extra_fields)]
                 sinks[fid] = s
             return s
 
@@ -376,6 +398,12 @@ class LasWriter(DataSourceArrowWriter):
                     s[5] += np.bincount(
                         np.minimum(r, 14), minlength=15
                     ).astype(np.int64)
+                    if m:
+                        for i, e in enumerate(self.extra_fields):
+                            col = sub[e.name]
+                            # .item() keeps ints exact (no float64 rounding)
+                            s[6][i] = min(s[6][i], col.min().item())
+                            s[7][i] = max(s[7][i], col.max().item())
                     s[1].write(sub.tobytes())
                     s[2] += m
         finally:
@@ -390,13 +418,18 @@ class LasWriter(DataSourceArrowWriter):
                     tuple(s[3]),
                     tuple(s[4]),
                     tuple(int(v) for v in s[5]),
+                    tuple(s[6]),
+                    tuple(s[7]),
                 )
                 for fid, s in sinks.items()
             ]
         )
 
     def _merge_one(self, dest: str, parts: list) -> None:
-        """parts: list of (part_path, count, pmin, pmax, ret) for one fid."""
+        """parts: list of (part_path, count, pmin, pmax, ret, emin, emax)
+        for one fid."""
+        import dataclasses
+
         total = sum(p[1] for p in parts)
         pmin = [
             min((p[2][i] for p in parts if p[1]), default=0.0) for i in range(3)
@@ -405,6 +438,15 @@ class LasWriter(DataSourceArrowWriter):
             max((p[3][i] for p in parts if p[1]), default=0.0) for i in range(3)
         ]
         ret = [sum(p[4][i] for p in parts) for i in range(15)]
+        # ExtraBytes descriptors carry merged min/max (the bounds source for
+        # extra-field file skipping — read side: _file_can_match)
+        extras = []
+        for i, e in enumerate(self.extra_fields):
+            lo = min((p[5][i] for p in parts if p[1]), default=None)
+            hi = max((p[6][i] for p in parts if p[1]), default=None)
+            if lo is not None and e.np_char[0] != "f":
+                lo, hi = int(lo), int(hi)  # <q descriptor slots need ints
+            extras.append(dataclasses.replace(e, vmin=lo, vmax=hi))
         # formats 6-10 and >2^32 points require LAS 1.4 — auto-upgrade
         minor = 4 if (self.fmt >= 6 or total >= 2**32) else self.minor
         header = LasHeader(
@@ -417,6 +459,7 @@ class LasWriter(DataSourceArrowWriter):
             pmin=tuple(pmin),
             pmax=tuple(pmax),
             pdr_return_nb=tuple(ret),
+            extra_fields=extras,
         )
         with open(dest, "wb") as out:
             out.write(header.to_bytes())
@@ -428,9 +471,9 @@ class LasWriter(DataSourceArrowWriter):
         clear_existing_outputs(self.path, ".las", self.overwrite)
         by_fid: dict[int, list] = {}
         for m in messages:
-            for fid, part_path, count, pmin, pmax, ret in m.parts:
+            for fid, part_path, count, pmin, pmax, ret, emin, emax in m.parts:
                 by_fid.setdefault(fid, []).append(
-                    (part_path, count, pmin, pmax, ret)
+                    (part_path, count, pmin, pmax, ret, emin, emax)
                 )
         if self.namecol is not None:
             for name, parts in sorted(by_fid.items()):

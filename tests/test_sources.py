@@ -471,3 +471,43 @@ def test_ply_ascii_read(spark, tmp_path):
     assert rows[0] == (-3.25, 0.5, 8)
     assert rows[2] == (10.0, 20.0, 9)
     assert df.count() == 3
+
+
+def test_las_extrabytes_write_roundtrip(spark, tmp_path):
+    """Extra (non-format) columns round-trip through the LAS writer as
+    ExtraBytes dimensions, with merged min/max recorded in the descriptor
+    (the bounds source for extra-field file skipping)."""
+    from spark_iqmulus_spark.sources.las_format import LasHeader
+
+    df = spark.createDataFrame(
+        [(i, i * 2, 100 + i, float(i) * 1.5, 10 - i) for i in range(50)],
+        "x int, y int, z int, reflect double, amp int",
+    )
+    out = str(tmp_path / "xb")
+    df.write.format("las").mode("overwrite").save(out)
+    files = [f for f in __import__("os").listdir(out) if f.endswith(".las")]
+    assert files == ["data.las"]
+    hdr = LasHeader.parse_file(f"{out}/{files[0]}")
+    by_name = {e.name: e in hdr.extra_fields and e for e in hdr.extra_fields}
+    assert set(by_name) == {"reflect", "amp"}
+    assert by_name["reflect"].vmin == 0.0
+    assert by_name["reflect"].vmax == 49 * 1.5
+    assert by_name["amp"].vmin == 10 - 49 and by_name["amp"].vmax == 10
+
+    back = spark.read.format("las").load(out)
+    assert {"reflect", "amp"} <= set(back.columns)
+    import pyspark.sql.functions as F
+
+    row = back.agg(
+        F.sum("x"), F.sum("reflect"), F.min("amp"), F.count("*")
+    ).collect()[0]
+    assert row[0] == sum(range(50))
+    assert abs(row[1] - sum(i * 1.5 for i in range(50))) < 1e-9
+    assert row[2] == 10 - 49
+    assert row[3] == 50
+
+    # descriptor bounds drive file skipping on the extra field
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    pushed = spark.read.format("las").option("pushdown", "true").load(out)
+    assert pushed.where(F.col("amp") > 100).count() == 0  # skipped by bounds
+    assert pushed.where(F.col("amp") > 0).count() == 10
