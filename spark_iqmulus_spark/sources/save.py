@@ -60,6 +60,10 @@ def save_xyz(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     write_xyz(df, path, mode=mode)
 
 
+def save_pcd(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.format("pcd").mode(mode).save(path)
+
+
 def save_tiled_las(
     df: DataFrame,
     out_dir: str,
