@@ -219,7 +219,38 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts over the events stream — the standard
+    product-analytics rollup: users grouped by first-activity week, counted
+    per week-since-signup.  Two shuffles: one min-aggregate on user_id for
+    the cohort assignment (broadcast back while small, AQE decides), one
+    final (cohort, week_n) aggregate.  Week arithmetic is epoch-exact
+    (Monday-aligned UTC week starts differ by exact 604800-second
+    multiples), so the engine-neutral division is lossless."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select("user_id", F.date_trunc("week", "ts").alias("wk"))
+    cohort = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    act = ev.distinct()
+    return (
+        act.join(cohort, "user_id")
+        .select(
+            F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort"),
+            (
+                (
+                    F.unix_timestamp("wk") - F.unix_timestamp("cohort_wk")
+                ) / 604800
+            )
+            .cast("int")
+            .alias("week_n"),
+            "user_id",
+        )
+        .groupBy("cohort", "week_n")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
 QUERIES = {
+    "q_retention_cohort": q_retention_cohort,
     "q_tpch_q1": q_tpch_q1,
     "q_tpch_q3": q_tpch_q3,
     "q_tpch_q6": q_tpch_q6,
@@ -229,6 +260,21 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_retention_cohort": """
+        WITH ev AS (
+            SELECT user_id, date_trunc('week', ts) AS wk FROM events
+        ), cohort AS (
+            SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY user_id
+        ), act AS (
+            SELECT DISTINCT user_id, wk FROM ev
+        )
+        SELECT strftime(c.cohort_wk, '%Y-%m-%d') AS cohort,
+               CAST((epoch(a.wk) - epoch(c.cohort_wk)) / 604800 AS INTEGER)
+                   AS week_n,
+               count(DISTINCT a.user_id) AS n_users
+        FROM act a JOIN cohort c USING (user_id)
+        GROUP BY 1, 2
+    """,
     "q_tpch_q1": """
         WITH agg AS (
             SELECT l_returnflag, l_linestatus,
