@@ -107,6 +107,40 @@ def q_pcd_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_las_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion of the derived LAS tiles:
+    ``spark.readStream.format("las")`` replayed to completion
+    (availableNow) — the batch aggregate over the same files is the
+    oracle-checkable contract, while the run exercises the streaming
+    source's offset/partition machinery end-to-end."""
+    import uuid
+
+    from pyspark import sql as _sql  # noqa: F401  (kept local; no global dep)
+
+    register_sources(spark)
+    d = _las_dir(spark, sf_dir)
+    stream = (
+        spark.readStream.format("las")
+        .load(d)
+        .groupBy("classification")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("intensity").alias("sum_intensity"),
+        )
+    )
+    name = f"q_las_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_las_s_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def q_las_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """part → LAS format-1 write (streamed stats) → vectorized read →
     aggregate, incl. world-coordinate sum (scale 0.01)."""
@@ -272,6 +306,7 @@ QUERIES = {
     "q_xyz_roundtrip": q_xyz_roundtrip,
     "q_pc_voxel": q_pc_voxel,
     "q_pcd_roundtrip": q_pcd_roundtrip,
+    "q_las_stream": q_las_stream,
 }
 
 # derivations repeated inline so each oracle is self-contained
@@ -310,6 +345,12 @@ ORACLES = {
                CAST(min(p_partkey % 180 - 90) AS TINYINT) AS min_angle,
                round(sum(CAST(p_partkey AS DOUBLE)), 4) AS sum_time
         FROM part
+    """,
+    "q_las_stream": """
+        SELECT CAST(p_partkey % 6 + 1 AS TINYINT) AS classification,
+               count(*) AS n,
+               CAST(sum(p_size) AS BIGINT) AS sum_intensity
+        FROM part GROUP BY 1
     """,
     "q_pcd_roundtrip": f"""
         SELECT count(*) AS n,

@@ -155,6 +155,13 @@ class LasDataSource(DataSource):
     def writer(self, schema: T.StructType, overwrite: bool) -> "LasWriter":
         return LasWriter(self.options, schema, overwrite)
 
+    def streamReader(self, schema: T.StructType):
+        """``spark.readStream.format("las")`` — continuous tile ingestion
+        (see sources/las_stream.py for offset and schema semantics)."""
+        from .las_stream import LasStreamReader
+
+        return LasStreamReader(self.options, schema)
+
 
 class LasReader(DataSourceReader):
     def __init__(self, paths: list[str], options, schema: T.StructType):

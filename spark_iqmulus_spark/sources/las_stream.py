@@ -1,0 +1,123 @@
+"""Streaming LAS source: ``spark.readStream.format("las")``.
+
+Continuous tile ingestion — the arrival pattern of a LiDAR production
+pipeline (survey tiles landing in a directory) — expressed through the
+Python DataSource *streaming* API: each micro-batch picks up files that
+appeared since the last committed offset and decodes them with the exact
+record-aligned vectorized path the batch reader uses.  The reference is
+batch-only (no streaming anywhere in its source — SURVEY.md §1.1); this
+extends its format family into Structured Streaming, so watermarked
+windowed aggregates, dedup, and stateful operators compose directly over
+arriving point clouds.
+
+Semantics and limits (documented, deliberate):
+
+- **Offsets are the sorted set of processed file paths.**  Exactly-once per
+  file: a file is either fully in a batch or not yet seen; the checkpoint
+  replays the same file set on recovery.  At 100k+ files the offset JSON
+  grows with the directory — production would compact to an
+  (mtime, path) watermark; the per-file contract here keeps recovery
+  trivially correct and is bounded by files-per-checkpoint-era.
+- **Schema is fixed at stream start** from the files present (or the first
+  matching file); later files are adapted (widened/null-filled) onto it by
+  ``adapt_batch`` like any multi-file batch read.  Starting a stream on an
+  empty directory requires a ``.schema(...)`` — there is nothing to infer.
+- ``fid`` is the file's position within *its* micro-batch (per-batch
+  provenance; stable global ids would require the unbounded offset to ride
+  along), ``pid`` is the in-file record index, as in batch.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import DataSourceStreamReader, InputPartition
+
+from .binary_section import plan_record_ranges
+from .pointcloud_common import (
+    DEFAULT_PARTITION_BYTES,
+    SectionPartition,
+    adapt_batch,
+    effective_partition_bytes,
+    ignore_corrupt_option,
+)
+
+
+def _list_files(path: str, ext: str) -> list[str]:
+    if os.path.isdir(path):
+        return sorted(
+            f
+            for f in glob.glob(os.path.join(path, f"*{ext}"))
+            if os.path.isfile(f)
+        )
+    if any(ch in path for ch in "*?["):
+        return sorted(f for f in glob.glob(path) if os.path.isfile(f))
+    return [path] if os.path.exists(path) else []
+
+
+@dataclass
+class _StreamFilePartition(InputPartition):
+    """One record range of one newly-arrived file (fid = batch-local)."""
+
+    inner: SectionPartition
+
+
+class LasStreamReader(DataSourceStreamReader):
+    def __init__(self, options, schema: T.StructType):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("streaming read requires a path")
+        self.out_schema = schema
+        self.partition_bytes = int(
+            options.get("partition_bytes", DEFAULT_PARTITION_BYTES)
+        )
+        self.ignore_corrupt = ignore_corrupt_option(options)
+
+    def initialOffset(self) -> dict:
+        return {"files": []}
+
+    def latestOffset(self) -> dict:
+        return {"files": _list_files(self.path, ".las")}
+
+    def partitions(self, start: dict, end: dict):
+        from .las import _las_sections
+
+        seen = set(start.get("files", []))
+        new = [p for p in end.get("files", []) if p not in seen]
+        if not new:
+            # the engine still runs empty batches; a no-op partition keeps
+            # the contract (read() yields nothing for it)
+            return [_StreamFilePartition(None)]
+        secs = _las_sections(new, self.ignore_corrupt)
+        total = sum(s.count * s.stride for _, s, _ in secs)
+        target = effective_partition_bytes(total, self.partition_bytes)
+        parts: list[_StreamFilePartition] = []
+        for fid, section, _ in secs:
+            for rec_start, n in plan_record_ranges(
+                section.count, section.stride, target
+            ):
+                parts.append(
+                    _StreamFilePartition(
+                        SectionPartition(section, rec_start, n, fid)
+                    )
+                )
+        return parts or [_StreamFilePartition(None)]
+
+    def read(self, partition: _StreamFilePartition):
+        p = partition.inner
+        if p is None:
+            return iter(())
+        want = [
+            f.name
+            for f in self.out_schema.fields
+            if f.name not in ("fid", "pid")
+            and any(sf.name == f.name for sf in p.section.fields)
+        ]
+        raw = p.section.read_batch(p.rec_start, p.n_records, p.fid, columns=want)
+        return iter([adapt_batch(raw, self.out_schema)])
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are replay-safe; nothing to clean up

@@ -148,3 +148,47 @@ def test_foreach_batch_parquet_sink(spark, tmp_path):
     parquet_batch_sink(out)(batch_df, 0)
     again = spark.read.parquet(out)
     assert again.where(F.col("__batch_id") == 0).count() == 10
+
+
+def test_las_stream_ingestion(spark, tmp_path):
+    """spark.readStream.format('las'): files present at start are one
+    batch; files arriving later are picked up incrementally by the same
+    checkpointed query (exactly-once per file)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tests.fixtures import make_las
+
+    src = str(tmp_path / "tiles")
+    os.makedirs(src)
+    ckpt = str(tmp_path / "ckpt")
+    make_las(os.path.join(src, "t0.las"), n=500, fmt=1, seed=1)
+    make_las(os.path.join(src, "t1.las"), n=300, fmt=1, seed=2)
+
+    def run_once(name):
+        stream = (
+            spark.readStream.format("las")
+            .load(src)
+            .groupBy()
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("intensity").alias("si"))
+        )
+        q = (
+            stream.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(name).collect()
+
+    rows = run_once("las_stream_a")
+    assert rows[0]["n"] == 800
+
+    # a new tile arrives; the restarted checkpointed query ingests ONLY it,
+    # and complete-mode state accumulates to the full total
+    make_las(os.path.join(src, "t2.las"), n=200, fmt=1, seed=3)
+    rows = run_once("las_stream_b")
+    assert rows[0]["n"] == 1000
