@@ -107,6 +107,49 @@ def q_pcd_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _retile_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Cached multi-tile LAS set (one file per 2048×16 grid cell)."""
+    from ..sources.save import save_tiled_las
+
+    register_sources(spark)
+    key = (sf_dir, "retile")
+    if key not in _CACHE or not os.path.exists(_CACHE[key]):
+        out = tempfile.mkdtemp(prefix="pc_retile_")
+        save_tiled_las(
+            _point_df(spark, sf_dir), out, (2048.0, 16.0), lasformat="1"
+        )
+        _CACHE[key] = out
+    return _CACHE[key]
+
+
+def q_pc_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-catalog read: build a tile manifest over the retiled LAS
+    set once, then answer a bounded-region query by pruning tiles from the
+    manifest (a tiny parquet scan — zero header reads at plan time) and
+    re-filtering rows inside the surviving tiles.  The result is
+    tile-granularity-independent, so the oracle is a plain filtered
+    aggregate over ``part``; manifest-actually-prunes is pinned in
+    tests/test_manifest.py."""
+    from ..plans.manifest import read_pruned, write_manifest
+
+    d = _retile_dir(spark, sf_dir)
+    key = (sf_dir, "manifest")
+    if key not in _CACHE or not os.path.exists(_CACHE[key]):
+        out = tempfile.mkdtemp(prefix="pc_manifest_")
+        paths = [
+            os.path.join(d, f) for f in os.listdir(d) if f.endswith(".las")
+        ]
+        write_manifest(spark, paths, out)
+        _CACHE[key] = out
+    # world x ∈ [0, 40] (scale 0.01) == raw partkey ∈ [0, 4000]
+    df = read_pruned(spark, _CACHE[key], "las", x_range=(0.0, 40.0))
+    return df.where(F.col("x") <= 4000).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sum_x"),
+        F.max("intensity").alias("max_intensity"),
+    )
+
+
 def q_las_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingestion of the derived LAS tiles:
     ``spark.readStream.format("las")`` replayed to completion
@@ -272,17 +315,7 @@ def q_pc_retile(spark: SparkSession, sf_dir: str) -> DataFrame:
     geometric tile.  ``one_file`` certifies the physical partitioning:
     every point of a tile landed in exactly one output file.  The oracle
     recomputes the per-tile aggregates from ``part`` with one_file=true."""
-    from ..sources.save import save_tiled_las
-
-    register_sources(spark)
-    key = (sf_dir, "retile")
-    if key not in _CACHE or not os.path.exists(_CACHE[key]):
-        out = tempfile.mkdtemp(prefix="pc_retile_")
-        save_tiled_las(
-            _point_df(spark, sf_dir), out, (2048.0, 16.0), lasformat="1"
-        )
-        _CACHE[key] = out
-    back = spark.read.format("las").load(_CACHE[key])
+    back = spark.read.format("las").load(_retile_dir(spark, sf_dir))
     gx = F.floor(F.col("x") / 2048).cast("long")
     gy = F.floor(F.col("y") / 16).cast("long")
     return (
@@ -307,6 +340,7 @@ QUERIES = {
     "q_pc_voxel": q_pc_voxel,
     "q_pcd_roundtrip": q_pcd_roundtrip,
     "q_las_stream": q_las_stream,
+    "q_pc_manifest": q_pc_manifest,
 }
 
 # derivations repeated inline so each oracle is self-contained
@@ -345,6 +379,12 @@ ORACLES = {
                CAST(min(p_partkey % 180 - 90) AS TINYINT) AS min_angle,
                round(sum(CAST(p_partkey AS DOUBLE)), 4) AS sum_time
         FROM part
+    """,
+    "q_pc_manifest": """
+        SELECT count(*) AS n,
+               CAST(sum(CAST(p_partkey AS INTEGER)) AS BIGINT) AS sum_x,
+               CAST(max(p_size) AS SMALLINT) AS max_intensity
+        FROM part WHERE p_partkey <= 4000
     """,
     "q_las_stream": """
         SELECT CAST(p_partkey % 6 + 1 AS TINYINT) AS classification,

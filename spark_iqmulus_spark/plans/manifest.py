@@ -1,0 +1,119 @@
+"""Tile-manifest catalog: amortize point-cloud planning cost across queries.
+
+Every batch read plans by parsing each file's header (threaded, but still
+O(files) of driver I/O per query — `pointcloud_common.parse_sections`).  A
+*manifest* moves that cost to ingestion time: one pass records each tile's
+count/bounds/layout facts in a small parquet table, and every subsequent
+query prunes and plans from the manifest alone — the same role Iceberg /
+Delta manifests play for tabular data, here for the LAS/PLY/PCD family.
+At 100k tiles the manifest is a few MB; planning becomes one tiny parquet
+scan instead of 100k header reads, and bounds pruning happens as an
+ordinary Catalyst filter over the manifest frame.
+
+The manifest is advisory for *pruning only*: the files named by the pruned
+manifest are then read by the normal source (which re-parses their headers
+and re-applies every filter), so a stale manifest can only cause extra or
+missed *candidate* files — never wrong decode.  ``verify=True`` on
+``pruned_paths`` cross-checks file mtime/size against the manifest and
+raises on drift.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.las_format import LasHeader
+from ..sources.pointcloud_common import pmap_headers
+
+
+def build_manifest(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """One row per LAS tile: identity (mtime/size) + count + world bounds.
+
+    Header parsing is threaded (I/O-bound, GIL released); this is the one
+    O(files) pass the manifest amortizes away from every later query.
+    """
+    sorted_paths = sorted(paths)
+    headers = pmap_headers(LasHeader.parse_file, sorted_paths)
+    rows = []
+    for p, h in zip(sorted_paths, headers):
+        st = os.stat(p)
+        rows.append(
+            Row(
+                path=p,
+                mtime_ns=st.st_mtime_ns,
+                size=st.st_size,
+                n_points=h.pdr_nb,
+                pdr_format=h.pdr_format,
+                x_min=h.pmin[0], y_min=h.pmin[1], z_min=h.pmin[2],
+                x_max=h.pmax[0], y_max=h.pmax[1], z_max=h.pmax[2],
+            )
+        )
+    return spark.createDataFrame(rows)
+
+
+def write_manifest(
+    spark: SparkSession, paths: list[str], manifest_path: str
+) -> None:
+    build_manifest(spark, paths).coalesce(1).write.mode("overwrite").parquet(
+        manifest_path
+    )
+
+
+def pruned_paths(
+    spark: SparkSession,
+    manifest_path: str,
+    x_range: tuple[float, float] | None = None,
+    y_range: tuple[float, float] | None = None,
+    z_range: tuple[float, float] | None = None,
+    verify: bool = False,
+) -> list[str]:
+    """Tile paths whose manifest bounds may intersect the given world-coord
+    ranges — a plain Catalyst filter over the manifest parquet; collect is
+    bounded by *matching* tiles (the read job needs that path list on the
+    driver regardless)."""
+    m = spark.read.parquet(manifest_path)
+    for rng, lo_c, hi_c in (
+        (x_range, "x_min", "x_max"),
+        (y_range, "y_min", "y_max"),
+        (z_range, "z_min", "z_max"),
+    ):
+        if rng is not None:
+            lo, hi = rng
+            m = m.where((F.col(hi_c) >= lo) & (F.col(lo_c) <= hi))
+    rows = m.select("path", "mtime_ns", "size").collect()
+    if verify:
+        for r in rows:
+            st = os.stat(r["path"])
+            if st.st_mtime_ns != r["mtime_ns"] or st.st_size != r["size"]:
+                raise ValueError(
+                    f"manifest is stale for {r['path']} — rebuild with"
+                    " write_manifest()"
+                )
+    return [r["path"] for r in rows]
+
+
+def read_pruned(
+    spark: SparkSession,
+    manifest_path: str,
+    fmt: str = "las",
+    **ranges,
+) -> DataFrame:
+    """Manifest-pruned read: select candidate tiles from the manifest, then
+    hand them to the normal batch source (which re-checks everything).
+    Returns an empty frame with the full-source schema when nothing
+    matches."""
+    import json
+
+    paths = pruned_paths(spark, manifest_path, **ranges)
+    if not paths:
+        all_paths = [
+            r["path"] for r in spark.read.parquet(manifest_path).select("path").collect()
+        ]
+        full = spark.read.format(fmt).option(
+            "paths", json.dumps(sorted(all_paths))
+        ).load()
+        return full.limit(0)
+    return spark.read.format(fmt).option("paths", json.dumps(paths)).load()

@@ -1,0 +1,92 @@
+"""Tile-manifest catalog tests: pruning correctness, actually-prunes, and
+staleness detection."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from .fixtures import make_las
+
+
+@pytest.fixture()
+def tile_dir(spark, tmp_path):
+    """Three tiles with disjoint x bounds: [0,100), [1000,1100), [5000,5100)
+    in world coords (scale 0.01 → raw = world / 0.01)."""
+    import numpy as np
+
+    d = str(tmp_path / "tiles")
+    os.makedirs(d)
+    for i, base in enumerate((0, 1000, 5000)):
+        p = os.path.join(d, f"t{i}.las")
+        arr = make_las(p, n=100, fmt=1, seed=i)
+        # rewrite x into the tile's band: raw ints so world = 0.01 * raw
+        from spark_iqmulus_spark.sources.las_format import LasHeader
+
+        hdr = LasHeader.parse_file(p)
+        raw = np.arange(100, dtype=np.int32) * 100 + int(base / 0.01)
+        with open(p, "r+b") as f:
+            for pid in range(100):
+                f.seek(hdr.offset_to_points + pid * hdr.stride)
+                f.write(raw[pid].tobytes())
+        # refresh header bounds to match the new x values
+        hdr.pmin = (float(base), hdr.pmin[1], hdr.pmin[2])
+        hdr.pmax = (float(base) + 0.01 * 9900, hdr.pmax[1], hdr.pmax[2])
+        with open(p, "r+b") as f:
+            f.write(hdr.to_bytes()[: hdr.offset_to_points])
+        del arr
+    return d
+
+
+def test_manifest_prunes_and_matches(spark, tile_dir, tmp_path):
+    from spark_iqmulus_spark.plans.manifest import (
+        pruned_paths,
+        read_pruned,
+        write_manifest,
+    )
+
+    man = str(tmp_path / "man")
+    paths = [os.path.join(tile_dir, f) for f in os.listdir(tile_dir)]
+    write_manifest(spark, paths, man)
+
+    # bounds query touching only the middle tile
+    hit = pruned_paths(spark, man, x_range=(1000.0, 1100.0))
+    assert [os.path.basename(p) for p in hit] == ["t1.las"]
+
+    # read through the manifest == read everything then filter
+    via_manifest = (
+        read_pruned(spark, man, "las", x_range=(1000.0, 1100.0))
+        .where((F.col("x") >= 100000) & (F.col("x") <= 110000))
+        .count()
+    )
+    full = (
+        spark.read.format("las")
+        .load(tile_dir)
+        .where((F.col("x") >= 100000) & (F.col("x") <= 110000))
+        .count()
+    )
+    assert via_manifest == full == 100
+
+    # no-match range → empty frame, schema intact
+    empty = read_pruned(spark, man, "las", x_range=(90000.0, 99000.0))
+    assert empty.count() == 0
+    assert "x" in empty.columns
+
+
+def test_manifest_staleness_detection(spark, tile_dir, tmp_path):
+    from spark_iqmulus_spark.plans.manifest import pruned_paths, write_manifest
+
+    man = str(tmp_path / "man")
+    paths = [os.path.join(tile_dir, f) for f in os.listdir(tile_dir)]
+    write_manifest(spark, paths, man)
+    # touch a tile after manifest build → verify=True must flag it
+    victim = os.path.join(tile_dir, "t0.las")
+    with open(victim, "ab") as f:
+        f.write(b"\0")
+    with pytest.raises(ValueError, match="stale"):
+        pruned_paths(spark, man, x_range=(0.0, 10000.0), verify=True)
+    # without verify, pruning is advisory and still returns candidates
+    assert pruned_paths(spark, man, x_range=(0.0, 10000.0))
