@@ -62,6 +62,55 @@ def write_manifest(
     )
 
 
+def update_manifest(
+    spark: SparkSession, manifest_path: str, dir_or_paths
+) -> int:
+    """Incrementally fold newly-arrived tiles into an existing manifest.
+
+    Headers are parsed only for files the manifest has not seen (the
+    production ingestion shape: N new tiles against a 100k-tile manifest
+    costs O(N) header reads, never a full rebuild).  Changed files (same
+    path, different mtime/size) are re-parsed and their rows replaced.
+    Returns the number of added/refreshed rows.
+    """
+    import glob as _glob
+
+    if isinstance(dir_or_paths, str):
+        if os.path.isdir(dir_or_paths):
+            paths = sorted(_glob.glob(os.path.join(dir_or_paths, "*.las")))
+        else:
+            paths = sorted(_glob.glob(dir_or_paths))
+    else:
+        paths = sorted(dir_or_paths)
+    existing = {
+        r["path"]: (r["mtime_ns"], r["size"])
+        for r in spark.read.parquet(manifest_path)
+        .select("path", "mtime_ns", "size")
+        .collect()
+    }
+    fresh = []
+    for p in paths:
+        st = os.stat(p)
+        if existing.get(p) != (st.st_mtime_ns, st.st_size):
+            fresh.append(p)
+    if not fresh:
+        return 0
+    new_rows = build_manifest(spark, fresh)
+    kept = spark.read.parquet(manifest_path).where(
+        ~F.col("path").isin(fresh)
+    )
+    merged = kept.unionByName(new_rows)
+    # rewrite via a temp dir then swap — parquet sources can't append-replace
+    tmp = manifest_path.rstrip("/") + ".tmp"
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    final = spark.read.parquet(tmp)
+    final.coalesce(1).write.mode("overwrite").parquet(manifest_path)
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    return len(fresh)
+
+
 def pruned_paths(
     spark: SparkSession,
     manifest_path: str,

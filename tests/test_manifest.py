@@ -90,3 +90,42 @@ def test_manifest_staleness_detection(spark, tile_dir, tmp_path):
         pruned_paths(spark, man, x_range=(0.0, 10000.0), verify=True)
     # without verify, pruning is advisory and still returns candidates
     assert pruned_paths(spark, man, x_range=(0.0, 10000.0))
+
+
+def test_manifest_incremental_update(spark, tile_dir, tmp_path):
+    """New and modified tiles fold in with O(new) header reads; untouched
+    rows survive; counts stay exact."""
+    from spark_iqmulus_spark.plans.manifest import (
+        update_manifest,
+        write_manifest,
+    )
+
+    man = str(tmp_path / "man")
+    paths = sorted(
+        os.path.join(tile_dir, f) for f in os.listdir(tile_dir)
+    )
+    write_manifest(spark, paths[:2], man)  # t0, t1 only
+    assert spark.read.parquet(man).count() == 2
+
+    # nothing new → no-op
+    assert update_manifest(spark, man, paths[:2]) == 0
+
+    # t2 arrives → one new row
+    assert update_manifest(spark, man, tile_dir) == 1
+    m = spark.read.parquet(man)
+    assert m.count() == 3
+    assert {os.path.basename(r["path"]) for r in m.collect()} == {
+        "t0.las",
+        "t1.las",
+        "t2.las",
+    }
+
+    # modify t0 → exactly its row refreshes
+    make_las(paths[0], n=50, fmt=1, seed=9)
+    assert update_manifest(spark, man, tile_dir) == 1
+    row = (
+        spark.read.parquet(man)
+        .where(F.col("path") == paths[0])
+        .collect()[0]
+    )
+    assert row["n_points"] == 50
