@@ -1,4 +1,4 @@
-"""Streaming LAS source: ``spark.readStream.format("las")``.
+"""Streaming point-cloud sources: ``spark.readStream.format("las"/"ply"/"pcd")``.
 
 Continuous tile ingestion — the arrival pattern of a LiDAR production
 pipeline (survey tiles landing in a directory) — expressed through the
@@ -65,37 +65,45 @@ class _StreamFilePartition(InputPartition):
     inner: SectionPartition
 
 
-class LasStreamReader(DataSourceStreamReader):
+class SectionStreamReader(DataSourceStreamReader):
+    """Shared streaming machinery for every fixed-stride point-cloud
+    format: subclasses provide the extension and a ``_sections(paths)``
+    returning ``(fid, BinarySection)`` per new file."""
+
+    ext = ".las"
+
     def __init__(self, options, schema: T.StructType):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("streaming read requires a path")
+        self.options = options
         self.out_schema = schema
         self.partition_bytes = int(
             options.get("partition_bytes", DEFAULT_PARTITION_BYTES)
         )
         self.ignore_corrupt = ignore_corrupt_option(options)
 
+    def _sections(self, paths: list[str]):
+        raise NotImplementedError
+
     def initialOffset(self) -> dict:
         return {"files": []}
 
     def latestOffset(self) -> dict:
-        return {"files": _list_files(self.path, ".las")}
+        return {"files": _list_files(self.path, self.ext)}
 
     def partitions(self, start: dict, end: dict):
-        from .las import _las_sections
-
         seen = set(start.get("files", []))
         new = [p for p in end.get("files", []) if p not in seen]
         if not new:
             # the engine still runs empty batches; a no-op partition keeps
             # the contract (read() yields nothing for it)
             return [_StreamFilePartition(None)]
-        secs = _las_sections(new, self.ignore_corrupt)
-        total = sum(s.count * s.stride for _, s, _ in secs)
+        secs = list(self._sections(new))
+        total = sum(s.count * s.stride for _, s in secs)
         target = effective_partition_bytes(total, self.partition_bytes)
         parts: list[_StreamFilePartition] = []
-        for fid, section, _ in secs:
+        for fid, section in secs:
             for rec_start, n in plan_record_ranges(
                 section.count, section.stride, target
             ):
@@ -121,3 +129,52 @@ class LasStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass  # offsets are replay-safe; nothing to clean up
+
+
+class LasStreamReader(SectionStreamReader):
+    ext = ".las"
+
+    def _sections(self, paths):
+        from .las import _las_sections
+
+        return [
+            (fid, section)
+            for fid, section, _ in _las_sections(paths, self.ignore_corrupt)
+        ]
+
+
+class PlyStreamReader(SectionStreamReader):
+    ext = ".ply"
+
+    def _sections(self, paths):
+        from .ply import _sections as ply_sections
+
+        element = self.options.get("element", "vertex")
+        out = []
+        for fid, section, hdr in ply_sections(
+            paths, element, self.ignore_corrupt
+        ):
+            if hdr.is_ascii:
+                raise ValueError(
+                    f"{section.path}: ascii PLY is not supported in the"
+                    " streaming source (no fixed stride) — convert to binary"
+                )
+            out.append((fid, section))
+        return out
+
+
+class PcdStreamReader(SectionStreamReader):
+    ext = ".pcd"
+
+    def _sections(self, paths):
+        from .pcd import _binary_section, _headers
+
+        out = []
+        for fid, path, hdr in _headers(paths, self.ignore_corrupt):
+            if hdr.data_kind != "binary":
+                raise ValueError(
+                    f"{path}: DATA {hdr.data_kind} is not supported in the"
+                    " streaming source — use DATA binary (the scale layout)"
+                )
+            out.append((fid, _binary_section(path, hdr)))
+        return out

@@ -116,6 +116,13 @@ class PcdDataSource(DataSource):
     def reader(self, schema: T.StructType) -> "PcdReader":
         return PcdReader(self._paths(), self.options, schema)
 
+    def streamReader(self, schema: T.StructType):
+        """``spark.readStream.format("pcd")`` — continuous tile ingestion
+        (shared machinery in sources/las_stream.py)."""
+        from .las_stream import PcdStreamReader
+
+        return PcdStreamReader(self.options, schema)
+
     def writer(self, schema: T.StructType, overwrite: bool) -> "PcdWriter":
         return PcdWriter(self.options, schema, overwrite)
 

@@ -127,6 +127,13 @@ class PlyDataSource(DataSource):
     def reader(self, schema: T.StructType) -> "PlyReader":
         return PlyReader(self._paths(), self.options, schema)
 
+    def streamReader(self, schema: T.StructType):
+        """``spark.readStream.format("ply")`` — continuous tile ingestion
+        (shared machinery in sources/las_stream.py)."""
+        from .las_stream import PlyStreamReader
+
+        return PlyStreamReader(self.options, schema)
+
     def writer(self, schema: T.StructType, overwrite: bool) -> "PlyWriter":
         return PlyWriter(self.options, schema, overwrite)
 

@@ -192,3 +192,37 @@ def test_las_stream_ingestion(spark, tmp_path):
     make_las(os.path.join(src, "t2.las"), n=200, fmt=1, seed=3)
     rows = run_once("las_stream_b")
     assert rows[0]["n"] == 1000
+
+
+def test_ply_and_pcd_stream_ingestion(spark, tmp_path):
+    """The streaming machinery generalizes to the whole binary family."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tests.fixtures import make_pcd, make_ply_xyz
+
+    for fmt, maker, n1, n2 in (
+        ("ply", make_ply_xyz, 400, 150),
+        ("pcd", make_pcd, 350, 250),
+    ):
+        src = str(tmp_path / f"{fmt}_tiles")
+        os.makedirs(src)
+        maker(os.path.join(src, f"a.{fmt}"), n=n1, seed=1)
+        maker(os.path.join(src, f"b.{fmt}"), n=n2, seed=2)
+        q = (
+            spark.readStream.format(fmt)
+            .load(src)
+            .groupBy()
+            .agg(F.count(F.lit(1)).alias("n"))
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(f"{fmt}_stream_sink")
+            .option(
+                "checkpointLocation", str(tmp_path / f"{fmt}_ckpt")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        assert spark.table(f"{fmt}_stream_sink").collect()[0]["n"] == n1 + n2
