@@ -162,6 +162,13 @@ class LasDataSource(DataSource):
 
         return LasStreamReader(self.options, schema)
 
+    def streamWriter(self, schema: T.StructType, overwrite: bool):
+        """``df.writeStream.format("las")`` — one merged .las per
+        micro-batch (see las_stream.make_las_stream_writer)."""
+        from .las_stream import make_las_stream_writer
+
+        return make_las_stream_writer(self.options, schema)
+
 
 class LasReader(DataSourceReader):
     def __init__(self, paths: list[str], options, schema: T.StructType):

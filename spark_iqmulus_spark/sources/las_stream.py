@@ -178,3 +178,53 @@ class PcdStreamReader(SectionStreamReader):
                 )
             out.append((fid, _binary_section(path, hdr)))
         return out
+
+
+# -- streaming sink ---------------------------------------------------------
+
+def make_las_stream_writer(options, schema):
+    """``df.writeStream.format("las")`` — one merged ``batch-<id>.las`` per
+    micro-batch (the tile-per-interval layout a continuous ingestion
+    pipeline produces).  Task side reuses the batch writer's Arrow→numpy
+    encode and running header stats verbatim; the per-batch commit is the
+    same header-merge + sendfile concat, landing in an idempotent
+    ``batch-{id:05d}.las`` so micro-batch replay after failure overwrites
+    rather than duplicates (exactly-once per batch id).  Empty micro-batches
+    write nothing."""
+    from pyspark.sql.datasource import DataSourceStreamArrowWriter
+
+    from .las import LasWriter
+
+    class LasStreamWriter(DataSourceStreamArrowWriter):
+        def __init__(self):
+            self._w = LasWriter(options, schema, overwrite=False)
+            # streaming: one file per batch — never name-restore per fid
+            self._w.fid_paths = None
+
+        def write(self, iterator):
+            return self._w.write(iterator)
+
+        def commit(self, messages, batchId: int) -> None:
+            parts = []
+            for m in messages:
+                if m is None:
+                    continue
+                for _fid, part_path, count, pmin, pmax, ret, emin, emax in m.parts:
+                    parts.append((part_path, count, pmin, pmax, ret, emin, emax))
+            if not sum(p[1] for p in parts):
+                for p in parts:  # empty batch: drop empty sidecars
+                    if os.path.exists(p[0]):
+                        os.remove(p[0])
+                return
+            dest = os.path.join(self._w.path, f"batch-{batchId:05d}.las")
+            self._w._merge_one(dest, parts)
+
+        def abort(self, messages, batchId: int) -> None:
+            for m in messages:
+                if m is None:
+                    continue
+                for part in m.parts:
+                    if os.path.exists(part[1]):
+                        os.remove(part[1])
+
+    return LasStreamWriter()
