@@ -524,6 +524,91 @@ def q_pc_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: crop polygon for q_pc_crop — a convex-ish pentagon over the part plane
+CROP_POLY: list[tuple[float, float]] = [
+    (100.0, 100.0),
+    (1800.0, 50.0),
+    (1950.0, 600.0),
+    (1000.0, 950.0),
+    (150.0, 700.0),
+]
+
+
+def crop_polygon(
+    pts: DataFrame, polygon: list[tuple[float, float]], x: str = "x", y: str = "y"
+) -> DataFrame:
+    """Polygon crop (the PDAL ``filters.crop`` primitive): keep points
+    inside a 2-D polygon by even-odd ray casting, expressed entirely as
+    codegen'd per-edge expressions — the polygon rides in the plan as
+    literals, so the crop is a map-only filter that fuses into any scan at
+    any scale (no join, no UDF, no shuffle).
+
+    Edge test (crossing number): an upward ray from the point crosses edge
+    ((x1,y1),(x2,y2)) iff the edge straddles the point's y and the
+    intersection lies right of the point; odd crossings = inside.
+    Boundary points follow the formula's half-open convention — identical
+    arithmetic on any engine.
+    """
+    px, py = F.col(x).cast("double"), F.col(y).cast("double")
+    crossings = None
+    n = len(polygon)
+    for i in range(n):
+        x1, y1 = polygon[i]
+        x2, y2 = polygon[(i + 1) % n]
+        straddles = (F.lit(y1) > py) != (F.lit(y2) > py)
+        xint = F.lit(x2 - x1) * (py - F.lit(y1)) / F.lit(y2 - y1) + F.lit(x1)
+        c = F.when(straddles & (px < xint), 1).otherwise(0)
+        crossings = c if crossings is None else crossings + c
+    return pts.where(crossings % 2 == 1)
+
+
+def q_pc_crop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crop the deterministic part plane to CROP_POLY and roll up — the
+    oracle evaluates the same per-edge crossing arithmetic in SQL."""
+    t = load_tables(spark, sf_dir)
+    pts = t["part"].select(
+        F.col("p_partkey").alias("pid"),
+        ((F.col("p_partkey") * 7) % 2000).cast("double").alias("x"),
+        ((F.col("p_partkey") * 13) % 1000).cast("double").alias("y"),
+    )
+    kept = crop_polygon(pts, CROP_POLY)
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_inside"),
+        F.sum("pid").alias("sum_pid"),
+        F.round(F.sum("x"), 4).alias("sum_x"),
+        F.round(F.sum("y"), 4).alias("sum_y"),
+    )
+
+
+def _crop_oracle_sql() -> str:
+    n = len(CROP_POLY)
+    terms = []
+    for i in range(n):
+        x1, y1 = CROP_POLY[i]
+        x2, y2 = CROP_POLY[(i + 1) % n]
+        terms.append(
+            f"(CASE WHEN (({y1} > y) != ({y2} > y)) AND "
+            f"(x < ({x2} - {x1}) * (y - {y1}) / ({y2} - {y1}) + {x1}) "
+            f"THEN 1 ELSE 0 END)"
+        )
+    crossings = " + ".join(terms)
+    return f"""
+        WITH pts AS (
+            SELECT p_partkey AS pid,
+                   CAST((p_partkey * 7) % 2000 AS DOUBLE) AS x,
+                   CAST((p_partkey * 13) % 1000 AS DOUBLE) AS y
+            FROM part
+        ), kept AS (
+            SELECT * FROM pts WHERE ({crossings}) % 2 = 1
+        )
+        SELECT count(*) AS n_inside,
+               CAST(sum(pid) AS BIGINT) AS sum_pid,
+               round(sum(x), 4) AS sum_x,
+               round(sum(y), 4) AS sum_y
+        FROM kept
+    """
+
+
 def q_pc_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Euclidean clustering of a sparse deterministic point plane
     (x = partkey*7 mod 2000, y = partkey*13 mod 1000 → ~0.1% area density,
@@ -555,9 +640,11 @@ QUERIES = {
     "q_pc_cluster": q_pc_cluster,
     "q_pc_outliers": q_pc_outliers,
     "q_pc_pyramid": q_pc_pyramid,
+    "q_pc_crop": q_pc_crop,
 }
 
 ORACLES = {
+    "q_pc_crop": _crop_oracle_sql(),
     "q_pc_pyramid": """
         WITH pts AS (
             SELECT CAST(p_partkey AS DOUBLE) AS x, CAST(p_size AS DOUBLE) AS y

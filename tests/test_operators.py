@@ -323,3 +323,20 @@ def test_every_query_documented_in_coverage():
     cov = open("/root/repo/COVERAGE.md").read()
     missing = [k for k in all_queries() if k not in cov]
     assert not missing, f"undocumented keys: {missing}"
+
+
+def test_crop_polygon_unit_square(spark):
+    """Ray-casting crop: inside points kept, outside dropped, and the plan
+    stays a pure filter (no join/UDF)."""
+    from spark_iqmulus_spark.operators.spatial import crop_polygon
+
+    square = [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)]
+    pts = spark.createDataFrame(
+        [(1, 5.0, 5.0), (2, 15.0, 5.0), (3, -1.0, 5.0), (4, 5.0, 11.0),
+         (5, 9.999, 9.999)],
+        "pid long, x double, y double",
+    )
+    kept = {r["pid"] for r in crop_polygon(pts, square).collect()}
+    assert kept == {1, 5}
+    plan = crop_polygon(pts, square)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Python" not in plan
