@@ -176,3 +176,74 @@ def save_partitioned_by_fid(df: DataFrame, out_dir: str, fmt: str = "las", **opt
                 written.append(dest)
         return written
     raise ValueError(f"unsupported format {fmt!r}")
+
+
+def compact_tiles(
+    spark,
+    in_dir: str,
+    out_dir: str,
+    target_points: int = 2_000_000,
+    fmt: str = "las",
+    **opts,
+) -> list[str]:
+    """OPTIMIZE-style small-file compaction for tile directories.
+
+    Streaming sinks and fine retiles produce many small files; small files
+    tax every later scan (per-file header parse + per-file task floor).
+    This packs whole input tiles into ~``target_points`` output files:
+
+    1. per-file counts come from the header catalog — O(files) driver
+       work, zero point data read;
+    2. files are bin-packed greedily IN SORTED PATH ORDER (neighboring
+       tiles usually sort adjacently, so spatial locality survives);
+    3. the fid→output-name assignment joins onto the cloud as a broadcast
+       map and the writer's ``namecol`` grouped commit emits every output
+       in ONE distributed job — same shape as ``save_tiled_las``, no
+       driver-side point handling.
+
+    Returns the written paths.  Compaction never splits an input file, so
+    an output can exceed ``target_points`` by at most one input file.
+    """
+    from pyspark.sql import functions as F
+
+    if fmt != "las":
+        raise ValueError(
+            "compact_tiles supports fmt='las' (the writer's namecol grouped"
+            " commit backs the single-job output assignment)"
+        )
+    df = spark.read.format(fmt).load(in_dir)
+    meta = df.schema["fid"].metadata or {}
+    src_paths = list(meta.get("paths", []))
+    if not src_paths:
+        raise ValueError(f"no readable {fmt} files in {in_dir}")
+    from .las_format import LasHeader
+    from .pointcloud_common import pmap_headers
+
+    counts = [h.pdr_nb for h in pmap_headers(LasHeader.parse_file, src_paths)]
+
+    assign: list[tuple[int, str]] = []  # (fid, out_name)
+    bin_id, bin_points = 0, 0
+    for fid, n in enumerate(counts):
+        if bin_points and bin_points + n > target_points:
+            bin_id, bin_points = bin_id + 1, 0
+        assign.append((fid, f"compact-{bin_id:05d}.{fmt}"))
+        bin_points += n
+    mapping = spark.createDataFrame(assign, "fid int, __file__ string")
+
+    w = (
+        df.drop("pid")
+        .join(F.broadcast(mapping), "fid")
+        .drop("fid")
+        .repartition("__file__")
+        .write.format(fmt)
+        .mode("overwrite")
+        .option("namecol", "__file__")
+    )
+    for k, v in opts.items():
+        w = w.option(k, str(v))
+    w.save(out_dir)
+    return sorted(
+        os.path.join(out_dir, f)
+        for f in os.listdir(out_dir)
+        if f.endswith("." + fmt)
+    )

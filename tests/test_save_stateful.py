@@ -313,3 +313,34 @@ def test_stream_state_v2_gated_on_protobuf(spark):
     v2 = {r["user_id"]: tuple(r) for r in
           stateful.q_stream_state_v2(spark, "/root/testdata/sf0.001").collect()}
     assert v1 == v2
+
+
+def test_compact_tiles(spark, tmp_path):
+    """Six small tiles bin-pack into two ~target outputs; counts and
+    content survive; header catalog agrees with the scan."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from spark_iqmulus_spark.plans.header_catalog import count_from_headers
+    from spark_iqmulus_spark.sources.save import compact_tiles
+    from tests.fixtures import make_las
+
+    src = str(tmp_path / "small")
+    os.makedirs(src)
+    for i in range(6):
+        make_las(os.path.join(src, f"t{i}.las"), n=100, fmt=1, seed=i)
+
+    out = str(tmp_path / "big")
+    written = compact_tiles(spark, src, out, target_points=250)
+    names = [os.path.basename(p) for p in written]
+    # 6 x 100 points at target 250 → ceil-packed into 3 files of 200
+    assert names == ["compact-00000.las", "compact-00001.las", "compact-00002.las"]
+    assert count_from_headers(spark, written) == 600
+
+    a = spark.read.format("las").load(src)
+    b = spark.read.format("las").load(out)
+    assert b.count() == 600
+    sa = a.agg(F.sum("x"), F.sum("intensity")).collect()[0]
+    sb = b.agg(F.sum("x"), F.sum("intensity")).collect()[0]
+    assert (sa[0], sa[1]) == (sb[0], sb[1])
