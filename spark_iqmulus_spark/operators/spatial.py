@@ -524,6 +524,61 @@ def q_pc_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def affine_transform(
+    pts: DataFrame,
+    matrix: list[list[float]],
+    x: str = "x",
+    y: str = "y",
+    z: str = "z",
+) -> DataFrame:
+    """Apply a 3×4 affine transform (PDAL ``filters.transformation``):
+    ``p' = A·p + t`` with the matrix riding in the plan as literals —
+    map-only codegen arithmetic, no UDF, fuses into any scan.  Replaces
+    the x/y/z columns (as double) and keeps everything else."""
+    cols = [F.col(c).cast("double") for c in (x, y, z)]
+    out = {}
+    for i, name in enumerate((x, y, z)):
+        row = matrix[i]
+        expr = F.lit(row[3])
+        for j in range(3):
+            if row[j]:
+                expr = expr + F.lit(row[j]) * cols[j]
+        out[name] = expr
+    # one simultaneous select: sequential withColumn would feed already-
+    # transformed x into y's expression
+    others = [c for c in pts.columns if c not in (x, y, z)]
+    return pts.select(
+        *others, out[x].alias(x), out[y].alias(y), out[z].alias(z)
+    )
+
+
+def q_pc_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """90°-rotation + translation of the part plane (exact integer-valued
+    matrix so cross-engine sums are exact), verified by aggregate."""
+    t = load_tables(spark, sf_dir)
+    pts = t["part"].select(
+        F.col("p_partkey").alias("pid"),
+        F.col("p_partkey").cast("double").alias("x"),
+        F.col("p_size").cast("double").alias("y"),
+        (F.col("p_partkey") % 100).cast("double").alias("z"),
+    )
+    # rotate 90° about z (x,y → -y,x), lift z by 500, shift x by 10000
+    m = [
+        [0.0, -1.0, 0.0, 10000.0],
+        [1.0, 0.0, 0.0, 0.0],
+        [0.0, 0.0, 1.0, 500.0],
+    ]
+    out = affine_transform(pts, m)
+    return out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("long").alias("sum_x"),
+        F.sum("y").cast("long").alias("sum_y"),
+        F.sum("z").cast("long").alias("sum_z"),
+        F.min("x").cast("long").alias("min_x"),
+        F.max("y").cast("long").alias("max_y"),
+    )
+
+
 #: crop polygon for q_pc_crop — a convex-ish pentagon over the part plane
 CROP_POLY: list[tuple[float, float]] = [
     (100.0, 100.0),
@@ -641,9 +696,27 @@ QUERIES = {
     "q_pc_outliers": q_pc_outliers,
     "q_pc_pyramid": q_pc_pyramid,
     "q_pc_crop": q_pc_crop,
+    "q_pc_transform": q_pc_transform,
 }
 
 ORACLES = {
+    "q_pc_transform": """
+        WITH pts AS (
+            SELECT CAST(p_partkey AS DOUBLE) AS x,
+                   CAST(p_size AS DOUBLE) AS y,
+                   CAST(p_partkey % 100 AS DOUBLE) AS z
+            FROM part
+        ), t AS (
+            SELECT 10000.0 - y AS x, x AS y, z + 500.0 AS z FROM pts
+        )
+        SELECT count(*) AS n,
+               CAST(sum(x) AS BIGINT) AS sum_x,
+               CAST(sum(y) AS BIGINT) AS sum_y,
+               CAST(sum(z) AS BIGINT) AS sum_z,
+               CAST(min(x) AS BIGINT) AS min_x,
+               CAST(max(y) AS BIGINT) AS max_y
+        FROM t
+    """,
     "q_pc_crop": _crop_oracle_sql(),
     "q_pc_pyramid": """
         WITH pts AS (

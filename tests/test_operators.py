@@ -340,3 +340,16 @@ def test_crop_polygon_unit_square(spark):
     assert kept == {1, 5}
     plan = crop_polygon(pts, square)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "Python" not in plan
+
+
+def test_affine_transform_simultaneous(spark):
+    """Rotation must read ORIGINAL coords for every output axis (the
+    sequential-withColumn trap feeds transformed x into y)."""
+    from spark_iqmulus_spark.operators.spatial import affine_transform
+
+    pts = spark.createDataFrame([(1, 3.0, 4.0, 5.0)], "pid long, x double, y double, z double")
+    # 90° about z: (x, y, z) -> (-y, x, z)
+    m = [[0.0, -1.0, 0.0, 0.0], [1.0, 0.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0]]
+    r = affine_transform(pts, m).collect()[0]
+    assert (r["x"], r["y"], r["z"]) == (-4.0, 3.0, 5.0)
+    assert r["pid"] == 1  # passthrough columns survive
