@@ -180,18 +180,65 @@ class PcdStreamReader(SectionStreamReader):
         return out
 
 
-# -- streaming sink ---------------------------------------------------------
+# -- streaming sinks --------------------------------------------------------
 
-def make_las_stream_writer(options, schema):
-    """``df.writeStream.format("las")`` — one merged ``batch-<id>.las`` per
-    micro-batch (the tile-per-interval layout a continuous ingestion
-    pipeline produces).  Task side reuses the batch writer's Arrow→numpy
-    encode and running header stats verbatim; the per-batch commit is the
-    same header-merge + sendfile concat, landing in an idempotent
-    ``batch-{id:05d}.las`` so micro-batch replay after failure overwrites
-    rather than duplicates (exactly-once per batch id).  Empty micro-batches
-    write nothing."""
+def make_stream_writer(fmt: str, options, schema):
+    """``df.writeStream.format("las"/"ply"/"pcd")`` — one merged
+    ``batch-<id>.<fmt>`` per micro-batch (the tile-per-interval layout a
+    continuous ingestion pipeline produces).  Task side reuses the batch
+    writer's Arrow→numpy encode (and, for LAS, running header stats)
+    verbatim; the per-batch commit is the same header-merge + sendfile
+    concat, landing in an idempotent ``batch-{id:05d}.<fmt>`` so
+    micro-batch replay after failure overwrites rather than duplicates
+    (exactly-once per batch id).  Empty micro-batches write nothing."""
     from pyspark.sql.datasource import DataSourceStreamArrowWriter
+
+    if fmt != "las":
+        inner_cls = None
+        if fmt == "ply":
+            from .ply import PlyWriter as inner_cls
+        elif fmt == "pcd":
+            from .pcd import PcdWriter as inner_cls
+        else:
+            raise ValueError(f"no streaming sink for format {fmt!r}")
+
+        class CountStreamWriter(DataSourceStreamArrowWriter):
+            """ply/pcd: commit messages carry (fid, part_path, count)."""
+
+            def __init__(self):
+                self._w = inner_cls(options, schema, overwrite=False)
+                self._w.fid_paths = None  # one file per batch, no restore
+
+            def write(self, iterator):
+                return self._w.write(iterator)
+
+            def commit(self, messages, batchId: int) -> None:
+                paths, total = [], 0
+                for m in messages:
+                    if m is None:
+                        continue
+                    for _fid, part_path, count in m.parts:
+                        paths.append(part_path)
+                        total += count
+                if not total:
+                    for p in paths:
+                        if os.path.exists(p):
+                            os.remove(p)
+                    return
+                dest = os.path.join(
+                    self._w.path, f"batch-{batchId:05d}.{fmt}"
+                )
+                self._w._merge_one(dest, sorted(paths), total)
+
+            def abort(self, messages, batchId: int) -> None:
+                for m in messages:
+                    if m is None:
+                        continue
+                    for part in m.parts:
+                        if os.path.exists(part[1]):
+                            os.remove(part[1])
+
+        return CountStreamWriter()
 
     from .las import LasWriter
 
@@ -228,3 +275,7 @@ def make_las_stream_writer(options, schema):
                         os.remove(part[1])
 
     return LasStreamWriter()
+
+
+def make_las_stream_writer(options, schema):
+    return make_stream_writer("las", options, schema)

@@ -123,6 +123,13 @@ class PcdDataSource(DataSource):
 
         return PcdStreamReader(self.options, schema)
 
+    def streamWriter(self, schema: T.StructType, overwrite: bool):
+        """``df.writeStream.format("pcd")`` — one merged .pcd per
+        micro-batch (las_stream.make_stream_writer)."""
+        from .las_stream import make_stream_writer
+
+        return make_stream_writer("pcd", self.options, schema)
+
     def writer(self, schema: T.StructType, overwrite: bool) -> "PcdWriter":
         return PcdWriter(self.options, schema, overwrite)
 

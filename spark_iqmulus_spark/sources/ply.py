@@ -134,6 +134,13 @@ class PlyDataSource(DataSource):
 
         return PlyStreamReader(self.options, schema)
 
+    def streamWriter(self, schema: T.StructType, overwrite: bool):
+        """``df.writeStream.format("ply")`` — one merged .ply per
+        micro-batch (las_stream.make_stream_writer)."""
+        from .las_stream import make_stream_writer
+
+        return make_stream_writer("ply", self.options, schema)
+
     def writer(self, schema: T.StructType, overwrite: bool) -> "PlyWriter":
         return PlyWriter(self.options, schema, overwrite)
 

@@ -269,3 +269,35 @@ def test_las_stream_sink_roundtrip(spark, tmp_path):
 
     paths = [os.path.join(out, f) for f in files]
     assert count_from_headers(spark, paths) == 500
+
+
+def test_ply_pcd_stream_sinks(spark, tmp_path):
+    """The streaming sink generalizes: each micro-batch lands one merged
+    .ply / .pcd that re-reads as a valid batch dataset."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tests.fixtures import make_pcd, make_ply_xyz
+
+    for fmt, maker, n in (("ply", make_ply_xyz, 300), ("pcd", make_pcd, 250)):
+        src = str(tmp_path / f"{fmt}_in")
+        out = str(tmp_path / f"{fmt}_out")
+        os.makedirs(src)
+        maker(os.path.join(src, f"a.{fmt}"), n=n, seed=1)
+        q = (
+            spark.readStream.format(fmt)
+            .load(src)
+            .drop("fid", "pid")
+            .writeStream.format(fmt)
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / f"{fmt}_ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        files = [f for f in os.listdir(out) if f.endswith("." + fmt)]
+        assert files and all(f.startswith("batch-") for f in files)
+        back = spark.read.format(fmt).load(out)
+        assert back.count() == n
+        assert back.agg(F.min("x")).collect()[0][0] is not None
