@@ -803,3 +803,46 @@ ORACLES["q_sketch_cms"] = f"""
     FROM est e JOIN rows_ r ON r.seed = e.seed AND r.bucket = e.bucket
     GROUP BY 1, 2
 """
+
+
+def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus frequency profile (the Zipf-curve audit a tokenizer/vocab
+    build starts from): per-token corpus frequency, bucketed by decimal
+    magnitude (``length(tf)`` in digits — pure integer arithmetic, exactly
+    portable across engines).  One explode + two hash aggregates; shuffle
+    volume is bounded by vocabulary size, not corpus size."""
+    t = load_tables(spark, sf_dir)
+    src = t["documents"].select(_tokens().alias("words"))
+    tf = (
+        src.select(F.explode("words").alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    bucket = F.length(F.col("tf").cast("string")).alias("tf_digits")
+    return (
+        tf.groupBy(bucket)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("tf").alias("total_occurrences"),
+            F.max("tf").alias("max_tf"),
+        )
+        .orderBy("tf_digits")
+    )
+
+
+QUERIES["q_text_zipf"] = q_text_zipf
+
+ORACLES["q_text_zipf"] = f"""
+    WITH toks AS (
+        SELECT unnest({_SQL_TOKS}) AS token FROM documents
+    ), tf AS (
+        SELECT token, count(*) AS tf FROM toks
+        WHERE token != '' GROUP BY token
+    )
+    SELECT CAST(length(CAST(tf AS VARCHAR)) AS INTEGER) AS tf_digits,
+           count(*) AS n_tokens,
+           CAST(sum(tf) AS BIGINT) AS total_occurrences,
+           CAST(max(tf) AS BIGINT) AS max_tf
+    FROM tf GROUP BY 1
+"""
