@@ -846,3 +846,99 @@ ORACLES["q_text_zipf"] = f"""
            CAST(max(tf) AS BIGINT) AS max_tf
     FROM tf GROUP BY 1
 """
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filters (Gopher, Rae et al. 2021 §A1.1):
+    flag documents whose most frequent word-bigram covers >= 10% of all
+    bigrams (``top-2-gram fraction``) or whose duplicated word-trigrams
+    cover >= 20% of all trigrams (``duplicate-3-gram fraction``), rolled
+    up per source.  Thresholds are compared with integer arithmetic
+    (``max_bi*10 >= total_bi``) so both engines agree bit-for-bit.
+
+    Scale shape: n-gram arrays are built per row in codegen (no explode
+    for the duplicate count — ``size - size(array_distinct)`` stays
+    inside the row); only the top-bigram pass explodes, and its two
+    aggregates are keyed by doc_id so partial aggregation bounds the
+    shuffle by per-doc vocabulary, never corpus size."""
+    t = load_tables(spark, sf_dir)
+    # materialized words: no re-split per lambda element (dedup._shingles)
+    src = (
+        t["documents"]
+        .select("doc_id", "source", _tokens().alias("words"))
+        .where(F.size("words") >= 3)
+    )
+    w = F.col("words")
+    bi = F.transform(
+        F.sequence(F.lit(1), F.size(w) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+    )
+    tri = F.transform(
+        F.sequence(F.lit(1), F.size(w) - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(w, i),
+            F.element_at(w, i + 1),
+            F.element_at(w, i + 2),
+        ),
+    )
+    base = src.select("doc_id", "source", bi.alias("bi"), tri.alias("tri"))
+    per_doc = base.select(
+        "doc_id",
+        "source",
+        F.size("bi").alias("total_bi"),
+        F.size("tri").alias("total_tri"),
+        (F.size("tri") - F.size(F.array_distinct("tri"))).alias("dup_tri"),
+        "bi",
+    )
+    max_bi = (
+        per_doc.select("doc_id", F.explode("bi").alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("max_bi"))
+    )
+    m = per_doc.drop("bi").join(max_bi, "doc_id")
+    flag_top2 = F.col("max_bi") * 10 >= F.col("total_bi")
+    flag_dup3 = F.col("dup_tri") * 5 >= F.col("total_tri")
+    return (
+        m.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(flag_top2.cast("long")).alias("n_flag_top2"),
+            F.sum(flag_dup3.cast("long")).alias("n_flag_dup3"),
+            F.sum((flag_top2 | flag_dup3).cast("long")).alias("n_flag_any"),
+        )
+    )
+
+
+QUERIES["q_text_repetition"] = q_text_repetition
+
+ORACLES["q_text_repetition"] = f"""
+    WITH toks AS (
+        SELECT doc_id, source, {_SQL_TOKS} AS words FROM documents
+    ), base AS (
+        SELECT doc_id, source,
+               list_transform(generate_series(1, len(words) - 1),
+                      i -> words[i] || ' ' || words[i+1]) AS bi,
+               list_transform(generate_series(1, len(words) - 2),
+                      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) AS tri
+        FROM toks WHERE len(words) >= 3
+    ), bic AS (
+        SELECT doc_id, max(cnt) AS max_bi FROM (
+            SELECT doc_id, gram, count(*) AS cnt FROM (
+                SELECT doc_id, unnest(bi) AS gram FROM base
+            ) GROUP BY 1, 2
+        ) GROUP BY 1
+    ), m AS (
+        SELECT b.doc_id, source, len(bi) AS total_bi, len(tri) AS total_tri,
+               len(tri) - len(list_distinct(tri)) AS dup_tri, max_bi
+        FROM base b JOIN bic USING (doc_id)
+    )
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN max_bi * 10 >= total_bi THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_top2,
+           CAST(sum(CASE WHEN dup_tri * 5 >= total_tri THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_dup3,
+           CAST(sum(CASE WHEN max_bi * 10 >= total_bi
+                          OR dup_tri * 5 >= total_tri THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_any
+    FROM m GROUP BY source
+"""
