@@ -332,6 +332,7 @@ def test_hot_paths_stay_jvm_side(spark, tables):
         "q_text_tokens",
         "q_text_quality",
         "q_text_langid",
+        "q_text_repetition",
         "q_dedup_exact",
         "q_dedup_ngram",
         "q_dedup_minhash",
