@@ -686,8 +686,120 @@ def q_pc_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _morph_scatter(surface: DataFrame, axis: str, r: int, fn) -> DataFrame:
+    """One separable morphology pass: scatter each cell's value to the
+    (2r+1) positions along ``axis`` and take ``fn`` (min = erosion half,
+    max = dilation half) per target cell.  Offsets are symmetric, so the
+    scatter formulation equals the usual gather; cost is (2r+1)x the
+    raster (O(occupied cells), tiny next to the cloud)."""
+    shifted = surface.select(
+        "gx", "gy", "v", F.explode(F.sequence(F.lit(-r), F.lit(r))).alias("d")
+    )
+    if axis == "gx":
+        proj = shifted.select((F.col("gx") + F.col("d")).alias("gx"), "gy", "v")
+    else:
+        proj = shifted.select("gx", (F.col("gy") + F.col("d")).alias("gy"), "v")
+    return proj.groupBy("gx", "gy").agg(fn("v").alias("v"))
+
+
+def _morph_open(surface: DataFrame, r: int) -> DataFrame:
+    """Morphological opening (erosion then dilation) with a square
+    (2r+1)-cell window, decomposed separably: two 1-D min passes then two
+    1-D max passes — 4·(2r+1) fan-out instead of (2r+1)^2.  Missing
+    raster cells simply don't contribute (sparse-raster semantics; the
+    support the opening grows into is clipped by the caller)."""
+    er = _morph_scatter(_morph_scatter(surface, "gx", r, F.min), "gy", r, F.min)
+    return _morph_scatter(_morph_scatter(er, "gx", r, F.max), "gy", r, F.max)
+
+
+def pmf_ground(
+    pts: DataFrame,
+    cell: tuple[float, float],
+    stages: list[tuple[int, int]],
+    tol: int,
+    x: str = "x",
+    y: str = "y",
+    z: str = "z",
+) -> DataFrame:
+    """Progressive morphological filter ground classification (Zhang et
+    al. 2003; PDAL ``filters.pmf``).  Rasterize min-z per cell, then run
+    morphological openings with progressively larger windows; cells whose
+    surface drops by more than that stage's threshold are flagged
+    non-ground (buildings/vegetation pop out at the matching window
+    scale).  Points within ``tol`` of the final opened surface are
+    classified ground.
+
+    ``stages`` is ``[(window_radius_cells, dz_threshold), ...]``; z and
+    the thresholds must be integer units so both engines agree exactly.
+    Scale shape: the cloud is touched twice (one grid aggregate, one
+    equi-join back on the cell key — broadcastable raster); all morphology
+    runs on the O(cells) raster.
+
+    Adds ``gx``, ``gy``, ``ground_z``, ``is_ground`` and one boolean
+    ``flag_<k>`` per stage to the input rows.
+    """
+    cx, cy = cell
+    keyed = pts.withColumn(
+        "gx", F.floor(F.col(x) / cx).cast("long")
+    ).withColumn("gy", F.floor(F.col(y) / cy).cast("long"))
+    surface = keyed.groupBy("gx", "gy").agg(F.min(z).alias("v"))
+    support = surface.select("gx", "gy")
+    cell_flags = support
+    for k, (r, dz) in enumerate(stages, start=1):
+        opened = _morph_open(surface, r).join(support, ["gx", "gy"])
+        stage = (
+            surface.alias("s")
+            .join(opened.alias("o"), ["gx", "gy"])
+            .select(
+                "gx",
+                "gy",
+                F.col("o.v").alias("v"),
+                (F.col("s.v") - F.col("o.v") > dz).alias(f"flag_{k}"),
+            )
+        )
+        cell_flags = cell_flags.join(
+            stage.select("gx", "gy", f"flag_{k}"), ["gx", "gy"]
+        )
+        surface = stage.select("gx", "gy", "v")
+    ground = surface.select("gx", "gy", F.col("v").alias("ground_z"))
+    return (
+        keyed.join(ground, ["gx", "gy"])
+        .join(cell_flags, ["gx", "gy"])
+        .withColumn("is_ground", F.col(z) - F.col("ground_z") <= tol)
+    )
+
+
+def q_pc_ground(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMF ground classification audit over the part-derived cloud (the
+    64x8 grid of `q_pc_hag`, integer micro-unit z): two stages (3x3 then
+    5x5 windows), one-row rollup of flagged-cell counts, ground/non-ground
+    point counts, and the exact integer residual sum above ground."""
+    t = load_tables(spark, sf_dir)
+    pts = t["part"].select(
+        F.col("p_partkey").cast("double").alias("x"),
+        F.col("p_size").cast("double").alias("y"),
+        F.round(F.col("p_retailprice") * 100, 0).cast("long").alias("z"),
+    )
+    cls = pmf_ground(pts, (64.0, 8.0), [(1, 500), (2, 700)], 300)
+    cell_id = F.col("gx") * 1024 + F.col("gy")
+    return cls.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.count_distinct(cell_id).alias("n_cells"),
+        F.count_distinct(F.when(F.col("flag_1"), cell_id)).alias("n_flag1_cells"),
+        F.count_distinct(F.when(F.col("flag_2"), cell_id)).alias("n_flag2_cells"),
+        F.sum(F.col("is_ground").cast("long")).alias("n_ground"),
+        F.sum((~F.col("is_ground")).cast("long")).alias("n_nonground"),
+        F.sum(
+            F.when(F.col("is_ground"), F.col("z") - F.col("ground_z")).otherwise(
+                F.lit(0)
+            )
+        ).alias("sum_ground_residual"),
+    )
+
+
 QUERIES = {
     "q_zorder": q_zorder,
+    "q_pc_ground": q_pc_ground,
     "q_pc_radius_join": q_pc_radius_join,
     "q_pc_dimensionality": q_pc_dimensionality,
     "q_pc_hag": q_pc_hag,
@@ -700,6 +812,55 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_pc_ground": """
+        WITH pts AS (
+            SELECT CAST(p_partkey AS DOUBLE) AS x, CAST(p_size AS DOUBLE) AS y,
+                   CAST(round(p_retailprice * 100, 0) AS BIGINT) AS z
+            FROM part
+        ), keyed AS (
+            SELECT CAST(floor(x / 64.0) AS BIGINT) AS gx,
+                   CAST(floor(y / 8.0) AS BIGINT) AS gy, z
+            FROM pts
+        ), s0 AS (
+            SELECT gx, gy, min(z) AS v FROM keyed GROUP BY 1, 2
+        ), o1 AS (SELECT unnest([-1, 0, 1]) AS d),
+        o2 AS (SELECT unnest([-2, -1, 0, 1, 2]) AS d),
+        e1x AS (SELECT gx + d AS gx, gy, min(v) AS v FROM s0, o1 GROUP BY 1, 2),
+        e1 AS (SELECT gx, gy + d AS gy, min(v) AS v FROM e1x, o1 GROUP BY 1, 2),
+        d1x AS (SELECT gx + d AS gx, gy, max(v) AS v FROM e1, o1 GROUP BY 1, 2),
+        d1 AS (SELECT gx, gy + d AS gy, max(v) AS v FROM d1x, o1 GROUP BY 1, 2),
+        st1 AS (
+            SELECT s.gx, s.gy, o.v AS v, s.v - o.v > 500 AS flag_1
+            FROM s0 s JOIN d1 o USING (gx, gy)
+        ),
+        e2x AS (SELECT gx + d AS gx, gy, min(v) AS v FROM st1, o2 GROUP BY 1, 2),
+        e2 AS (SELECT gx, gy + d AS gy, min(v) AS v FROM e2x, o2 GROUP BY 1, 2),
+        d2x AS (SELECT gx + d AS gx, gy, max(v) AS v FROM e2, o2 GROUP BY 1, 2),
+        d2 AS (SELECT gx, gy + d AS gy, max(v) AS v FROM d2x, o2 GROUP BY 1, 2),
+        st2 AS (
+            SELECT s.gx, s.gy, o.v AS ground_z, s.flag_1,
+                   s.v - o.v > 700 AS flag_2
+            FROM st1 s JOIN d2 o USING (gx, gy)
+        ),
+        cls AS (
+            SELECT k.gx, k.gy, k.z, c.ground_z, c.flag_1, c.flag_2,
+                   k.z - c.ground_z <= 300 AS is_ground
+            FROM keyed k JOIN st2 c USING (gx, gy)
+        )
+        SELECT count(*) AS n_points,
+               count(DISTINCT gx * 1024 + gy) AS n_cells,
+               count(DISTINCT CASE WHEN flag_1 THEN gx * 1024 + gy END)
+                   AS n_flag1_cells,
+               count(DISTINCT CASE WHEN flag_2 THEN gx * 1024 + gy END)
+                   AS n_flag2_cells,
+               CAST(sum(CASE WHEN is_ground THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_ground,
+               CAST(sum(CASE WHEN is_ground THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_nonground,
+               CAST(sum(CASE WHEN is_ground THEN z - ground_z ELSE 0 END)
+                    AS BIGINT) AS sum_ground_residual
+        FROM cls
+    """,
     "q_pc_transform": """
         WITH pts AS (
             SELECT CAST(p_partkey AS DOUBLE) AS x,

@@ -353,3 +353,32 @@ def test_affine_transform_simultaneous(spark):
     r = affine_transform(pts, m).collect()[0]
     assert (r["x"], r["y"], r["z"]) == (-4.0, 3.0, 5.0)
     assert r["pid"] == 1  # passthrough columns survive
+
+
+def test_pmf_ground_tower_and_block(spark):
+    """Progressive morphological filter: a 1-cell tower is flagged by the
+    3x3 stage; a 3x3 block of intermediate height survives the 3x3
+    opening (its center cell keeps the block height through erosion →
+    dilation restores it) but is removed and flagged by the 5x5 stage;
+    the plane is classified ground with a zero-residual surface."""
+    from spark_iqmulus_spark.operators.spatial import pmf_ground
+
+    data = []
+    block = {(bx, by) for bx in (6, 7, 8) for by in (6, 7, 8)}
+    for xi in range(11):
+        for yi in range(11):
+            if (xi, yi) == (2, 2):
+                continue  # tower cell holds only the tower point
+            z = 500 if (xi, yi) in block else 0
+            data.append((float(xi) + 0.5, float(yi) + 0.5, z))
+    data.append((2.5, 2.5, 1000))  # the tower
+    pts = spark.createDataFrame(data, "x double, y double, z long")
+
+    cls = pmf_ground(pts, (1.0, 1.0), [(1, 300), (2, 300)], 100)
+    rows = cls.collect()
+    assert len(rows) == 121
+    assert {(r.gx, r.gy) for r in rows if r.flag_1} == {(2, 2)}
+    assert {(r.gx, r.gy) for r in rows if r.flag_2} == block
+    assert all(r.ground_z == 0 for r in rows)
+    assert sum(r.is_ground for r in rows) == 111
+    assert {(r.gx, r.gy) for r in rows if not r.is_ground} == block | {(2, 2)}
