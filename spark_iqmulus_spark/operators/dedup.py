@@ -99,12 +99,15 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_pairs(t["documents"])
 
 
-def ngram_pairs(docs: DataFrame) -> DataFrame:
+def ngram_pairs(docs: DataFrame, detail: bool = False) -> DataFrame:
     """q_dedup_ngram's pipeline over an arbitrary ``(doc_id, text)`` frame.
 
     The MAX_DF stop-shingle cap is the skew bound: per-join-key work is at
     most MAX_DF² rows, so one viral boilerplate shingle can never drive a
-    straggler task (pinned by ``tests/test_partitioning.py``)."""
+    straggler task (pinned by ``tests/test_partitioning.py``).
+
+    With ``detail`` the exact integer intersection / union shingle counts
+    are kept alongside the rounded jaccard (for float-free rollups)."""
     sh = _shingles(docs).cache()
     df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     # per-shingle / per-doc frames grow with the corpus — no broadcast
@@ -138,7 +141,19 @@ def ngram_pairs(docs: DataFrame) -> DataFrame:
             ),
         )
         .where(F.col("jaccard") >= JACCARD_T)
-        .select("doc_a", "doc_b", "jaccard")
+        .select(
+            "doc_a",
+            "doc_b",
+            *(
+                [
+                    "inter",
+                    (F.col("na") + F.col("nb") - F.col("inter")).alias("uni"),
+                ]
+                if detail
+                else []
+            ),
+            "jaccard",
+        )
     )
 
 
@@ -1047,3 +1062,83 @@ def _simhash_oracle() -> str:
 
 
 ORACLES["q_dedup_simhash"] = _simhash_oracle()
+
+
+def q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source overlap audit: how much does each pair of sources
+    republish the other?  The dataset-mixing due-diligence step before
+    combining corpora — near-dup pairs (the exact-jaccard `ngram_pairs`
+    set) labeled with their endpoints' sources and rolled up per
+    unordered source pair, with exact integer shingle intersection /
+    union sums (no float aggregation, hash-stable across engines).
+
+    Cost profile is `q_dedup_ngram` (the capped shingle self-join) plus
+    two doc→source equi-joins (the source map is a projection of the
+    corpus — AQE broadcasts the pair side, which is tiny after the
+    jaccard threshold) and an O(sources²)-row rollup."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    pairs = ngram_pairs(docs, detail=True)
+    src = docs.select("doc_id", "source")
+    lab = pairs.join(
+        src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a")),
+        "doc_a",
+    ).join(
+        src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b")),
+        "doc_b",
+    )
+    return lab.groupBy(
+        F.least("src_a", "src_b").alias("source_a"),
+        F.greatest("src_a", "src_b").alias("source_b"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.count_distinct("doc_a").alias("n_docs_a"),
+        F.count_distinct("doc_b").alias("n_docs_b"),
+        F.sum("inter").alias("sum_inter"),
+        F.sum("uni").alias("sum_union"),
+    )
+
+
+QUERIES["q_corpus_overlap"] = q_corpus_overlap
+
+ORACLES["q_corpus_overlap"] = """
+    WITH toks AS (
+        SELECT doc_id,
+               string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS words
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(generate_series(1, len(words) - 2),
+                      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
+        FROM toks WHERE len(words) >= 3
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), keep AS (
+        SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100
+    ), shf AS (
+        SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT doc_a, doc_b, inter, sa.n_sh + sb.n_sh - inter AS uni
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) >= 0.05
+    ), lab AS (
+        SELECT p.*, da.source AS src_a, db.source AS src_b
+        FROM pairs p
+        JOIN documents da ON da.doc_id = p.doc_a
+        JOIN documents db ON db.doc_id = p.doc_b
+    )
+    SELECT least(src_a, src_b) AS source_a,
+           greatest(src_a, src_b) AS source_b,
+           count(*) AS n_pairs,
+           count(DISTINCT doc_a) AS n_docs_a,
+           count(DISTINCT doc_b) AS n_docs_b,
+           CAST(sum(inter) AS BIGINT) AS sum_inter,
+           CAST(sum(uni) AS BIGINT) AS sum_union
+    FROM lab GROUP BY 1, 2
+"""
