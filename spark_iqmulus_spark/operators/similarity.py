@@ -641,3 +641,164 @@ ORACLES["q_embed_pq"] = f"""
            CAST(sum(code_sum) AS BIGINT) AS code_checksum
     FROM per_vec
 """
+
+
+#: k-means parameters: k clusters, `iters` assign passes (iters-1 updates).
+KMEANS_K = 4
+KMEANS_ITERS = 3
+
+
+def _km_assign(vecs: DataFrame, cents: list[list[int]]) -> DataFrame:
+    """One Lloyd assignment pass with the k centroids inlined as plan
+    literals: squared-L2 per centroid via ``zip_with``/``aggregate``
+    (codegen, map-only — the cloud never shuffles to be assigned), argmin
+    with a deterministic (dist, cluster) tiebreak via struct array_min."""
+    q = F.col("q")
+    structs = []
+    for j, c in enumerate(cents):
+        carr = F.array(*[F.lit(int(x)) for x in c])
+        d = F.aggregate(
+            F.zip_with(q, carr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        structs.append(F.struct(d.alias("d"), F.lit(j).alias("j")))
+    best = F.array_min(F.array(*structs))
+    return vecs.withColumn("dist", best["d"]).withColumn("cluster", best["j"])
+
+
+def _km_update(assigned: DataFrame, cents: list[list[int]]) -> list[list[int]]:
+    """Centroid update: per-(cluster, dim) integer sums/counts — one
+    keyed shuffle of k·d rows — collected to the driver (O(k·d) values,
+    bounded like the IVF centroid sample) and floor-divided in exact
+    integer arithmetic.  Empty clusters keep their previous centroid."""
+    rows = (
+        assigned.select("cluster", F.posexplode("q").alias("dim", "v"))
+        .groupBy("cluster", "dim")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    new = [list(c) for c in cents]
+    for r in rows:
+        new[r["cluster"]][r["dim"]] = r["s"] // r["n"]
+    return new
+
+
+def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic distributed k-means over the embedding corpus
+    (Lloyd's algorithm, the workhorse of corpus clustering / IVF index
+    training): vectors quantized to non-negative integer micro-units so
+    every distance, sum, and floor-divided centroid is exact and
+    engine-portable — no floating-point accumulation-order drift.  Init
+    is the first k vectors by vec_id; ties break to the lowest cluster.
+
+    Scale shape: each assign pass is map-only (centroids are k·d plan
+    literals); each update is one keyed shuffle whose output is k·d rows.
+    Only O(k·d) integers ever reach the driver per iteration — corpus
+    size never does.  Output: per-cluster sizes, exact inertia, and the
+    centroid checksum certifying the full iteration history."""
+    t = load_tables(spark, sf_dir)
+    vecs = t["embeddings"].select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda e: F.round(e.cast("double") * 1000000, 0).cast("long")
+            + 1000000,
+        ).alias("q"),
+    )
+    init = {
+        r["vec_id"]: list(r["q"])
+        for r in vecs.where(F.col("vec_id") < KMEANS_K).collect()
+    }
+    cents = [init[j] for j in range(KMEANS_K)]
+    assigned = None
+    for it in range(KMEANS_ITERS):
+        assigned = _km_assign(vecs, cents)
+        if it < KMEANS_ITERS - 1:
+            cents = _km_update(assigned, cents)
+    checksum = F.element_at(
+        F.array(*[F.lit(sum(c)) for c in cents]),
+        (F.col("cluster") + 1).cast("int"),
+    )
+    return (
+        assigned.groupBy(F.col("cluster").cast("long").alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("vec_id").alias("min_vec_id"),
+            F.sum("dist").alias("sum_inertia"),
+        )
+        .withColumn("centroid_checksum", checksum.cast("long"))
+    )
+
+
+QUERIES["q_embed_kmeans"] = q_embed_kmeans
+
+ORACLES["q_embed_kmeans"] = """
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   e -> CAST(round(CAST(e AS DOUBLE) * 1000000) AS BIGINT)
+                        + 1000000) AS q
+        FROM embeddings
+    ), dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+    c0 AS (SELECT vec_id AS j, q AS c FROM v WHERE vec_id < 4),
+    d1 AS (
+        SELECT v.vec_id, v.q, c.j,
+               list_sum(list_transform(generate_series(1, 64),
+                   i -> (v.q[i] - c.c[i]) * (v.q[i] - c.c[i]))) AS dist
+        FROM v CROSS JOIN c0 c
+    ), a1 AS (
+        SELECT vec_id, q, j AS cluster, dist FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY dist, j) AS rn
+            FROM d1
+        ) WHERE rn = 1
+    ), u1 AS (
+        SELECT cluster AS j, i, sum(q[i]) AS s, count(*) AS n
+        FROM a1 CROSS JOIN dims GROUP BY 1, 2
+    ), c1 AS (SELECT j, list(s // n ORDER BY i) AS c FROM u1 GROUP BY j),
+    c1f AS (
+        SELECT c0.j, COALESCE(c1.c, c0.c) AS c
+        FROM c0 LEFT JOIN c1 ON c1.j = c0.j
+    ),
+    d2 AS (
+        SELECT v.vec_id, v.q, c.j,
+               list_sum(list_transform(generate_series(1, 64),
+                   i -> (v.q[i] - c.c[i]) * (v.q[i] - c.c[i]))) AS dist
+        FROM v CROSS JOIN c1f c
+    ), a2 AS (
+        SELECT vec_id, q, j AS cluster, dist FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY dist, j) AS rn
+            FROM d2
+        ) WHERE rn = 1
+    ), u2 AS (
+        SELECT cluster AS j, i, sum(q[i]) AS s, count(*) AS n
+        FROM a2 CROSS JOIN dims GROUP BY 1, 2
+    ), c2 AS (SELECT j, list(s // n ORDER BY i) AS c FROM u2 GROUP BY j),
+    c2f AS (
+        SELECT c1f.j, COALESCE(c2.c, c1f.c) AS c
+        FROM c1f LEFT JOIN c2 ON c2.j = c1f.j
+    ),
+    d3 AS (
+        SELECT v.vec_id, v.q, c.j,
+               list_sum(list_transform(generate_series(1, 64),
+                   i -> (v.q[i] - c.c[i]) * (v.q[i] - c.c[i]))) AS dist
+        FROM v CROSS JOIN c2f c
+    ), a3 AS (
+        SELECT vec_id, q, j AS cluster, dist FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY dist, j) AS rn
+            FROM d3
+        ) WHERE rn = 1
+    )
+    SELECT CAST(a.cluster AS BIGINT) AS cluster,
+           a.n_vecs, a.min_vec_id, a.sum_inertia,
+           CAST(cs.checksum AS BIGINT) AS centroid_checksum
+    FROM (
+        SELECT cluster, count(*) AS n_vecs, min(vec_id) AS min_vec_id,
+               CAST(sum(dist) AS BIGINT) AS sum_inertia
+        FROM a3 GROUP BY 1
+    ) a
+    JOIN (SELECT j, list_sum(c) AS checksum FROM c2f) cs ON cs.j = a.cluster
+"""

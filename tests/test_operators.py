@@ -382,3 +382,30 @@ def test_pmf_ground_tower_and_block(spark):
     assert all(r.ground_z == 0 for r in rows)
     assert sum(r.is_ground for r in rows) == 111
     assert {(r.gx, r.gy) for r in rows if not r.is_ground} == block | {(2, 2)}
+
+
+def test_kmeans_integer_lloyd(spark):
+    """Two well-separated groups, k=2 seeded one-per-group: the first
+    assignment already splits them; the update moves each centroid to the
+    integer-floor mean of its group, and a re-assignment is stable."""
+    from spark_iqmulus_spark.operators.similarity import _km_assign, _km_update
+
+    vecs = spark.createDataFrame(
+        [
+            (0, [0, 0]),
+            (1, [4, 0]),
+            (2, [100, 100]),
+            (3, [104, 101]),
+        ],
+        "vec_id long, q array<long>",
+    )
+    cents = [[0, 0], [100, 100]]
+    a1 = _km_assign(vecs, cents)
+    got = {r.vec_id: r.cluster for r in a1.collect()}
+    assert got == {0: 0, 1: 0, 2: 1, 3: 1}
+    cents2 = _km_update(a1, cents)
+    assert cents2 == [[2, 0], [102, 100]]  # exact integer-floor means
+    a2 = _km_assign(vecs, cents2)
+    assert {r.vec_id: r.cluster for r in a2.collect()} == got
+    # inertia against the updated centroids is the exact squared-L2 sum
+    assert sum(r.dist for r in a2.collect()) == (4 + 4) + (4 + 5)
