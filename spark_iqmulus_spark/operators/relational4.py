@@ -382,3 +382,95 @@ ORACLES = {
         FROM agg
     """,
 }
+
+
+def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly resample with last-observation-carried-forward
+    (the TimescaleDB ``time_bucket_gapfill`` + ``locf`` shape): hourly
+    per-event-type aggregates left-joined onto a dense generated time
+    spine, missing buckets zero-counted, and the running value carried
+    forward with an ignore-nulls window.
+
+    Scale shape: the raw stream is touched once (one keyed aggregate);
+    the dense spine is O(hours × types) — it grows with the *time range*,
+    never the event count — and the LOCF window partitions by type over
+    that small spine.  Sums are exact integer cents."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("hr"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    actual = ev.groupBy("event_type", "hr").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").alias("sum_cents"),
+    )
+    bounds = ev.agg(F.min("hr").alias("mn"), F.max("hr").alias("mx"))
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(bounds)  # 1-row bounds frame — a broadcast by size
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(mn, mx, interval 1 hour)")).alias("hr"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        spine.join(actual, ["event_type", "hr"], "left")
+        .withColumn(
+            "locf_cents",
+            F.coalesce(F.last("sum_cents", ignorenulls=True).over(w), F.lit(0)),
+        )
+        .select(
+            "event_type",
+            F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("sum_cents", F.lit(0)).alias("sum_cents"),
+            "locf_cents",
+        )
+    )
+
+
+QUERIES["q_gapfill_locf"] = q_gapfill_locf
+
+ORACLES["q_gapfill_locf"] = """
+    WITH ev AS (
+        SELECT event_type,
+               date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+               CAST(round(value * 100, 0) AS BIGINT) AS cents
+        FROM events
+    ), actual AS (
+        SELECT event_type, hr, count(*) AS n_events, sum(cents) AS sum_cents
+        FROM ev GROUP BY 1, 2
+    ), bounds AS (SELECT min(hr) AS mn, max(hr) AS mx FROM ev),
+    spine AS (
+        SELECT t.event_type, g.hr
+        FROM (SELECT DISTINCT event_type FROM ev) t
+        CROSS JOIN (
+            SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hr
+            FROM bounds
+        ) g
+    ), filled AS (
+        SELECT s.event_type, s.hr,
+               COALESCE(a.n_events, 0) AS n_events,
+               a.sum_cents
+        FROM spine s
+        LEFT JOIN actual a ON a.event_type = s.event_type AND a.hr = s.hr
+    )
+    SELECT event_type,
+           strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(COALESCE(sum_cents, 0) AS BIGINT) AS sum_cents,
+           CAST(COALESCE(last_value(sum_cents IGNORE NULLS) OVER (
+                PARTITION BY event_type ORDER BY hr
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+                AS BIGINT) AS locf_cents
+    FROM filled
+"""
