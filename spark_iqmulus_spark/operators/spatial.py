@@ -686,6 +686,52 @@ def q_pc_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def knn_within(pts: DataFrame, radius: float, k: int) -> DataFrame:
+    """k nearest neighbors within ``radius`` per point (the PCL/PDAL
+    neighborhood primitive behind normals / feature estimation): the
+    `radius_join` pair set expanded to both directions, then a per-point
+    ``row_number`` window ordered by (distance, neighbor id) — fully
+    deterministic, each point keeps its k closest in-radius neighbors.
+
+    Scale shape: the candidate set is bounded by the radius (grid-cell
+    equi-join, never theta), and the window partitions by pid, so
+    per-partition work is capped by in-radius density — corpus size never
+    enters.  Output: ``(pid, nid, d, nn_rank)`` with ``nn_rank <= k``.
+    """
+    from pyspark.sql import Window
+
+    pairs = radius_join(pts, radius)
+    directed = pairs.select(
+        F.col("pa").alias("pid"), F.col("pb").alias("nid"), "d"
+    ).unionAll(
+        pairs.select(F.col("pb").alias("pid"), F.col("pa").alias("nid"), "d")
+    )
+    w = Window.partitionBy("pid").orderBy("d", "nid")
+    return directed.withColumn("nn_rank", F.row_number().over(w)).where(
+        F.col("nn_rank") <= k
+    )
+
+
+def q_pc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-within-radius over the sparse deterministic point plane of
+    `q_pc_cluster` (integer-valued coordinates → squared distances are
+    exact when rounded): per-rank neighbor counts, exact integer
+    distance-squared sums, distinct-neighbor counts."""
+    t = load_tables(spark, sf_dir)
+    pts = t["part"].select(
+        F.col("p_partkey").alias("pid"),
+        ((F.col("p_partkey") * 7) % 2000).cast("double").alias("x"),
+        ((F.col("p_partkey") * 13) % 1000).cast("double").alias("y"),
+    )
+    nn = knn_within(pts, 40.0, 3)
+    return nn.groupBy("nn_rank").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(F.round(F.col("d") * F.col("d"), 0).cast("long")).alias("sum_d2"),
+        F.count_distinct("nid").alias("n_distinct_neighbors"),
+        F.min("pid").alias("first_pid"),
+    )
+
+
 def _morph_scatter(surface: DataFrame, axis: str, r: int, fn) -> DataFrame:
     """One separable morphology pass: scatter each cell's value to the
     (2r+1) positions along ``axis`` and take ``fn`` (min = erosion half,
@@ -800,6 +846,7 @@ def q_pc_ground(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q_zorder": q_zorder,
     "q_pc_ground": q_pc_ground,
+    "q_pc_knn": q_pc_knn,
     "q_pc_radius_join": q_pc_radius_join,
     "q_pc_dimensionality": q_pc_dimensionality,
     "q_pc_hag": q_pc_hag,
@@ -812,6 +859,53 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_pc_knn": """
+        WITH pts AS (
+            SELECT p_partkey AS pid,
+                   CAST((p_partkey * 7) % 2000 AS DOUBLE) AS x,
+                   CAST((p_partkey * 13) % 1000 AS DOUBLE) AS y
+            FROM part
+        ),
+        offs AS (
+            SELECT dxs.dx, dys.dy
+            FROM (SELECT unnest(generate_series(-1, 1)) AS dx) dxs,
+                 (SELECT unnest(generate_series(-1, 1)) AS dy) dys
+        ),
+        home AS (
+            SELECT pid AS pb, x AS bx, y AS by,
+                   CAST(floor(x / 40.0) AS BIGINT) AS cx,
+                   CAST(floor(y / 40.0) AS BIGINT) AS cy
+            FROM pts
+        ),
+        expanded AS (
+            SELECT pid AS pa, x AS ax, y AS ay,
+                   CAST(floor(x / 40.0) AS BIGINT) + dx AS cx,
+                   CAST(floor(y / 40.0) AS BIGINT) + dy AS cy
+            FROM pts CROSS JOIN offs
+        ),
+        pairs AS (
+            SELECT pa, pb,
+                   sqrt((ax - bx) * (ax - bx) + (ay - by) * (ay - by)) AS d
+            FROM expanded JOIN home USING (cx, cy)
+            WHERE pa < pb
+              AND sqrt((ax - bx) * (ax - bx) + (ay - by) * (ay - by)) <= 40.0
+        ),
+        directed AS (
+            SELECT pa AS pid, pb AS nid, d FROM pairs
+            UNION ALL SELECT pb, pa, d FROM pairs
+        ),
+        nn AS (
+            SELECT pid, nid, d,
+                   row_number() OVER (PARTITION BY pid ORDER BY d, nid)
+                       AS nn_rank
+            FROM directed
+        )
+        SELECT nn_rank, count(*) AS n_points,
+               CAST(sum(round(d * d)) AS BIGINT) AS sum_d2,
+               count(DISTINCT nid) AS n_distinct_neighbors,
+               min(pid) AS first_pid
+        FROM nn WHERE nn_rank <= 3 GROUP BY nn_rank
+    """,
     "q_pc_ground": """
         WITH pts AS (
             SELECT CAST(p_partkey AS DOUBLE) AS x, CAST(p_size AS DOUBLE) AS y,

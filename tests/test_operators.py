@@ -409,3 +409,25 @@ def test_kmeans_integer_lloyd(spark):
     assert {r.vec_id: r.cluster for r in a2.collect()} == got
     # inertia against the updated centroids is the exact squared-L2 sum
     assert sum(r.dist for r in a2.collect()) == (4 + 4) + (4 + 5)
+
+
+def test_knn_within_deterministic_ties(spark):
+    """kNN-within-radius: ranks order by (distance, neighbor id) — the
+    pid-2 point is equidistant (d=10) from pids 1 and 5, and the lower
+    nid must win rank 2; the isolated point yields no rows."""
+    from spark_iqmulus_spark.operators.spatial import knn_within
+
+    pts = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 10.0, 0.0), (3, 18.0, 0.0), (5, 20.0, 0.0),
+         (4, 100.0, 0.0)],
+        "pid long, x double, y double",
+    )
+    nn = knn_within(pts, 25.0, 3)
+    got = {(r.pid, r.nn_rank): r.nid for r in nn.collect()}
+    assert got == {
+        (1, 1): 2, (1, 2): 3, (1, 3): 5,
+        (2, 1): 3, (2, 2): 1, (2, 3): 5,  # tie d=10: nid 1 beats nid 5
+        (3, 1): 5, (3, 2): 2, (3, 3): 1,
+        (5, 1): 3, (5, 2): 2, (5, 3): 1,
+    }
+    assert not [r for r in nn.collect() if r.pid == 4]
