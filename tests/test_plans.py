@@ -333,6 +333,11 @@ def test_hot_paths_stay_jvm_side(spark, tables):
         "q_text_quality",
         "q_text_langid",
         "q_text_repetition",
+        "q_corpus_overlap",
+        "q_pc_ground",
+        "q_pc_knn",
+        "q_gapfill_locf",
+        "q_embed_kmeans",
         "q_dedup_exact",
         "q_dedup_ngram",
         "q_dedup_minhash",
