@@ -1286,3 +1286,107 @@ ORACLES = {
         FROM feats GROUP BY 1
     """,
 }
+
+
+# hillshade illumination constants (GDAL `gdaldem hillshade` defaults):
+# azimuth 315°, altitude 45°.  Pre-evaluated in Python and injected as the
+# SAME double literals into both engines so only sqrt/trig evaluation
+# (sub-ulp identical in practice, and rounded before compare) remains.
+import math as _math
+
+_HS_COS_ZEN = _math.cos(_math.radians(90.0 - 45.0))
+_HS_SIN_ZEN = _math.sin(_math.radians(90.0 - 45.0))
+_HS_AZ_RAD = _math.radians(315.0)
+
+
+def q_pc_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terrain hillshade (Horn's method, as in GDAL ``gdaldem
+    hillshade``): the `q_pc_slope` finite-difference gradient raster →
+    slope/aspect → illumination under a 315°/45° light, clipped at 0 and
+    bucketed into an 8-bin brightness histogram.  Everything runs on the
+    O(cells) ground raster — the cloud is touched once for the min-z
+    grid; the two neighbor joins and the trig are raster-sized."""
+    t = load_tables(spark, sf_dir)
+    pts = t["part"].select(
+        F.col("p_partkey").cast("double").alias("x"),
+        F.col("p_size").cast("double").alias("y"),
+        F.round(F.col("p_retailprice") * 100, 0).cast("long").alias("z"),
+    )
+    cs_x, cs_y = 64.0, 8.0
+    ground = pts.groupBy(
+        F.floor(F.col("x") / cs_x).cast("long").alias("gx"),
+        F.floor(F.col("y") / cs_y).cast("long").alias("gy"),
+    ).agg(F.min("z").alias("gz"))
+    right = ground.select(
+        (F.col("gx") - 1).alias("gx"), "gy", F.col("gz").alias("gz_xp")
+    )
+    up = ground.select(
+        "gx", (F.col("gy") - 1).alias("gy"), F.col("gz").alias("gz_yp")
+    )
+    grad = (
+        ground.join(right, ["gx", "gy"])
+        .join(up, ["gx", "gy"])
+        .select(
+            ((F.col("gz_xp") - F.col("gz")) / F.lit(cs_x)).alias("dzdx"),
+            ((F.col("gz_yp") - F.col("gz")) / F.lit(cs_y)).alias("dzdy"),
+        )
+    )
+    slope_rad = F.atan(
+        F.sqrt(
+            F.col("dzdx") * F.col("dzdx") + F.col("dzdy") * F.col("dzdy")
+        )
+    )
+    aspect = F.atan2(F.col("dzdy"), -F.col("dzdx"))
+    shade = F.greatest(
+        F.lit(255.0)
+        * (
+            F.lit(_HS_COS_ZEN) * F.cos(slope_rad)
+            + F.lit(_HS_SIN_ZEN)
+            * F.sin(slope_rad)
+            * F.cos(F.lit(_HS_AZ_RAD) - aspect)
+        ),
+        F.lit(0.0),
+    )
+    bucket = F.least(F.floor(F.col("shade") / 32), F.lit(7)).cast("int")
+    return grad.select(shade.alias("shade")).groupBy(
+        bucket.alias("shade_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.round(F.avg("shade"), 4).alias("mean_shade"),
+        F.round(F.min("shade"), 4).alias("min_shade"),
+        F.round(F.max("shade"), 4).alias("max_shade"),
+    )
+
+
+QUERIES["q_pc_hillshade"] = q_pc_hillshade
+
+ORACLES["q_pc_hillshade"] = f"""
+    WITH pts AS (
+        SELECT CAST(p_partkey AS DOUBLE) AS x, CAST(p_size AS DOUBLE) AS y,
+               CAST(round(p_retailprice * 100, 0) AS BIGINT) AS z
+        FROM part
+    ), ground AS (
+        SELECT CAST(floor(x / 64.0) AS BIGINT) AS gx,
+               CAST(floor(y / 8.0) AS BIGINT) AS gy, min(z) AS gz
+        FROM pts GROUP BY 1, 2
+    ), grad AS (
+        SELECT (r.gz - g.gz) / 64.0 AS dzdx,
+               (u.gz - g.gz) / 8.0 AS dzdy
+        FROM ground g
+        JOIN ground r ON r.gx = g.gx + 1 AND r.gy = g.gy
+        JOIN ground u ON u.gx = g.gx AND u.gy = g.gy + 1
+    ), sh AS (
+        SELECT greatest(
+            255.0 * ({_HS_COS_ZEN!r} * cos(atan(sqrt(dzdx*dzdx + dzdy*dzdy)))
+                   + {_HS_SIN_ZEN!r} * sin(atan(sqrt(dzdx*dzdx + dzdy*dzdy)))
+                     * cos({_HS_AZ_RAD!r} - atan2(dzdy, -dzdx))),
+            0.0) AS shade
+        FROM grad
+    )
+    SELECT CAST(least(floor(shade / 32), 7) AS INTEGER) AS shade_bucket,
+           count(*) AS n_cells,
+           round(avg(shade), 4) AS mean_shade,
+           round(min(shade), 4) AS min_shade,
+           round(max(shade), 4) AS max_shade
+    FROM sh GROUP BY 1
+"""
