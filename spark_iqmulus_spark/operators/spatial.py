@@ -245,6 +245,38 @@ def radius_join(pts: DataFrame, radius: float) -> DataFrame:
     )
 
 
+def _structure_sums(pts: DataFrame, radius: float) -> DataFrame:
+    """Per-point neighborhood moment sums for the 2-D structure tensor:
+    the :func:`radius_join` pair set (both directions, plus each point as
+    its own neighbor) joined to coordinates and aggregated to
+    ``(pid, n_nb, sx, sy, sxx, sxy, syy)`` for points with >= 3
+    neighborhood members.  Two shuffles total; integer-valued coordinates
+    keep every double sum exact (and therefore engine-portable)."""
+    pairs = radius_join(pts, radius)
+    # undirected neighbor relation, plus each point as its own neighbor
+    nb = (
+        pairs.select(F.col("pa").alias("pid"), F.col("pb").alias("nb"))
+        .union(pairs.select(F.col("pb").alias("pid"), F.col("pa").alias("nb")))
+        .union(pts.select(F.col("pid"), F.col("pid").alias("nb")))
+    )
+    coords = pts.select(
+        F.col("pid").alias("nb"), F.col("x").alias("nx"), F.col("y").alias("ny")
+    )
+    return (
+        nb.join(coords, "nb")
+        .groupBy("pid")
+        .agg(
+            F.count(F.lit(1)).alias("n_nb"),
+            F.sum("nx").alias("sx"),
+            F.sum("ny").alias("sy"),
+            F.sum(F.col("nx") * F.col("nx")).alias("sxx"),
+            F.sum(F.col("nx") * F.col("ny")).alias("sxy"),
+            F.sum(F.col("ny") * F.col("ny")).alias("syy"),
+        )
+        .where(F.col("n_nb") >= 3)
+    )
+
+
 def dimensionality_features(pts: DataFrame, radius: float) -> DataFrame:
     """Per-point local-PCA dimensionality features (2-D structure tensor).
 
@@ -262,29 +294,7 @@ def dimensionality_features(pts: DataFrame, radius: float) -> DataFrame:
     Output: ``(pid, n_nb, lam1, lam2, linearity)`` for points with >= 3
     neighborhood members; ``linearity = (λ1-λ2)/λ1`` in [0, 1].
     """
-    pairs = radius_join(pts, radius)
-    # undirected neighbor relation, plus each point as its own neighbor
-    nb = (
-        pairs.select(F.col("pa").alias("pid"), F.col("pb").alias("nb"))
-        .union(pairs.select(F.col("pb").alias("pid"), F.col("pa").alias("nb")))
-        .union(pts.select(F.col("pid"), F.col("pid").alias("nb")))
-    )
-    coords = pts.select(
-        F.col("pid").alias("nb"), F.col("x").alias("nx"), F.col("y").alias("ny")
-    )
-    sums = (
-        nb.join(coords, "nb")
-        .groupBy("pid")
-        .agg(
-            F.count(F.lit(1)).alias("n_nb"),
-            F.sum("nx").alias("sx"),
-            F.sum("ny").alias("sy"),
-            F.sum(F.col("nx") * F.col("nx")).alias("sxx"),
-            F.sum(F.col("nx") * F.col("ny")).alias("sxy"),
-            F.sum(F.col("ny") * F.col("ny")).alias("syy"),
-        )
-        .where(F.col("n_nb") >= 3)
-    )
+    sums = _structure_sums(pts, radius)
     n = F.col("n_nb").cast("double")
     cxx = F.col("sxx") / n - (F.col("sx") / n) * (F.col("sx") / n)
     cxy = F.col("sxy") / n - (F.col("sx") / n) * (F.col("sy") / n)
@@ -1389,4 +1399,142 @@ ORACLES["q_pc_hillshade"] = f"""
            round(min(shade), 4) AS min_shade,
            round(max(shade), 4) AS max_shade
     FROM sh GROUP BY 1
+"""
+
+
+#: shared plan/oracle literals for the normal-orientation math (evaluated
+#: once in Python, injected identically into both engines).
+_PI = _math.pi
+_HALF_PI = _math.pi / 2
+_NORMAL_BIN = _math.pi / 8
+
+
+def normal_angles(pts: DataFrame, radius: float) -> DataFrame:
+    """Per-point 2-D normal estimation (PCL ``NormalEstimation`` in the
+    plane): the neighborhood structure tensor's principal direction is
+    ``0.5*atan2(2*cxy, cxx - cyy)`` (closed form — no iterative eigen
+    solve), the normal is its perpendicular, reported as an orientation in
+    ``[0, pi)`` (normals are sign-less).  Also returns ``anisotropy``
+    (= linearity) as the confidence of the direction.
+
+    Same cost profile as :func:`dimensionality_features`: one cell join +
+    one point groupBy, everything else map-side closed-form arithmetic.
+    """
+    sums = _structure_sums(pts, radius)
+    n = F.col("n_nb").cast("double")
+    cxx = F.col("sxx") / n - (F.col("sx") / n) * (F.col("sx") / n)
+    cxy = F.col("sxy") / n - (F.col("sx") / n) * (F.col("sy") / n)
+    cyy = F.col("syy") / n - (F.col("sy") / n) * (F.col("sy") / n)
+    tr = cxx + cyy
+    disc = F.sqrt(
+        F.greatest((cxx - cyy) * (cxx - cyy) + 4 * cxy * cxy, F.lit(0.0))
+    )
+    lam1 = (tr + disc) / 2
+    lam2 = (tr - disc) / 2
+    theta_p = F.lit(0.5) * F.atan2(F.lit(2.0) * cxy, cxx - cyy)
+    theta_n = F.pmod(theta_p + F.lit(_HALF_PI), F.lit(_PI))
+    return sums.where(lam1 > 0).select(
+        "pid",
+        "n_nb",
+        theta_n.alias("normal_theta"),
+        ((lam1 - lam2) / lam1).alias("anisotropy"),
+    )
+
+
+def q_pc_normals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normal orientations (r=3) on the part-derived plane, rolled up into
+    an 8-bin orientation histogram with anisotropy confidence — certifies
+    the closed-form eigenvector math across every neighborhood."""
+    t = load_tables(spark, sf_dir)
+    pts = t["part"].select(
+        F.col("p_partkey").alias("pid"),
+        F.col("p_partkey").cast("double").alias("x"),
+        F.col("p_size").cast("double").alias("y"),
+    )
+    na = normal_angles(pts, 3.0)
+    bucket = F.least(
+        F.floor(F.col("normal_theta") / F.lit(_NORMAL_BIN)), F.lit(7)
+    ).cast("int")
+    return na.groupBy(bucket.alias("theta_bin")).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.sum("normal_theta"), 4).alias("sum_theta"),
+        F.round(F.avg("anisotropy"), 4).alias("mean_anisotropy"),
+        F.sum("n_nb").alias("sum_nb"),
+    )
+
+
+QUERIES["q_pc_normals"] = q_pc_normals
+
+ORACLES["q_pc_normals"] = f"""
+    WITH pts AS (
+        SELECT p_partkey AS pid,
+               CAST(p_partkey AS DOUBLE) AS x,
+               CAST(p_size AS DOUBLE) AS y
+        FROM part
+    ),
+    offs AS (
+        SELECT dxs.dx, dys.dy
+        FROM (SELECT unnest(generate_series(-1, 1)) AS dx) dxs,
+             (SELECT unnest(generate_series(-1, 1)) AS dy) dys
+    ),
+    home AS (
+        SELECT pid AS pb, x AS bx, y AS by,
+               CAST(floor(x / 3.0) AS BIGINT) AS cx,
+               CAST(floor(y / 3.0) AS BIGINT) AS cy
+        FROM pts
+    ),
+    expanded AS (
+        SELECT pid AS pa, x AS ax, y AS ay,
+               CAST(floor(x / 3.0) AS BIGINT) + dx AS cx,
+               CAST(floor(y / 3.0) AS BIGINT) + dy AS cy
+        FROM pts CROSS JOIN offs
+    ),
+    pairs AS (
+        SELECT pa, pb
+        FROM expanded JOIN home USING (cx, cy)
+        WHERE pa < pb
+          AND sqrt((ax - bx) * (ax - bx) + (ay - by) * (ay - by)) <= 3.0
+    ),
+    nb AS (
+        SELECT pa AS pid, pb AS nb FROM pairs
+        UNION ALL SELECT pb, pa FROM pairs
+        UNION ALL SELECT pid, pid FROM pts
+    ),
+    sums AS (
+        SELECT nb.pid, count(*) AS n_nb,
+               sum(c.nx) AS sx, sum(c.ny) AS sy,
+               sum(c.nx * c.nx) AS sxx, sum(c.nx * c.ny) AS sxy,
+               sum(c.ny * c.ny) AS syy
+        FROM nb JOIN (SELECT pid AS nb, x AS nx, y AS ny FROM pts) c
+             USING (nb)
+        GROUP BY nb.pid
+        HAVING count(*) >= 3
+    ),
+    feats AS (
+        SELECT pid, n_nb,
+               fmod(0.5 * atan2(2.0 * cxy, cxx - cyy) + {_HALF_PI!r},
+                    {_PI!r}) AS normal_theta,
+               ((tr + disc) / 2 - (tr - disc) / 2) / ((tr + disc) / 2)
+                   AS anisotropy,
+               (tr + disc) / 2 AS lam1
+        FROM (
+            SELECT pid, n_nb, cxx, cxy, cyy, cxx + cyy AS tr,
+                   sqrt(greatest((cxx - cyy) * (cxx - cyy)
+                                 + 4 * cxy * cxy, 0.0)) AS disc
+            FROM (
+                SELECT pid, n_nb,
+                       sxx / n - (sx / n) * (sx / n) AS cxx,
+                       sxy / n - (sx / n) * (sy / n) AS cxy,
+                       syy / n - (sy / n) * (sy / n) AS cyy
+                FROM (SELECT *, CAST(n_nb AS DOUBLE) AS n FROM sums)
+            )
+        )
+    )
+    SELECT CAST(least(CAST(floor(normal_theta / {_NORMAL_BIN!r}) AS BIGINT),
+                      7) AS INT) AS theta_bin,
+           count(*) AS n_points,
+           round(sum(normal_theta), 4) AS sum_theta,
+           round(avg(anisotropy), 4) AS mean_anisotropy,
+           CAST(sum(n_nb) AS BIGINT) AS sum_nb
+    FROM feats WHERE lam1 > 0 GROUP BY 1
 """

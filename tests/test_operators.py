@@ -431,3 +431,23 @@ def test_knn_within_deterministic_ties(spark):
         (5, 1): 3, (5, 2): 2, (5, 3): 1,
     }
     assert not [r for r in nn.collect() if r.pid == 4]
+
+
+def test_normal_angles_lines(spark):
+    """Closed-form eigenvector check: points on a horizontal line get a
+    vertical normal (theta = pi/2, anisotropy 1); a vertical line gets a
+    horizontal normal (theta wraps to 0)."""
+    import math
+
+    from spark_iqmulus_spark.operators.spatial import normal_angles
+
+    horiz = [(i, float(i), 0.0) for i in range(7)]
+    vert = [(100 + i, 500.0, float(i)) for i in range(7)]
+    pts = spark.createDataFrame(horiz + vert, "pid long, x double, y double")
+    rows = {r.pid: r for r in normal_angles(pts, 1.5).collect()}
+    # line endpoints have only 2 neighborhood members (< 3 floor) → dropped
+    assert len(rows) == 10
+    for pid, r in rows.items():
+        expect = math.pi / 2 if pid < 100 else 0.0
+        assert abs(r.normal_theta - expect) < 1e-9, (pid, r.normal_theta)
+        assert abs(r.anisotropy - 1.0) < 1e-9
