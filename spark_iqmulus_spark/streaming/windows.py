@@ -460,3 +460,64 @@ ORACLES = {
         ) WHERE rn = 1
     """,
 }
+
+
+def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming upsert: the events stream replayed through the
+    bucket-partitioned `upsert_batch_sink` (foreachBatch MERGE semantics
+    on plain parquet — pruned bucket read, anti-join merge, atomic bucket
+    swap), then the materialized state summarized.  Final state = last
+    event per user by (ts, event_id) — deterministic, so the batch oracle
+    recomputes it with one window."""
+    import os
+    import shutil
+
+    from ..session import ts_micros_if_long
+    from .sinks import stream_upsert
+
+    path = f"{sf_dir}/events.parquet"
+    raw_schema = spark.read.parquet(path).schema
+    src = tempfile.mkdtemp(prefix="upsert_src_")
+    os.symlink(os.path.abspath(path), os.path.join(src, "events.parquet"))
+    state = tempfile.mkdtemp(prefix="upsert_state_")
+    shutil.rmtree(state)
+    os.makedirs(state)
+    stream = ts_micros_if_long(
+        spark.readStream.schema(raw_schema).format("parquet").load(src)
+    )
+    q = stream_upsert(
+        spark,
+        stream,
+        state,
+        tempfile.mkdtemp(prefix="ckpt_upsert_"),
+        "user_id",
+        ["ts", "event_id"],
+    )
+    q.awaitTermination()
+    final = spark.read.parquet(state)
+    return final.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+            "sum_final_cents"
+        ),
+        F.sum("event_id").alias("sum_final_event_id"),
+        F.date_format(F.max("ts"), _TS_FMT).alias("max_ts"),
+    )
+
+
+QUERIES["q_stream_upsert"] = q_stream_upsert
+
+ORACLES["q_stream_upsert"] = """
+    WITH last AS (
+        SELECT user_id, ts, event_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    SELECT count(*) AS n_users,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS sum_final_cents,
+           CAST(sum(event_id) AS BIGINT) AS sum_final_event_id,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS max_ts
+    FROM last WHERE rn = 1
+"""
