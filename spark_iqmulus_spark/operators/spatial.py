@@ -1538,3 +1538,175 @@ ORACLES["q_pc_normals"] = f"""
            CAST(sum(n_nb) AS BIGINT) AS sum_nb
     FROM feats WHERE lam1 > 0 GROUP BY 1
 """
+
+
+def mls_residuals(pts: DataFrame, radius: float) -> DataFrame:
+    """Moving-least-squares surface fit (PCL ``MovingLeastSquares``,
+    plane flavor): per point, fit ``z = z̄ + b·(x-x̄) + c·(y-ȳ)`` by least
+    squares over the radius neighborhood (closed-form 2×2 solve on
+    centered moments — no iteration, no UDF) and report the point's
+    residual against its own fitted surface.  Degenerate neighborhoods
+    (|det| <= 1e-9: collinear supports) fall back to the neighborhood
+    mean.  Cost profile = `dimensionality_features` (one cell join + one
+    keyed aggregate); the solve is map-side arithmetic.
+
+    Input ``(pid, x, y, z)``; output ``(pid, n_nb, residual)`` for
+    points with >= 3 neighborhood members."""
+    pairs = radius_join(pts.select("pid", "x", "y"), radius)
+    nb = (
+        pairs.select(F.col("pa").alias("pid"), F.col("pb").alias("nb"))
+        .union(pairs.select(F.col("pb").alias("pid"), F.col("pa").alias("nb")))
+        .union(pts.select(F.col("pid"), F.col("pid").alias("nb")))
+    )
+    coords = pts.select(
+        F.col("pid").alias("nb"),
+        F.col("x").alias("nx"),
+        F.col("y").alias("ny"),
+        F.col("z").cast("double").alias("nz"),
+    )
+    sums = (
+        nb.join(coords, "nb")
+        .groupBy("pid")
+        .agg(
+            F.count(F.lit(1)).alias("n_nb"),
+            F.sum("nx").alias("sx"),
+            F.sum("ny").alias("sy"),
+            F.sum("nz").alias("sz"),
+            F.sum(F.col("nx") * F.col("nx")).alias("sxx"),
+            F.sum(F.col("nx") * F.col("ny")).alias("sxy"),
+            F.sum(F.col("ny") * F.col("ny")).alias("syy"),
+            F.sum(F.col("nx") * F.col("nz")).alias("sxz"),
+            F.sum(F.col("ny") * F.col("nz")).alias("syz"),
+        )
+        .where(F.col("n_nb") >= 3)
+    )
+    own = pts.select(
+        "pid", F.col("x").alias("px"), F.col("y").alias("py"),
+        F.col("z").cast("double").alias("pz"),
+    )
+    j = sums.join(own, "pid")
+    n = F.col("n_nb").cast("double")
+    mxx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    mxy = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    myy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    mxz = F.col("sxz") - F.col("sx") * F.col("sz") / n
+    myz = F.col("syz") - F.col("sy") * F.col("sz") / n
+    det = mxx * myy - mxy * mxy
+    b = (myy * mxz - mxy * myz) / det
+    c = (mxx * myz - mxy * mxz) / det
+    zbar = F.col("sz") / n
+    fitted = F.when(
+        F.abs(det) > 1e-9,
+        zbar
+        + b * (F.col("px") - F.col("sx") / n)
+        + c * (F.col("py") - F.col("sy") / n),
+    ).otherwise(zbar)
+    return j.select(
+        "pid", "n_nb", (F.col("pz") - fitted).alias("residual")
+    )
+
+
+def q_pc_mls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLS plane-fit residuals (r=40) over the sparse deterministic
+    plane of `q_pc_cluster` with a position-uncorrelated height
+    (z = (partkey mod 97)*100 — rough terrain, so the local fit has real
+    residuals to measure): |residual| histogram with
+    conservative rounding so cross-engine double-summation order can
+    never move a digit."""
+    t = load_tables(spark, sf_dir)
+    pts = t["part"].select(
+        F.col("p_partkey").alias("pid"),
+        ((F.col("p_partkey") * 7) % 2000).cast("double").alias("x"),
+        ((F.col("p_partkey") * 13) % 1000).cast("double").alias("y"),
+        ((F.col("p_partkey") % 97) * 100).cast("long").alias("z"),
+    )
+    res = mls_residuals(pts, 40.0)
+    bucket = F.least(
+        F.floor(F.abs(F.col("residual")) / 500), F.lit(7)
+    ).cast("int")
+    return res.groupBy(bucket.alias("resid_bucket")).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.sum(F.abs(F.col("residual"))), 2).alias("sum_abs_resid"),
+        F.round(F.max(F.abs(F.col("residual"))), 4).alias("max_abs_resid"),
+        F.sum("n_nb").alias("sum_nb"),
+    )
+
+
+QUERIES["q_pc_mls"] = q_pc_mls
+
+ORACLES["q_pc_mls"] = """
+    WITH pts AS (
+        SELECT p_partkey AS pid,
+               CAST((p_partkey * 7) % 2000 AS DOUBLE) AS x,
+               CAST((p_partkey * 13) % 1000 AS DOUBLE) AS y,
+               CAST((p_partkey % 97) * 100 AS DOUBLE) AS z
+        FROM part
+    ),
+    offs AS (
+        SELECT dxs.dx, dys.dy
+        FROM (SELECT unnest(generate_series(-1, 1)) AS dx) dxs,
+             (SELECT unnest(generate_series(-1, 1)) AS dy) dys
+    ),
+    home AS (
+        SELECT pid AS pb, x AS bx, y AS by,
+               CAST(floor(x / 40.0) AS BIGINT) AS cx,
+               CAST(floor(y / 40.0) AS BIGINT) AS cy
+        FROM pts
+    ),
+    expanded AS (
+        SELECT pid AS pa, x AS ax, y AS ay,
+               CAST(floor(x / 40.0) AS BIGINT) + dx AS cx,
+               CAST(floor(y / 40.0) AS BIGINT) + dy AS cy
+        FROM pts CROSS JOIN offs
+    ),
+    pairs AS (
+        SELECT pa, pb
+        FROM expanded JOIN home USING (cx, cy)
+        WHERE pa < pb
+          AND sqrt((ax - bx) * (ax - bx) + (ay - by) * (ay - by)) <= 40.0
+    ),
+    nb AS (
+        SELECT pa AS pid, pb AS nb FROM pairs
+        UNION ALL SELECT pb, pa FROM pairs
+        UNION ALL SELECT pid, pid FROM pts
+    ),
+    sums AS (
+        SELECT nb.pid, count(*) AS n_nb,
+               sum(c.nx) AS sx, sum(c.ny) AS sy, sum(c.nz) AS sz,
+               sum(c.nx * c.nx) AS sxx, sum(c.nx * c.ny) AS sxy,
+               sum(c.ny * c.ny) AS syy, sum(c.nx * c.nz) AS sxz,
+               sum(c.ny * c.nz) AS syz
+        FROM nb JOIN (SELECT pid AS nb, x AS nx, y AS ny, z AS nz FROM pts) c
+             USING (nb)
+        GROUP BY nb.pid
+        HAVING count(*) >= 3
+    ),
+    resid AS (
+        SELECT s.pid, s.n_nb,
+               p.z - (CASE WHEN abs(det) > 1e-9
+                      THEN sz / n + ((myy * mxz - mxy * myz) / det)
+                               * (p.x - sx / n)
+                           + ((mxx * myz - mxy * mxz) / det)
+                               * (p.y - sy / n)
+                      ELSE sz / n END) AS residual
+        FROM (
+            SELECT *,
+                   sxx - sx * sx / n AS mxx,
+                   sxy - sx * sy / n AS mxy,
+                   syy - sy * sy / n AS myy,
+                   sxz - sx * sz / n AS mxz,
+                   syz - sy * sz / n AS myz,
+                   (sxx - sx * sx / n) * (syy - sy * sy / n)
+                       - (sxy - sx * sy / n) * (sxy - sx * sy / n) AS det
+            FROM (SELECT *, CAST(n_nb AS DOUBLE) AS n FROM sums)
+        ) s
+        JOIN pts p USING (pid)
+    )
+    SELECT CAST(least(CAST(floor(abs(residual) / 500) AS BIGINT), 7) AS INT)
+               AS resid_bucket,
+           count(*) AS n_points,
+           round(sum(abs(residual)), 2) AS sum_abs_resid,
+           round(max(abs(residual)), 4) AS max_abs_resid,
+           CAST(sum(n_nb) AS BIGINT) AS sum_nb
+    FROM resid GROUP BY 1
+"""

@@ -451,3 +451,20 @@ def test_normal_angles_lines(spark):
         expect = math.pi / 2 if pid < 100 else 0.0
         assert abs(r.normal_theta - expect) < 1e-9, (pid, r.normal_theta)
         assert abs(r.anisotropy - 1.0) < 1e-9
+
+
+def test_mls_residuals_planar(spark):
+    """A perfectly planar cloud (z = 2x + 3y) has zero MLS residual at
+    every point with a non-degenerate neighborhood — the closed-form
+    least-squares solve recovers the plane exactly."""
+    from spark_iqmulus_spark.operators.spatial import mls_residuals
+
+    data = [
+        (y * 10 + x, float(x), float(y), 2 * x + 3 * y)
+        for x in range(8)
+        for y in range(8)
+    ]
+    pts = spark.createDataFrame(data, "pid long, x double, y double, z long")
+    rows = mls_residuals(pts, 1.5).collect()
+    assert len(rows) == 64  # every grid point has >= 3 neighborhood members
+    assert all(abs(r.residual) < 1e-9 for r in rows)
