@@ -58,6 +58,42 @@ def _list_files(path: str, ext: str) -> list[str]:
     return [path] if os.path.exists(path) else []
 
 
+def _stable_files(path: str, ext: str, settle: float) -> list[str]:
+    """List files, excluding any still being written.
+
+    Offsets are path sets, so a file claimed in an offset is never
+    revisited — claiming a half-written tile would permanently truncate it.
+    Producers SHOULD rename atomically into the watched directory; as a
+    belt-and-braces check, any file whose mtime is within ``settle``
+    seconds of now is re-stat'ed after the settle window and dropped from
+    this offset (picked up next poll) if its size/mtime moved."""
+    import time
+
+    files = _list_files(path, ext)
+    if settle <= 0 or not files:
+        return files
+
+    def _sig(f):
+        try:
+            st = os.stat(f)
+            return (st.st_size, st.st_mtime_ns)
+        except OSError:
+            return None
+
+    sigs = {f: _sig(f) for f in files}
+    cutoff = (time.time() - settle) * 1e9
+    young = [
+        f
+        for f in files
+        if sigs[f] is not None and sigs[f][1] > cutoff
+    ]
+    if young:
+        time.sleep(settle)
+    return [
+        f for f in files if sigs[f] is not None and _sig(f) == sigs[f]
+    ]
+
+
 @dataclass
 class _StreamFilePartition(InputPartition):
     """One record range of one newly-arrived file (fid = batch-local)."""
@@ -90,7 +126,8 @@ class SectionStreamReader(DataSourceStreamReader):
         return {"files": []}
 
     def latestOffset(self) -> dict:
-        return {"files": _list_files(self.path, self.ext)}
+        settle = float(self.options.get("settle_seconds", 0.5))
+        return {"files": _stable_files(self.path, self.ext, settle)}
 
     def partitions(self, start: dict, end: dict):
         seen = set(start.get("files", []))

@@ -203,29 +203,54 @@ def _decode_whole_file(path: str, fid: int) -> pa.RecordBatch:
         from .pcd_format import read_compressed_body
 
         body = read_compressed_body(path, hdr)
+        # Field-major (SoA) layout, grouped by ORIGINAL header field: a
+        # COUNT=c field is one n*c-element block with each point's c
+        # elements adjacent ([p0e0..p0e{c-1}, p1e0, ...]), so expanded
+        # scalar j is block[j::c] — NOT c contiguous n-element blocks.
         off = 0
-        for f in hdr.fields:  # field-major (SoA) layout
-            nbytes = n * f.size
-            cols[f.name] = np.frombuffer(
-                body, dtype="<" + f.np_char, count=n, offset=off
+        for group, c in hdr.field_groups():
+            f0 = group[0]
+            block = np.frombuffer(
+                body, dtype="<" + f0.np_char, count=n * c, offset=off
             )
-            off += nbytes
+            if c == 1:
+                cols[f0.name] = block
+            else:
+                mat = block.reshape(n, c)
+                for j, fj in enumerate(group):
+                    cols[fj.name] = np.ascontiguousarray(mat[:, j])
+            off += n * c * f0.size
     elif hdr.data_kind == "ascii":
-        with open(path, "rb") as fh:
-            fh.seek(hdr.data_offset)
-            text = fh.read()
-        mat = np.loadtxt(
-            io.BytesIO(text), dtype=np.float64, ndmin=2, max_rows=n or None
-        )
-        if mat.size == 0:
-            mat = mat.reshape(0, len(hdr.fields))
-        if mat.shape[1] != len(hdr.fields):
-            raise ValueError(
-                f"{path}: ascii row width {mat.shape[1]} != "
-                f"{len(hdr.fields)} declared fields"
+        if n == 0:
+            # max_rows=None would ingest unrelated trailing bytes; an
+            # empty declared section is simply empty
+            for f in hdr.fields:
+                cols[f.name] = np.empty(0, dtype="<" + f.np_char)
+        else:
+            with open(path, "rb") as fh:
+                fh.seek(hdr.data_offset)
+                text = fh.read()
+            mat = np.loadtxt(
+                io.BytesIO(text), dtype=np.float64, ndmin=2, max_rows=n
             )
-        for i, f in enumerate(hdr.fields):
-            cols[f.name] = mat[:, i].astype("<" + f.np_char)
+            if mat.shape[1] != len(hdr.fields):
+                raise ValueError(
+                    f"{path}: ascii row width {mat.shape[1]} != "
+                    f"{len(hdr.fields)} declared fields"
+                )
+            for i, f in enumerate(hdr.fields):
+                if f.np_char in ("i8", "u8"):
+                    # float64 round-trip corrupts 8-byte ints above 2^53 —
+                    # re-parse the column with its native dtype
+                    cols[f.name] = np.loadtxt(
+                        io.BytesIO(text),
+                        dtype="<" + f.np_char,
+                        usecols=i,
+                        ndmin=1,
+                        max_rows=n,
+                    )
+                else:
+                    cols[f.name] = mat[:, i].astype("<" + f.np_char)
     else:
         section = _binary_section(path, hdr)
         return section.read_batch(0, n, fid)

@@ -75,6 +75,20 @@ class PcdHeader:
     points: int = 0
     data_kind: str = "binary"  # ascii | binary | binary_compressed
     data_offset: int = 0  # byte offset of the data section
+    #: declared COUNT per *original* header field, in header order.  The
+    #: expanded ``fields`` list flattens COUNT>1 fields to name_0..name_{k-1};
+    #: binary_compressed (SoA) layout stores each original field as ONE
+    #: ``n*count``-element block with a point's elements adjacent, so the
+    #: decoder needs the grouping back.  Empty ⇒ all-1 (constructed headers).
+    counts: list[int] = field(default_factory=list)
+
+    def field_groups(self):
+        """Yield ``(expanded_fields_slice, count)`` per original field."""
+        counts = self.counts or [1] * len(self.fields)
+        i = 0
+        for c in counts:
+            yield self.fields[i : i + c], c
+            i += c
 
     @property
     def stride(self) -> int:
@@ -153,6 +167,7 @@ class PcdHeader:
                 hdr.fields.extend(
                     PcdField(f"{name}_{i}", np_char) for i in range(count)
                 )
+        hdr.counts = list(counts)
         return hdr
 
     # -- serialize ---------------------------------------------------------

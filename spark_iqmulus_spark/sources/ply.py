@@ -222,18 +222,22 @@ def _decode_ascii(p: AsciiPlyPartition):
 
     from .binary_section import signed_char
 
-    with open(p.path, "rb") as fh:
-        fh.seek(p.header_length)
-        text = fh.read()
-    mat = np.loadtxt(
-        _io.BytesIO(text),
-        dtype=np.float64,
-        skiprows=p.skip_rows,
-        max_rows=p.n_rows or None,
-        ndmin=2,
-    )
-    if mat.size == 0:
-        mat = mat.reshape(0, len(p.fields))
+    if p.n_rows == 0:
+        # max_rows=None would ingest the NEXT element's rows as data; an
+        # element declaring 0 rows is simply empty
+        mat = np.empty((0, len(p.fields)), dtype=np.float64)
+        text = b""
+    else:
+        with open(p.path, "rb") as fh:
+            fh.seek(p.header_length)
+            text = fh.read()
+        mat = np.loadtxt(
+            _io.BytesIO(text),
+            dtype=np.float64,
+            skiprows=p.skip_rows,
+            max_rows=p.n_rows,
+            ndmin=2,
+        )
     if mat.shape[1] != len(p.fields):
         raise ValueError(
             f"{p.path}: ascii row width {mat.shape[1]} != "
@@ -246,7 +250,19 @@ def _decode_ascii(p: AsciiPlyPartition):
         pa.array(np.arange(n, dtype=np.int64)),
     ]
     for i, (name, np_char) in enumerate(p.fields):
-        col = mat[:, i].astype("<" + np_char)
+        if np_char in ("i8", "u8") and n:
+            # float64 round-trip corrupts 8-byte ints above 2^53 —
+            # re-parse the column with its native dtype
+            col = np.loadtxt(
+                _io.BytesIO(text),
+                dtype="<" + np_char,
+                usecols=i,
+                skiprows=p.skip_rows,
+                max_rows=p.n_rows,
+                ndmin=1,
+            )
+        else:
+            col = mat[:, i].astype("<" + np_char)
         target = signed_char(np_char)
         if target != np_char:
             col = col.view(np.dtype("<" + target))

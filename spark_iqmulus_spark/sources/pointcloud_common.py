@@ -132,10 +132,10 @@ def append_file(out, src_path: str) -> None:
     output, so this is the driver-side byte-moving hot loop; falls back to
     1 MiB chunked copies elsewhere."""
     with open(src_path, "rb") as src:
+        offset = 0
         try:
             out.flush()
             size = os.fstat(src.fileno()).st_size
-            offset = 0
             while offset < size:
                 sent = os.sendfile(out.fileno(), src.fileno(), offset, size - offset)
                 if sent == 0:
@@ -145,6 +145,11 @@ def append_file(out, src_path: str) -> None:
                 return
             src.seek(offset)
         except (AttributeError, OSError):
+            # fall back to chunked copy ONLY if nothing was transferred;
+            # after a partial sendfile a restart-from-zero would duplicate
+            # the already-sent bytes in the merged output
+            if offset:
+                raise
             src.seek(0)
         while True:
             chunk = src.read(1 << 20)

@@ -197,3 +197,69 @@ def test_corrupt_file_skip_and_strict(spark, tmp_path):
         spark.read.format("pcd").option(
             "ignoreCorruptFiles", "false"
         ).load(str(tmp_path)).count()
+
+
+def test_binary_compressed_count_multi(spark, tmp_path):
+    """SoA layout of a COUNT=3 field is ONE n*3-element block with each
+    point's elements adjacent — not three contiguous n-element blocks
+    (regression: expanded scalars decoded scrambled)."""
+    p = str(tmp_path / "a.pcd")
+    n = 4
+    x = np.array([10.0, 20.0, 30.0, 40.0], dtype="<f4")
+    # normals per point: point i has (i.1, i.2, i.3)
+    normal = np.array(
+        [[i + 0.1, i + 0.2, i + 0.3] for i in range(n)], dtype="<f4"
+    )
+    soa = x.tobytes() + normal.tobytes()  # field-major, point-adjacent
+    comp = lzf_compress_literal(soa)
+    hdr_text = (
+        b"VERSION 0.7\nFIELDS x normal\nSIZE 4 4\nTYPE F F\nCOUNT 1 3\n"
+        b"WIDTH 4\nHEIGHT 1\nVIEWPOINT 0 0 0 1 0 0 0\nPOINTS 4\n"
+        b"DATA binary_compressed\n"
+    )
+    with open(p, "wb") as f:
+        f.write(hdr_text)
+        f.write(struct.pack("<II", len(comp), len(soa)))
+        f.write(comp)
+    df = spark.read.format("pcd").load(p)
+    rows = df.orderBy("pid").select(
+        "x", "normal_0", "normal_1", "normal_2"
+    ).collect()
+    for i, row in enumerate(rows):
+        assert row[0] == pytest.approx(x[i])
+        assert row[1] == pytest.approx(i + 0.1)
+        assert row[2] == pytest.approx(i + 0.2)
+        assert row[3] == pytest.approx(i + 0.3)
+
+
+def test_ascii_int64_precision(spark, tmp_path):
+    """8-byte integer ascii columns must not round-trip through float64
+    (values above 2^53 would silently round)."""
+    p = str(tmp_path / "a.pcd")
+    big = 2**60 + 1  # not representable in float64
+    hdr = PcdHeader(
+        fields=[PcdField("x", "f4"), PcdField("t", "i8")],
+        width=2,
+        points=2,
+        data_kind="ascii",
+    )
+    with open(p, "wb") as f:
+        f.write(hdr.to_bytes())
+        f.write(f"1.5 {big}\n2.5 {-big}\n".encode())
+    rows = sorted(
+        spark.read.format("pcd").load(p).select("x", "t").collect()
+    )
+    assert rows[0] == (1.5, big)
+    assert rows[1] == (2.5, -big)
+
+
+def test_ascii_zero_points(spark, tmp_path):
+    """POINTS 0 must yield an empty result, not ingest trailing bytes."""
+    p = str(tmp_path / "a.pcd")
+    hdr = PcdHeader(
+        fields=[PcdField("x", "f4")], width=0, points=0, data_kind="ascii"
+    )
+    with open(p, "wb") as f:
+        f.write(hdr.to_bytes())
+    df = spark.read.format("pcd").schema("fid int, pid long, x float").load(p)
+    assert df.count() == 0

@@ -511,3 +511,109 @@ def test_las_extrabytes_write_roundtrip(spark, tmp_path):
     pushed = spark.read.format("las").option("pushdown", "true").load(out)
     assert pushed.where(F.col("amp") > 100).count() == 0  # skipped by bounds
     assert pushed.where(F.col("amp") > 0).count() == 10
+
+
+def test_ply_ascii_zero_row_element(spark, tmp_path):
+    """An element declaring 0 rows must be empty — not ingest the NEXT
+    element's rows (regression: max_rows=None when n_rows == 0)."""
+    p = str(tmp_path / "a.ply")
+    with open(p, "wb") as f:
+        f.write(
+            b"ply\nformat ascii 1.0\n"
+            b"element vertex 0\nproperty float x\n"
+            b"element face 2\nproperty float q\n"
+            b"end_header\n"
+            b"1.0\n2.0\n"  # face rows — must NOT appear as vertices
+        )
+    df = spark.read.format("ply").schema("fid int, pid long, x float").load(p)
+    assert df.count() == 0
+
+
+def test_ply_ascii_int64_precision(spark, tmp_path):
+    """ascii int64 properties parse with native dtype, not via float64
+    (values above 2^53 would silently round)."""
+    big = 2**60 + 1
+    p = str(tmp_path / "a.ply")
+    with open(p, "wb") as f:
+        f.write(
+            b"ply\nformat ascii 1.0\n"
+            b"element vertex 2\n"
+            b"property float x\nproperty int64 t\n"
+            b"end_header\n" + f"1.5 {big}\n2.5 {-big}\n".encode()
+        )
+    rows = sorted(spark.read.format("ply").load(p).select("x", "t").collect())
+    assert rows[0] == (1.5, big)
+    assert rows[1] == (2.5, -big)
+
+
+def test_append_file_partial_sendfile_raises(tmp_path, monkeypatch):
+    """After a PARTIAL sendfile transfer, a fallback restart-from-zero
+    would duplicate bytes in the merged output — it must raise instead."""
+    import os as _os
+
+    from spark_iqmulus_spark.sources.pointcloud_common import append_file
+
+    src = tmp_path / "src.bin"
+    src.write_bytes(b"0123456789" * 100)
+
+    calls = {"n": 0}
+    real_sendfile = _os.sendfile
+
+    def flaky_sendfile(out_fd, in_fd, offset, count):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return real_sendfile(out_fd, in_fd, offset, 64)
+        raise OSError("simulated mid-transfer failure")
+
+    monkeypatch.setattr(_os, "sendfile", flaky_sendfile)
+    with open(tmp_path / "out.bin", "wb") as out:
+        with pytest.raises(OSError):
+            append_file(out, str(src))
+
+    # with no bytes transferred the chunked fallback is still taken
+    calls["n"] = 0
+
+    def failing_sendfile(out_fd, in_fd, offset, count):
+        raise OSError("simulated immediate failure")
+
+    monkeypatch.setattr(_os, "sendfile", failing_sendfile)
+    with open(tmp_path / "out2.bin", "wb") as out:
+        append_file(out, str(src))
+    assert (tmp_path / "out2.bin").read_bytes() == src.read_bytes()
+
+
+def test_stream_settle_skips_in_flight_files(tmp_path):
+    """latestOffset must not claim a file whose size/mtime is still moving
+    (offsets are path sets — a claimed partial file is never re-read)."""
+    import time
+
+    from spark_iqmulus_spark.sources.las_stream import _stable_files
+
+    import os as _os
+
+    stable = tmp_path / "stable.las"
+    stable.write_bytes(b"x" * 100)
+    old = time.time() - 60
+    _os.utime(stable, (old, old))
+
+    growing = tmp_path / "growing.las"
+    growing.write_bytes(b"partial")  # mtime = now → inside settle window
+
+    # grow the file during the settle re-check by appending from a thread
+    import threading
+
+    def _grow():
+        time.sleep(0.1)
+        with open(growing, "ab") as f:
+            f.write(b"more bytes")
+
+    t = threading.Thread(target=_grow)
+    t.start()
+    got = _stable_files(str(tmp_path), ".las", settle=0.4)
+    t.join()
+    assert str(stable) in got
+    assert str(growing) not in got
+    # once quiescent past the settle window, it is picked up
+    time.sleep(0.5)
+    got2 = _stable_files(str(tmp_path), ".las", settle=0.4)
+    assert str(growing) in got2
