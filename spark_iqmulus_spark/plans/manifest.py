@@ -62,6 +62,26 @@ def write_manifest(
     )
 
 
+def _fresh_and_kept(
+    manifest: DataFrame, stats: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Pure-plan core of the incremental update: which listed files are new
+    or changed (``fresh``), and which manifest rows survive (``kept``).
+
+    Both sides stay DataFrames — the manifest is never collected to the
+    driver and no literal IN-list enters the plan (at 1M+ tiles either one
+    is a driver bottleneck); the comparison and the removal are ordinary
+    shuffled joins.  Plan-pinned by
+    ``tests/test_manifest.py::test_update_plan_is_join_based``."""
+    fresh = stats.join(
+        manifest.select("path", "mtime_ns", "size"),
+        on=["path", "mtime_ns", "size"],
+        how="left_anti",
+    ).select("path")
+    kept = manifest.join(fresh, on="path", how="left_anti")
+    return fresh, kept
+
+
 def update_manifest(
     spark: SparkSession, manifest_path: str, dir_or_paths
 ) -> int:
@@ -71,7 +91,10 @@ def update_manifest(
     production ingestion shape: N new tiles against a 100k-tile manifest
     costs O(N) header reads, never a full rebuild).  Changed files (same
     path, different mtime/size) are re-parsed and their rows replaced.
-    Returns the number of added/refreshed rows.
+    The existing manifest participates only through joins (see
+    ``_fresh_and_kept``); the sole collect is the fresh-path delta, which
+    the driver needs anyway to parse those headers.  Returns the number of
+    added/refreshed rows.
     """
     import glob as _glob
 
@@ -82,23 +105,20 @@ def update_manifest(
             paths = sorted(_glob.glob(dir_or_paths))
     else:
         paths = sorted(dir_or_paths)
-    existing = {
-        r["path"]: (r["mtime_ns"], r["size"])
-        for r in spark.read.parquet(manifest_path)
-        .select("path", "mtime_ns", "size")
-        .collect()
-    }
-    fresh = []
-    for p in paths:
-        st = os.stat(p)
-        if existing.get(p) != (st.st_mtime_ns, st.st_size):
-            fresh.append(p)
+    file_stats = pmap_headers(os.stat, paths)  # threaded, I/O-bound
+    stats = spark.createDataFrame(
+        [
+            (p, st.st_mtime_ns, st.st_size)
+            for p, st in zip(paths, file_stats)
+        ],
+        "path string, mtime_ns long, size long",
+    )
+    manifest = spark.read.parquet(manifest_path)
+    fresh_df, kept = _fresh_and_kept(manifest, stats)
+    fresh = sorted(r["path"] for r in fresh_df.collect())
     if not fresh:
         return 0
     new_rows = build_manifest(spark, fresh)
-    kept = spark.read.parquet(manifest_path).where(
-        ~F.col("path").isin(fresh)
-    )
     merged = kept.unionByName(new_rows)
     # rewrite via a temp dir then swap — parquet sources can't append-replace
     tmp = manifest_path.rstrip("/") + ".tmp"

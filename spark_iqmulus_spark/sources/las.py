@@ -60,6 +60,7 @@ from .pointcloud_common import (
     clear_existing_outputs,
     expand_paths,
     ignore_corrupt_option,
+    pmap_merges,
     parse_sections,
 )
 from ..functions.schema_merge import merge_all
@@ -490,6 +491,7 @@ class LasWriter(DataSourceArrowWriter):
                     (part_path, count, pmin, pmax, ret, emin, emax)
                 )
         if self.namecol is not None:
+            jobs = []
             for name, parts in sorted(by_fid.items()):
                 if (
                     not name
@@ -503,7 +505,8 @@ class LasWriter(DataSourceArrowWriter):
                     )
                 if not name.endswith(".las"):
                     name += ".las"
-                self._merge_one(os.path.join(self.path, name), parts)
+                jobs.append((os.path.join(self.path, name), parts))
+            pmap_merges(self._merge_one, jobs)
             return
         names: dict[int, str] = {}
         if self.fid_paths is not None:
@@ -515,6 +518,7 @@ class LasWriter(DataSourceArrowWriter):
                 fid: (f"{b}-fid{fid}.las" if b in dup else f"{b}.las")
                 for fid, b in enumerate(bases)
             }
+        jobs = []
         for fid, parts in sorted(by_fid.items()):
             if self.fid_paths is not None and fid not in names:
                 # silently funneling unknown fids into one shared dest would
@@ -525,8 +529,8 @@ class LasWriter(DataSourceArrowWriter):
                     " write; fix the fid values or set"
                     " .option('restoreNames','false')"
                 )
-            dest = os.path.join(self.path, names.get(fid, "data.las"))
-            self._merge_one(dest, parts)
+            jobs.append((os.path.join(self.path, names.get(fid, "data.las")), parts))
+        pmap_merges(self._merge_one, jobs)
 
     def abort(self, messages) -> None:
         for m in messages:

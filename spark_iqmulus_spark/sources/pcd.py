@@ -54,6 +54,7 @@ from .pointcloud_common import (
     effective_partition_bytes,
     expand_paths,
     ignore_corrupt_option,
+    pmap_merges,
     parse_sections,
 )
 from ..functions.schema_merge import merge_all
@@ -374,6 +375,7 @@ class PcdWriter(DataSourceArrowWriter):
                 fid: (f"{b}-fid{fid}.pcd" if b in dup else f"{b}.pcd")
                 for fid, b in enumerate(bases)
             }
+        jobs = []
         for fid, parts in sorted(by_fid.items()):
             if self.fid_paths is not None and fid not in names:
                 raise ValueError(
@@ -383,7 +385,8 @@ class PcdWriter(DataSourceArrowWriter):
                     " .option('restoreNames','false')"
                 )
             dest = os.path.join(self.path, names.get(fid, "data.pcd"))
-            self._merge_one(dest, sorted(parts), counts[fid])
+            jobs.append((dest, sorted(parts), counts[fid]))
+        pmap_merges(self._merge_one, jobs)
 
     def abort(self, messages) -> None:
         for m in messages:

@@ -44,6 +44,7 @@ from .pointcloud_common import (
     clear_existing_outputs,
     expand_paths,
     ignore_corrupt_option,
+    pmap_merges,
     parse_sections,
 )
 from ..functions.schema_merge import merge_all
@@ -385,6 +386,7 @@ class PlyWriter(DataSourceArrowWriter):
                 fid: (f"{b}-fid{fid}.ply" if b in dup else f"{b}.ply")
                 for fid, b in enumerate(bases)
             }
+        jobs = []
         for fid, parts in sorted(by_fid.items()):
             if self.fid_paths is not None and fid not in names:
                 # silently funneling unknown fids into one shared dest would
@@ -396,7 +398,8 @@ class PlyWriter(DataSourceArrowWriter):
                     " .option('restoreNames','false')"
                 )
             dest = os.path.join(self.path, names.get(fid, "data.ply"))
-            self._merge_one(dest, sorted(parts), counts[fid])
+            jobs.append((dest, sorted(parts), counts[fid]))
+        pmap_merges(self._merge_one, jobs)
 
     def abort(self, messages) -> None:
         for m in messages:

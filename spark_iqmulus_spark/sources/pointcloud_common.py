@@ -158,6 +158,30 @@ def append_file(out, src_path: str) -> None:
             out.write(chunk)
 
 
+def pmap_merges(merge_one, jobs) -> None:
+    """Run per-destination commit merges concurrently.
+
+    A name-restoring commit over thousands of source tiles produces one
+    merge job per destination file; each is independent driver-side I/O
+    (sendfile concatenation), so a serial loop leaves the commit latency
+    at sum-of-files instead of max-of-files.  Jobs are ``merge_one(*args)``
+    tuples over DISTINCT destination paths (validated by the callers
+    before submission).  Exceptions propagate after all jobs settle."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    jobs = list(jobs)
+    if len(jobs) <= 1:
+        for j in jobs:
+            merge_one(*j)
+        return
+    with ThreadPoolExecutor(max_workers=min(16, len(jobs))) as pool:
+        futures = [pool.submit(merge_one, *j) for j in jobs]
+        errors = [f.exception() for f in futures]
+        for e in errors:
+            if e is not None:
+                raise e
+
+
 def pmap_headers(parse_one, paths):
     """Order-preserving parallel map of a header parser over paths (I/O
     bound; GIL released in file reads).  Exceptions propagate."""

@@ -129,3 +129,56 @@ def test_manifest_incremental_update(spark, tile_dir, tmp_path):
         .collect()[0]
     )
     assert row["n_points"] == 50
+
+
+def test_update_plan_is_join_based(spark):
+    """Plan pin: the incremental update compares and removes via anti-joins
+    — the existing manifest is never collected and no literal IN-list of
+    fresh paths enters the plan (at 1M tiles both are driver bottlenecks)."""
+    from spark_iqmulus_spark.plans.manifest import _fresh_and_kept
+
+    manifest = spark.range(0, 100_000).selectExpr(
+        "concat('/tiles/t', id, '.las') as path",
+        "id as mtime_ns",
+        "id as size",
+        "id as n_points",
+    )
+    stats = spark.range(0, 100_000, 7).selectExpr(
+        "concat('/tiles/t', id, '.las') as path",
+        "id + 1 as mtime_ns",  # every listed file looks changed
+        "id as size",
+    )
+    fresh, kept = _fresh_and_kept(manifest, stats)
+    plan = kept.sparkSession._jvm.PythonSQLUtils.explainString(
+        kept._jdf.queryExecution(), "extended"
+    )
+    assert plan.count("LeftAnti") >= 2
+    assert " IN (" not in plan and "path IN" not in plan
+    # functional: fresh = changed listed files; kept = manifest minus fresh
+    n_listed = stats.count()
+    assert fresh.count() == n_listed
+    assert kept.count() == 100_000 - n_listed
+
+
+def test_manifest_update_detects_content_change(spark, tile_dir, tmp_path):
+    """A rewritten tile (same path, different mtime/size) is re-parsed and
+    its manifest row replaced via the join path."""
+    import glob
+    import time
+
+    from spark_iqmulus_spark.plans.manifest import (
+        update_manifest,
+        write_manifest,
+    )
+
+    paths = sorted(glob.glob(os.path.join(tile_dir, "*.las")))
+    man = str(tmp_path / "man")
+    write_manifest(spark, paths, man)
+    assert update_manifest(spark, man, tile_dir) == 0
+    # touch one tile: mtime change alone must refresh exactly one row
+    future = time.time() + 5
+    os.utime(paths[1], (future, future))
+    assert update_manifest(spark, man, tile_dir) == 1
+    m = spark.read.parquet(man)
+    assert m.count() == len(paths)
+    assert m.select("path").distinct().count() == len(paths)

@@ -617,3 +617,28 @@ def test_stream_settle_skips_in_flight_files(tmp_path):
     time.sleep(0.5)
     got2 = _stable_files(str(tmp_path), ".las", settle=0.4)
     assert str(growing) in got2
+
+
+def test_many_destination_commit_parallel_merge(spark, tmp_path):
+    """A fid-restoring commit over many source tiles merges destinations
+    concurrently (pmap_merges) — every output must still be byte-complete."""
+    src = tmp_path / "tiles"
+    src.mkdir()
+    n_tiles, per = 40, 25
+    for i in range(n_tiles):
+        make_las(str(src / f"tile{i:03d}.las"), n=per, fmt=1, seed=i)
+    df = spark.read.format("las").load(str(src))
+    out = str(tmp_path / "out")
+    df.write.format("las").mode("overwrite").save(out)
+    import os as _os
+
+    files = sorted(f for f in _os.listdir(out) if f.endswith(".las"))
+    assert files == [f"tile{i:03d}.las" for i in range(n_tiles)]
+    back = spark.read.format("las").load(out)
+    assert back.count() == n_tiles * per
+    # per-file counts survive the concurrent merge
+    per_fid = {
+        r["fid"]: r["n"]
+        for r in back.groupBy("fid").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(per_fid.values()) == {per}
