@@ -36,15 +36,105 @@ FEATURE_SCHEMA = (
 )
 
 
-def decode_image(payload: bytes) -> "object":
-    """Decode an image payload to pixels.  STUB — the container has no
-    imaging libraries; a real deployment plugs PIL/libvips in here.  The
-    Spark-side plumbing (binary columns, Arrow batches, mapInPandas
-    contract) is real and tested via :func:`extract_byte_features`."""
+def decode_image(payload: bytes):
+    """Decode an image payload to ``(width, height, pixels)`` where pixels
+    is a ``uint8`` ndarray of shape ``(height, width, 3)`` (RGB).
+
+    Pure-stdlib/numpy codecs for the formats that need no compression
+    library — binary PPM (``P6``), ascii PPM (``P3``), and uncompressed
+    24/32-bit BMP — so the decode→feature path is REAL end-to-end, not a
+    stub.  Compressed formats (JPEG/PNG/...) require libraries absent from
+    this container and raise ``NotImplementedError`` — a deployment extends
+    the sniff table below with PIL/libvips; the Spark-side contract
+    (binary column in, fixed feature schema out, Arrow batches) is
+    unchanged by the codec behind it."""
+    import numpy as np
+
+    if payload[:2] in (b"P6", b"P3"):
+        return _decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
     raise NotImplementedError(
-        "image decoding requires an imaging library not present in this "
-        "environment; use extract_byte_features for the plumbing path"
+        f"unsupported image container (magic {payload[:4]!r}); only "
+        "PPM P6/P3 and uncompressed BMP decode without external libraries"
     )
+
+
+def encode_ppm(width: int, height: int, pixels) -> bytes:
+    """Serialize an ``(height, width, 3)`` uint8 array as binary PPM (P6)."""
+    import numpy as np
+
+    arr = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if arr.shape != (height, width, 3):
+        raise ValueError(f"pixels shape {arr.shape} != ({height},{width},3)")
+    return b"P6\n%d %d\n255\n" % (width, height) + arr.tobytes()
+
+
+def _decode_ppm(payload: bytes):
+    """PPM per the public netpbm spec: magic, whitespace/#-comment-separated
+    width height maxval, then raw bytes (P6) or ascii ints (P3)."""
+    import numpy as np
+
+    magic = payload[:2]
+    pos = 2
+    tokens: list[bytes] = []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end-of-line
+            while pos < len(payload) and payload[pos] not in (10, 13):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(payload[start:pos])
+    width, height, maxval = (int(t) for t in tokens)
+    if not (0 < maxval < 256):
+        raise ValueError(f"unsupported PPM maxval {maxval} (8-bit only)")
+    n = width * height * 3
+    if magic == b"P6":
+        pos += 1  # exactly one whitespace byte after maxval
+        raster = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+    else:  # P3: ascii sample values
+        vals = payload[pos:].split()
+        if len(vals) < n:
+            raise ValueError(f"P3 raster has {len(vals)} samples, need {n}")
+        raster = np.array([int(v) for v in vals[:n]], dtype=np.uint8)
+    return width, height, raster.reshape(height, width, 3)
+
+
+def _decode_bmp(payload: bytes):
+    """Uncompressed 24/32-bit BMP (BITMAPINFOHEADER, BI_RGB) per the public
+    format: rows bottom-up, BGR(A) samples, rows padded to 4 bytes."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, width, height = struct.unpack_from("<Iii", payload, 14)
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+    if compression != 0 or bpp not in (24, 32):
+        raise NotImplementedError(
+            f"only uncompressed 24/32-bit BMP decodes here (bpp={bpp},"
+            f" compression={compression})"
+        )
+    bottom_up = height > 0
+    height = abs(height)
+    bytes_pp = bpp // 8
+    row_stride = (width * bytes_pp + 3) & ~3
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=row_stride * height, offset=data_offset
+    ).reshape(height, row_stride)
+    pix = rows[:, : width * bytes_pp].reshape(height, width, bytes_pp)
+    if bottom_up:
+        pix = pix[::-1]
+    # BGR(A) → RGB
+    return width, height, np.ascontiguousarray(pix[:, :, 2::-1][:, :, :3])
 
 
 def extract_byte_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -151,12 +241,113 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: synthetic image geometry for the decode pipeline (small on purpose:
+#: the per-doc payload is w*h*3 bytes and the oracle re-derives every pixel)
+IMG_W, IMG_H = 16, 8
+
+DECODE_SCHEMA = (
+    "doc_id long, source string, width int, height int,"
+    " sum_r long, sum_g long, sum_b long, checksum long"
+)
+
+
+def _synth_pixels(doc_id: int):
+    """Deterministic per-doc RGB raster: pixel byte i = (doc_id*31 + i*7) % 256
+    — pure integer arithmetic so DuckDB can re-derive every pixel."""
+    import numpy as np
+
+    n = IMG_W * IMG_H * 3
+    i = np.arange(n, dtype=np.int64)
+    return ((doc_id * 31 + i * 7) % 256).astype(np.uint8).reshape(IMG_H, IMG_W, 3)
+
+
+def encode_then_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """The real codec round-trip inside Arrow batches: synthesize a P6 PPM
+    payload per doc, then run :func:`decode_image` on the bytes and emit
+    per-image features.  This is the production decode shape — binary in,
+    fixed feature schema out — with a real (if simple) codec behind it."""
+    import numpy as np
+
+    for pdf in batches:
+        rows = {k: [] for k in ("doc_id", "source", "width", "height",
+                                "sum_r", "sum_g", "sum_b", "checksum")}
+        for doc_id, source in zip(pdf["doc_id"], pdf["source"]):
+            payload = encode_ppm(IMG_W, IMG_H, _synth_pixels(int(doc_id)))
+            w, h, pix = decode_image(payload)
+            flat = pix.reshape(-1, 3).astype(np.int64)
+            rows["doc_id"].append(doc_id)
+            rows["source"].append(source)
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["sum_r"].append(int(flat[:, 0].sum()))
+            rows["sum_g"].append(int(flat[:, 1].sum()))
+            rows["sum_b"].append(int(flat[:, 2].sum()))
+            # position-weighted checksum pins pixel ORDER, not just values
+            allb = pix.reshape(-1).astype(np.int64)
+            rows["checksum"].append(int((allb * (np.arange(allb.size) + 1)).sum()))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                "source": pd.Series(rows["source"], dtype="object"),
+                "width": pd.Series(rows["width"], dtype="int32"),
+                "height": pd.Series(rows["height"], dtype="int32"),
+                "sum_r": pd.Series(rows["sum_r"], dtype="int64"),
+                "sum_g": pd.Series(rows["sum_g"], dtype="int64"),
+                "sum_b": pd.Series(rows["sum_b"], dtype="int64"),
+                "checksum": pd.Series(rows["checksum"], dtype="int64"),
+            }
+        )
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image decode pipeline with a REAL codec: per-doc PPM payload →
+    ``decode_image`` (pure-numpy P6 parser) inside mapInPandas → per-source
+    rollup of pixel statistics.  The oracle re-derives every pixel with the
+    same integer recurrence, so a decode that misreads the header, drops a
+    row, or permutes channels hash-fails."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "source").repartition("source")
+    feats = docs.mapInPandas(encode_then_decode, schema=DECODE_SCHEMA)
+    return feats.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum(F.col("width").cast("long") * F.col("height")).alias("total_px"),
+        F.sum("sum_r").alias("sum_r"),
+        F.sum("sum_g").alias("sum_g"),
+        F.sum("sum_b").alias("sum_b"),
+        F.sum("checksum").alias("sum_checksum"),
+    )
+
+
 QUERIES = {
     "q_multimodal": q_multimodal,
+    "q_multimodal_decode": q_multimodal_decode,
     "q_multimodal_frames": q_multimodal_frames,
 }
 
 ORACLES = {
+    "q_multimodal_decode": f"""
+        WITH px AS (
+            SELECT d.doc_id, d.source, t.i,
+                   (d.doc_id * 31 + t.i * 7) % 256 AS b
+            FROM documents d
+            CROSS JOIN generate_series(0, {IMG_W * IMG_H * 3 - 1}) AS t(i)
+        ), per_doc AS (
+            SELECT doc_id, source,
+                   sum(CASE WHEN i % 3 = 0 THEN b ELSE 0 END) AS sum_r,
+                   sum(CASE WHEN i % 3 = 1 THEN b ELSE 0 END) AS sum_g,
+                   sum(CASE WHEN i % 3 = 2 THEN b ELSE 0 END) AS sum_b,
+                   sum(b * (i + 1)) AS checksum
+            FROM px GROUP BY doc_id, source
+        )
+        SELECT source,
+               count(*) AS n_images,
+               CAST(count(*) * {IMG_W * IMG_H} AS BIGINT) AS total_px,
+               CAST(sum(sum_r) AS BIGINT) AS sum_r,
+               CAST(sum(sum_g) AS BIGINT) AS sum_g,
+               CAST(sum(sum_b) AS BIGINT) AS sum_b,
+               CAST(sum(checksum) AS BIGINT) AS sum_checksum
+        FROM per_doc GROUP BY source
+    """,
     "q_multimodal_frames": f"""
         WITH f AS (
             SELECT doc_id, source,

@@ -107,7 +107,7 @@ def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw doubles is order-dependent, and at sf1 (6M rows) the error reaches
     the round-4 boundary — cents hash-match at any scale."""
     t = load_tables(spark, sf_dir)
-    cents = lambda c: F.round(c * 100, 0).cast("long")  # noqa: E731
+    cents = lambda c: F.floor(c * 100 + 0.5)  # noqa: E731
     return (
         t["lineitem"]
         .where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
@@ -160,7 +160,7 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cube("l_returnflag", "l_linestatus")
         .agg(
             # exact integer cents: double sums are order-dependent at scale
-            F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")).alias(
+            F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5)).alias(
                 "sum_cents"
             ),
             F.count(F.lit(1)).alias("n"),
@@ -202,7 +202,7 @@ def q_join_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             # exact integer cents: at sf1 the double sum's order-dependent
             # error reaches the round-4 boundary and hashes diverge
-            F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")).alias(
+            F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5)).alias(
                 "sum_cents"
             ),
         )
@@ -221,7 +221,7 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name")
         .agg(
             F.count(F.lit(1)).alias("n_cust"),
-            F.sum(F.round(F.col("c_acctbal") * 100, 0).cast("long")).alias(
+            F.sum(F.floor(F.col("c_acctbal") * 100 + 0.5)).alias(
                 "sum_bal_cents"
             ),
         )
@@ -680,10 +680,10 @@ ORACLES = {
     "q_agg_group": """
         SELECT l_returnflag, l_linestatus,
                CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
-               CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_base_cents,
-               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+               CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
                round(CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*), 4) AS avg_qty,
-               round(CAST(sum(CAST(round(l_discount * 100, 0) AS BIGINT)) AS DOUBLE) / count(*) / 100.0, 6) AS avg_disc,
+               round(CAST(sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS DOUBLE) / count(*) / 100.0, 6) AS avg_disc,
                count(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -703,7 +703,7 @@ ORACLES = {
     """,
     "q_agg_cube": """
         SELECT l_returnflag, l_linestatus,
-               CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents,
+               CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
                count(*) AS n
         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
@@ -712,13 +712,13 @@ ORACLES = {
     """,
     "q_join_hash": """
         SELECT o_orderpriority, count(*) AS n,
-               CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+               CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority
     """,
     "q_join_broadcast": """
         SELECT r_name, count(*) AS n_cust,
-               CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS sum_bal_cents
+               CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_bal_cents
         FROM customer
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey

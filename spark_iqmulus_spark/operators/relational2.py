@@ -93,9 +93,10 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
     ).agg(
         F.sum(
-            F.round(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
-            ).cast("long")
+            F.floor(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                + 0.5
+            )
         ).alias("revenue_cents"),
         F.count(F.lit(1)).alias("n_items"),
     )
@@ -121,7 +122,7 @@ def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(F.coalesce("k", F.lit(-1)).alias("key")).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("n_cust").alias("sum_cust"),
-        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5)).alias(
             "sum_price_cents"
         ),
     )
@@ -298,7 +299,7 @@ def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("n_name")
         .agg(
-            F.sum(F.round(revenue * 100, 0).cast("long")).alias("revenue_cents"),
+            F.sum(F.floor(revenue * 100 + 0.5)).alias("revenue_cents"),
             F.count(F.lit(1)).alias("n_lineitems"),
         )
         .orderBy(F.col("revenue_cents").desc(), "n_name")
@@ -486,7 +487,7 @@ def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT c_custkey FROM customer WHERE c_acctbal > 5000
         )
         SELECT o.o_orderkey,
-               sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100, 0)
+               sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100 + 0.5)
                         AS BIGINT)) AS revenue_cents,
                count(*) AS n_items
         FROM orders o
@@ -737,7 +738,7 @@ ORACLES = {
             SELECT c_custkey FROM customer WHERE c_acctbal > 5000
         )
         SELECT o.o_orderkey,
-               CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100, 0)
+               CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100 + 0.5)
                         AS BIGINT)) AS BIGINT) AS revenue_cents,
                count(*) AS n_items
         FROM orders o
@@ -816,7 +817,7 @@ ORACLES = {
     """,
     "q_join_multiway": """
         SELECT n_name,
-               CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100, 0)
+               CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5)
                         AS BIGINT)) AS BIGINT) AS revenue_cents,
                count(*) AS n_lineitems
         FROM lineitem
@@ -847,7 +848,7 @@ ORACLES = {
     "q_recursive_cte": _RECURSIVE_SQL,
     "q_tpch_q7": """
         SELECT supp_nation, cust_nation, l_year,
-               CAST(sum(CAST(round(volume * 100, 0) AS BIGINT)) AS BIGINT)
+               CAST(sum(CAST(floor(volume * 100 + 0.5) AS BIGINT)) AS BIGINT)
                    AS revenue_cents,
                count(*) AS n_items
         FROM (
@@ -873,7 +874,7 @@ ORACLES = {
             FROM customer GROUP BY 1
         )
         SELECT coalesce(k, -1) AS key, count(*) AS n, CAST(sum(n_cust) AS BIGINT) AS sum_cust,
-               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_price_cents
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_cents
         FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k2
         GROUP BY 1
     """,

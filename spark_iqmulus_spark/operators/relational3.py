@@ -59,9 +59,10 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_suppkey")
         .agg(
             F.sum(
-                F.round(
-                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
-                ).cast("long")
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                    + 0.5
+                )
             ).alias("tr")
         )
     )
@@ -214,7 +215,7 @@ def q_source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.orc(out)
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5)).alias(
             "total_cents"
         ),
     )
@@ -387,7 +388,7 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT n_name,
-               sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+               sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
                         AS BIGINT)) AS revenue_cents
         FROM customer, orders, lineitem, supplier, nation, region
         WHERE c_custkey = o_custkey
@@ -416,7 +417,7 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT c.c_custkey, c.c_name,
-               sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+               sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
                         AS BIGINT)) AS revenue_cents,
                c.c_acctbal, n.n_name
         FROM customer c
@@ -443,7 +444,7 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql(
         """
-        SELECT sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+        SELECT sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
                         AS BIGINT)) AS revenue_cents,
                count(*) AS n_items
         FROM lineitem JOIN part ON p_partkey = l_partkey
@@ -477,7 +478,7 @@ def q_xml_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.groupBy(F.col("x.s").alias("status")).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x.k").alias("sum_keys"),
-        F.sum(F.round(F.col("x.p") * 100, 0).cast("long")).alias("sum_price_cents"),
+        F.sum(F.floor(F.col("x.p") * 100 + 0.5)).alias("sum_price_cents"),
     )
 
 
@@ -565,9 +566,9 @@ def q_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast back (never a single-partition window), and the share is a
     ratio of exact integers rounded once."""
     t = load_tables(spark, sf_dir)
-    cents = F.round(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
-    ).cast("long")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+    )
     per_nation = (
         t["lineitem"]
         .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
@@ -668,7 +669,7 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         WITH base AS (
             SELECT year(o.o_orderdate) AS o_year,
-                   CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                   CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
                         AS BIGINT) AS cents,
                    n2.n_name AS supp_nation
             FROM lineitem l
@@ -721,10 +722,9 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT round(
                  CAST(sum(CASE WHEN p.p_type = 'PROMO'
-                          THEN CAST(round(l.l_extendedprice * (1 - l.l_discount)
-                                          * 100, 0) AS BIGINT) ELSE 0 END)
+                          THEN CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT) ELSE 0 END)
                       AS DOUBLE) * 100.0 /
-                 CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                 CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
                           AS BIGINT)) AS DOUBLE), 6) AS promo_revenue_pct,
                count(*) AS n_items
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
@@ -1039,7 +1039,7 @@ ORACLES = {
     "q_tpch_q8": """
         WITH base AS (
             SELECT year(o.o_orderdate) AS o_year,
-                   CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                   CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
                         AS BIGINT) AS cents,
                    n2.n_name AS supp_nation
             FROM lineitem l
@@ -1073,10 +1073,9 @@ ORACLES = {
     "q_tpch_q14": """
         SELECT round(
                  CAST(sum(CASE WHEN p.p_type = 'PROMO'
-                          THEN CAST(round(l.l_extendedprice * (1 - l.l_discount)
-                                          * 100, 0) AS BIGINT) ELSE 0 END)
+                          THEN CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT) ELSE 0 END)
                       AS DOUBLE) * 100.0 /
-                 CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                 CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
                           AS BIGINT)) AS DOUBLE), 6) AS promo_revenue_pct,
                count(*) AS n_items
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
@@ -1148,7 +1147,7 @@ ORACLES = {
     "q_share_of_total": """
         WITH per_nation AS (
             SELECT n_name,
-                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
                             AS BIGINT)) AS BIGINT) AS revenue_cents
             FROM lineitem
             JOIN supplier ON l_suppkey = s_suppkey
@@ -1170,7 +1169,7 @@ ORACLES = {
     "q_xml_funcs": """
         SELECT o_orderstatus AS status, count(*) AS n,
                CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
-               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_price_cents
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_cents
         FROM orders GROUP BY o_orderstatus
     """,
     "q_try_funcs": """
@@ -1185,7 +1184,7 @@ ORACLES = {
     """,
     "q_tpch_q5": """
         SELECT n_name,
-               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
                         AS BIGINT)) AS BIGINT) AS revenue_cents
         FROM customer, orders, lineitem, supplier, nation, region
         WHERE c_custkey = o_custkey
@@ -1201,7 +1200,7 @@ ORACLES = {
     """,
     "q_tpch_q10": """
         SELECT c.c_custkey, c.c_name,
-               CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+               CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
                         AS BIGINT)) AS BIGINT) AS revenue_cents,
                c.c_acctbal, n.n_name
         FROM customer c
@@ -1216,7 +1215,7 @@ ORACLES = {
         LIMIT 20
     """,
     "q_tpch_q19": """
-        SELECT CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+        SELECT CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
                         AS BIGINT)) AS BIGINT) AS revenue_cents,
                count(*) AS n_items
         FROM lineitem JOIN part ON p_partkey = l_partkey
@@ -1285,7 +1284,7 @@ ORACLES = {
     "q_tpch_q15": """
         WITH rev AS (
             SELECT l_suppkey,
-                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
                             AS BIGINT)) AS BIGINT) AS tr
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -1368,7 +1367,7 @@ ORACLES = {
     """,
     "q_source_orc": """
         SELECT o_orderstatus, count(*) AS n,
-               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
         FROM orders GROUP BY o_orderstatus
     """,
 }

@@ -3,7 +3,7 @@ Q11, Q17 — completing the full 22-query suite.
 
 Same contract as operators.relational: every query has a co-located DuckDB
 oracle, deterministic results, identical column aliases on both sides.
-Monetary aggregates are summed as integer cents (``CAST(round(x*100,0) AS
+Monetary aggregates are summed as integer cents (``CAST(floor(x * 100 + 0.5) AS
 BIGINT)``) so cross-engine hashes are exact regardless of double summation
 order; derived averages divide those exact integers, so both engines round
 the same value.
@@ -25,7 +25,7 @@ from ..session import load_tables
 
 def _cents(col):
     """Exact integer cents for a monetary double expression."""
-    return F.round(col * 100, 0).cast("long")
+    return F.floor(col * 100 + 0.5)
 
 
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -144,9 +144,9 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT n.n_name AS nation,
                year(o.o_orderdate) AS o_year,
                CAST(sum(
-                 CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                 CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
                       AS BIGINT)
-                 - CAST(round(p.p_retailprice * 100, 0) AS BIGINT)
+                 - CAST(floor(p.p_retailprice * 100 + 0.5) AS BIGINT)
                    * CAST(l.l_quantity AS BIGINT)
                ) AS BIGINT) AS profit_cents
         FROM lineitem l
@@ -172,7 +172,7 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         WITH val AS (
             SELECT l.l_partkey,
-                   CAST(sum(CAST(round(p.p_retailprice * 100, 0) AS BIGINT)
+                   CAST(sum(CAST(floor(p.p_retailprice * 100 + 0.5) AS BIGINT)
                             * CAST(l.l_quantity AS BIGINT)) AS BIGINT)
                        AS value_cents
             FROM lineitem l
@@ -279,13 +279,12 @@ ORACLES = {
         WITH agg AS (
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
-                   CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                   CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
                         AS BIGINT) AS sum_base_cents,
-                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
-                                       * 100, 0) AS BIGINT))
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT))
                         AS BIGINT) AS sum_disc_cents,
-                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
-                                       * (1 + l_tax) * 100, 0) AS BIGINT))
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                       * (1 + l_tax) * 100 + 0.5) AS BIGINT))
                         AS BIGINT) AS sum_charge_cents,
                    count(*) AS count_order
             FROM lineitem
@@ -304,8 +303,7 @@ ORACLES = {
         SELECT l.l_orderkey,
                strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
                o.o_orderpriority,
-               CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
-                                   * 100, 0) AS BIGINT)) AS BIGINT)
+               CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT)
                    AS revenue_cents
         FROM orders o
         JOIN customer c ON c.c_custkey = o.o_custkey
@@ -318,7 +316,7 @@ ORACLES = {
         LIMIT 10
     """,
     "q_tpch_q6": """
-        SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100, 0)
+        SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 100 + 0.5)
                              AS BIGINT)) AS BIGINT) AS revenue_cents,
                count(*) AS n_lines
         FROM lineitem
@@ -331,9 +329,9 @@ ORACLES = {
         SELECT n.n_name AS nation,
                year(o.o_orderdate) AS o_year,
                CAST(sum(
-                 CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                 CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
                       AS BIGINT)
-                 - CAST(round(p.p_retailprice * 100, 0) AS BIGINT)
+                 - CAST(floor(p.p_retailprice * 100 + 0.5) AS BIGINT)
                    * CAST(l.l_quantity AS BIGINT)
                ) AS BIGINT) AS profit_cents
         FROM lineitem l
@@ -347,7 +345,7 @@ ORACLES = {
     "q_tpch_q11": """
         WITH val AS (
             SELECT l.l_partkey,
-                   CAST(sum(CAST(round(p.p_retailprice * 100, 0) AS BIGINT)
+                   CAST(sum(CAST(floor(p.p_retailprice * 100 + 0.5) AS BIGINT)
                             * CAST(l.l_quantity AS BIGINT)) AS BIGINT)
                        AS value_cents
             FROM lineitem l
@@ -371,7 +369,7 @@ ORACLES = {
             SELECT l_partkey AS ap_partkey, avg(l_quantity) AS part_avg_qty
             FROM li GROUP BY l_partkey
         ), agg AS (
-            SELECT CAST(sum(CAST(round(li.l_extendedprice * 100, 0)
+            SELECT CAST(sum(CAST(floor(li.l_extendedprice * 100 + 0.5)
                                  AS BIGINT)) AS BIGINT) AS total_cents,
                    count(*) AS n_lines
             FROM li JOIN avg_qty a ON li.l_partkey = a.ap_partkey
@@ -401,7 +399,7 @@ def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t["events"].select(
         "event_type",
         F.date_trunc("hour", "ts").alias("hr"),
-        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        F.floor(F.col("value") * 100 + 0.5).alias("cents"),
     )
     actual = ev.groupBy("event_type", "hr").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -444,7 +442,7 @@ ORACLES["q_gapfill_locf"] = """
     WITH ev AS (
         SELECT event_type,
                date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
-               CAST(round(value * 100, 0) AS BIGINT) AS cents
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
         FROM events
     ), actual AS (
         SELECT event_type, hr, count(*) AS n_events, sum(cents) AS sum_cents

@@ -172,3 +172,130 @@ def scan_report(paths: list[str], fmt: str = "las") -> dict:
         "readable_count": len(readable),
         "skipped_count": len(skipped),
     }
+
+
+def _verify_las_sizes(paths) -> None:
+    """Raise if any file is shorter than its header's claimed point data
+    (``offset + n*stride``).  Longer is legal — LAS 1.4 EVLRs follow the
+    point records — but shorter means truncation or a lying header."""
+    import os as _os
+
+    for p, h in zip(sorted(paths), pmap_headers(LasHeader.parse_file, sorted(paths))):
+        need = h.offset_to_points + h.pdr_nb * h.stride
+        size = _os.stat(p).st_size
+        if size < need:
+            raise ValueError(
+                f"{p}: header claims {h.pdr_nb} points"
+                f" ({need} bytes) but the file has {size} bytes —"
+                " truncated tile or lying header"
+            )
+
+
+class SmartPointCloudFrame:
+    """Opt-in facade restoring the reference's *transparent* metadata-only
+    aggregation UX (``ExtraStrategies.scala:35-76``: after one
+    ``Strategy.register()``, plain ``df.count()`` / ``min(x)`` become
+    O(files)).  Pure-Python Spark cannot inject planner strategies
+    (SURVEY.md §4.3), so this wrapper intercepts exactly the two aggregate
+    shapes the reference's strategies cover and answers them from file
+    headers; EVERY other DataFrame attribute delegates to the real scan —
+    a ``.filter(...)``/``.select(...)`` returns a plain DataFrame and
+    leaves the fast path, which is also the reference's behavior (its
+    CountPlan only matches a bare count over the relation).
+
+    ``verify=True`` cross-checks each metadata answer against the full
+    scan and raises on drift (headers are producer-written and CAN lie;
+    the default trusts them exactly as the reference does).
+    """
+
+    def __init__(self, spark, paths, fmt="las", verify=False, **options):
+        self._spark = spark
+        self._paths = sorted(paths)
+        self._fmt = fmt
+        self._verify = verify
+        self._options = options
+        self._df = None
+
+    # -- the real scan (built lazily so metadata-only use never plans it) --
+
+    def toDF(self) -> DataFrame:
+        import json
+
+        if self._df is None:
+            reader = self._spark.read.format(self._fmt)
+            for k, v in self._options.items():
+                reader = reader.option(k, v)
+            self._df = reader.option(
+                "paths", json.dumps(self._paths)
+            ).load()
+        return self._df
+
+    def __getattr__(self, name):
+        # anything we don't intercept behaves exactly like the DataFrame
+        return getattr(self.toDF(), name)
+
+    # -- intercepted metadata-only aggregates ------------------------------
+
+    def count(self) -> int:
+        """O(files) header count — no Spark job, zero point bytes read
+        (CountPlan semantics, ExtraStrategies.scala:35-48).
+
+        ``verify=True`` adds two checks: (a) each file is at least as long
+        as its header claims (catches truncated/partial tiles — the scan
+        CANNOT catch a consistent lie because it plans from the same
+        header), then (b) the full scan count equals the header count."""
+        n = count_from_headers(self._spark, self._paths, fmt=self._fmt)
+        if self._verify:
+            if self._fmt == "las":
+                _verify_las_sizes(self._paths)
+            scanned = self.toDF().count()
+            if scanned != n:
+                raise ValueError(
+                    f"header catalog count {n} != scanned count {scanned}"
+                    " — a header lies; rebuild the files or read without"
+                    " smart_las"
+                )
+        return n
+
+    def minmax(self, cols=("x", "y", "z")) -> dict:
+        """O(files) world-coordinate MIN/MAX from headers (AggregatePlan
+        semantics, ExtraStrategies.scala:49-76).  LAS only — PLY/PCD
+        headers carry no bounds."""
+        if self._fmt != "las":
+            raise ValueError("header min/max requires LAS (bounds in header)")
+        mm = minmax_from_headers(self._spark, self._paths)
+        out = {k: v for k, v in mm.items() if k.split("_")[0] in cols}
+        if self._verify:
+            from pyspark.sql import functions as F
+
+            from ..functions.scaled import with_world_coords
+
+            world = with_world_coords(self.toDF())
+            aggs = []
+            for c in cols:
+                aggs += [F.min(c).alias(f"{c}_min"), F.max(c).alias(f"{c}_max")]
+            truth = world.agg(*aggs).collect()[0].asDict()
+            for k, v in out.items():
+                if abs(truth[k] - v) > 1e-6:
+                    raise ValueError(
+                        f"header bounds {k}={v} != scanned {truth[k]}"
+                        " — a header lies; rebuild the files or read"
+                        " without smart_las"
+                    )
+        return out
+
+
+def smart_las(
+    spark: SparkSession, paths, verify: bool = False, **options
+) -> SmartPointCloudFrame:
+    """The reference-UX entry point: ``smart_las(spark, paths).count()``
+    is O(files); everything else is the normal LAS scan."""
+    import glob as _glob
+    import os as _os
+
+    if isinstance(paths, str):
+        if _os.path.isdir(paths):
+            paths = _glob.glob(_os.path.join(paths, "*.las"))
+        else:
+            paths = _glob.glob(paths) or [paths]
+    return SmartPointCloudFrame(spark, list(paths), "las", verify, **options)

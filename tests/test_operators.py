@@ -468,3 +468,93 @@ def test_mls_residuals_planar(spark):
     rows = mls_residuals(pts, 1.5).collect()
     assert len(rows) == 64  # every grid point has >= 3 neighborhood members
     assert all(abs(r.residual) < 1e-9 for r in rows)
+
+
+def test_image_codec_ppm_roundtrip():
+    """encode_ppm → decode_image is identity; P3 (ascii) and comment
+    handling decode the same raster."""
+    import numpy as np
+
+    from spark_iqmulus_spark.operators.multimodal import (
+        decode_image,
+        encode_ppm,
+    )
+
+    rng = np.random.default_rng(7)
+    pix = rng.integers(0, 256, (5, 9, 3), dtype=np.uint8)
+    w, h, back = decode_image(encode_ppm(9, 5, pix))
+    assert (w, h) == (9, 5)
+    np.testing.assert_array_equal(back, pix)
+
+    # P3 with a header comment
+    flat = " ".join(str(v) for v in pix.reshape(-1))
+    p3 = f"P3\n# a comment\n9 5\n255\n{flat}\n".encode()
+    w3, h3, back3 = decode_image(p3)
+    assert (w3, h3) == (9, 5)
+    np.testing.assert_array_equal(back3, pix)
+
+
+def test_image_codec_bmp():
+    """Uncompressed 24-bit BMP: bottom-up rows, BGR order, 4-byte row
+    padding all undone."""
+    import struct
+
+    import numpy as np
+
+    from spark_iqmulus_spark.operators.multimodal import decode_image
+
+    w, h = 3, 2  # row stride 3*3=9 → padded to 12
+    pix = np.arange(w * h * 3, dtype=np.uint8).reshape(h, w, 3)  # RGB truth
+    stride = (w * 3 + 3) & ~3
+    raster = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = bytearray()
+        for x in range(w):
+            r, g, b = pix[y, x]
+            row += bytes([b, g, r])  # BGR
+        row += b"\x00" * (stride - len(row))
+        raster += row
+    data_offset = 14 + 40
+    payload = (
+        b"BM"
+        + struct.pack("<IHHI", data_offset + len(raster), 0, 0, data_offset)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 2835, 2835, 0, 0)
+        + bytes(raster)
+    )
+    dw, dh, back = decode_image(payload)
+    assert (dw, dh) == (w, h)
+    np.testing.assert_array_equal(back, pix)
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_multimodal_decode_pipeline(spark):
+    """The mapInPandas decode path: synthesized PPM → decode_image →
+    per-source stats; spot-check one doc's channel sums against numpy."""
+    import numpy as np
+
+    from spark_iqmulus_spark.operators.multimodal import (
+        IMG_H,
+        IMG_W,
+        _synth_pixels,
+        q_multimodal_decode,
+    )
+    from spark_iqmulus_spark.session import load_tables
+
+    from pyspark.sql import functions as F
+
+    rows = {r["source"]: r for r in q_multimodal_decode(spark, SF).collect()}
+    docs = load_tables(spark, SF)["documents"]
+    truth = {
+        r["source"]: (r["n"], [int(d) for d in r["ids"]])
+        for r in docs.groupBy("source")
+        .agg(F.count("*").alias("n"), F.collect_list("doc_id").alias("ids"))
+        .collect()
+    }
+    assert set(rows) == set(truth)
+    for source, (n, ids) in truth.items():
+        got = rows[source]
+        assert got["n_images"] == n
+        assert got["total_px"] == n * IMG_W * IMG_H
+        want_r = sum(int(_synth_pixels(d).reshape(-1, 3)[:, 0].astype(np.int64).sum()) for d in ids)
+        assert got["sum_r"] == want_r

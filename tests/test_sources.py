@@ -642,3 +642,49 @@ def test_many_destination_commit_parallel_merge(spark, tmp_path):
         for r in back.groupBy("fid").agg(F.count("*").alias("n")).collect()
     }
     assert set(per_fid.values()) == {per}
+
+
+def test_smart_las_facade(spark, tmp_path):
+    """smart_las: count()/minmax() answer from headers with no Spark job;
+    results equal the scanned truth; other attributes delegate to the scan;
+    verify=True catches a lying header."""
+    from spark_iqmulus_spark.functions.scaled import with_world_coords
+    from spark_iqmulus_spark.plans.header_catalog import smart_las
+
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f"s{i}.las")
+        make_las(p, n=2000 + 700 * i, fmt=1, seed=i)
+        paths.append(p)
+
+    smart = smart_las(spark, str(tmp_path), verify=True)
+    scan = spark.read.format("las").load(paths)
+    assert smart.count() == scan.count() == 2000 + 2700 + 3400
+    mm = smart.minmax()
+    truth = with_world_coords(scan).agg(
+        F.min("x"), F.max("x"), F.min("z"), F.max("z")
+    ).collect()[0]
+    assert mm["x_min"] == pytest.approx(truth[0])
+    assert mm["x_max"] == pytest.approx(truth[1])
+    assert mm["z_min"] == pytest.approx(truth[2])
+    assert mm["z_max"] == pytest.approx(truth[3])
+    # delegation: non-intercepted attrs behave like the DataFrame
+    assert smart.where(F.col("intensity") >= 0).count() == smart.count()
+    assert set(smart.columns[:2]) == {"fid", "pid"}
+
+    # a truncated tile: header claims more bytes than the file holds.
+    # The scan can't catch a consistent lie (it plans from the same
+    # header), so verify=True checks claimed bytes against file size.
+    import os as _os
+
+    from spark_iqmulus_spark.sources.las_format import LasHeader
+
+    liar = paths[0]
+    hdr = LasHeader.parse_file(liar)
+    size = _os.stat(liar).st_size
+    with open(liar, "r+b") as f:
+        f.truncate(size - 3 * hdr.stride)
+    with pytest.raises(ValueError, match="truncated|lying"):
+        smart_las(spark, [liar], verify=True).count()
+    # default (trusting) mode mirrors the reference: header wins
+    assert smart_las(spark, [liar]).count() == hdr.pdr_nb
