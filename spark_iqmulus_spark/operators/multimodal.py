@@ -299,6 +299,70 @@ def encode_then_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
         )
 
 
+#: resize target for the resize pipeline (nearest-neighbor)
+OUT_W, OUT_H = 4, 4
+
+RESIZE_SCHEMA = (
+    "doc_id long, source string, out_w int, out_h int, checksum long"
+)
+
+
+def resize_nearest(pixels, out_w: int, out_h: int):
+    """Nearest-neighbor resize of an ``(h, w, 3)`` uint8 raster: output
+    pixel (y, x) samples source (floor(y*h/out_h), floor(x*w/out_w)) —
+    integer index math only, so it is exactly reproducible in SQL."""
+    import numpy as np
+
+    h, w = pixels.shape[:2]
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return pixels[np.ix_(ys, xs)]
+
+
+def decode_and_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """decode → nearest-neighbor resize → per-image checksum, all inside
+    Arrow batches (the thumbnail-pipeline shape)."""
+    import numpy as np
+
+    for pdf in batches:
+        rows = {k: [] for k in ("doc_id", "source", "out_w", "out_h", "checksum")}
+        for doc_id, source in zip(pdf["doc_id"], pdf["source"]):
+            payload = encode_ppm(IMG_W, IMG_H, _synth_pixels(int(doc_id)))
+            _, _, pix = decode_image(payload)
+            small = resize_nearest(pix, OUT_W, OUT_H)
+            flat = small.reshape(-1).astype(np.int64)
+            rows["doc_id"].append(doc_id)
+            rows["source"].append(source)
+            rows["out_w"].append(OUT_W)
+            rows["out_h"].append(OUT_H)
+            rows["checksum"].append(int((flat * (np.arange(flat.size) + 1)).sum()))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                "source": pd.Series(rows["source"], dtype="object"),
+                "out_w": pd.Series(rows["out_w"], dtype="int32"),
+                "out_h": pd.Series(rows["out_h"], dtype="int32"),
+                "checksum": pd.Series(rows["checksum"], dtype="int64"),
+            }
+        )
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail pipeline: PPM payload → decode_image → nearest-neighbor
+    resize → per-source rollup of position-weighted checksums.  The oracle
+    re-derives each sampled source pixel with the same integer index math,
+    so a resize that samples the wrong row/column or reorders channels
+    hash-fails."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "source").repartition("source")
+    feats = docs.mapInPandas(decode_and_resize, schema=RESIZE_SCHEMA)
+    return feats.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum(F.col("out_w").cast("long") * F.col("out_h")).alias("total_px"),
+        F.sum("checksum").alias("sum_checksum"),
+    )
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image decode pipeline with a REAL codec: per-doc PPM payload →
     ``decode_image`` (pure-numpy P6 parser) inside mapInPandas → per-source
@@ -322,9 +386,29 @@ QUERIES = {
     "q_multimodal": q_multimodal,
     "q_multimodal_decode": q_multimodal_decode,
     "q_multimodal_frames": q_multimodal_frames,
+    "q_multimodal_resize": q_multimodal_resize,
 }
 
 ORACLES = {
+    "q_multimodal_resize": f"""
+        WITH out_px AS (
+            SELECT d.doc_id, d.source, t.j,
+                   ((((t.j // 3) // {OUT_W}) * {IMG_H}) // {OUT_H} * {IMG_W}
+                    + (((t.j // 3) % {OUT_W}) * {IMG_W}) // {OUT_W}) * 3
+                   + t.j % 3 AS i
+            FROM documents d
+            CROSS JOIN generate_series(0, {OUT_W * OUT_H * 3 - 1}) AS t(j)
+        ), per_doc AS (
+            SELECT doc_id, source,
+                   sum(((doc_id * 31 + i * 7) % 256) * (j + 1)) AS checksum
+            FROM out_px GROUP BY doc_id, source
+        )
+        SELECT source,
+               count(*) AS n_images,
+               CAST(count(*) * {OUT_W * OUT_H} AS BIGINT) AS total_px,
+               CAST(sum(checksum) AS BIGINT) AS sum_checksum
+        FROM per_doc GROUP BY source
+    """,
     "q_multimodal_decode": f"""
         WITH px AS (
             SELECT d.doc_id, d.source, t.i,

@@ -558,3 +558,21 @@ def test_multimodal_decode_pipeline(spark):
         assert got["total_px"] == n * IMG_W * IMG_H
         want_r = sum(int(_synth_pixels(d).reshape(-1, 3)[:, 0].astype(np.int64).sum()) for d in ids)
         assert got["sum_r"] == want_r
+
+
+def test_resize_nearest_index_math():
+    """Nearest-neighbor resize samples floor(out*src/out_dim) — check the
+    exact source indices and that upscale repeats pixels."""
+    import numpy as np
+
+    from spark_iqmulus_spark.operators.multimodal import resize_nearest
+
+    src = np.arange(8 * 16 * 3, dtype=np.uint8).reshape(8, 16, 3)
+    small = resize_nearest(src, 4, 4)
+    assert small.shape == (4, 4, 3)
+    for y in range(4):
+        for x in range(4):
+            np.testing.assert_array_equal(small[y, x], src[(y * 8) // 4, (x * 16) // 4])
+    big = resize_nearest(src, 32, 8)
+    assert big.shape == (8, 32, 3)
+    np.testing.assert_array_equal(big[:, 0], big[:, 1])  # 2x repeat
