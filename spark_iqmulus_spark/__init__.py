@@ -27,3 +27,44 @@ clearly-marked Pandas-UDF operators.
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API: the names a reference user needs day one.
+
+    Imports are deferred so ``import spark_iqmulus_spark`` stays cheap and
+    optional submodules load only when touched.
+    """
+    lazy = {
+        "register_sources": ("spark_iqmulus_spark.sources", "register_sources"),
+        "get_spark": ("spark_iqmulus_spark.session", "get_spark"),
+        "load_tables": ("spark_iqmulus_spark.session", "load_tables"),
+        "smart_las": ("spark_iqmulus_spark.plans.header_catalog", "smart_las"),
+        "las_headers": ("spark_iqmulus_spark.plans.header_catalog", "las_headers"),
+        "ply_headers": ("spark_iqmulus_spark.plans.header_catalog", "ply_headers"),
+        "pcd_headers": ("spark_iqmulus_spark.plans.header_catalog", "pcd_headers"),
+        "count_from_headers": (
+            "spark_iqmulus_spark.plans.header_catalog",
+            "count_from_headers",
+        ),
+        "minmax_from_headers": (
+            "spark_iqmulus_spark.plans.header_catalog",
+            "minmax_from_headers",
+        ),
+        "las_info": ("spark_iqmulus_spark.plans.header_catalog", "las_info"),
+        "scan_report": ("spark_iqmulus_spark.plans.header_catalog", "scan_report"),
+        "with_world_coords": (
+            "spark_iqmulus_spark.functions.scaled",
+            "with_world_coords",
+        ),
+        "build_manifest": ("spark_iqmulus_spark.plans.manifest", "build_manifest"),
+        "write_manifest": ("spark_iqmulus_spark.plans.manifest", "write_manifest"),
+        "update_manifest": ("spark_iqmulus_spark.plans.manifest", "update_manifest"),
+        "read_pruned": ("spark_iqmulus_spark.plans.manifest", "read_pruned"),
+    }
+    if name in lazy:
+        import importlib
+
+        mod, attr = lazy[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
