@@ -232,6 +232,26 @@ def q_las_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pc_colprune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit column pruning (`columns` option): the Python DataSource
+    API has no required-column pushdown, so a projection would otherwise
+    decode and Arrow-ship every field; the option restricts decode to the
+    requested fields at schema time (`pointcloud_common.apply_columns_option`).
+    The oracle recomputes the same projection from ``part``."""
+    register_sources(spark)
+    df = (
+        spark.read.format("las")
+        .option("columns", "x,intensity")
+        .load(_las_dir(spark, sf_dir))
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("long")).alias("sum_x"),
+        F.sum(F.col("intensity").cast("long")).alias("sum_i"),
+        F.lit(len(df.columns)).cast("int").alias("n_cols"),
+    )
+
+
 def q_las_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only COUNT + MIN/MAX from the header catalog (A13/A14):
     zero point-data bytes read; the oracle recomputes from ``part``."""
@@ -334,6 +354,7 @@ QUERIES = {
     "q_las_roundtrip": q_las_roundtrip,
     "q_ply_roundtrip": q_ply_roundtrip,
     "q_las_filter": q_las_filter,
+    "q_pc_colprune": q_pc_colprune,
     "q_las_meta": q_las_meta,
     "q_ply_meta": q_ply_meta,
     "q_xyz_roundtrip": q_xyz_roundtrip,
@@ -407,6 +428,13 @@ ORACLES = {
                round(CAST(min(CAST(p_size AS REAL)) AS DOUBLE), 4) AS min_y,
                round(CAST(max(CAST({_Z} AS REAL)) AS DOUBLE), 4) AS max_z,
                CAST(sum(p_partkey % 6 + 1) AS BIGINT) AS sum_class
+        FROM part
+    """,
+    "q_pc_colprune": """
+        SELECT count(*) AS n,
+               CAST(sum(p_partkey) AS BIGINT) AS sum_x,
+               CAST(sum(p_size) AS BIGINT) AS sum_i,
+               4 AS n_cols     -- fid, pid, x, intensity
         FROM part
     """,
     "q_las_filter": """

@@ -56,6 +56,7 @@ from .pointcloud_common import (
     DEFAULT_PARTITION_BYTES,
     SectionPartition,
     adapt_batch,
+    apply_columns_option,
     base_schema_fields,
     clear_existing_outputs,
     expand_paths,
@@ -138,7 +139,9 @@ class LasDataSource(DataSource):
         secs = _las_sections(self._paths(), ignore_corrupt_option(self.options))
         if not secs:
             raise ValueError("no readable LAS files found")
-        merged = merge_all([_las_schema(s, h) for _, s, h in secs])
+        merged = apply_columns_option(
+            self.options, merge_all([_las_schema(s, h) for _, s, h in secs])
+        )
         fid_meta = {"paths": [s.path for _, s, _ in secs]}
         fields = base_schema_fields()
         fields[0] = T.StructField("fid", T.IntegerType(), False, metadata=fid_meta)

@@ -49,6 +49,7 @@ from .pointcloud_common import (
     DEFAULT_PARTITION_BYTES,
     SectionPartition,
     adapt_batch,
+    apply_columns_option,
     base_schema_fields,
     clear_existing_outputs,
     effective_partition_bytes,
@@ -108,7 +109,9 @@ class PcdDataSource(DataSource):
         hdrs = _headers(self._paths(), ignore_corrupt_option(self.options))
         if not hdrs:
             raise ValueError("no readable PCD files found")
-        merged = merge_all([_file_schema(h) for _, _, h in hdrs])
+        merged = apply_columns_option(
+            self.options, merge_all([_file_schema(h) for _, _, h in hdrs])
+        )
         fid_meta = {"paths": [p for _, p, _ in hdrs]}
         fields = base_schema_fields()
         fields[0] = T.StructField("fid", T.IntegerType(), False, metadata=fid_meta)

@@ -40,6 +40,7 @@ from .pointcloud_common import (
     DEFAULT_PARTITION_BYTES,
     SectionPartition,
     adapt_batch,
+    apply_columns_option,
     base_schema_fields,
     clear_existing_outputs,
     expand_paths,
@@ -119,7 +120,9 @@ class PlyDataSource(DataSource):
         )
         if not secs:
             raise ValueError("no readable PLY files found")
-        merged = merge_all([_section_schema(s) for _, s, _ in secs])
+        merged = apply_columns_option(
+            self.options, merge_all([_section_schema(s) for _, s, _ in secs])
+        )
         fid_meta = {"paths": [s.path for _, s, _ in secs]}
         fields = base_schema_fields()
         fields[0] = T.StructField("fid", T.IntegerType(), False, metadata=fid_meta)

@@ -83,6 +83,39 @@ def expand_paths(options) -> list[str]:
     return sorted(set(out))
 
 
+def apply_columns_option(options, merged: T.StructType) -> T.StructType:
+    """Explicit column pruning for the point-cloud sources.
+
+    The Python DataSource API (PySpark 4.x) plumbs filter pushdown but NOT
+    required-column pruning — the reader always receives the full schema,
+    so a 2-column projection over a 20-field LAS tile would decode and
+    Arrow-ship all 20 fields.  ``.option("columns", "x,y,z")`` (or a JSON
+    list) restricts the DATA fields at schema time; ``fid``/``pid`` ride
+    along for free (synthesized, not decoded).  Unknown names raise — a
+    typo silently dropping a column would corrupt downstream logic.  The
+    fixed-stride layout means disk reads are unchanged (full records);
+    what this cuts is decode CPU and Arrow IPC bytes, the actual per-task
+    costs at scale."""
+    raw = options.get("columns")
+    if not raw:
+        return merged
+    raw = raw.strip()
+    if raw.startswith("["):
+        want = list(json.loads(raw))
+    else:
+        want = [c.strip() for c in raw.split(",") if c.strip()]
+    want = [c for c in want if c not in ("fid", "pid")]
+    known = {f.name for f in merged.fields}
+    unknown = [c for c in want if c not in known]
+    if unknown:
+        raise ValueError(
+            f"columns option names unknown fields {unknown};"
+            f" available: {sorted(known)}"
+        )
+    keep = set(want)
+    return T.StructType([f for f in merged.fields if f.name in keep])
+
+
 def ignore_corrupt_option(options) -> bool:
     """Corrupt-file toggle for the point-cloud sources — reference parity.
 

@@ -688,3 +688,25 @@ def test_smart_las_facade(spark, tmp_path):
         smart_las(spark, [liar], verify=True).count()
     # default (trusting) mode mirrors the reference: header wins
     assert smart_las(spark, [liar]).count() == hdr.pdr_nb
+
+
+def test_columns_option_prunes_and_matches(spark, tmp_path):
+    """Explicit column pruning (`columns` option): schema shrinks to the
+    requested fields (+fid/pid), values match the unpruned read, and an
+    unknown name raises."""
+    p = str(tmp_path / "a.las")
+    make_las(p, n=3000, fmt=3, seed=5)  # fmt 3: many fields incl. rgb+time
+    full = spark.read.format("las").load(p)
+    pruned = spark.read.format("las").option("columns", "x,z").load(p)
+    assert pruned.columns == ["fid", "pid", "x", "z"]
+    a = full.agg(F.sum("x"), F.sum("z")).collect()[0]
+    b = pruned.agg(F.sum("x"), F.sum("z")).collect()[0]
+    assert (a[0], a[1]) == (b[0], b[1])
+    with pytest.raises(Exception, match="unknown"):
+        spark.read.format("las").option("columns", "x,nope").load(p).count()
+    # JSON-list form + ply
+    q = str(tmp_path / "a.ply")
+    make_ply_xyz(q, n=500)
+    pr = spark.read.format("ply").option("columns", '["y"]').load(q)
+    assert pr.columns == ["fid", "pid", "y"]
+    assert pr.count() == 500
