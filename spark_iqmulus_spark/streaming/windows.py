@@ -226,6 +226,60 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-static enrichment join: the events file stream joined to
+    the static ``customer`` dimension on user_id with an explicit
+    ``broadcast()`` — the canonical dimension-enrichment shape.  A
+    stream-static broadcast join needs NO stream-side shuffle and no state
+    store (the static side is rebroadcast per micro-batch), so it scales
+    with stream throughput alone.  Windowed per-segment rollup, replayed
+    to completion (availableNow) — batch-equivalent, full value-hash
+    oracle."""
+    import os
+    import uuid
+
+    from ..session import load_tables, normalize_session, ts_micros_if_long
+
+    normalize_session(spark)
+    path = f"{sf_dir}/events.parquet"
+    raw_schema = spark.read.parquet(path).schema
+    stream_dir = tempfile.mkdtemp(prefix="stream_enrich_")
+    os.symlink(os.path.abspath(path), os.path.join(stream_dir, "events.parquet"))
+
+    dim = load_tables(spark, sf_dir)["customer"].select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = (
+        ts_micros_if_long(
+            spark.readStream.schema(raw_schema).format("parquet").load(stream_dir)
+        )
+        .withWatermark("ts", "10 minutes")
+        .join(F.broadcast(dim), "user_id")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", _TS_FMT).alias("window_start"),
+            "c_mktsegment",
+            "n",
+            "sum_value",
+        )
+    )
+    name = f"q_stream_enrich_{uuid.uuid4().hex[:8]}"
+    query = (
+        enriched.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_se_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)
+
+
 def q_stream_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL two-batch watermark late-data DROP, oracle-checkable.
 
@@ -343,6 +397,7 @@ def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "q_stream_enrich": q_stream_enrich,
     "q_stream_late": q_stream_late,
     "q_stream_join": q_stream_join,
     "q_sessionize_batch": q_sessionize_batch,
@@ -354,6 +409,14 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_stream_enrich": f"""
+        SELECT {_TS_ORACLE.format(c="date_trunc('hour', e.ts)")} AS window_start,
+               c.c_mktsegment,
+               count(*) AS n,
+               round(sum(e.value), 4) AS sum_value
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY 1, 2
+    """,
     "q_stream_late": f"""
         WITH b1 AS (
             SELECT event_id, ts, event_type FROM events WHERE event_id % 2 = 0
