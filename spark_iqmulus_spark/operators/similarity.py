@@ -802,3 +802,229 @@ ORACLES["q_embed_kmeans"] = """
     ) a
     JOIN (SELECT j, list_sum(c) AS checksum FROM c2f) cs ON cs.j = a.cluster
 """
+
+
+def q_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ANN composition — IVF coarse partitioning + PQ
+    compression + ADC scoring (Jégou et al., TPAMI 2011, §IV):
+
+    - corpus pass (map-only, codegen): assign each vector to its best of
+      ``N_CELLS`` centroids AND encode it to ``PQ_M`` one-byte codes;
+      at rest the index stores only (cell, codes) — 16× smaller than raw;
+    - query side: probe the ``N_PROBE`` best cells and score candidates
+      WITHOUT touching raw corpus vectors: per query a PQ_M×PQ_K lookup
+      table of subspace distances is built once (in-plan, broadcast with
+      the query row), and a candidate's asymmetric distance is the sum of
+      ``PQ_M`` table lookups on its codes (``element_at``) — O(M) per
+      candidate instead of O(D);
+    - candidates come from an equi-join on ``cell`` (the inverted-file
+      layout: shuffle-partitioned by cell, only N_PROBE/N_CELLS of the
+      corpus scored per query).
+
+    Distances are summed as exact integer micro-units, so the whole
+    pipeline — centroid sample, cell argmax, code argmin, LUT, ADC top-k —
+    is value-hash-checkable against DuckDB."""
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    n = e.count()
+
+    # coarse centroids: deterministic normalized sample (q_sim_knn_ivf)
+    step = max(n // N_CELLS, 1)
+    cents = (
+        e.where((F.col("vec_id") % step == 0) & (F.col("vec_id") / step < N_CELLS))
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    import math
+
+    centroids = []
+    for row in cents:
+        v = [float(x) for x in row[0]]
+        nrm = math.sqrt(sum(x * x for x in v)) or 1.0
+        centroids.append([x / nrm for x in v])
+
+    # PQ codebooks: deterministic sample (q_embed_pq)
+    stepq = max(n // PQ_K, 1)
+    sample = (
+        e.where((F.col("vec_id") % stepq == 0) & (F.col("vec_id") / stepq < PQ_K))
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    books = [
+        [[float(x) for x in row[0][m * PQ_SUB : (m + 1) * PQ_SUB]] for row in sample]
+        for m in range(PQ_M)
+    ]
+
+    # corpus index pass: cell + PQ codes, one map-only projection
+    code_cols = []
+    for m in range(PQ_M):
+        sub = F.slice(F.col("embedding"), m * PQ_SUB + 1, PQ_SUB)
+        d2s = []
+        for c in books[m]:
+            cc = sum(x * x for x in c)
+            d2s.append(
+                _dot(sub, sub)
+                - 2 * _dot(sub, F.array(*[F.lit(v) for v in c]))
+                + F.lit(cc)
+            )
+        arr = F.array(*d2s)
+        code_cols.append(
+            F.array_position(arr, F.array_min(arr)).cast("int").alias(f"code{m}")
+        )
+    corpus = ivf_assign(e, centroids).select(
+        F.col("vec_id").alias("neighbor_id"), "cell", *code_cols
+    )
+
+    # query side: probe cells + per-query ADC lookup tables (micro-units)
+    q_scores = _cell_scores(F.col("embedding"), centroids)
+    probe_structs = F.slice(
+        F.sort_array(
+            F.zip_with(
+                q_scores,
+                F.sequence(F.lit(1), F.lit(len(centroids))),
+                lambda s, i: F.struct(s.alias("score"), i.alias("cell")),
+            ),
+            asc=False,
+        ),
+        1,
+        N_PROBE,
+    )
+    lut_cols = []
+    for m in range(PQ_M):
+        sub = F.slice(F.col("embedding"), m * PQ_SUB + 1, PQ_SUB)
+        entries = []
+        for c in books[m]:
+            cc = sum(x * x for x in c)
+            d2 = (
+                _dot(sub, sub)
+                - 2 * _dot(sub, F.array(*[F.lit(v) for v in c]))
+                + F.lit(cc)
+            )
+            entries.append(F.round(d2 * 1e6, 0).cast("long"))
+        lut_cols.append(F.array(*entries).alias(f"lut{m}"))
+    queries = (
+        e.where(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(probe_structs).alias("probe"),
+            *lut_cols,
+        )
+        .select("query_id", F.col("probe.cell").alias("cell"), *[f"lut{m}" for m in range(PQ_M)])
+    )
+
+    adc = sum(
+        F.element_at(F.col(f"lut{m}"), F.col(f"code{m}")) for m in range(PQ_M)
+    )
+    cand = (
+        corpus.join(F.broadcast(queries), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("adc_micro", adc)
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("adc_micro").asc(), F.col("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "adc_micro", "rank")
+    )
+
+
+QUERIES["q_sim_ivfpq"] = q_sim_ivfpq
+
+ORACLES["q_sim_ivfpq"] = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    params AS (
+        SELECT greatest(CAST(count(*) AS BIGINT) // {N_CELLS}, 1) AS step,
+               greatest(CAST(count(*) AS BIGINT) // {PQ_K}, 1) AS stepq
+        FROM e
+    ),
+    cents AS (
+        SELECT row_number() OVER (ORDER BY vec_id) AS cell,
+               list_transform(v, x -> x / nrm) AS cv
+        FROM (
+            SELECT e.vec_id, e.v,
+                   CASE WHEN sqrt(list_dot_product(e.v, e.v)) = 0 THEN 1.0
+                        ELSE sqrt(list_dot_product(e.v, e.v)) END AS nrm
+            FROM e, params
+            WHERE e.vec_id % params.step = 0
+              AND CAST(e.vec_id AS DOUBLE) / params.step < {N_CELLS}
+        )
+    ),
+    scores AS (
+        SELECT e.vec_id, e.v, c.cell,
+               list_dot_product(e.v, c.cv) / sqrt(list_dot_product(e.v, e.v))
+                   AS score
+        FROM e CROSS JOIN cents c
+    ),
+    assign AS (
+        SELECT vec_id, v, cell FROM (
+            SELECT vec_id, v, cell,
+                   row_number() OVER (
+                     PARTITION BY vec_id ORDER BY score DESC, cell ASC) AS rk
+            FROM scores
+        ) WHERE rk = 1
+    ),
+    ms AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m),
+    ks AS (SELECT unnest(generate_series(0, {PQ_K - 1})) AS k),
+    cb AS (
+        SELECT ks.k, ms.m,
+               e.v[ms.m * {PQ_SUB} + 1 : ms.m * {PQ_SUB} + {PQ_SUB}] AS c
+        FROM ks CROSS JOIN ms CROSS JOIN params
+        JOIN e ON e.vec_id = ks.k * params.stepq
+    ),
+    sub AS (
+        SELECT e.vec_id, ms.m,
+               e.v[ms.m * {PQ_SUB} + 1 : ms.m * {PQ_SUB} + {PQ_SUB}] AS s
+        FROM e CROSS JOIN ms
+    ),
+    dist AS (
+        SELECT sub.vec_id, sub.m, cb.k,
+               list_dot_product(s, s) - 2 * list_dot_product(s, c)
+                   + list_dot_product(c, c) AS d2
+        FROM sub JOIN cb ON cb.m = sub.m
+    ),
+    -- per-corpus-vector PQ codes: argmin d2, ties -> lowest k (Spark's
+    -- array_position first-min)
+    best AS (
+        SELECT vec_id, m, k FROM (
+            SELECT vec_id, m, k,
+                   row_number() OVER (
+                     PARTITION BY vec_id, m ORDER BY d2, k) AS rn
+            FROM dist
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (
+                     PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS rk
+            FROM scores WHERE vec_id < {N_QUERIES}
+        ) WHERE rk <= {N_PROBE}
+    ),
+    cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id
+        FROM assign a JOIN probes p ON a.cell = p.cell
+        WHERE a.vec_id != p.query_id
+    ),
+    -- ADC: candidate distance = sum over subspaces of the QUERY-side
+    -- distance to the candidate's codeword (integer micro-units)
+    adc AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               CAST(sum(CAST(round(dq.d2 * 1e6, 0) AS BIGINT)) AS BIGINT)
+                   AS adc_micro
+        FROM cand
+        JOIN best b ON b.vec_id = cand.neighbor_id
+        JOIN dist dq ON dq.vec_id = cand.query_id
+                    AND dq.m = b.m AND dq.k = b.k
+        GROUP BY cand.query_id, cand.neighbor_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, adc_micro,
+               row_number() OVER (
+                 PARTITION BY query_id ORDER BY adc_micro, neighbor_id) AS rank
+        FROM adc
+    )
+    SELECT query_id, neighbor_id, adc_micro, rank
+    FROM ranked WHERE rank <= {TOP_K}
+"""

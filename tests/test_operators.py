@@ -576,3 +576,33 @@ def test_resize_nearest_index_math():
     big = resize_nearest(src, 32, 8)
     assert big.shape == (8, 32, 3)
     np.testing.assert_array_equal(big[:, 0], big[:, 1])  # 2x repeat
+
+
+def test_ivfpq_adc_sane(spark):
+    """IVF-PQ ADC: full top-k per query from the probed cells; ADC ranks
+    correlate with exact cosine (the quantized top-k recovers a meaningful
+    share of brute-force neighbors — loose bound, near-orthogonal
+    testdata embeddings as in the other ANN tests)."""
+    from spark_iqmulus_spark.operators.similarity import (
+        TOP_K,
+        q_sim_ivfpq,
+        q_sim_knn,
+    )
+
+    adc = q_sim_ivfpq(spark, SF).collect()
+    by_q = {}
+    for r in adc:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        assert len(rows) == TOP_K
+        ranks = sorted(r.rank for r in rows)
+        assert ranks == list(range(1, TOP_K + 1))
+        # distances non-decreasing with rank
+        srt = sorted(rows, key=lambda r: r.rank)
+        assert all(
+            a.adc_micro <= b.adc_micro for a, b in zip(srt, srt[1:])
+        )
+    brute = {(r.query_id, r.neighbor_id) for r in q_sim_knn(spark, SF).collect()}
+    got = {(r.query_id, r.neighbor_id) for r in adc}
+    recall = len(brute & got) / len(brute)
+    assert recall >= 0.2, f"ivfpq recall {recall:.2f}"
