@@ -1710,3 +1710,78 @@ ORACLES["q_pc_mls"] = """
            CAST(sum(n_nb) AS BIGINT) AS sum_nb
     FROM resid GROUP BY 1
 """
+
+
+# range-image binning constants: grid width (azimuth) × height (elevation),
+# and π injected as the SAME double literal into both engines (the _HS_
+# playbook — Spark and DuckDB trig agree on identical double inputs).
+_RI_W = 64
+_RI_H = 16
+_RI_PI = _math.pi
+
+
+def q_pc_rangeimage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical range-image projection — the LiDAR preprocessing step
+    behind range-image compression, spinning-sensor ordering, and
+    RangeNet-style learning: each point maps to an (azimuth, elevation)
+    pixel from the sensor origin; per pixel keep the closest return and
+    occupancy stats.
+
+    Plan shape: pure codegen trig per point (atan2/sqrt — no UDF), one
+    hash aggregate on the pixel key.  At 100 TB this is a single map +
+    combine-heavy shuffle of at most W×H×files rows.  Ranges compare as
+    exact integer tenth-millimeter units so min() is engine-portable."""
+    t = load_tables(spark, sf_dir)
+    pts = t["part"].select(
+        F.col("p_partkey").cast("double").alias("x"),
+        F.col("p_size").cast("double").alias("y"),
+        F.round(F.col("p_retailprice") * 100, 0).cast("long").alias("zi"),
+    ).withColumn("z", F.col("zi").cast("double"))
+    r = F.sqrt(F.col("x") * F.col("x") + F.col("y") * F.col("y") + F.col("z") * F.col("z"))
+    az = F.atan2(F.col("y"), F.col("x"))
+    el = F.atan2(F.col("z"), F.sqrt(F.col("x") * F.col("x") + F.col("y") * F.col("y")))
+    pi = F.lit(_RI_PI)
+    az_bin = F.least(
+        F.floor((az + pi) / (2 * pi) * _RI_W), F.lit(_RI_W - 1)
+    ).cast("int")
+    el_bin = F.least(
+        F.floor((el + pi / 2) / pi * _RI_H), F.lit(_RI_H - 1)
+    ).cast("int")
+    range_tmm = F.floor(r * 1e4 + 0.5)  # tenth-millimeter integer units
+    return (
+        pts.select(az_bin.alias("az_bin"), el_bin.alias("el_bin"), range_tmm.alias("rt"))
+        .groupBy("az_bin", "el_bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_returns"),
+            F.min("rt").alias("min_range_tmm"),
+            F.max("rt").alias("max_range_tmm"),
+            F.sum("rt").alias("sum_range_tmm"),
+        )
+    )
+
+
+QUERIES["q_pc_rangeimage"] = q_pc_rangeimage
+
+ORACLES["q_pc_rangeimage"] = f"""
+    WITH pts AS (
+        SELECT CAST(p_partkey AS DOUBLE) AS x,
+               CAST(p_size AS DOUBLE) AS y,
+               CAST(CAST(round(p_retailprice * 100, 0) AS BIGINT) AS DOUBLE) AS z
+        FROM part
+    ),
+    px AS (
+        SELECT CAST(least(floor((atan2(y, x) + {_RI_PI!r}) / (2 * {_RI_PI!r}) * {_RI_W}),
+                          {_RI_W - 1}) AS INTEGER) AS az_bin,
+               CAST(least(floor((atan2(z, sqrt(x*x + y*y)) + {_RI_PI!r} / 2)
+                                / {_RI_PI!r} * {_RI_H}),
+                          {_RI_H - 1}) AS INTEGER) AS el_bin,
+               CAST(floor(sqrt(x*x + y*y + z*z) * 1e4 + 0.5) AS BIGINT) AS rt
+        FROM pts
+    )
+    SELECT az_bin, el_bin,
+           count(*) AS n_returns,
+           CAST(min(rt) AS BIGINT) AS min_range_tmm,
+           CAST(max(rt) AS BIGINT) AS max_range_tmm,
+           CAST(sum(rt) AS BIGINT) AS sum_range_tmm
+    FROM px GROUP BY az_bin, el_bin
+"""
