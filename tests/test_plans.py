@@ -361,3 +361,28 @@ def test_hot_paths_stay_jvm_side(spark, tables):
         p = plan_text(qs[key](spark, SF_DIR))
         hits = [n for n in python_nodes if n in p]
         assert not hits, f"{key}: Python eval node(s) {hits} in plan"
+
+
+def test_ivfpq_plan_no_cartesian_no_python(spark, tables):
+    """IVF-PQ: candidate generation is an equi-join on cell (broadcast of
+    the tiny query side), never a cartesian/BNLJ; cell assignment, PQ
+    encode, LUTs and ADC sums are all codegen expressions — no Python in
+    the plan."""
+    from spark_iqmulus_spark.operators.similarity import q_sim_ivfpq
+
+    plan = plan_text(q_sim_ivfpq(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_rangeimage_plan_single_aggregate(spark, tables):
+    """Range image: one partial+final hash aggregate over codegen trig —
+    no join, no Python, no extra shuffle."""
+    from spark_iqmulus_spark.operators.spatial import q_pc_rangeimage
+
+    plan = plan_text(q_pc_rangeimage(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan
+    assert plan.count("+- Exchange") <= 1  # the single pixel-key shuffle
