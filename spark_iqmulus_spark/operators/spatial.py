@@ -1785,3 +1785,86 @@ ORACLES["q_pc_rangeimage"] = f"""
            CAST(sum(rt) AS BIGINT) AS sum_range_tmm
     FROM px GROUP BY az_bin, el_bin
 """
+
+
+# corridor segment endpoints + width, injected as identical double literals
+# into both engines
+_COR_AX, _COR_AY = 0.0, 0.0
+_COR_BX, _COR_BY = 20000.0, 50.0
+_COR_LEN2 = (_COR_BX - _COR_AX) ** 2 + (_COR_BY - _COR_AY) ** 2
+_COR_WIDTH = 30.0
+_COR_BUCKET = 5.0
+
+
+def q_pc_corridor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corridor extraction — the power-line / road / rail inspection query:
+    keep points within ``_COR_WIDTH`` of the survey line AB and histogram
+    them by distance band.  Point-to-segment distance is the classic
+    clamped projection (t = clamp(((p−a)·(b−a))/|b−a|², 0, 1)) — pure
+    codegen arithmetic per point, then a filter and one hash aggregate;
+    at scale this composes with header-bounds file skipping (tiles whose
+    bbox misses the corridor are never read)."""
+    t = load_tables(spark, sf_dir)
+    pts = t["part"].select(
+        F.col("p_partkey").cast("double").alias("x"),
+        F.col("p_size").cast("double").alias("y"),
+        F.round(F.col("p_retailprice") * 100, 0).cast("long").alias("z"),
+    )
+    px = F.col("x") - F.lit(_COR_AX)
+    py = F.col("y") - F.lit(_COR_AY)
+    dx = F.lit(_COR_BX - _COR_AX)
+    dy = F.lit(_COR_BY - _COR_AY)
+    tpar = F.greatest(
+        F.lit(0.0), F.least(F.lit(1.0), (px * dx + py * dy) / F.lit(_COR_LEN2))
+    )
+    cx = px - tpar * dx
+    cy = py - tpar * dy
+    dist = F.sqrt(cx * cx + cy * cy)
+    band = F.floor(dist / F.lit(_COR_BUCKET)).cast("int")
+    return (
+        pts.withColumn("dist", dist)
+        .where(F.col("dist") <= F.lit(_COR_WIDTH))
+        .groupBy(band.alias("band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum("z").alias("sum_z"),
+            F.floor(F.min("dist") * 1e4 + 0.5).alias("min_dist_tmm"),
+            F.floor(F.max("dist") * 1e4 + 0.5).alias("max_dist_tmm"),
+        )
+    )
+
+
+QUERIES["q_pc_corridor"] = q_pc_corridor
+
+ORACLES["q_pc_corridor"] = f"""
+    WITH pts AS (
+        SELECT CAST(p_partkey AS DOUBLE) AS x,
+               CAST(p_size AS DOUBLE) AS y,
+               CAST(round(p_retailprice * 100, 0) AS BIGINT) AS z
+        FROM part
+    ),
+    proj AS (
+        SELECT x, y, z,
+               greatest(0.0, least(1.0,
+                   ((x - {_COR_AX!r}) * {_COR_BX - _COR_AX!r}
+                    + (y - {_COR_AY!r}) * {_COR_BY - _COR_AY!r})
+                   / {_COR_LEN2!r})) AS tpar
+        FROM pts
+    ),
+    d AS (
+        SELECT z,
+               sqrt(((x - {_COR_AX!r}) - tpar * {_COR_BX - _COR_AX!r})
+                    * ((x - {_COR_AX!r}) - tpar * {_COR_BX - _COR_AX!r})
+                    + ((y - {_COR_AY!r}) - tpar * {_COR_BY - _COR_AY!r})
+                      * ((y - {_COR_AY!r}) - tpar * {_COR_BY - _COR_AY!r}))
+                   AS dist
+        FROM proj
+    )
+    SELECT CAST(floor(dist / {_COR_BUCKET!r}) AS INTEGER) AS band,
+           count(*) AS n_points,
+           CAST(sum(z) AS BIGINT) AS sum_z,
+           CAST(floor(min(dist) * 1e4 + 0.5) AS BIGINT) AS min_dist_tmm,
+           CAST(floor(max(dist) * 1e4 + 0.5) AS BIGINT) AS max_dist_tmm
+    FROM d WHERE dist <= {_COR_WIDTH!r}
+    GROUP BY 1
+"""
