@@ -472,3 +472,83 @@ ORACLES["q_gapfill_locf"] = """
                 AS BIGINT) AS locf_cents
     FROM filled
 """
+
+
+def q_user_value_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection per user, in EXACT integer
+    arithmetic — the streaming-ops monitoring shape (flag a value more
+    than k·σ from its trailing window) made engine-portable by clearing
+    denominators instead of computing floats:
+
+        (v − mean)² > k²·var  ⇔  (n·v − Σ)²·(n−1) > k²·n·(n·Σx² − Σ²)
+
+    with v in integer cents and Σ/Σx² exact window sums (ROWS frame of
+    the 10 preceding events + current).  One window shuffle on user_id,
+    one final aggregate; no doubles anywhere near the decision."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    v = F.floor(F.col("value") * 100 + 0.5)  # exact cents
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-10, 0)
+    )
+    e = (
+        t["events"]
+        .withColumn("v", v)
+        .withColumn("n", F.count(F.lit(1)).over(w))
+        .withColumn("s", F.sum("v").over(w))
+        .withColumn("ss", F.sum(F.col("v") * F.col("v")).over(w))
+    )
+    K2 = 4  # k = 2 sigma
+    lhs = (
+        (F.col("n") * F.col("v") - F.col("s"))
+        * (F.col("n") * F.col("v") - F.col("s"))
+        * (F.col("n") - 1)
+    )
+    rhs = F.lit(K2) * F.col("n") * (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+    flagged = e.withColumn(
+        "is_anomaly", (F.col("n") >= 5) & (lhs > rhs)
+    )
+    return flagged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("is_anomaly").cast("long")).alias("n_anomalies"),
+        F.sum(F.when(F.col("is_anomaly"), F.col("v")).otherwise(0)).alias(
+            "anomaly_cents"
+        ),
+    )
+
+
+QUERIES["q_user_value_anomaly"] = q_user_value_anomaly
+
+ORACLES["q_user_value_anomaly"] = """
+    WITH e AS (
+        SELECT user_id, ts, event_id,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        FROM events
+    ),
+    stats AS (
+        SELECT user_id, v,
+               count(*) OVER w AS n,
+               sum(v) OVER w AS s,
+               sum(v * v) OVER w AS ss
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 10 PRECEDING AND CURRENT ROW)
+    ),
+    flagged AS (
+        SELECT user_id, v,
+               (n >= 5 AND
+                (n * v - s) * (n * v - s) * (n - 1)
+                  > 4 * n * (n * ss - s * s)) AS is_anomaly
+        FROM stats
+    )
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(sum(CASE WHEN is_anomaly THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_anomalies,
+           CAST(sum(CASE WHEN is_anomaly THEN v ELSE 0 END) AS BIGINT)
+               AS anomaly_cents
+    FROM flagged GROUP BY user_id
+"""
