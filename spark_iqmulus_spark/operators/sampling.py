@@ -151,3 +151,73 @@ ORACLES = {
         GROUP BY source
     """,
 }
+
+
+def q_pc_chips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-chip extraction — the point-cloud → ML-dataset prep step:
+    tile the cloud into fixed 2-D chips, compute per-chip features, and
+    assign every CHIP (not point) to train/val/test by hash of its grid
+    key — the leakage-safe split (points of one chip never straddle
+    splits, and membership is stable when the survey grows).  One
+    hash aggregate + pure codegen hash expressions."""
+    t = load_tables(spark, sf_dir)
+    pts = t["part"].select(
+        F.col("p_partkey").cast("double").alias("x"),
+        F.col("p_size").cast("double").alias("y"),
+        F.round(F.col("p_retailprice") * 100, 0).cast("long").alias("z"),
+    )
+    gx = F.floor(F.col("x") / 1000).cast("long")
+    gy = F.floor(F.col("y") / 10).cast("long")
+    chips = pts.groupBy(gx.alias("gx"), gy.alias("gy")).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("z").alias("sum_z"),
+        F.min("z").alias("min_z"),
+        F.max("z").alias("max_z"),
+    )
+    bucket = F.substring(
+        F.md5(
+            F.concat(
+                F.lit("chip:"),
+                F.col("gx").cast("string"),
+                F.lit(":"),
+                F.col("gy").cast("string"),
+            )
+        ),
+        1,
+        4,
+    )
+    split = (
+        F.when(bucket < F.lit(_threshold(0.8)), F.lit("train"))
+        .when(bucket < F.lit(_threshold(0.9)), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return chips.withColumn("split", split)
+
+
+QUERIES["q_pc_chips"] = q_pc_chips
+
+ORACLES["q_pc_chips"] = f"""
+    WITH pts AS (
+        SELECT CAST(floor(CAST(p_partkey AS DOUBLE) / 1000) AS BIGINT) AS gx,
+               CAST(floor(CAST(p_size AS DOUBLE) / 10) AS BIGINT) AS gy,
+               CAST(round(p_retailprice * 100, 0) AS BIGINT) AS z
+        FROM part
+    ),
+    chips AS (
+        SELECT gx, gy,
+               count(*) AS n_points,
+               CAST(sum(z) AS BIGINT) AS sum_z,
+               CAST(min(z) AS BIGINT) AS min_z,
+               CAST(max(z) AS BIGINT) AS max_z
+        FROM pts GROUP BY gx, gy
+    )
+    SELECT gx, gy, n_points, sum_z, min_z, max_z,
+           CASE WHEN substring(md5('chip:' || CAST(gx AS VARCHAR)
+                                   || ':' || CAST(gy AS VARCHAR)), 1, 4)
+                     < '{_threshold(0.8)}' THEN 'train'
+                WHEN substring(md5('chip:' || CAST(gx AS VARCHAR)
+                                   || ':' || CAST(gy AS VARCHAR)), 1, 4)
+                     < '{_threshold(0.9)}' THEN 'val'
+                ELSE 'test' END AS split
+    FROM chips
+"""
