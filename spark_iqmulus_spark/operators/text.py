@@ -942,3 +942,70 @@ ORACLES["q_text_repetition"] = f"""
                           OR dup_tri * 5 >= total_tri THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_any
     FROM m GROUP BY source
 """
+
+
+def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-drift monitor: per-source word-distribution L1 distance from
+    the corpus-wide distribution, entirely in integer parts-per-million —
+    the curation dashboard that flags a source whose vocabulary has
+    shifted (scraper broke, new domain mixed in, language drift).
+
+    Exactness: per-word frequencies are integer-divided to ppm
+    (``obs·10⁶ div total``), so the sum of |p_src − p_corpus| is a plain
+    integer — no float summation order anywhere, hash-stable at any
+    scale.  Plan: one explode + two hash aggregates + a broadcast-sized
+    join of per-word corpus counts (vocab-bounded, not corpus-bounded)."""
+    t = load_tables(spark, sf_dir)
+    words = (
+        t["documents"]
+        .select("source", _tokens().alias("ws"))
+        .select("source", F.explode("ws").alias("w"))
+    )
+    per_src = words.groupBy("source", "w").agg(F.count(F.lit(1)).alias("obs"))
+    src_tot = per_src.groupBy("source").agg(F.sum("obs").alias("st"))
+    corpus = per_src.groupBy("w").agg(F.sum("obs").alias("cw"))
+    ct = words.count()  # scalar: corpus token count (one job, O(1) result)
+    joined = (
+        per_src.join(F.broadcast(corpus), "w")
+        .join(F.broadcast(src_tot), "source")
+        .withColumn("p_src", F.expr("obs * 1000000 div st"))
+        .withColumn("p_cor", F.expr(f"cw * 1000000 div {ct}"))
+    )
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("vocab_used"),
+        F.sum(F.abs(F.col("p_src") - F.col("p_cor"))).alias("l1_ppm"),
+        F.max(F.abs(F.col("p_src") - F.col("p_cor"))).alias("max_word_ppm"),
+    )
+
+
+QUERIES["q_vocab_drift"] = q_vocab_drift
+
+ORACLES["q_vocab_drift"] = f"""
+    WITH words AS (
+        SELECT source, unnest({_SQL_TOKS}) AS w FROM documents
+    ),
+    per_src AS (
+        SELECT source, w, count(*) AS obs FROM words GROUP BY source, w
+    ),
+    src_tot AS (
+        SELECT source, sum(obs) AS st FROM per_src GROUP BY source
+    ),
+    corpus AS (
+        SELECT w, sum(obs) AS cw FROM per_src GROUP BY w
+    ),
+    ct AS (SELECT count(*) AS n FROM words),
+    joined AS (
+        SELECT p.source,
+               p.obs * 1000000 // t.st AS p_src,
+               c.cw * 1000000 // ct.n AS p_cor
+        FROM per_src p
+        JOIN corpus c ON c.w = p.w
+        JOIN src_tot t ON t.source = p.source
+        CROSS JOIN ct
+    )
+    SELECT source,
+           count(*) AS vocab_used,
+           CAST(sum(abs(p_src - p_cor)) AS BIGINT) AS l1_ppm,
+           CAST(max(abs(p_src - p_cor)) AS BIGINT) AS max_word_ppm
+    FROM joined GROUP BY source
+"""
