@@ -186,3 +186,61 @@ def read_pruned(
         ).load()
         return full.limit(0)
     return spark.read.format(fmt).option("paths", json.dumps(paths)).load()
+
+
+def build_manifest_scan(
+    spark: SparkSession,
+    paths: list[str],
+    fmt: str = "ply",
+    columns: tuple = ("x", "y", "z"),
+) -> DataFrame:
+    """Stats-from-DATA manifest for formats whose headers carry no bounds
+    (PLY / PCD) — the Iceberg model: ONE distributed scan computes each
+    tile's count and per-column min/max, and every later query prunes from
+    the manifest parquet exactly as with the LAS header manifest
+    (``pruned_paths`` / ``read_pruned`` are schema-compatible).
+
+    Cost model: a single full read at ingestion time (unavoidable — the
+    information is not in the headers), amortized over every subsequent
+    pruned query; the aggregate is one map-side-combined shuffle of
+    O(files) rows.  ``fid`` provenance (sorted-path index) keys the stats
+    back to paths."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    sorted_paths = sorted(paths)
+    df = (
+        spark.read.format(fmt)
+        .option("paths", json.dumps(sorted_paths))
+        .load()
+    )
+    aggs = [F.count(F.lit(1)).alias("n_points")]
+    for c in columns:
+        if c in df.columns:
+            aggs.append(F.min(F.col(c).cast("double")).alias(f"{c}_min"))
+            aggs.append(F.max(F.col(c).cast("double")).alias(f"{c}_max"))
+    stats = df.groupBy("fid").agg(*aggs)
+    # fid → path identity from the reader's provenance metadata (the same
+    # KEPT ordering the scan used), plus file identity for staleness checks
+    meta = df.schema["fid"].metadata or {}
+    id_rows = []
+    for fid, p in enumerate(meta.get("paths", sorted_paths)):
+        st = os.stat(p)
+        id_rows.append((fid, p, st.st_mtime_ns, st.st_size))
+    ids = spark.createDataFrame(
+        id_rows, "fid int, path string, mtime_ns long, size long"
+    )
+    return ids.join(stats, "fid").drop("fid")
+
+
+def write_manifest_scan(
+    spark: SparkSession,
+    paths: list[str],
+    manifest_path: str,
+    fmt: str = "ply",
+    columns: tuple = ("x", "y", "z"),
+) -> None:
+    build_manifest_scan(spark, paths, fmt, columns).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(manifest_path)

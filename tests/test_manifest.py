@@ -182,3 +182,60 @@ def test_manifest_update_detects_content_change(spark, tile_dir, tmp_path):
     m = spark.read.parquet(man)
     assert m.count() == len(paths)
     assert m.select("path").distinct().count() == len(paths)
+
+
+def test_scan_manifest_prunes_ply(spark, tmp_path):
+    """Stats-from-data manifest (PLY has no header bounds): bounds come
+    from one distributed scan; read_pruned then prunes tiles by x-range
+    and re-reads only candidates."""
+    import numpy as np
+
+    from spark_iqmulus_spark.sources.ply_format import (
+        PlyElement,
+        PlyHeader,
+        PlyProperty,
+    )
+    from spark_iqmulus_spark.plans.manifest import (
+        pruned_paths,
+        read_pruned,
+        write_manifest_scan,
+    )
+
+    d = tmp_path / "tiles"
+    d.mkdir()
+    rng = np.random.default_rng(3)
+    for i, base in enumerate((0.0, 1000.0, 5000.0)):
+        arr = np.zeros(200, dtype=[("x", "<f4"), ("y", "<f4"), ("z", "<f4")])
+        arr["x"] = (base + rng.uniform(0, 100, 200)).astype(np.float32)
+        arr["y"] = rng.uniform(0, 50, 200).astype(np.float32)
+        arr["z"] = rng.uniform(0, 10, 200).astype(np.float32)
+        hdr = PlyHeader(
+            location=str(d / f"t{i}.ply"),
+            little_endian=True,
+            elements=[
+                PlyElement(
+                    "vertex",
+                    200,
+                    [PlyProperty(c, "f4") for c in ("x", "y", "z")],
+                )
+            ],
+        )
+        with open(d / f"t{i}.ply", "wb") as f:
+            f.write(hdr.to_bytes())
+            f.write(arr.tobytes())
+
+    import glob
+
+    paths = sorted(glob.glob(str(d / "*.ply")))
+    man = str(tmp_path / "man")
+    write_manifest_scan(spark, paths, man, fmt="ply")
+    m = spark.read.parquet(man)
+    assert m.count() == 3
+    assert {"path", "n_points", "x_min", "x_max"} <= set(m.columns)
+    # prune to the middle tile only
+    hit = pruned_paths(spark, man, x_range=(900.0, 1200.0), verify=True)
+    assert [p.endswith("t1.ply") for p in hit] == [True]
+    df = read_pruned(spark, man, "ply", x_range=(900.0, 1200.0))
+    assert df.count() == 200
+    # nothing matches far outside
+    assert read_pruned(spark, man, "ply", x_range=(9e6, 9.1e6)).count() == 0
