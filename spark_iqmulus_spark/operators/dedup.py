@@ -518,6 +518,11 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("cv"),
     ).select("doc_id", "simhash", "cv.chunk", "cv.val")
+    # persist: both self-join sides derive from chunks and Spark plans no
+    # ReusedExchange, so the md5-bit fingerprint pipeline would run twice
+    from pyspark.storagelevel import StorageLevel
+
+    chunks = chunks.persist(StorageLevel.MEMORY_AND_DISK)
     a = chunks.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "chunk", "val"
     )
@@ -594,6 +599,11 @@ def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = sigs.select(
         "vec_id", "embedding", F.explode(bands).alias("bb")
     ).select("vec_id", "embedding", "bb.band", "bb.val")
+    # persist: both self-join sides derive from banded (no ReusedExchange —
+    # the hyperplane-projection signatures would compute twice)
+    from pyspark.storagelevel import StorageLevel
+
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     a = banded.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "band", "val"
     )
@@ -607,7 +617,10 @@ def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, ["band", "val"])
         .where(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", "ea", "eb")
-        .distinct()
+        # dedup on the ID PAIR only — a full-row distinct would hash the
+        # two 64-float embedding arrays per row (they are functionally
+        # determined by the ids)
+        .dropDuplicates(["vec_a", "vec_b"])
         .withColumn("cos", F.round(cos, 6))
         .where(F.col("cos") >= COSINE_T)
         .select("vec_a", "vec_b", "cos")

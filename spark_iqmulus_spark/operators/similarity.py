@@ -143,6 +143,11 @@ def q_sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = sigs.select(
         "vec_id", "embedding", F.explode(bands).alias("bb")
     ).select("vec_id", "embedding", "bb.band", "bb.val")
+    # persist: the corpus side AND the broadcast query side both derive
+    # from banded; without it the signature pipeline executes twice
+    from pyspark.storagelevel import StorageLevel
+
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
 
     queries = banded.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -157,7 +162,9 @@ def q_sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "qv", F.col("vec_id").alias("neighbor_id"),
             F.col("embedding").alias("cv"),
         )
-        .distinct()
+        # id-pair dedup only: full-row distinct would hash both embedding
+        # arrays per candidate
+        .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("cos", _cosine(F.col("qv"), F.col("cv")))
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
