@@ -384,7 +384,11 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    sh = _shingles(t["documents"])
+    # persist: sh feeds df_counts, both delta/corpus shingle branches and
+    # the sizes aggregate — five consumers, no ReusedExchange between them
+    from pyspark.storagelevel import StorageLevel
+
+    sh = _shingles(t["documents"]).persist(StorageLevel.MEMORY_AND_DISK)
     df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     sh_f = sh.join(df_counts.where(F.col("df") <= MAX_DF).select("shingle"), "shingle")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
