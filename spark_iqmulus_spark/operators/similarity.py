@@ -54,6 +54,13 @@ def brute_force_knn(
     operation is the per-query top-k window over Q×N scored pairs, which
     Spark executes as partial top-k per partition (rank filter pushes
     through AQE) after a shuffle on query_id.
+
+    SIZE BOUND (this is the intentional exact baseline, not the scale
+    path): work is Q×N cosine evaluations and the query side must fit the
+    broadcast limit — in practice Q ≲ ~10k queries (a few MB of 64-dim
+    vectors) against an arbitrarily large corpus.  For larger query sets
+    or online serving use :func:`q_sim_knn_lsh` / :func:`q_sim_knn_ivf` /
+    :func:`q_sim_ivfpq`, which bound per-query work by bucket/cell size.
     """
     q = queries.select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
