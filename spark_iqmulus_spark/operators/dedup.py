@@ -108,7 +108,9 @@ def ngram_pairs(docs: DataFrame, detail: bool = False) -> DataFrame:
 
     With ``detail`` the exact integer intersection / union shingle counts
     are kept alongside the rounded jaccard (for float-free rollups)."""
-    sh = _shingles(docs).cache()
+    from pyspark.storagelevel import StorageLevel
+
+    sh = _shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
     df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     # per-shingle / per-doc frames grow with the corpus — no broadcast
     # hints; AQE broadcasts while small, shuffles when not.
@@ -169,6 +171,9 @@ def dedup_components(pairs: DataFrame, max_rounds: int = 10) -> DataFrame:
     truncated per round with ``localCheckpoint`` so plans stay bounded.
     The convergence probe is a ``limit(1).count()`` — O(1) rows to the
     driver, never the label set."""
+    # eager checkpoint: BOTH union directions read the materialized pair
+    # blocks instead of re-running the (expensive) pair pipeline per branch
+    pairs = pairs.localCheckpoint()
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     edges = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
