@@ -239,13 +239,26 @@ def q_cond_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t["orders"].agg(
         F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_f"),
         F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_o"),
+        # exact integer cents: raw double sums at sf1 magnitudes (1e10) are
+        # order-dependent past the round-4 boundary (caught by the full sf1
+        # verification, round 6)
+        F.sum(
+            F.when(
+                F.col("o_orderpriority") == "1-URGENT",
+                F.floor(F.col("o_totalprice") * 100 + 0.5),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("urgent_cents"),
         F.round(
-            F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice")).otherwise(0.0)),
+            F.sum(
+                F.when(
+                    F.col("o_totalprice") > 50000,
+                    F.floor(F.col("o_totalprice") * 100 + 0.5),
+                )
+            )
+            / F.count(F.when(F.col("o_totalprice") > 50000, 1))
+            / 100.0,
             4,
-        ).alias("urgent_total"),
-        F.round(F.avg(F.when(F.col("o_totalprice") > 50000, F.col("o_totalprice"))), 4).alias(
-            "avg_big"
-        ),
+        ).alias("avg_big"),
     )
 
 
@@ -932,9 +945,13 @@ ORACLES = {
     "q_cond_agg": """
         SELECT count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
                count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
-               round(sum(CASE WHEN o_orderpriority = '1-URGENT'
-                              THEN o_totalprice ELSE 0.0 END), 4) AS urgent_total,
-               round(avg(o_totalprice) FILTER (WHERE o_totalprice > 50000), 4) AS avg_big
+               CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                             THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS urgent_cents,
+               round(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                              FILTER (WHERE o_totalprice > 50000) AS DOUBLE)
+                     / count(*) FILTER (WHERE o_totalprice > 50000) / 100.0,
+                     4) AS avg_big
         FROM orders
     """,
     "q_null_scalars": """
