@@ -5,8 +5,13 @@ training-data pipeline needs them — near-duplicate *clusters* are connected
 components, quality propagation is PageRank-shaped, and candidate-pair
 generation is link prediction.  The graph here is the embedding near-dup graph
 (nodes = vec_ids, edges = pairs with cosine >= ``dedup.COSINE_T``), reusing the
-exact oracle-matched pair definition from ``operators.dedup.q_dedup_embed`` so
-edge sets agree bit-for-bit between Spark and DuckDB.
+exact oracle-matched pair definition from ``operators.dedup.q_dedup_embed_lsh``
+so edge sets agree bit-for-bit between Spark and DuckDB.  The edge builder is
+the *LSH-bounded* candidate join (hyperplane band buckets → equi-join → exact
+cosine re-check), not the O(N²) scored-pair baseline: at 100 TB nobody builds
+a similarity graph by all-pairs, and the banded equi-join is the plan that
+survives scale on both the Spark side and the DuckDB oracle side (the full
+N² oracle CTE made every graph key quadratic *per key* at sf1).
 
 Every algorithm is pure DataFrame (joins + aggregations — no driver-side
 adjacency structures, no ``collect()``), so it distributes like any other
@@ -40,20 +45,34 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .dedup import q_dedup_embed
+from .dedup import COSINE_T, q_dedup_embed_lsh
+from .similarity import _lsh_banded_cte
 
-#: shared DuckDB CTE prefix: edge set identical to the q_dedup_embed oracle.
-_EDGE_CTE = """
-    WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    edges AS (
-        SELECT a.vec_id AS a, b.vec_id AS b
-        FROM emb a JOIN emb b ON a.vec_id < b.vec_id
-        WHERE round(list_dot_product(a.v, b.v)
-              / (sqrt(list_dot_product(a.v, a.v))
-                 * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.40
-    ),
-    und AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges)
-"""
+
+def _edge_cte() -> str:
+    """Shared DuckDB CTE prefix: edge set identical to the
+    q_dedup_embed_lsh oracle — banded-LSH candidate equi-join, exact cosine
+    re-check on candidates only.  Mirrors the Spark side exactly (same
+    md5-derived hyperplanes), so the edge set hash-matches while both
+    engines stay sub-quadratic."""
+    return _lsh_banded_cte() + f"""
+        , lshcand AS (
+            SELECT DISTINCT a.vec_id AS a, a.v AS va, b.vec_id AS b, b.v AS vb
+            FROM banded a
+            JOIN banded b ON a.band = b.band AND a.val = b.val
+            WHERE a.vec_id < b.vec_id
+        ),
+        edges AS (
+            SELECT a, b FROM lshcand
+            WHERE round(list_dot_product(va, vb)
+                  / (sqrt(list_dot_product(va, va))
+                     * sqrt(list_dot_product(vb, vb))), 6) >= {COSINE_T}
+        ),
+        und AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges)
+    """
+
+
+_EDGE_CTE = _edge_cte()
 
 
 #: per-(session, sf_dir) persisted edge list — five graph queries share one
@@ -69,7 +88,7 @@ def sim_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _EDGE_CACHE.get(key)
     if df is None:
         df = (
-            q_dedup_embed(spark, sf_dir)
+            q_dedup_embed_lsh(spark, sf_dir)
             .select(F.col("vec_a").alias("a"), F.col("vec_b").alias("b"))
             .persist()
         )
@@ -374,7 +393,7 @@ ORACLES = {
     WHERE NOT EXISTS (SELECT 1 FROM edges e
                       WHERE e.a = cand.node_x AND e.b = cand.node_z)
     """,
-    "q_graph_bfs": _EDGE_CTE.replace("WITH emb", "WITH RECURSIVE emb", 1)
+    "q_graph_bfs": _EDGE_CTE.replace("WITH e AS", "WITH RECURSIVE e AS", 1)
     + """
     , walk AS (
         SELECT (SELECT min(a) FROM und) AS node, 0 AS lvl
@@ -385,7 +404,7 @@ ORACLES = {
     )
     SELECT node, min(lvl) AS level FROM walk GROUP BY node
     """,
-    "q_graph_components": _EDGE_CTE.replace("WITH emb", "WITH RECURSIVE emb", 1)
+    "q_graph_components": _EDGE_CTE.replace("WITH e AS", "WITH RECURSIVE e AS", 1)
     + """
     , reach AS (
         SELECT a, b FROM und
