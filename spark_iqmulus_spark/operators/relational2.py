@@ -36,8 +36,10 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         "stack(2, 'qty', l_quantity, 'price', l_extendedprice) AS (measure, value)",
     )
+    # exact integer cents: the stacked price sum reaches 1e11 at sf1, where
+    # a raw double sum is order-dependent past the round-4 boundary
     return stacked.groupBy("l_returnflag", "measure").agg(
-        F.round(F.sum("value"), 4).alias("total")
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("total_cents")
     )
 
 
@@ -852,7 +854,10 @@ ORACLES = {
         FROM lineitem GROUP BY l_returnflag
     """,
     "q_unpivot": """
-        SELECT l_returnflag, measure, round(sum(value), 4) AS total FROM (
+        SELECT l_returnflag, measure,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS total_cents
+        FROM (
             SELECT l_returnflag, 'qty' AS measure, l_quantity AS value FROM lineitem
             UNION ALL
             SELECT l_returnflag, 'price', l_extendedprice FROM lineitem

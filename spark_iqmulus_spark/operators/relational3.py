@@ -493,7 +493,11 @@ def q_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t["orders"].agg(
         F.count(F.lit(1)).alias("n"),
         F.count(F.when(div.isNull(), 1)).alias("n_null_div"),
-        F.round(F.sum(div), 4).alias("sum_div"),
+        # fixed-point 1e-4 quantization per term before the sum: the raw
+        # double sum reaches 1.3e11 at sf1, where its low digits are
+        # order-dependent; the per-term floor is deterministic because IEEE
+        # division produces identical bits on both engines
+        F.sum(F.floor(div * 10000 + 0.5).cast("long")).alias("sum_div_e4"),
         F.count(first_char.try_cast("int")).alias("n_numeric_prio"),
     )
 
@@ -1175,9 +1179,10 @@ ORACLES = {
     "q_try_funcs": """
         SELECT count(*) AS n,
                count(*) FILTER (WHERE o_custkey % 7 = 0) AS n_null_div,
-               round(sum(CASE WHEN o_custkey % 7 = 0 THEN NULL
-                              ELSE o_totalprice / (o_custkey % 7) END), 4)
-                   AS sum_div,
+               CAST(sum(CAST(floor(CASE WHEN o_custkey % 7 = 0 THEN NULL
+                                        ELSE o_totalprice / (o_custkey % 7)
+                                   END * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS sum_div_e4,
                count(TRY_CAST(substr(o_orderpriority, 1, 1) AS INT))
                    AS n_numeric_prio
         FROM orders
