@@ -64,8 +64,10 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows per user with a 30-minute gap.  A new session starts
-    when the inter-event gap is >= the gap duration (Spark merges sessions
-    whose [ts, ts+gap) windows overlap); session end = last event + gap."""
+    when the inter-event gap is STRICTLY GREATER than the gap duration:
+    Spark merges sessions whose [ts, ts+gap) windows overlap OR touch, so an
+    exact-30-minute gap still merges (verified empirically; the boundary
+    only materializes at sf1 row counts).  Session end = last event + gap."""
     t = load_tables(spark, sf_dir)
     return (
         t["events"]
@@ -488,15 +490,20 @@ ORACLES = {
     """,
     "q_stream_session": f"""
         WITH flagged AS (
-            SELECT user_id, ts, value,
+            SELECT user_id, ts, event_id, value,
                    CASE WHEN lag(ts) OVER w IS NULL
-                             OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                             OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
                         THEN 1 ELSE 0 END AS new_s
             FROM events
-            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            -- event_id tiebreak: tied ts values are common, and DuckDB's
+            -- parallel window execution is unstable under a non-total
+            -- ORDER BY (measured: threads=1 reproduces Spark exactly,
+            -- threads=8/32 drift by a few rows run-to-run); the session
+            -- count itself is tie-order-invariant, so any total order works
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ), numbered AS (
             SELECT *, sum(new_s) OVER (
-                PARTITION BY user_id ORDER BY ts
+                PARTITION BY user_id ORDER BY ts, event_id
                 ROWS UNBOUNDED PRECEDING) AS sid
             FROM flagged
         )
