@@ -605,31 +605,36 @@ def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(4)
         ]
     )
-    banded = sigs.select(
-        "vec_id", "embedding", F.explode(bands).alias("bb")
-    ).select("vec_id", "embedding", "bb.band", "bb.val")
+    # id-only banding: the self-join and the pair dedup move 16-byte id
+    # pairs, never the 64-double embeddings.  Carrying the vectors through
+    # the candidate shuffle multiplies shuffle volume ~60× (each candidate
+    # row hauls two 512-byte arrays) and filled the spill disk at sf5
+    # (~1e9 candidates); the vectors are joined back by id afterwards from
+    # the small embeddings dim table, broadcast to every executor.
+    banded = sigs.select("vec_id", F.explode(bands).alias("bb")).select(
+        "vec_id", "bb.band", "bb.val"
+    )
     # persist: both self-join sides derive from banded (no ReusedExchange —
     # the hyperplane-projection signatures would compute twice)
     from pyspark.storagelevel import StorageLevel
 
     banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
-    a = banded.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "band", "val"
+    a = banded.select(F.col("vec_id").alias("vec_a"), "band", "val")
+    b = banded.select(F.col("vec_id").alias("vec_b"), "band", "val")
+    pairs = (
+        a.join(b, ["band", "val"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .dropDuplicates(["vec_a", "vec_b"])
     )
-    b = banded.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), "band", "val"
-    )
+    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     cos = _dot(F.col("ea"), F.col("eb")) / (
         F.sqrt(_dot(F.col("ea"), F.col("ea"))) * F.sqrt(_dot(F.col("eb"), F.col("eb")))
     )
     return (
-        a.join(b, ["band", "val"])
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", "ea", "eb")
-        # dedup on the ID PAIR only — a full-row distinct would hash the
-        # two 64-float embedding arrays per row (they are functionally
-        # determined by the ids)
-        .dropDuplicates(["vec_a", "vec_b"])
+        pairs.join(F.broadcast(ea), "vec_a")
+        .join(F.broadcast(eb), "vec_b")
         .withColumn("cos", F.round(cos, 6))
         .where(F.col("cos") >= COSINE_T)
         .select("vec_a", "vec_b", "cos")
@@ -1025,20 +1030,23 @@ def _embed_lsh_oracle() -> str:
 
     return _lsh_banded_cte() + f"""
         , cand AS (
-            SELECT DISTINCT a.vec_id AS vec_a, a.v AS ea,
-                            b.vec_id AS vec_b, b.v AS eb
+            -- id-only DISTINCT (mirrors the Spark side): deduping pairs
+            -- with both 64-double vectors in tow is what blows up at scale
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
             FROM banded a
             JOIN banded b ON a.band = b.band AND a.val = b.val
             WHERE a.vec_id < b.vec_id
         )
-        SELECT vec_a, vec_b,
-               round(list_dot_product(ea, eb)
-                     / (sqrt(list_dot_product(ea, ea))
-                        * sqrt(list_dot_product(eb, eb))), 6) AS cos
-        FROM cand
-        WHERE round(list_dot_product(ea, eb)
-                    / (sqrt(list_dot_product(ea, ea))
-                       * sqrt(list_dot_product(eb, eb))), 6) >= {COSINE_T}
+        SELECT c.vec_a, c.vec_b,
+               round(list_dot_product(ea.v, eb.v)
+                     / (sqrt(list_dot_product(ea.v, ea.v))
+                        * sqrt(list_dot_product(eb.v, eb.v))), 6) AS cos
+        FROM cand c
+        JOIN e ea ON ea.vec_id = c.vec_a
+        JOIN e eb ON eb.vec_id = c.vec_b
+        WHERE round(list_dot_product(ea.v, eb.v)
+                    / (sqrt(list_dot_product(ea.v, ea.v))
+                       * sqrt(list_dot_product(eb.v, eb.v))), 6) >= {COSINE_T}
     """
 
 

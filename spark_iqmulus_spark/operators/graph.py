@@ -56,19 +56,24 @@ def _edge_cte() -> str:
     md5-derived hyperplanes), so the edge set hash-matches while both
     engines stay sub-quadratic."""
     return _lsh_banded_cte() + f"""
-        , lshcand AS (
-            SELECT DISTINCT a.vec_id AS a, a.v AS va, b.vec_id AS b, b.v AS vb
+        , lshcand AS MATERIALIZED (
+            -- id-only DISTINCT (mirrors the Spark side): the candidate
+            -- dedup must never haul the 64-double vectors through the join
+            SELECT DISTINCT a.vec_id AS a, b.vec_id AS b
             FROM banded a
             JOIN banded b ON a.band = b.band AND a.val = b.val
             WHERE a.vec_id < b.vec_id
         ),
-        edges AS (
-            SELECT a, b FROM lshcand
-            WHERE round(list_dot_product(va, vb)
-                  / (sqrt(list_dot_product(va, va))
-                     * sqrt(list_dot_product(vb, vb))), 6) >= {COSINE_T}
+        edges AS MATERIALIZED (
+            SELECT c.a, c.b
+            FROM lshcand c
+            JOIN e ea ON ea.vec_id = c.a
+            JOIN e eb ON eb.vec_id = c.b
+            WHERE round(list_dot_product(ea.v, eb.v)
+                  / (sqrt(list_dot_product(ea.v, ea.v))
+                     * sqrt(list_dot_product(eb.v, eb.v))), 6) >= {COSINE_T}
         ),
-        und AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges)
+        und AS MATERIALIZED (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges)
     """
 
 
