@@ -619,10 +619,26 @@ def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.storagelevel import StorageLevel
 
     banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
-    a = banded.select(F.col("vec_id").alias("vec_a"), "band", "val")
-    b = banded.select(F.col("vec_id").alias("vec_b"), "band", "val")
+    # salted self-join (result-identical, no oracle change): with 4-bit
+    # bands there are only 64 (band, val) join keys, so the largest
+    # bucket's pair expansion lands on ONE task and grows quadratically
+    # with N (measured: a single straggler core at sf5 / 100k vectors while
+    # 31 idle — a skew AQE cannot split because it is a single key).
+    # Splitting the left side by vec_id % R and replicating the id-only
+    # right side R ways multiplies join keys to 64*R at the cost of R×
+    # the (16-byte) right rows.
+    salt_r = 8
+    a = banded.select(
+        F.col("vec_id").alias("vec_a"),
+        "band",
+        "val",
+        F.pmod(F.col("vec_id"), F.lit(salt_r)).alias("salt"),
+    )
+    b = banded.select(F.col("vec_id").alias("vec_b"), "band", "val").withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(salt_r)]))
+    )
     pairs = (
-        a.join(b, ["band", "val"])
+        a.join(b, ["band", "val", "salt"])
         .where(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b")
         .dropDuplicates(["vec_a", "vec_b"])
