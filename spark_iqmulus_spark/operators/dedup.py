@@ -590,7 +590,7 @@ def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(Σ bucket²); full oracle hash check (the md5-derived hyperplanes are
     engine-neutral), recall vs the exact pair set additionally asserted in
     tests/test_operators.py."""
-    from .similarity import lsh_signatures
+    from .similarity import LSH_BANDS, lsh_signatures
 
     t = load_tables(spark, sf_dir)
     e = t["embeddings"].select("vec_id", "embedding")
@@ -637,8 +637,16 @@ def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = banded.select(F.col("vec_id").alias("vec_b"), "band", "val").withColumn(
         "salt", F.explode(F.array(*[F.lit(i) for i in range(salt_r)]))
     )
+    # explicit repartition on the salted key: the id-only join INPUT is a
+    # few MB, so AQE's input-size-based coalescing folds it into a handful
+    # of partitions — but the pair expansion happens in the join's OUTPUT,
+    # which coalescing cannot see, recreating the one-task straggler the
+    # salt exists to split.  A user-specified repartition(n, keys) is
+    # exempt from AQE coalescing, pinning one partition per salted bucket.
+    n_part = 16 * LSH_BANDS * salt_r
     pairs = (
-        a.join(b, ["band", "val", "salt"])
+        a.repartition(n_part, "band", "val", "salt")
+        .join(b.repartition(n_part, "band", "val", "salt"), ["band", "val", "salt"])
         .where(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b")
         .dropDuplicates(["vec_a", "vec_b"])
