@@ -108,9 +108,7 @@ def ngram_pairs(docs: DataFrame, detail: bool = False) -> DataFrame:
 
     With ``detail`` the exact integer intersection / union shingle counts
     are kept alongside the rounded jaccard (for float-free rollups)."""
-    from pyspark.storagelevel import StorageLevel
-
-    sh = _shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = _shingles(docs).localCheckpoint()
     df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     # per-shingle / per-doc frames grow with the corpus — no broadcast
     # hints; AQE broadcasts while small, shuffles when not.
@@ -177,7 +175,7 @@ def dedup_components(pairs: DataFrame, max_rounds: int = 10) -> DataFrame:
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     edges = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).cache()
+    ).localCheckpoint()
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -271,9 +269,7 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
     # 1.9 s for the candidate stage at sf1).  The cached frame is tiny
     # (doc_id + band + bucket-hash per band: ~100 B/doc); MEMORY_AND_DISK
     # spills instead of recomputing at cluster scale.
-    from pyspark.storagelevel import StorageLevel
-
-    exploded = exploded.persist(StorageLevel.MEMORY_AND_DISK)
+    exploded = exploded.localCheckpoint()
     a = exploded.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
     b = exploded.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
     return (
@@ -282,6 +278,23 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
+
+
+def candidate_bounded_shingles(sh: DataFrame, cand: DataFrame) -> DataFrame:
+    """Semi-join the shingle set down to documents appearing in some LSH
+    candidate pair — the LeftSemi bound that keeps minhash verification
+    linear in candidates (never the all-pairs shingle self-join).
+
+    Returned UN-checkpointed so the LeftSemi stays visible in the physical
+    plan for ``tests/test_plans.py::test_minhash_verify_is_candidate_bounded``;
+    ``q_dedup_minhash`` eagerly checkpoints the result (the bound then
+    executes inside the checkpoint job)."""
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    return sh.join(cand_ids, "doc_id", "left_semi")
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -303,20 +316,11 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     #    — cost Σ_pairs |shingles(a)|, linear in candidates, never the
     #    all-pairs shingle self-join (which would be quadratic and make the
     #    banding decorative).
-    cand_ids = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .union(cand.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    # persist the candidate-bounded shingle set: it feeds the sizes
+    # localCheckpoint the candidate-bounded shingle set: it feeds the sizes
     # aggregate AND both sides of the intersection join — three consumers,
     # and recomputing it means re-tokenizing the candidate documents each
     # time (same no-ReusedExchange trap as lsh_candidate_pairs)
-    from pyspark.storagelevel import StorageLevel
-
-    sh_c = sh.join(cand_ids, "doc_id", "left_semi").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    sh_c = candidate_bounded_shingles(sh, cand).localCheckpoint()
     sizes = sh_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh_c.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh_c.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -389,11 +393,9 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    # persist: sh feeds df_counts, both delta/corpus shingle branches and
+    # localCheckpoint: sh feeds df_counts, both delta/corpus shingle branches and
     # the sizes aggregate — five consumers, no ReusedExchange between them
-    from pyspark.storagelevel import StorageLevel
-
-    sh = _shingles(t["documents"]).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = _shingles(t["documents"]).localCheckpoint()
     df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     sh_f = sh.join(df_counts.where(F.col("df") <= MAX_DF).select("shingle"), "shingle")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
@@ -527,11 +529,9 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("cv"),
     ).select("doc_id", "simhash", "cv.chunk", "cv.val")
-    # persist: both self-join sides derive from chunks and Spark plans no
+    # localCheckpoint: both self-join sides derive from chunks and Spark plans no
     # ReusedExchange, so the md5-bit fingerprint pipeline would run twice
-    from pyspark.storagelevel import StorageLevel
-
-    chunks = chunks.persist(StorageLevel.MEMORY_AND_DISK)
+    chunks = chunks.localCheckpoint()
     a = chunks.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "chunk", "val"
     )
@@ -614,11 +614,9 @@ def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = sigs.select("vec_id", F.explode(bands).alias("bb")).select(
         "vec_id", "bb.band", "bb.val"
     )
-    # persist: both self-join sides derive from banded (no ReusedExchange —
+    # localCheckpoint: both self-join sides derive from banded (no ReusedExchange —
     # the hyperplane-projection signatures would compute twice)
-    from pyspark.storagelevel import StorageLevel
-
-    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    banded = banded.localCheckpoint()
     # salted self-join (result-identical, no oracle change): with 4-bit
     # bands there are only 64 (band, val) join keys, so the largest
     # bucket's pair expansion lands on ONE task and grows quadratically
@@ -656,9 +654,16 @@ def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = _dot(F.col("ea"), F.col("eb")) / (
         F.sqrt(_dot(F.col("ea"), F.col("ea"))) * F.sqrt(_dot(F.col("eb"), F.col("eb")))
     )
+    # NO explicit broadcast hint on the vector join-back: F.broadcast
+    # bypasses the size threshold, and at the corpus scales the salted join
+    # above targets a forced full-embeddings broadcast risks driver/executor
+    # OOM (ADVICE r6).  Unhinted, AQE broadcasts while the table is under
+    # autoBroadcastJoinThreshold and falls back to a shuffled hash join
+    # beyond it — the shuffle stays cheap because `pairs` carries only
+    # 16-byte id pairs into each join and embeddings shuffle O(N) rows once.
     return (
-        pairs.join(F.broadcast(ea), "vec_a")
-        .join(F.broadcast(eb), "vec_b")
+        pairs.join(ea, "vec_a")
+        .join(eb, "vec_b")
         .withColumn("cos", F.round(cos, 6))
         .where(F.col("cos") >= COSINE_T)
         .select("vec_a", "vec_b", "cos")

@@ -150,11 +150,9 @@ def q_sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = sigs.select(
         "vec_id", "embedding", F.explode(bands).alias("bb")
     ).select("vec_id", "embedding", "bb.band", "bb.val")
-    # persist: the corpus side AND the broadcast query side both derive
+    # localCheckpoint: the corpus side AND the broadcast query side both derive
     # from banded; without it the signature pipeline executes twice
-    from pyspark.storagelevel import StorageLevel
-
-    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    banded = banded.localCheckpoint()
 
     queries = banded.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),

@@ -252,12 +252,10 @@ def _structure_sums(pts: DataFrame, radius: float) -> DataFrame:
     ``(pid, n_nb, sx, sy, sxx, sxy, syy)`` for points with >= 3
     neighborhood members.  Two shuffles total; integer-valued coordinates
     keep every double sum exact (and therefore engine-portable)."""
-    # persist: pairs feeds BOTH direction projections of the union and
+    # localCheckpoint: pairs feeds BOTH direction projections of the union and
     # Spark plans no ReusedExchange across them — without this the whole
     # grid-bucketed radius join executes twice
-    from pyspark.storagelevel import StorageLevel
-
-    pairs = radius_join(pts, radius).persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = radius_join(pts, radius).localCheckpoint()
     # undirected neighbor relation, plus each point as its own neighbor
     nb = (
         pairs.select(F.col("pa").alias("pid"), F.col("pb").alias("nb"))
@@ -494,9 +492,7 @@ def statistical_outlier_removal(
     cross-join — the cloud itself shuffles once, on the cell key.  Input
     ``(pid, x, y)``; returns the inlier subset with ``mean_d``.
     """
-    from pyspark.storagelevel import StorageLevel
-
-    pairs = radius_join(pts, radius).persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = radius_join(pts, radius).localCheckpoint()
     per_pt = (
         pairs.select(F.col("pa").alias("pid"), "d")
         .union(pairs.select(F.col("pb").alias("pid"), "d"))
@@ -717,9 +713,7 @@ def knn_within(pts: DataFrame, radius: float, k: int) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    from pyspark.storagelevel import StorageLevel
-
-    pairs = radius_join(pts, radius).persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = radius_join(pts, radius).localCheckpoint()
     directed = pairs.select(
         F.col("pa").alias("pid"), F.col("pb").alias("nid"), "d"
     ).unionAll(
@@ -1561,11 +1555,7 @@ def mls_residuals(pts: DataFrame, radius: float) -> DataFrame:
 
     Input ``(pid, x, y, z)``; output ``(pid, n_nb, residual)`` for
     points with >= 3 neighborhood members."""
-    from pyspark.storagelevel import StorageLevel
-
-    pairs = radius_join(pts.select("pid", "x", "y"), radius).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    pairs = radius_join(pts.select("pid", "x", "y"), radius).localCheckpoint()
     nb = (
         pairs.select(F.col("pa").alias("pid"), F.col("pb").alias("nb"))
         .union(pairs.select(F.col("pb").alias("pid"), F.col("pa").alias("nb")))

@@ -393,16 +393,14 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     t = load_tables(spark, sf_dir)
-    from pyspark.storagelevel import StorageLevel
-
     tf = (
         t["documents"]
         .select("doc_id", F.explode(_tokens()).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        # persist: tf feeds both the df aggregate and the scored join —
+        # localCheckpoint: tf feeds both the df aggregate and the scored join —
         # without it the tokenize+count pipeline runs twice
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
     )
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = t["documents"].agg(F.count(F.lit(1)).cast("double").alias("n_docs"))

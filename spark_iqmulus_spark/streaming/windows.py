@@ -260,13 +260,18 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            # fixed-point cents BEFORE the sum: per-group double sums are
+            # order-dependent across engines once magnitudes grow; summing
+            # integer cents (floor(x*100+0.5), pure double + JVM floor) is
+            # exact and hash-stable — the same convention as the relational
+            # family (ADVICE r6).
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5))).alias("sum_cents"),
         )
         .select(
             F.date_format("w.start", _TS_FMT).alias("window_start"),
             "c_mktsegment",
             "n",
-            "sum_value",
+            "sum_cents",
         )
     )
     name = f"q_stream_enrich_{uuid.uuid4().hex[:8]}"
@@ -415,7 +420,8 @@ ORACLES = {
         SELECT {_TS_ORACLE.format(c="date_trunc('hour', e.ts)")} AS window_start,
                c.c_mktsegment,
                count(*) AS n,
-               round(sum(e.value), 4) AS sum_value
+               CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS sum_cents
         FROM events e JOIN customer c ON e.user_id = c.c_custkey
         GROUP BY 1, 2
     """,

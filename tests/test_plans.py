@@ -309,11 +309,25 @@ def test_minhash_verify_is_candidate_bounded(spark, tables):
     set: shingles are semi-joined down to candidate doc_ids before any
     intersection join (a plan without the LeftSemi would be the all-pairs
     shingle self-join — quadratic, making the banding decorative)."""
-    from spark_iqmulus_spark.operators.dedup import q_dedup_minhash
+    from spark_iqmulus_spark.operators.dedup import (
+        _shingles,
+        candidate_bounded_shingles,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        q_dedup_minhash,
+    )
+    from spark_iqmulus_spark.session import load_tables
 
-    p = plan_text(q_dedup_minhash(spark, SF_DIR))
-    assert "LeftSemi" in p
+    # the bound itself: pinned on the un-checkpointed helper frame (the
+    # query eagerly checkpoints it, which hides the LeftSemi from the final
+    # plan text but still executes it inside the checkpoint job)
+    docs = load_tables(spark, SF_DIR)["documents"]
+    bounded = candidate_bounded_shingles(
+        _shingles(docs), lsh_candidate_pairs(minhash_signatures(docs))
+    )
+    assert "LeftSemi" in plan_text(bounded)
     # no cartesian product anywhere in the verify pipeline
+    p = plan_text(q_dedup_minhash(spark, SF_DIR))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
 
