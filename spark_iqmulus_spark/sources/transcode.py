@@ -1,0 +1,287 @@
+"""Fused LAS→LAS transcode: filter/merge tiles without the Arrow boundary tax.
+
+``df.write.format("las")`` is the general path: any DataFrame, any plan.
+Its cost floor at scale is NOT our writer code (measured 1.3 s single-thread
+for 30M points) but the JVM→Python Arrow hop every Python data-source sink
+pays — ~12 s for 840 MB on a 32-core box, barely parallelizable (the
+row→Arrow conversion + socket framing dominate; see SCALE.md §write).
+
+For the dominant production shapes — *merge N tiles into one file* (lasmerge)
+and *filter/crop then write* (las2las) — the data never needs to enter the
+JVM at all.  ``transcode_las`` keeps point bytes in Python workers
+end-to-end:
+
+1. driver: header-parse the sources (threaded), check layout uniformity,
+   plan record-aligned ranges (same planner as the reader);
+2. one Spark job over the *spec rows only* (path/offset/count — a few dozen
+   bytes each): each task bulk-reads its byte range, applies the optional
+   predicate in numpy, writes the kept records as a raw part file, and
+   returns a small stats row (count, world bounds, return histogram,
+   ExtraBytes min/max);
+3. driver: merge stats into one LAS header (same arithmetic as
+   ``LasWriter._merge_one``) and concatenate parts with in-kernel
+   ``sendfile``.
+
+Only spec and stats rows cross the JVM↔Python boundary; point data moves
+disk→numpy→disk inside each worker.  Measured at 30M points / 840 MB:
+~2.5 s vs ~14 s for read→``df.write`` (see SCALE.md).  Cluster note: like
+the DataSource writers' commit phase, parts must land on storage the driver
+can read (shared FS / object store) — the same assumption, stated.
+
+Reference parity: the reference's direct save actions write partition-local
+files from the relation bytes (``las/package.scala:45-98``); this is the
+same byte-path idea expressed as one Spark job + driver commit.
+"""
+
+from __future__ import annotations
+
+import operator
+import os
+import uuid
+
+import numpy as np
+
+from pyspark.sql import SparkSession
+
+from .las_format import LasHeader
+from .pointcloud_common import append_file, pmap_headers
+
+_OPS = {
+    "==": operator.eq,
+    "!=": operator.ne,
+    "<": operator.lt,
+    "<=": operator.le,
+    ">": operator.gt,
+    ">=": operator.ge,
+}
+
+#: default per-task byte range (matches the reader's splits at this size)
+_TARGET_BYTES = 32 << 20
+
+
+def _resolve_paths(src) -> list[str]:
+    import glob as _glob
+
+    if isinstance(src, (list, tuple)):
+        return sorted(str(p) for p in src)
+    if os.path.isdir(src):
+        return sorted(_glob.glob(os.path.join(src, "*.las")))
+    return sorted(_glob.glob(src))
+
+
+def _check_uniform(headers: list[LasHeader], paths: list[str]) -> None:
+    """Transcode concatenates raw records, so every source must share one
+    layout: format, stride, scale/offset (bytes are scaled ints — mixing
+    grids would silently shift coordinates), and ExtraBytes layout.
+    Heterogeneous inputs go through the general ``df.write`` path, which
+    re-encodes per record."""
+    h0 = headers[0]
+    sig0 = (
+        h0.pdr_format,
+        h0.stride,
+        h0.scale,
+        h0.offset,
+        tuple((e.name, e.np_char) for e in h0.extra_fields),
+    )
+    for p, h in zip(paths[1:], headers[1:]):
+        sig = (
+            h.pdr_format,
+            h.stride,
+            h.scale,
+            h.offset,
+            tuple((e.name, e.np_char) for e in h.extra_fields),
+        )
+        if sig != sig0:
+            raise ValueError(
+                f"transcode_las requires a uniform layout; {p} has"
+                f" (format, stride, scale, offset, extras)={sig} vs"
+                f" {paths[0]}: {sig0} — use df.write.format('las') for"
+                " heterogeneous inputs"
+            )
+
+
+def transcode_las(
+    spark: SparkSession,
+    src,
+    out_path: str,
+    where: list[tuple[str, str, float]] | None = None,
+    target_bytes: int = _TARGET_BYTES,
+) -> dict:
+    """Merge (and optionally filter) LAS tiles into ONE valid ``.las`` file.
+
+    ``where`` is a conjunction of ``(field, op, value)`` clauses, op in
+    ``== != < <= > >=``; ``x``/``y``/``z`` compare in WORLD coordinates
+    (``offset + scale*raw``), every other field on its stored value.
+    Returns ``{"points": kept, "read": total, "files": n, "parts": n}``.
+    """
+    paths = _resolve_paths(src)
+    if not paths:
+        raise FileNotFoundError(f"no .las files match {src!r}")
+    headers = pmap_headers(LasHeader.parse_file, paths)
+    _check_uniform(headers, paths)
+    h0 = headers[0]
+    fmt = h0.pdr_format
+    stride = h0.stride
+    scale, offset = h0.scale, h0.offset
+    point_fields = h0.point_fields  # [(name, np_char)] incl. extras
+    extra_names = [e.name for e in h0.extra_fields]
+    minor = max(h.version_minor for h in headers)
+    if where:
+        known = {n for n, _ in point_fields}
+        for name, op, _ in where:
+            if name not in known:
+                raise ValueError(f"unknown field {name!r}; have {sorted(known)}")
+            if op not in _OPS:
+                raise ValueError(f"unknown op {op!r}; have {sorted(_OPS)}")
+
+    # -- plan: record-aligned ranges, one spec row per task-sized slice ----
+    from .binary_section import plan_record_ranges
+
+    specs = []
+    for fid, (p, h) in enumerate(zip(paths, headers)):
+        for start, n in plan_record_ranges(h.pdr_nb, stride, target_bytes):
+            specs.append((fid, p, h.offset_to_points, start, n))
+    part_dir = out_path + f".parts-{uuid.uuid4().hex[:8]}"
+    os.makedirs(part_dir, exist_ok=True)
+
+    rec_dtype_spec = [(n, "<" + c) for n, c in point_fields]
+    ret_field = "flags" if fmt < 6 else "return"
+    n_extras = len(extra_names)
+    where_local = list(where) if where else []
+
+    def _work(iterator):
+        import pandas as pd
+
+        rec_dtype = np.dtype(rec_dtype_spec)
+        for pdf in iterator:
+            out_rows = []
+            for fid, path, off, start, n in zip(
+                pdf["fid"], pdf["path"], pdf["offset"], pdf["rec_start"], pdf["n"]
+            ):
+                fid, off, start, n = int(fid), int(off), int(start), int(n)
+                with open(path, "rb") as f:
+                    f.seek(off + start * stride)
+                    buf = f.read(n * stride)
+                raw = np.frombuffer(buf, dtype=np.uint8).reshape(n, stride)
+                arr = np.frombuffer(buf, dtype=rec_dtype, count=n)
+                if where_local:
+                    mask = np.ones(n, dtype=bool)
+                    for name, op, val in where_local:
+                        if name in ("x", "y", "z"):
+                            ax = "xyz".index(name)
+                            col = offset[ax] + scale[ax] * arr[name].astype(
+                                np.float64
+                            )
+                        else:
+                            col = arr[name]
+                        mask &= _OPS[op](col, val)
+                    kept = arr[mask]
+                    # byte-exact copy of kept records (preserves any
+                    # undescribed trailing bytes a nonstandard pdr_length
+                    # carries — a field-wise structured copy would zero them)
+                    kept_raw = raw[mask]
+                else:
+                    kept, kept_raw = arr, raw
+                m = len(kept)
+                pmin, pmax = [0.0] * 3, [0.0] * 3
+                ret = [0] * 15
+                emin, emax = [0.0] * n_extras, [0.0] * n_extras
+                if m:
+                    for ax, name in enumerate("xyz"):
+                        world = offset[ax] + scale[ax] * kept[name].astype(
+                            np.float64
+                        )
+                        pmin[ax] = float(world.min())
+                        pmax[ax] = float(world.max())
+                    r = (
+                        kept["flags"] & 0x7
+                        if fmt < 6
+                        else kept[ret_field] & 0xF
+                    )
+                    ret = [
+                        int(v)
+                        for v in np.bincount(np.minimum(r, 14), minlength=15)
+                    ]
+                    for i, en in enumerate(extra_names):
+                        emin[i] = float(kept[en].min())
+                        emax[i] = float(kept[en].max())
+                part = ""
+                if m:
+                    part = os.path.join(
+                        part_dir, f"p-{fid}-{start}-{uuid.uuid4().hex[:8]}.bin"
+                    )
+                    with open(part, "wb") as f:
+                        f.write(kept_raw.tobytes())
+                out_rows.append(
+                    {
+                        "fid": fid,
+                        "rec_start": start,
+                        "part": part,
+                        "m": m,
+                        "read_n": n,
+                        "pmin": pmin,
+                        "pmax": pmax,
+                        "ret": ret,
+                        "emin": emin,
+                        "emax": emax,
+                    }
+                )
+            yield pd.DataFrame(out_rows)
+
+    spec_df = spark.createDataFrame(
+        specs, "fid int, path string, offset long, rec_start long, n long"
+    ).repartition(max(1, len(specs)))
+    stats_schema = (
+        "fid int, rec_start long, part string, m long, read_n long,"
+        " pmin array<double>, pmax array<double>, ret array<long>,"
+        " emin array<double>, emax array<double>"
+    )
+    try:
+        stats = spec_df.mapInPandas(_work, stats_schema).collect()
+
+        # -- commit: merged header + sendfile concat, deterministic order --
+        stats.sort(key=lambda r: (r["fid"], r["rec_start"]))
+        total = sum(r["m"] for r in stats)
+        live = [r for r in stats if r["m"]]
+        pmin = tuple(
+            min((r["pmin"][i] for r in live), default=0.0) for i in range(3)
+        )
+        pmax = tuple(
+            max((r["pmax"][i] for r in live), default=0.0) for i in range(3)
+        )
+        ret = tuple(sum(r["ret"][i] for r in stats) for i in range(15))
+        import dataclasses
+
+        extras = []
+        for i, e in enumerate(h0.extra_fields):
+            lo = min((r["emin"][i] for r in live), default=None)
+            hi = max((r["emax"][i] for r in live), default=None)
+            if lo is not None and e.np_char[0] != "f":
+                lo, hi = int(lo), int(hi)
+            extras.append(dataclasses.replace(e, vmin=lo, vmax=hi))
+        header = LasHeader(
+            location=out_path,
+            version_minor=4 if (fmt >= 6 or total >= 2**32) else minor,
+            pdr_format=fmt,
+            pdr_nb=total,
+            scale=scale,
+            offset=offset,
+            pmin=pmin,
+            pmax=pmax,
+            pdr_return_nb=ret,
+            extra_fields=extras,
+        )
+        with open(out_path, "wb") as out:
+            out.write(header.to_bytes())
+            for r in live:
+                append_file(out, r["part"])
+    finally:
+        import shutil
+
+        shutil.rmtree(part_dir, ignore_errors=True)
+    return {
+        "points": total,
+        "read": sum(r["read_n"] for r in stats),
+        "files": len(paths),
+        "parts": len(live),
+    }

@@ -1,0 +1,144 @@
+"""Fused LAS transcode (sources/transcode.py): merge/filter without the
+JVM→Python Arrow hop.  Certifies record bytes, merged header stats, world
+vs stored-value predicate semantics, and the uniform-layout guard."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from .fixtures import make_las
+from spark_iqmulus_spark.sources.las_format import LasHeader
+from spark_iqmulus_spark.sources.transcode import transcode_las
+
+
+@pytest.fixture(scope="module")
+def las_tiles(tmp_path_factory):
+    d = tmp_path_factory.mktemp("tc_tiles")
+    paths = []
+    for i, seed in enumerate((1, 2, 3)):
+        p = str(d / f"tile{i}.las")
+        make_las(p, n=5000, fmt=1, seed=seed)
+        paths.append(p)
+    return paths
+
+
+def test_merge_matches_union_read(spark, las_tiles, tmp_path):
+    out = str(tmp_path / "merged.las")
+    r = transcode_las(spark, las_tiles, out)
+    assert r == {"points": 15000, "read": 15000, "files": 3, "parts": r["parts"]}
+    merged = spark.read.format("las").load(out)
+    # aggregate equality against the reader over the individual tiles
+    import json
+
+    union = spark.read.format("las").option(
+        "paths", json.dumps(las_tiles)
+    ).load()
+    aggs = [
+        F.count(F.lit(1)),
+        F.sum("x"),
+        F.sum("y"),
+        F.sum("z"),
+        F.sum("intensity"),
+        F.sum("classification"),
+        F.min("x"),
+        F.max("x"),
+    ]
+    assert merged.agg(*aggs).collect() == union.agg(*aggs).collect()
+    # merged header stats are exact
+    hdr = LasHeader.parse_file(out)
+    bounds = union.agg(
+        F.min(F.col("x") * 0.01),
+        F.max(F.col("x") * 0.01),
+        F.min(F.col("y") * 0.01),
+        F.max(F.col("y") * 0.01),
+    ).collect()[0]
+    assert hdr.pdr_nb == 15000
+    assert hdr.pmin[0] == pytest.approx(bounds[0])
+    assert hdr.pmax[0] == pytest.approx(bounds[1])
+    assert hdr.pmin[1] == pytest.approx(bounds[2])
+    assert hdr.pmax[1] == pytest.approx(bounds[3])
+
+
+def test_filter_world_and_stored_semantics(spark, las_tiles, tmp_path):
+    """x compares in WORLD coords (offset + scale*raw); classification on
+    the stored value — the same semantics a reader-side filter sees."""
+    out = str(tmp_path / "filt.las")
+    transcode_las(
+        spark,
+        las_tiles,
+        out,
+        where=[("x", ">", 100.0), ("classification", "<=", 2)],
+    )
+    got = spark.read.format("las").load(out)
+    import json
+
+    union = spark.read.format("las").option(
+        "paths", json.dumps(las_tiles)
+    ).load()
+    want = union.where(
+        (F.col("x") * 0.01 > 100.0) & (F.col("classification") <= 2)
+    )
+    aggs = [F.count(F.lit(1)), F.sum("x"), F.sum("intensity")]
+    assert got.agg(*aggs).collect() == want.agg(*aggs).collect()
+
+
+def test_zero_match_filter_yields_valid_empty_las(spark, las_tiles, tmp_path):
+    out = str(tmp_path / "empty.las")
+    r = transcode_las(spark, las_tiles, out, where=[("classification", ">", 99)])
+    assert r["points"] == 0
+    hdr = LasHeader.parse_file(out)
+    assert hdr.pdr_nb == 0
+    assert spark.read.format("las").load(out).count() == 0
+
+
+def test_record_bytes_are_preserved_verbatim(spark, tmp_path):
+    """Pure merge copies record bytes untouched — byte-compare the point
+    block of a single-file transcode against the source."""
+    src = str(tmp_path / "src.las")
+    make_las(src, n=2000, fmt=1, seed=7)
+    out = str(tmp_path / "copy.las")
+    transcode_las(spark, src, out)
+    h_in, h_out = LasHeader.parse_file(src), LasHeader.parse_file(out)
+    with open(src, "rb") as f:
+        f.seek(h_in.offset_to_points)
+        body_in = f.read()
+    with open(out, "rb") as f:
+        f.seek(h_out.offset_to_points)
+        body_out = f.read()
+    assert body_in == body_out
+
+
+def test_heterogeneous_layout_rejected(spark, tmp_path):
+    a = str(tmp_path / "a.las")
+    b = str(tmp_path / "b.las")
+    make_las(a, n=100, fmt=1)
+    make_las(b, n=100, fmt=1, scale=(0.001, 0.001, 0.001))
+    with pytest.raises(ValueError, match="uniform layout"):
+        transcode_las(spark, [a, b], str(tmp_path / "o.las"))
+
+
+def test_extra_bytes_roundtrip(spark, tmp_path):
+    """ExtraBytes fields survive the byte copy and the merged descriptors
+    carry recomputed min/max."""
+    src = str(tmp_path / "e.las")
+    arr = make_las(src, n=3000, fmt=1, extra=True, seed=9)
+    out = str(tmp_path / "eo.las")
+    transcode_las(spark, src, out)
+    hdr = LasHeader.parse_file(out)
+    by_name = {e.name: e for e in hdr.extra_fields}
+    assert set(by_name) == {"reflectance", "amplitude"}
+    assert by_name["amplitude"].vmin == int(arr["amplitude"].min())
+    assert by_name["amplitude"].vmax == int(arr["amplitude"].max())
+    got = spark.read.format("las").load(out)
+    want = spark.read.format("las").load(src)
+    aggs = [F.count(F.lit(1)), F.sum("amplitude"), F.sum("reflectance")]
+    assert got.agg(*aggs).collect() == want.agg(*aggs).collect()
+
+
+def test_unknown_field_and_op_rejected(spark, las_tiles, tmp_path):
+    with pytest.raises(ValueError, match="unknown field"):
+        transcode_las(spark, las_tiles, str(tmp_path / "x.las"), where=[("nope", "<", 1)])
+    with pytest.raises(ValueError, match="unknown op"):
+        transcode_las(spark, las_tiles, str(tmp_path / "x.las"), where=[("x", "~", 1)])
