@@ -54,9 +54,12 @@ def decode_image(payload: bytes):
         return _decode_ppm(payload)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
+    if payload[:8] == _PNG_SIG:
+        return _decode_png(payload)
     raise NotImplementedError(
         f"unsupported image container (magic {payload[:4]!r}); only "
-        "PPM P6/P3 and uncompressed BMP decode without external libraries"
+        "PPM P6/P3, uncompressed BMP, and non-interlaced 8-bit RGB/RGBA "
+        "PNG decode without external libraries"
     )
 
 
@@ -135,6 +138,161 @@ def _decode_bmp(payload: bytes):
         pix = pix[::-1]
     # BGR(A) → RGB
     return width, height, np.ascontiguousarray(pix[:, :, 2::-1][:, :, :3])
+
+
+#: PNG signature per the public spec (RFC 2083 / W3C PNG)
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(width: int, height: int, pixels, filters=None) -> bytes:
+    """Serialize an ``(height, width, 3)`` uint8 RGB array as a valid
+    non-interlaced 8-bit PNG (zlib is stdlib — no external libraries).
+
+    ``filters`` picks each scanline's filter type (0-4); default cycles
+    through all five so a round-trip exercises every unfilter branch.
+    Forward filtering per the public spec: the stored byte is
+    ``raw - predictor`` mod 256."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if arr.shape != (height, width, 3):
+        raise ValueError(f"pixels shape {arr.shape} != ({height},{width},3)")
+    ch = 3
+    if filters is None:
+        filters = [y % 5 for y in range(height)]
+    raw = arr.reshape(height, width * ch).astype(np.int64)
+    lines = bytearray()
+    prev = np.zeros(width * ch, dtype=np.int64)
+    for y in range(height):
+        ft = int(filters[y])
+        row = raw[y]
+        left = np.concatenate([np.zeros(ch, dtype=np.int64), row[:-ch]])
+        up = prev
+        upleft = np.concatenate([np.zeros(ch, dtype=np.int64), up[:-ch]])
+        if ft == 0:
+            filt = row
+        elif ft == 1:  # Sub
+            filt = row - left
+        elif ft == 2:  # Up
+            filt = row - up
+        elif ft == 3:  # Average
+            filt = row - ((left + up) >> 1)
+        elif ft == 4:  # Paeth
+            p = left + up - upleft
+            pa, pb, pc = abs(p - left), abs(p - up), abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft)
+            )
+            filt = row - pred
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        lines.append(ft)
+        lines += (filt & 255).astype(np.uint8).tobytes()
+        prev = row
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(payload: bytes):
+    """Non-interlaced 8-bit RGB/RGBA PNG per the public spec: chunk walk →
+    zlib-inflate the IDAT stream → per-scanline unfilter (None/Sub/Up
+    vectorized in numpy; Average/Paeth carry a left-dependency so they run
+    an O(width) loop on just those rows).  RGBA alpha is dropped — the
+    :func:`decode_image` contract is ``(h, w, 3)`` RGB."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    width = height = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if typ == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or color not in (2, 6) or interlace != 0:
+                raise NotImplementedError(
+                    f"only non-interlaced 8-bit RGB/RGBA PNG decodes here"
+                    f" (depth={depth}, color_type={color},"
+                    f" interlace={interlace}) — plug in PIL for the rest"
+                )
+            ch = 3 if color == 2 else 4
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG without IHDR")
+    data = zlib.decompress(bytes(idat))
+    stride = width * ch
+    if len(data) != height * (stride + 1):
+        raise ValueError(
+            f"PNG raster is {len(data)} bytes, want {height * (stride + 1)}"
+        )
+    out = np.zeros((height, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(height):
+        ft = data[pos]
+        row = np.frombuffer(data, np.uint8, stride, pos + 1)
+        pos += 1 + stride
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if ft == 0:
+            out[y] = row
+        elif ft == 2:  # Up — uint8 addition wraps mod 256, per spec
+            out[y] = row + prev
+        elif ft == 1:  # Sub — per-channel cumulative sum over pixels
+            r = row.reshape(width, ch).astype(np.int64)
+            out[y] = (np.cumsum(r, axis=0) & 255).astype(np.uint8).reshape(stride)
+        elif ft in (3, 4):  # Average / Paeth: left-dependency → row loop
+            r = row.reshape(width, ch).astype(np.int64)
+            up = prev.reshape(width, ch).astype(np.int64)
+            rec = np.zeros((width, ch), dtype=np.int64)
+            left = np.zeros(ch, dtype=np.int64)
+            upleft = np.zeros(ch, dtype=np.int64)
+            for x in range(width):
+                if ft == 3:
+                    pred = (left + up[x]) >> 1
+                else:
+                    p = left + up[x] - upleft
+                    pa, pb, pc = abs(p - left), abs(p - up[x]), abs(p - upleft)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc),
+                        left,
+                        np.where(pb <= pc, up[x], upleft),
+                    )
+                rec[x] = (r[x] + pred) & 255
+                left = rec[x]
+                upleft = up[x]
+            out[y] = rec.astype(np.uint8).reshape(stride)
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+    pix = out.reshape(height, width, ch)
+    return width, height, np.ascontiguousarray(pix[:, :, :3])
 
 
 def extract_byte_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -266,13 +424,25 @@ def encode_then_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
     payload per doc, then run :func:`decode_image` on the bytes and emit
     per-image features.  This is the production decode shape — binary in,
     fixed feature schema out — with a real (if simple) codec behind it."""
+    yield from _codec_roundtrip(batches, encode_ppm)
+
+
+def encode_then_decode_png(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Same round-trip through the stdlib-zlib PNG codec (filter types
+    cycle 0-4 per scanline, so every unfilter branch runs per image)."""
+    yield from _codec_roundtrip(batches, encode_png)
+
+
+def _codec_roundtrip(
+    batches: Iterator[pd.DataFrame], encoder
+) -> Iterator[pd.DataFrame]:
     import numpy as np
 
     for pdf in batches:
         rows = {k: [] for k in ("doc_id", "source", "width", "height",
                                 "sum_r", "sum_g", "sum_b", "checksum")}
         for doc_id, source in zip(pdf["doc_id"], pdf["source"]):
-            payload = encode_ppm(IMG_W, IMG_H, _synth_pixels(int(doc_id)))
+            payload = encoder(IMG_W, IMG_H, _synth_pixels(int(doc_id)))
             w, h, pix = decode_image(payload)
             flat = pix.reshape(-1, 3).astype(np.int64)
             rows["doc_id"].append(doc_id)
@@ -382,11 +552,31 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_multimodal_decode through the stdlib-zlib PNG codec: per-doc
+    non-interlaced 8-bit RGB PNG (scanline filters cycling 0-4) →
+    ``decode_image`` → per-source pixel rollup.  The oracle is the same
+    pixel recurrence as the PPM decode key, so a filter/unfilter bug,
+    chunk misparse, or inflate drift hash-fails."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "source").repartition("source")
+    feats = docs.mapInPandas(encode_then_decode_png, schema=DECODE_SCHEMA)
+    return feats.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum(F.col("width").cast("long") * F.col("height")).alias("total_px"),
+        F.sum("sum_r").alias("sum_r"),
+        F.sum("sum_g").alias("sum_g"),
+        F.sum("sum_b").alias("sum_b"),
+        F.sum("checksum").alias("sum_checksum"),
+    )
+
+
 QUERIES = {
     "q_multimodal": q_multimodal,
     "q_multimodal_decode": q_multimodal_decode,
     "q_multimodal_frames": q_multimodal_frames,
     "q_multimodal_resize": q_multimodal_resize,
+    "q_multimodal_png": q_multimodal_png,
 }
 
 ORACLES = {
@@ -463,3 +653,7 @@ ORACLES = {
         FROM documents GROUP BY source
     """,
 }
+
+# the PNG key's pixels are the identical synthetic recurrence — the oracle is
+# the PPM decode oracle verbatim (what differs is the codec under test)
+ORACLES["q_multimodal_png"] = ORACLES["q_multimodal_decode"]

@@ -208,11 +208,17 @@ class SmartPointCloudFrame:
     the default trusts them exactly as the reference does).
     """
 
-    def __init__(self, spark, paths, fmt="las", verify=False, **options):
+    def __init__(
+        self, spark, paths, fmt="las", verify=False, manifest_path=None, **options
+    ):
         self._spark = spark
         self._paths = sorted(paths)
         self._fmt = fmt
         self._verify = verify
+        #: PLY/PCD bounds source: a stats-from-data manifest parquet
+        #: (plans/manifest.py) — headers of those formats carry no bounds
+        self._manifest_path = manifest_path
+        self._manifest_df = None
         self._options = options
         self._df = None
 
@@ -258,19 +264,32 @@ class SmartPointCloudFrame:
         return n
 
     def minmax(self, cols=("x", "y", "z")) -> dict:
-        """O(files) world-coordinate MIN/MAX from headers (AggregatePlan
-        semantics, ExtraStrategies.scala:49-76).  LAS only — PLY/PCD
-        headers carry no bounds."""
-        if self._fmt != "las":
-            raise ValueError("header min/max requires LAS (bounds in header)")
-        mm = minmax_from_headers(self._spark, self._paths)
+        """Metadata-only world-coordinate MIN/MAX (AggregatePlan semantics,
+        ExtraStrategies.scala:49-76).
+
+        LAS answers O(files) from headers.  PLY/PCD headers carry no
+        bounds, so those route to the stats-from-data manifest
+        (plans/manifest.py): O(manifest) when ``manifest_path`` points at a
+        written manifest, else ONE distributed stats scan on first use,
+        cached on this frame for every later ``minmax`` call — the Iceberg
+        cost model (pay ingestion once, plan from stats forever)."""
+        if self._fmt == "las":
+            mm = minmax_from_headers(self._spark, self._paths)
+        else:
+            mm = self._manifest_minmax(cols)
         out = {k: v for k, v in mm.items() if k.split("_")[0] in cols}
         if self._verify:
             from pyspark.sql import functions as F
 
             from ..functions.scaled import with_world_coords
 
-            world = with_world_coords(self.toDF())
+            if self._fmt == "las":
+                world = with_world_coords(self.toDF())
+            else:  # PLY/PCD coordinates are already world-valued floats
+                df = self.toDF()
+                world = df.select(
+                    *[F.col(c).cast("double").alias(c) for c in cols]
+                )
             aggs = []
             for c in cols:
                 aggs += [F.min(c).alias(f"{c}_min"), F.max(c).alias(f"{c}_max")]
@@ -285,17 +304,81 @@ class SmartPointCloudFrame:
         return out
 
 
-def smart_las(
-    spark: SparkSession, paths, verify: bool = False, **options
-) -> SmartPointCloudFrame:
-    """The reference-UX entry point: ``smart_las(spark, paths).count()``
-    is O(files); everything else is the normal LAS scan."""
+    def _manifest_minmax(self, cols) -> dict:
+        """PLY/PCD bounds: read the written manifest if given, else run the
+        one-time distributed stats scan (build_manifest_scan) and keep the
+        per-file stats frame for later calls.  The final min/max over
+        O(files) manifest rows is computed driver-side."""
+        from pyspark.sql import functions as F
+
+        from .manifest import build_manifest_scan
+
+        if self._manifest_df is None:
+            if self._manifest_path is not None:
+                self._manifest_df = self._spark.read.parquet(self._manifest_path)
+            else:
+                self._manifest_df = build_manifest_scan(
+                    self._spark, self._paths, fmt=self._fmt, columns=tuple(cols)
+                ).localCheckpoint()
+        m = self._manifest_df
+        aggs = []
+        for c in cols:
+            if f"{c}_min" in m.columns:
+                aggs.append(F.min(f"{c}_min").alias(f"{c}_min"))
+                aggs.append(F.max(f"{c}_max").alias(f"{c}_max"))
+        if not aggs:
+            raise ValueError(
+                f"manifest at {self._manifest_path!r} has no bounds for"
+                f" columns {tuple(cols)}"
+            )
+        return m.agg(*aggs).collect()[0].asDict()
+
+
+_EXT = {"las": ".las", "ply": ".ply", "pcd": ".pcd"}
+
+
+def _glob_fmt(paths, fmt: str) -> list[str]:
     import glob as _glob
     import os as _os
 
     if isinstance(paths, str):
         if _os.path.isdir(paths):
-            paths = _glob.glob(_os.path.join(paths, "*.las"))
-        else:
-            paths = _glob.glob(paths) or [paths]
-    return SmartPointCloudFrame(spark, list(paths), "las", verify, **options)
+            return _glob.glob(_os.path.join(paths, f"*{_EXT[fmt]}"))
+        return _glob.glob(paths) or [paths]
+    return list(paths)
+
+
+def smart_las(
+    spark: SparkSession, paths, verify: bool = False, **options
+) -> SmartPointCloudFrame:
+    """The reference-UX entry point: ``smart_las(spark, paths).count()``
+    is O(files); everything else is the normal LAS scan."""
+    return SmartPointCloudFrame(spark, _glob_fmt(paths, "las"), "las", verify, **options)
+
+
+def smart_scan(
+    spark: SparkSession,
+    paths,
+    fmt: str = "las",
+    verify: bool = False,
+    manifest_path: str | None = None,
+    **options,
+) -> SmartPointCloudFrame:
+    """Format-general metadata-aggregation facade (VERDICT r6 item 4 —
+    generalizes A15 beyond LAS): ``smart_scan(spark, paths, "ply").count()``
+    answers O(files) from headers for LAS/PLY/PCD alike, and ``minmax()``
+    routes to LAS headers or, for PLY/PCD, to the stats-from-data manifest
+    (pass ``manifest_path`` for O(manifest) planning, or let the first call
+    pay the one ingestion scan).  Everything else delegates to the normal
+    scan — reference parity with the opt-in ``Strategy.register()`` UX
+    (``ExtraStrategies.scala:35-76,132-135``)."""
+    if fmt not in _EXT:
+        raise ValueError(f"fmt must be one of {sorted(_EXT)}, got {fmt!r}")
+    return SmartPointCloudFrame(
+        spark,
+        _glob_fmt(paths, fmt),
+        fmt,
+        verify,
+        manifest_path=manifest_path,
+        **options,
+    )

@@ -525,7 +525,61 @@ def test_image_codec_bmp():
     assert (dw, dh) == (w, h)
     np.testing.assert_array_equal(back, pix)
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG\r\n\x1a\n....")
+        decode_image(b"GIF89a......")  # codecs needing external libs
+
+
+def test_image_codec_png():
+    """encode_png → decode_image is identity for every scanline filter
+    type (0-4), RGBA decodes with alpha dropped, and unsupported depth /
+    interlace raise clearly."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from spark_iqmulus_spark.operators.multimodal import (
+        _PNG_SIG,
+        _decode_png,
+        decode_image,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(11)
+    for w, h in ((16, 8), (1, 1), (7, 5)):
+        pix = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        for filters in (None, [0] * h, [1] * h, [2] * h, [3] * h, [4] * h):
+            dw, dh, back = decode_image(encode_png(w, h, pix, filters))
+            assert (dw, dh) == (w, h)
+            np.testing.assert_array_equal(back, pix)
+
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + struct.pack(">I", zlib.crc32(t + d))
+
+    # color type 6 (RGBA): alpha dropped per the (h, w, 3) contract
+    w, h = 5, 4
+    rgba = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+    raw = b"".join(b"\x00" + rgba[y].tobytes() for y in range(h))
+    png6 = (
+        _PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    _, _, back = _decode_png(png6)
+    np.testing.assert_array_equal(back, rgba[:, :, :3])
+
+    with pytest.raises(NotImplementedError):  # 16-bit depth
+        _decode_png(
+            _PNG_SIG
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0))
+            + chunk(b"IEND", b"")
+        )
+    with pytest.raises(NotImplementedError):  # Adam7 interlace
+        _decode_png(
+            _PNG_SIG
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1))
+            + chunk(b"IEND", b"")
+        )
 
 
 def test_multimodal_decode_pipeline(spark):

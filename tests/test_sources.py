@@ -9,7 +9,7 @@ import pytest
 
 from pyspark.sql import functions as F
 
-from .fixtures import make_las, make_ply_xyz, make_xyz_text
+from .fixtures import make_las, make_pcd, make_ply_xyz, make_xyz_text
 
 
 def test_ply_read(spark, tmp_path):
@@ -710,3 +710,55 @@ def test_columns_option_prunes_and_matches(spark, tmp_path):
     pr = spark.read.format("ply").option("columns", '["y"]').load(q)
     assert pr.columns == ["fid", "pid", "y"]
     assert pr.count() == 500
+
+
+def test_smart_scan_all_formats(spark, tmp_path):
+    """smart_scan generalizes the A15 facade beyond LAS: count() is
+    header-answered for LAS/PLY/PCD; minmax() uses LAS headers or the
+    PLY/PCD stats-from-data manifest (written or built on demand), and the
+    answers match the full scan for every format."""
+    from spark_iqmulus_spark.plans.header_catalog import smart_scan
+    from spark_iqmulus_spark.plans.manifest import write_manifest_scan
+
+    las_dir = tmp_path / "las"; las_dir.mkdir()
+    ply_dir = tmp_path / "ply"; ply_dir.mkdir()
+    pcd_dir = tmp_path / "pcd"; pcd_dir.mkdir()
+    for i in range(2):
+        make_las(str(las_dir / f"t{i}.las"), n=1500 + i * 300, fmt=1, seed=i)
+        make_ply_xyz(str(ply_dir / f"t{i}.ply"), n=1200 + i * 100, seed=i)
+        make_pcd(str(pcd_dir / f"t{i}.pcd"), n=900 + i * 50, seed=i)
+
+    import pytest as _pytest
+
+    for fmt, d in (("las", las_dir), ("ply", ply_dir), ("pcd", pcd_dir)):
+        smart = smart_scan(spark, str(d), fmt=fmt, verify=True)
+        scan = smart.toDF()
+        assert smart.count() == scan.count()
+        mm = smart.minmax(("x", "z"))
+        if fmt == "las":
+            from spark_iqmulus_spark.functions.scaled import with_world_coords
+
+            world = with_world_coords(scan)
+        else:
+            world = scan.select(
+                F.col("x").cast("double").alias("x"),
+                F.col("z").cast("double").alias("z"),
+            )
+        truth = world.agg(
+            F.min("x"), F.max("x"), F.min("z"), F.max("z")
+        ).collect()[0]
+        assert mm["x_min"] == _pytest.approx(truth[0])
+        assert mm["x_max"] == _pytest.approx(truth[1])
+        assert mm["z_min"] == _pytest.approx(truth[2])
+        assert mm["z_max"] == _pytest.approx(truth[3])
+
+    # PLY bounds from a WRITTEN manifest: O(manifest) planning, same answer
+    mpath = str(tmp_path / "ply_manifest")
+    ply_paths = sorted(str(p) for p in ply_dir.glob("*.ply"))
+    write_manifest_scan(spark, ply_paths, mpath, fmt="ply", columns=("x", "z"))
+    smart_m = smart_scan(spark, str(ply_dir), fmt="ply", manifest_path=mpath)
+    mm_scan = smart_scan(spark, str(ply_dir), fmt="ply").minmax(("x", "z"))
+    assert smart_m.minmax(("x", "z")) == mm_scan
+
+    with _pytest.raises(ValueError, match="fmt must be"):
+        smart_scan(spark, str(las_dir), fmt="xyz")
