@@ -680,6 +680,12 @@ def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: it is minutes of work with a meaningful denominator.
 RECALL_SAMPLE_FRAC = 0.1
 
+#: broadcast guard for the recall sample (ADVICE r7): at/below this many
+#: sampled vectors the exact-pair BNLJ broadcasts (~100 MB at 200k×64d
+#: float); above it the join switches to the block-replicated shuffled
+#: path — no unbounded embeddings broadcast regardless of corpus size
+RECALL_BROADCAST_CAP = 200_000
+
 #: certified lower bound for embed-LSH recall on the sampled subset — same
 #: loose bound as tests/test_operators.py::test_embed_lsh_recall (synthetic
 #: embeddings are near-orthogonal, so banded LSH recall is modest by design)
@@ -711,13 +717,25 @@ def q_dedup_embed_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = _dot(F.col("ea"), F.col("eb")) / (
         F.sqrt(_dot(F.col("ea"), F.col("ea"))) * F.sqrt(_dot(F.col("eb"), F.col("eb")))
     )
-    # exact pairs on the SAMPLE only — the one place a BNLJ is acceptable,
-    # because the broadcast side is fraction-bounded by construction
-    exact = (
-        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
-        .where(F.round(cos, 6) >= COSINE_T)
-        .select("vec_a", "vec_b")
-    )
+    # exact pairs on the SAMPLE only.  Row-count guard (ADVICE r7): below
+    # the cap the broadcast BNLJ is fine (fraction-bounded side); above it
+    # we must NOT broadcast an unbounded embeddings sample, so switch to a
+    # block-replicated shuffled equi-join — a lands in one of G blocks, b
+    # is replicated to all G, the join key is the block id.  Same pair set,
+    # no driver/executor hash-table holding the whole sample.
+    sample_n = sub.count()
+    if sample_n <= RECALL_BROADCAST_CAP:
+        pairs = a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+    else:
+        g = 64
+        a_blk = a.withColumn("blk", F.pmod(F.hash("vec_a"), F.lit(g)))
+        b_blk = b.withColumn(
+            "blk", F.explode(F.sequence(F.lit(0), F.lit(g - 1)))
+        )
+        pairs = a_blk.join(
+            b_blk, ["blk"]
+        ).where(F.col("vec_a") < F.col("vec_b")).drop("blk")
+    exact = pairs.where(F.round(cos, 6) >= COSINE_T).select("vec_a", "vec_b")
     lsh = q_dedup_embed_lsh(spark, sf_dir).select(
         "vec_a", "vec_b", F.lit(1).alias("hit")
     )

@@ -219,6 +219,7 @@ class SmartPointCloudFrame:
         #: (plans/manifest.py) — headers of those formats carry no bounds
         self._manifest_path = manifest_path
         self._manifest_df = None
+        self._manifest_cols: tuple = ()
         self._options = options
         self._df = None
 
@@ -317,20 +318,34 @@ class SmartPointCloudFrame:
             if self._manifest_path is not None:
                 self._manifest_df = self._spark.read.parquet(self._manifest_path)
             else:
+                self._manifest_cols = tuple(cols)
                 self._manifest_df = build_manifest_scan(
                     self._spark, self._paths, fmt=self._fmt, columns=tuple(cols)
                 ).localCheckpoint()
+        missing = [c for c in cols if f"{c}_min" not in self._manifest_df.columns]
+        if missing and self._manifest_path is not None:
+            # a user-supplied manifest is the source of truth — never
+            # silently drop the columns it lacks
+            raise ValueError(
+                f"manifest at {self._manifest_path!r} has no bounds for"
+                f" columns {tuple(missing)} (requested {tuple(cols)})"
+            )
+        if missing:
+            # the on-demand stats scan was built for an earlier, narrower
+            # column set — rebuild covering the union rather than
+            # returning a dict that silently omits the new columns
+            self._manifest_cols = tuple(
+                dict.fromkeys(tuple(self._manifest_cols) + tuple(cols))
+            )
+            self._manifest_df = build_manifest_scan(
+                self._spark, self._paths, fmt=self._fmt,
+                columns=self._manifest_cols,
+            ).localCheckpoint()
         m = self._manifest_df
         aggs = []
         for c in cols:
-            if f"{c}_min" in m.columns:
-                aggs.append(F.min(f"{c}_min").alias(f"{c}_min"))
-                aggs.append(F.max(f"{c}_max").alias(f"{c}_max"))
-        if not aggs:
-            raise ValueError(
-                f"manifest at {self._manifest_path!r} has no bounds for"
-                f" columns {tuple(cols)}"
-            )
+            aggs.append(F.min(f"{c}_min").alias(f"{c}_min"))
+            aggs.append(F.max(f"{c}_max").alias(f"{c}_max"))
         return m.agg(*aggs).collect()[0].asDict()
 
 

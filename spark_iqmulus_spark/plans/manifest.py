@@ -132,6 +132,11 @@ def update_manifest(
         ],
         "path string, mtime_ns long, size long",
     )
+    # crash recovery: a previous update that died between the two swap
+    # renames leaves the data stranded at '.old' — restore it
+    _old = manifest_path.rstrip("/") + ".old"
+    if not os.path.exists(manifest_path) and os.path.isdir(_old):
+        os.rename(_old, manifest_path)
     manifest = spark.read.parquet(manifest_path)
     fresh_df, kept = _fresh_and_kept(manifest, stats)
     fresh = sorted(r["path"] for r in fresh_df.collect())
@@ -139,12 +144,17 @@ def update_manifest(
         return 0
     new_rows = build_manifest(spark, fresh)
     merged = kept.unionByName(new_rows)
-    # ONE write job to a staging dir, then an atomic directory rename over
-    # the target (the same swap trick streaming/sinks.py uses) — parquet
-    # sources can't append-replace, and the previous write→re-read→write
-    # ran two full jobs where one suffices (VERDICT r6).  kept derives from
-    # the target path, so localCheckpoint breaks that lineage before the
-    # swap invalidates it.
+    # ONE write job to a staging dir, then a rename swap over the target
+    # (the same trick streaming/sinks.py uses) — parquet sources can't
+    # append-replace, and the previous write→re-read→write ran two full
+    # jobs where one suffices (VERDICT r6).  kept derives from the target
+    # path, so localCheckpoint breaks that lineage before the swap
+    # invalidates it.  The swap is TWO renames, not one atomic op (ADVICE
+    # r7): a crash or concurrent reader in the window between them sees no
+    # manifest.  We shrink that window to the two syscalls, restore
+    # old→manifest on a failed second rename, and recover a stranded
+    # '.old' on the next update; concurrent READERS during an update
+    # should be prepared to retry a brief ENOENT.
     import shutil
 
     merged = merged.localCheckpoint()
@@ -153,7 +163,12 @@ def update_manifest(
     old = manifest_path.rstrip("/") + ".old"
     shutil.rmtree(old, ignore_errors=True)
     os.rename(manifest_path, old)
-    os.rename(tmp, manifest_path)
+    try:
+        os.rename(tmp, manifest_path)
+    except OSError:
+        os.rename(old, manifest_path)  # roll back: never leave no manifest
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
     shutil.rmtree(old, ignore_errors=True)
     return len(fresh)
 

@@ -185,7 +185,10 @@ def transcode_las(
                 m = len(kept)
                 pmin, pmax = [0.0] * 3, [0.0] * 3
                 ret = [0] * 15
-                emin, emax = [0.0] * n_extras, [0.0] * n_extras
+                # extras min/max travel as decimal strings so int64 values
+                # beyond 2^53 stay exact (float64/array<double> would round
+                # them, corrupting the read-side file-skip bounds)
+                emin, emax = [""] * n_extras, [""] * n_extras
                 if m:
                     for ax, name in enumerate("xyz"):
                         world = offset[ax] + scale[ax] * kept[name].astype(
@@ -203,8 +206,9 @@ def transcode_las(
                         for v in np.bincount(np.minimum(r, 14), minlength=15)
                     ]
                     for i, en in enumerate(extra_names):
-                        emin[i] = float(kept[en].min())
-                        emax[i] = float(kept[en].max())
+                        # .item() keeps ints exact (no float64 rounding)
+                        emin[i] = repr(kept[en].min().item())
+                        emax[i] = repr(kept[en].max().item())
                 part = ""
                 if m:
                     part = os.path.join(
@@ -234,7 +238,7 @@ def transcode_las(
     stats_schema = (
         "fid int, rec_start long, part string, m long, read_n long,"
         " pmin array<double>, pmax array<double>, ret array<long>,"
-        " emin array<double>, emax array<double>"
+        " emin array<string>, emax array<string>"
     )
     try:
         stats = spec_df.mapInPandas(_work, stats_schema).collect()
@@ -254,10 +258,9 @@ def transcode_las(
 
         extras = []
         for i, e in enumerate(h0.extra_fields):
-            lo = min((r["emin"][i] for r in live), default=None)
-            hi = max((r["emax"][i] for r in live), default=None)
-            if lo is not None and e.np_char[0] != "f":
-                lo, hi = int(lo), int(hi)
+            parse = float if e.np_char[0] == "f" else int
+            lo = min((parse(r["emin"][i]) for r in live), default=None)
+            hi = max((parse(r["emax"][i]) for r in live), default=None)
             extras.append(dataclasses.replace(e, vmin=lo, vmax=hi))
         header = LasHeader(
             location=out_path,

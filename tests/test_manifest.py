@@ -131,6 +131,30 @@ def test_manifest_incremental_update(spark, tile_dir, tmp_path):
     assert row["n_points"] == 50
 
 
+def test_manifest_crash_recovery_from_old(spark, tile_dir, tmp_path):
+    """ADVICE r7: a crash between the two swap renames strands the data at
+    '.old' with no manifest at the target — the next update_manifest must
+    recover it instead of failing on a missing path."""
+    import shutil
+
+    from spark_iqmulus_spark.plans.manifest import (
+        update_manifest,
+        write_manifest,
+    )
+
+    man = str(tmp_path / "man")
+    paths = sorted(os.path.join(tile_dir, f) for f in os.listdir(tile_dir))
+    write_manifest(spark, paths[:2], man)
+    # simulate the mid-swap crash: manifest moved aside, tmp never landed
+    os.rename(man, man + ".old")
+    assert not os.path.exists(man)
+    assert update_manifest(spark, man, paths[:3]) == 1  # recovered + t2 added
+    m = spark.read.parquet(man)
+    assert m.count() == 3
+    assert not os.path.exists(man + ".old")
+    shutil.rmtree(man)
+
+
 def test_update_plan_is_join_based(spark):
     """Plan pin: the incremental update compares and removes via anti-joins
     — the existing manifest is never collected and no literal IN-list of

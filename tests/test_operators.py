@@ -130,6 +130,19 @@ def test_embed_lsh_recall(spark):
     assert lsh <= exact
 
 
+def test_recall_shuffled_fallback_matches_broadcast(spark, monkeypatch):
+    """ADVICE r7: past the broadcast cap the recall certification must
+    switch to the block-replicated shuffled join — and that path must
+    produce the exact same certification row as the broadcast path."""
+    from spark_iqmulus_spark.operators import dedup
+
+    want = dedup.q_dedup_embed_recall(spark, SF).collect()
+    monkeypatch.setattr(dedup, "RECALL_BROADCAST_CAP", 0)
+    got = dedup.q_dedup_embed_recall(spark, SF).collect()
+    assert got == want
+    assert want[0]["n_exact"] > 0  # non-degenerate certification
+
+
 def test_deterministic_sample_stable_and_disjoint(spark):
     """Hash-based sampling must be invariant to partitioning/retries
     (unlike rand()), realize ≈fraction, and give disjoint splits."""

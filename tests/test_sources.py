@@ -760,5 +760,16 @@ def test_smart_scan_all_formats(spark, tmp_path):
     mm_scan = smart_scan(spark, str(ply_dir), fmt="ply").minmax(("x", "z"))
     assert smart_m.minmax(("x", "z")) == mm_scan
 
+    # ADVICE r7: a wider later minmax() must not silently return a dict
+    # missing the new columns' bounds.  On-demand manifests rebuild with
+    # the union of columns; written manifests raise naming the gap.
+    smart_grow = smart_scan(spark, str(ply_dir), fmt="ply")
+    first = smart_grow.minmax(("x", "z"))
+    wider = smart_grow.minmax(("x", "y", "z"))
+    assert set(wider) == {"x_min", "x_max", "y_min", "y_max", "z_min", "z_max"}
+    assert wider["x_min"] == first["x_min"] and wider["z_max"] == first["z_max"]
+    with _pytest.raises(ValueError, match="no bounds for.*'y'"):
+        smart_m.minmax(("x", "y"))
+
     with _pytest.raises(ValueError, match="fmt must be"):
         smart_scan(spark, str(las_dir), fmt="xyz")

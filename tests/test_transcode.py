@@ -137,6 +137,41 @@ def test_extra_bytes_roundtrip(spark, tmp_path):
     assert got.agg(*aggs).collect() == want.agg(*aggs).collect()
 
 
+def test_int64_extra_stats_exact_beyond_2p53(spark, tmp_path):
+    """int64 ExtraBytes min/max must survive the merge EXACTLY — these
+    bounds drive read-side file skipping (las.py::_file_can_match), so a
+    float64 round-trip (which collapses values past 2^53) could wrongly
+    prune a transcoded file.  Stats now travel as decimal strings."""
+    from spark_iqmulus_spark.sources.las_format import (
+        POINT_FORMATS,
+        ExtraField,
+        LasHeader as LH,
+    )
+
+    n = 100
+    lo, hi = 2**62 + 1, 2**62 + 9  # adjacent int64s float64 cannot separate
+    fields = list(POINT_FORMATS[1]) + [("huge", "i8")]
+    dtype = np.dtype([(nm, "<" + ch) for nm, ch in fields])
+    arr = np.zeros(n, dtype=dtype)
+    arr["huge"] = lo + (np.arange(n, dtype=np.int64) % (hi - lo + 1))
+    extras = [ExtraField("huge", "i8", vmin=lo, vmax=hi)]
+    src = str(tmp_path / "big.las")
+    hdr = LH(
+        location=src, version_minor=2, pdr_format=1, pdr_nb=n,
+        scale=(0.01,) * 3, offset=(0.0,) * 3, pmin=(0.0,) * 3,
+        pmax=(0.0,) * 3, pdr_return_nb=(n,) + (0,) * 14,
+        extra_fields=extras,
+    )
+    with open(src, "wb") as f:
+        f.write(hdr.to_bytes())
+        f.write(arr.tobytes())
+    out = str(tmp_path / "big_out.las")
+    transcode_las(spark, src, out)
+    got = {e.name: e for e in LasHeader.parse_file(out).extra_fields}["huge"]
+    assert got.vmin == lo and got.vmax == hi
+    assert float(lo) == float(lo + 2)  # the rounding the fix guards against
+
+
 def test_unknown_field_and_op_rejected(spark, las_tiles, tmp_path):
     with pytest.raises(ValueError, match="unknown field"):
         transcode_las(spark, las_tiles, str(tmp_path / "x.las"), where=[("nope", "<", 1)])
