@@ -143,12 +143,21 @@ def main() -> None:
         # fused transcode (scale path for merge/filter write-backs): same
         # 600k-point file as bench_write_roundtrip, minus the JVM->Python
         # Arrow hop -- the gap between the two IS the hop's cost
-        from spark_iqmulus_spark.sources.transcode import transcode_las
+        from spark_iqmulus_spark.sources.transcode import (
+            transcode_las,
+            transcode_ply,
+        )
 
         def las_transcode():
             transcode_las(spark, las_path, os.path.join(pc_dir, "tc.las"))
 
         results["bench_las_transcode"] = _timed(las_transcode, "bench_las_transcode")
+
+        # the PLY twin over the same point count (round 8)
+        def ply_transcode():
+            transcode_ply(spark, ply_path, os.path.join(pc_dir, "tc.ply"))
+
+        results["bench_ply_transcode"] = _timed(ply_transcode, "bench_ply_transcode")
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -59,13 +59,13 @@ _OPS = {
 _TARGET_BYTES = 32 << 20
 
 
-def _resolve_paths(src) -> list[str]:
+def _resolve_paths(src, ext: str = ".las") -> list[str]:
     import glob as _glob
 
     if isinstance(src, (list, tuple)):
         return sorted(str(p) for p in src)
     if os.path.isdir(src):
-        return sorted(_glob.glob(os.path.join(src, "*.las")))
+        return sorted(_glob.glob(os.path.join(src, f"*{ext}")))
     return sorted(_glob.glob(src))
 
 
@@ -273,6 +273,171 @@ def transcode_las(
             pmax=pmax,
             pdr_return_nb=ret,
             extra_fields=extras,
+        )
+        with open(out_path, "wb") as out:
+            out.write(header.to_bytes())
+            for r in live:
+                append_file(out, r["part"])
+    finally:
+        import shutil
+
+        shutil.rmtree(part_dir, ignore_errors=True)
+    return {
+        "points": total,
+        "read": sum(r["read_n"] for r in stats),
+        "files": len(paths),
+        "parts": len(live),
+    }
+
+
+def transcode_ply(
+    spark: SparkSession,
+    src,
+    out_path: str,
+    where: list[tuple[str, str, float]] | None = None,
+    element: str = "vertex",
+    target_bytes: int = _TARGET_BYTES,
+) -> dict:
+    """Merge (and optionally filter) binary PLY files into ONE ``.ply``.
+
+    The PLY twin of ``transcode_las`` (VERDICT r7 "What's missing" #2):
+    the same fused byte-path — driver plans record-aligned ranges, one
+    Spark job over spec rows bulk-reads/filters/writes raw records inside
+    Python workers, driver writes the merged header and sendfile-concats
+    the parts.  Point bytes never cross the JVM↔Python Arrow boundary.
+
+    ``where`` is a conjunction of ``(property, op, value)`` clauses, op in
+    ``== != < <= > >=``, compared on the stored value (PLY properties ARE
+    world values — no scale/offset grid).  Every source must be binary
+    with the same endianness and an identical property layout for
+    ``element``, and must contain no other non-empty element (faces would
+    need index rebasing; route those through ``df.write.format("ply")``).
+    Returns ``{"points": kept, "read": total, "files": n, "parts": n}``.
+
+    Reference parity: the direct save actions in
+    ``ply/package.scala:40-69`` write relation bytes partition-locally;
+    this expresses the same idea as one Spark job + driver commit.
+    """
+    from .ply_format import PlyElement, PlyHeader, PlyProperty
+
+    paths = _resolve_paths(src, ".ply")
+    if not paths:
+        raise FileNotFoundError(f"no .ply files match {src!r}")
+    headers = pmap_headers(PlyHeader.parse_file, paths)
+
+    # -- uniformity: binary, one endianness, identical element layout ------
+    sigs = []
+    for p, h in zip(paths, headers):
+        if h.is_ascii:
+            raise ValueError(
+                f"transcode_ply requires binary PLY; {p} is ascii — use"
+                " df.write.format('ply') for ascii inputs"
+            )
+        el = h.element(element)
+        if el is None:
+            raise ValueError(f"{p}: no element {element!r}")
+        for other in h.elements:
+            if other.name != element and other.count:
+                raise ValueError(
+                    f"{p}: non-empty element {other.name!r} cannot be"
+                    " merged (index rebasing not supported) — use"
+                    " df.write.format('ply')"
+                )
+        sigs.append(
+            (h.little_endian, tuple((pr.name, pr.np_char) for pr in el.properties))
+        )
+    if len(set(sigs)) > 1:
+        raise ValueError(
+            f"transcode_ply requires a uniform layout; got {set(sigs)} —"
+            " use df.write.format('ply') for heterogeneous inputs"
+        )
+    little, props = sigs[0]
+    endian = "<" if little else ">"
+    el0 = headers[0].element(element)
+    stride = el0.stride
+    if where:
+        known = {n for n, _ in props}
+        for name, op, _ in where:
+            if name not in known:
+                raise ValueError(f"unknown property {name!r}; have {sorted(known)}")
+            if op not in _OPS:
+                raise ValueError(f"unknown op {op!r}; have {sorted(_OPS)}")
+
+    # -- plan: record-aligned ranges over each file's element section ------
+    from .binary_section import plan_record_ranges
+
+    specs = []
+    for fid, (p, h) in enumerate(zip(paths, headers)):
+        sec_off = h.section_offset(element)
+        n_total = h.element(element).count
+        for start, n in plan_record_ranges(n_total, stride, target_bytes):
+            specs.append((fid, p, sec_off, start, n))
+    part_dir = out_path + f".parts-{uuid.uuid4().hex[:8]}"
+    os.makedirs(part_dir, exist_ok=True)
+
+    rec_dtype_spec = [(n, endian + c) for n, c in props]
+    where_local = list(where) if where else []
+
+    def _work(iterator):
+        import pandas as pd
+
+        rec_dtype = np.dtype(rec_dtype_spec)
+        for pdf in iterator:
+            out_rows = []
+            for fid, path, off, start, n in zip(
+                pdf["fid"], pdf["path"], pdf["offset"], pdf["rec_start"], pdf["n"]
+            ):
+                fid, off, start, n = int(fid), int(off), int(start), int(n)
+                with open(path, "rb") as f:
+                    f.seek(off + start * stride)
+                    buf = f.read(n * stride)
+                raw = np.frombuffer(buf, dtype=np.uint8).reshape(n, stride)
+                if where_local:
+                    arr = np.frombuffer(buf, dtype=rec_dtype, count=n)
+                    mask = np.ones(n, dtype=bool)
+                    for name, op, val in where_local:
+                        mask &= _OPS[op](arr[name], val)
+                    kept_raw = raw[mask]
+                else:
+                    kept_raw = raw
+                m = len(kept_raw)
+                part = ""
+                if m:
+                    part = os.path.join(
+                        part_dir, f"p-{fid}-{start}-{uuid.uuid4().hex[:8]}.bin"
+                    )
+                    with open(part, "wb") as f:
+                        f.write(kept_raw.tobytes())
+                out_rows.append(
+                    {
+                        "fid": fid,
+                        "rec_start": start,
+                        "part": part,
+                        "m": m,
+                        "read_n": n,
+                    }
+                )
+            yield pd.DataFrame(out_rows)
+
+    spec_df = spark.createDataFrame(
+        specs, "fid int, path string, offset long, rec_start long, n long"
+    ).repartition(max(1, len(specs)))
+    stats_schema = "fid int, rec_start long, part string, m long, read_n long"
+    try:
+        stats = spec_df.mapInPandas(_work, stats_schema).collect()
+        stats.sort(key=lambda r: (r["fid"], r["rec_start"]))
+        total = sum(r["m"] for r in stats)
+        live = [r for r in stats if r["m"]]
+        header = PlyHeader(
+            location=out_path,
+            little_endian=little,
+            elements=[
+                PlyElement(
+                    element,
+                    total,
+                    [PlyProperty(n, c) for n, c in props],
+                )
+            ],
         )
         with open(out_path, "wb") as out:
             out.write(header.to_bytes())

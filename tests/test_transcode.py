@@ -177,3 +177,105 @@ def test_unknown_field_and_op_rejected(spark, las_tiles, tmp_path):
         transcode_las(spark, las_tiles, str(tmp_path / "x.las"), where=[("nope", "<", 1)])
     with pytest.raises(ValueError, match="unknown op"):
         transcode_las(spark, las_tiles, str(tmp_path / "x.las"), where=[("x", "~", 1)])
+
+
+# ---------------------------------------------------------------------------
+# transcode_ply — the PLY twin (round 8)
+# ---------------------------------------------------------------------------
+
+from .fixtures import make_ply_xyz  # noqa: E402
+from spark_iqmulus_spark.sources.ply_format import PlyHeader  # noqa: E402
+from spark_iqmulus_spark.sources.transcode import transcode_ply  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def ply_tiles(tmp_path_factory):
+    d = tmp_path_factory.mktemp("tcp_tiles")
+    paths = []
+    for i, seed in enumerate((1, 2, 3)):
+        p = str(d / f"tile{i}.ply")
+        make_ply_xyz(p, n=4000 + i * 100, seed=seed)
+        paths.append(p)
+    return paths
+
+
+def test_ply_merge_matches_union_read(spark, ply_tiles, tmp_path):
+    out = str(tmp_path / "merged.ply")
+    r = transcode_ply(spark, ply_tiles, out)
+    assert r["points"] == r["read"] == 12300 and r["files"] == 3
+    merged = spark.read.format("ply").load(out)
+    import json
+
+    union = spark.read.format("ply").option(
+        "paths", json.dumps(ply_tiles)
+    ).load()
+    aggs = [
+        F.count(F.lit(1)),
+        F.sum(F.col("x").cast("double")),
+        F.sum(F.col("y").cast("double")),
+        F.min("z"),
+        F.max("z"),
+    ]
+    assert merged.agg(*aggs).collect() == union.agg(*aggs).collect()
+    hdr = PlyHeader.parse_file(out)
+    assert hdr.element("vertex").count == 12300
+
+
+def test_ply_filter_stored_value_semantics(spark, ply_tiles, tmp_path):
+    out = str(tmp_path / "filt.ply")
+    transcode_ply(spark, ply_tiles, out, where=[("x", ">", 50.0), ("z", "<=", 80.0)])
+    got = spark.read.format("ply").load(out)
+    import json
+
+    union = spark.read.format("ply").option(
+        "paths", json.dumps(ply_tiles)
+    ).load()
+    want = union.where((F.col("x") > 50.0) & (F.col("z") <= 80.0))
+    aggs = [F.count(F.lit(1)), F.sum(F.col("x").cast("double"))]
+    assert got.agg(*aggs).collect() == want.agg(*aggs).collect()
+
+
+def test_ply_record_bytes_preserved_verbatim(spark, tmp_path):
+    src = str(tmp_path / "src.ply")
+    make_ply_xyz(src, n=1500, rgb=True, seed=5)
+    out = str(tmp_path / "copy.ply")
+    transcode_ply(spark, src, out)
+    h_in, h_out = PlyHeader.parse_file(src), PlyHeader.parse_file(out)
+    with open(src, "rb") as f:
+        f.seek(h_in.header_length)
+        body_in = f.read()
+    with open(out, "rb") as f:
+        f.seek(h_out.header_length)
+        body_out = f.read()
+    assert body_in == body_out
+    # rgb properties carried through the layout signature
+    assert [p.name for p in h_out.element("vertex").properties] == [
+        "x", "y", "z", "r", "g", "b",
+    ]
+
+
+def test_ply_zero_match_yields_valid_empty(spark, ply_tiles, tmp_path):
+    out = str(tmp_path / "empty.ply")
+    r = transcode_ply(spark, ply_tiles, out, where=[("x", ">", 1e9)])
+    assert r["points"] == 0
+    assert PlyHeader.parse_file(out).element("vertex").count == 0
+    assert spark.read.format("ply").load(out).count() == 0
+
+
+def test_ply_heterogeneous_and_invalid_rejected(spark, tmp_path):
+    a, b = str(tmp_path / "a.ply"), str(tmp_path / "b.ply")
+    make_ply_xyz(a, n=100)
+    make_ply_xyz(b, n=100, rgb=True)
+    with pytest.raises(ValueError, match="uniform layout"):
+        transcode_ply(spark, [a, b], str(tmp_path / "o.ply"))
+    with pytest.raises(ValueError, match="unknown property"):
+        transcode_ply(spark, a, str(tmp_path / "o.ply"), where=[("nope", "<", 1)])
+    # big-endian merges with big-endian, but not with little
+    c = str(tmp_path / "c.ply")
+    make_ply_xyz(c, n=100, little_endian=False)
+    with pytest.raises(ValueError, match="uniform layout"):
+        transcode_ply(spark, [a, c], str(tmp_path / "o.ply"))
+    out = str(tmp_path / "be.ply")
+    transcode_ply(spark, c, out, where=[("x", "<", 50.0)])
+    got = spark.read.format("ply").load(out)
+    assert got.count() == got.where("x < 50").count()
