@@ -23,6 +23,7 @@ _MODULES = (
     "spark_iqmulus_spark.operators.spatial",
     "spark_iqmulus_spark.operators.dedup",
     "spark_iqmulus_spark.operators.graph",
+    "spark_iqmulus_spark.operators.packing",
     "spark_iqmulus_spark.operators.sampling",
     "spark_iqmulus_spark.operators.similarity",
     "spark_iqmulus_spark.operators.text",

@@ -717,3 +717,52 @@ def test_user_value_anomaly_flags_planted_outlier(spark):
     }
     assert (1, 20) in got          # the spike is caught
     assert all(u != 2 for u, _ in got)  # flat series stays clean
+
+
+def test_pack_sequences_contiguous_and_deterministic(spark):
+    """Packing invariants: per-group offsets tile the token stream with no
+    gaps (max(start+tok) == sum(tok)), boundary-spanning docs are exactly
+    those whose [start, start+tok) crosses a multiple of the budget, and
+    the assignment is invariant to input partitioning (hash-ordered, not
+    row-ordered)."""
+    from pyspark.sql import functions as F
+
+    from spark_iqmulus_spark.operators.packing import (
+        PACK_BUDGET,
+        pack_sequences,
+    )
+    from spark_iqmulus_spark.operators.text import _norm
+    from spark_iqmulus_spark.session import load_tables
+
+    d = load_tables(spark, SF)["documents"].select(
+        "doc_id", F.size(F.split(_norm(), " ")).alias("tok")
+    )
+    p = pack_sequences(d)
+    g = p.groupBy("grp").agg(
+        F.sum("tok").alias("total"),
+        F.max(F.col("start") + F.col("tok")).alias("hi"),
+    )
+    assert all(r["total"] == r["hi"] for r in g.collect())
+    rows = p.collect()
+    for r in rows:
+        crosses = (r["start"] // PACK_BUDGET) != (
+            (r["start"] + r["tok"] - 1) // PACK_BUDGET
+        )
+        assert crosses == (r["seq_last"] > r["seq_first"])
+    again = {
+        r["doc_id"]: (r["grp"], r["start"])
+        for r in pack_sequences(d.repartition(7)).collect()
+    }
+    assert again == {r["doc_id"]: (r["grp"], r["start"]) for r in rows}
+
+
+def test_mix_weights_normalized_and_directional(spark):
+    """Temperature-scaled mixture: weights sum to 1, and sqrt scaling
+    upsamples the tail (smallest source gets oversample > 1) while
+    downsampling the head (largest source < 1)."""
+    from spark_iqmulus_spark.operators.packing import q_mix_weights
+
+    rows = q_mix_weights(spark, SF).collect()
+    assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-4
+    by_tok = sorted(rows, key=lambda r: r["tokens"])
+    assert by_tok[0]["oversample"] > 1.0 > by_tok[-1]["oversample"]
