@@ -680,6 +680,14 @@ def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: it is minutes of work with a meaningful denominator.
 RECALL_SAMPLE_FRAC = 0.1
 
+#: absolute vector-count cap on the recall sample (round 8): the exact
+#: slice is ≤ CAP²/2 ≈ 8M scored pairs regardless of corpus size — the
+#: fraction tightens to CAP/N past N = CAP/FRAC (40k vectors).  4000
+#: sampled vectors keep a statistically meaningful in-sample pair count
+#: while bounding both engines' quadratic work (r7's uncapped tenth OOMed
+#: the sf5 sweep at ~10k sampled vectors × 32 concurrent BNLJ tasks).
+RECALL_SAMPLE_CAP = 4000
+
 #: broadcast guard for the recall sample (ADVICE r7): at/below this many
 #: sampled vectors the exact-pair BNLJ broadcasts (~100 MB at 200k×64d
 #: float); above it the join switches to the block-replicated shuffled
@@ -697,21 +705,28 @@ def q_dedup_embed_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     BOUNDED sample, so q_dedup_embed's O(N²) never has to run at scale
     (VERDICT r6 item 2 — the bound-as-oracle pattern of q_approx_distinct).
 
-    A deterministic md5-sampled tenth of the vectors (engine-neutral:
-    ``substr(md5('er'||vec_id),1,4) < '199a'``) gets the exact all-pairs
-    cosine treatment — O((N/10)²) scored pairs, 100× cheaper than the full
-    baseline; the LSH pair
+    A deterministic md5-sampled subset of the vectors (engine-neutral:
+    ``substr(md5('er'||vec_id),1,4) < thr``) gets the exact all-pairs
+    cosine treatment; the LSH pair
     set (full pipeline, q_dedup_embed_lsh) is probed for each exact
     in-sample pair.  Output: pair counts, recall (1.0 when the sample holds
     no exact pairs), and the certified boolean ``recall_ok`` — all
-    value-hash-checked against a DuckDB reproduction of both pipelines."""
-    from .sampling import _hash_bucket, _threshold
+    value-hash-checked against a DuckDB reproduction of both pipelines.
+
+    The sampled fraction is ``min(0.1, RECALL_SAMPLE_CAP/N)`` — an
+    ENFORCED absolute cap (round 8; r7 OOMed the sf5 sweep here), so the
+    exact slice is at most CAP²/2 pairs no matter the corpus size.  The
+    oracle computes the identical threshold from ``count(*)`` (floor(x +
+    0.5) on both engines — no round() halfway-rule drift), so the sampled
+    sets match hash-exactly at every scale."""
+    from .sampling import _hash_bucket
 
     t = load_tables(spark, sf_dir)
     e = t["embeddings"].select("vec_id", "embedding")
-    sub = e.where(
-        _hash_bucket(F.col("vec_id"), "er") < _threshold(RECALL_SAMPLE_FRAC)
-    )
+    n_vec = e.count()  # O(parquet row-group metadata)
+    frac = min(RECALL_SAMPLE_FRAC, RECALL_SAMPLE_CAP / max(n_vec, 1))
+    thr = format(int(frac * 0x10000 + 0.5), "04x")
+    sub = e.where(_hash_bucket(F.col("vec_id"), "er") < F.lit(thr))
     a = sub.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     b = sub.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     cos = _dot(F.col("ea"), F.col("eb")) / (
@@ -1178,12 +1193,16 @@ ORACLES["q_dedup_embed_lsh"] = _embed_lsh_oracle()
 def _embed_recall_oracle() -> str:
     """DuckDB reproduction of q_dedup_embed_recall: the same banded-LSH
     pair pipeline as _embed_lsh_oracle plus the md5-sampled exact pair set,
-    joined into one (n_exact, n_hit, recall, recall_ok) row."""
-    from .sampling import _threshold
-
+    joined into one (n_exact, n_hit, recall, recall_ok) row.  The sample
+    threshold is computed from count(*) with the same floor(x+0.5)
+    arithmetic as the Spark side (RECALL_SAMPLE_CAP)."""
     from .similarity import _lsh_banded_cte
 
-    thr = _threshold(RECALL_SAMPLE_FRAC)
+    thr = (
+        "(SELECT printf('%04x', CAST(floor(LEAST("
+        f"{RECALL_SAMPLE_FRAC}, {float(RECALL_SAMPLE_CAP)} / count(*))"
+        " * 65536 + 0.5) AS INT)) FROM e)"
+    )
     ratio = "CASE WHEN n_exact = 0 THEN 1.0 ELSE CAST(n_hit AS DOUBLE) / n_exact END"
     return _lsh_banded_cte() + f"""
         , cand AS (
@@ -1199,7 +1218,7 @@ def _embed_recall_oracle() -> str:
                            * sqrt(list_dot_product(eb.v, eb.v))), 6) >= {COSINE_T}
         ), sub AS (
             SELECT vec_id, v FROM e
-            WHERE substr(md5('er' || CAST(vec_id AS VARCHAR)), 1, 4) < '{thr}'
+            WHERE substr(md5('er' || CAST(vec_id AS VARCHAR)), 1, 4) < {thr}
         ), ex AS (
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
             FROM sub a JOIN sub b ON a.vec_id < b.vec_id
