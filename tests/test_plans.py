@@ -400,3 +400,20 @@ def test_rangeimage_plan_single_aggregate(spark, tables):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Join" not in plan
     assert plan.count("+- Exchange") <= 1  # the single pixel-key shuffle
+
+
+def test_pack_sequences_window_is_group_partitioned(spark, tables):
+    """Sequence packing must never run a GLOBAL window (single-partition
+    prefix sum = the serial bottleneck the 16-group design removes): the
+    Window exchange partitions by grp, and no SinglePartition exchange
+    appears anywhere in the plan."""
+    from pyspark.sql import functions as F
+
+    from spark_iqmulus_spark.operators.packing import pack_sequences
+
+    d = tables["documents"].select(
+        "doc_id", F.length("text").alias("tok")
+    )
+    txt = plan_text(pack_sequences(d))
+    assert "SinglePartition" not in txt
+    assert "hashpartitioning(grp" in txt
