@@ -411,10 +411,41 @@ def q_ply_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_las2ply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused cross-format conversion (round 8): LAS tiles → ONE binary PLY
+    with world-coordinate doubles, filtered, entirely inside Python
+    workers (``transcode.py::transcode_las_to_ply`` — the shape where the
+    general ``read("las")→write("ply")`` pays the Arrow hop twice).  The
+    read-back aggregate certifies the decode→convert→encode chain against
+    the ``part`` oracle."""
+    register_sources(spark)
+    from ..sources.transcode import transcode_las_to_ply
+
+    key = (sf_dir, "las2ply")
+    if key not in _CACHE or not os.path.exists(_CACHE[key]):
+        out = os.path.join(tempfile.mkdtemp(prefix="pc_l2p_"), "conv.ply")
+        transcode_las_to_ply(
+            spark,
+            _las_dir(spark, sf_dir),
+            out,
+            where=[("intensity", "<=", 25)],
+        )
+        _CACHE[key] = out
+    df = spark.read.format("ply").load(_CACHE[key])
+    return df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("x"), 4).alias("sum_wx"),
+        F.round(F.max("z"), 4).alias("max_wz"),
+        F.sum("intensity").alias("sum_intensity"),
+        F.sum("classification").alias("sum_class"),
+    )
+
+
 QUERIES = {
     "q_pc_retile": q_pc_retile,
     "q_las_transcode": q_las_transcode,
     "q_ply_transcode": q_ply_transcode,
+    "q_las2ply": q_las2ply,
     "q_las_roundtrip": q_las_roundtrip,
     "q_ply_roundtrip": q_ply_roundtrip,
     "q_las_filter": q_las_filter,
@@ -479,6 +510,14 @@ ORACLES = {
                CAST(min(p_partkey % 6 + 1) AS TINYINT) AS min_class,
                CAST(max(p_partkey % 6 + 1) AS TINYINT) AS max_class
         FROM part WHERE p_partkey % 6 + 1 <= 3
+    """,
+    "q_las2ply": f"""
+        SELECT count(*) AS n,
+               round(sum(CAST(p_partkey AS INTEGER) * 0.01::DOUBLE), 4) AS sum_wx,
+               round(max({_Z}) * 0.01::DOUBLE, 4) AS max_wz,
+               CAST(sum(p_size) AS BIGINT) AS sum_intensity,
+               CAST(sum(p_partkey % 6 + 1) AS BIGINT) AS sum_class
+        FROM part WHERE p_size <= 25
     """,
     "q_ply_transcode": f"""
         SELECT count(*) AS n,

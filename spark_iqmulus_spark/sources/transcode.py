@@ -453,3 +453,185 @@ def transcode_ply(
         "files": len(paths),
         "parts": len(live),
     }
+
+
+#: LAS numpy char → PLY property char for pass-through columns
+_LAS2PLY_TYPES = {
+    "i1": "i1", "u1": "u1", "i2": "i2", "u2": "u2",
+    "i4": "i4", "u4": "u4", "i8": "i8", "u8": "u8",
+    "f4": "f4", "f8": "f8",
+}
+
+
+def transcode_las_to_ply(
+    spark: SparkSession,
+    src,
+    out_path: str,
+    where: list[tuple[str, str, float]] | None = None,
+    columns: list[str] | None = None,
+    target_bytes: int = _TARGET_BYTES,
+) -> dict:
+    """Convert (merge + optionally filter) LAS tiles into ONE binary PLY —
+    the cross-format member of the fused family (round 8).
+
+    The las→ply shape is the one conversion the general
+    ``read("las")→write("ply")`` path pays the JVM↔Python Arrow hop twice
+    for (decode sink + encode source).  Here both happen inside each
+    Python worker: decode only the requested LAS fields, apply the
+    predicate, re-encode as PLY records, write a raw part; the driver
+    writes the merged header and concats parts.
+
+    ``columns`` defaults to ``x y z intensity classification``; ``x/y/z``
+    are emitted as float64 WORLD coordinates (``offset + scale*raw`` —
+    lossless for scaled int32), every other column keeps its stored LAS
+    dtype.  ``where`` uses the same semantics as ``transcode_las`` (world
+    for x/y/z, stored value otherwise).  Unlike ``transcode_las``, sources
+    may differ in scale/offset (each file converts through its own grid);
+    only the point format + ExtraBytes layout must match.
+    """
+    from .ply_format import PlyElement, PlyHeader, PlyProperty
+
+    paths = _resolve_paths(src, ".las")
+    if not paths:
+        raise FileNotFoundError(f"no .las files match {src!r}")
+    headers = pmap_headers(LasHeader.parse_file, paths)
+    sig0 = None
+    for p, h in zip(paths, headers):
+        sig = (
+            h.pdr_format,
+            h.stride,
+            tuple((e.name, e.np_char) for e in h.extra_fields),
+        )
+        if sig0 is None:
+            sig0 = sig
+        elif sig != sig0:
+            raise ValueError(
+                f"transcode_las_to_ply requires one point layout; {p} has"
+                f" (format, stride, extras)={sig} vs {paths[0]}: {sig0}"
+            )
+    h0 = headers[0]
+    stride = h0.stride
+    point_fields = h0.point_fields
+    known = {n for n, _ in point_fields}
+    if columns is None:
+        columns = ["x", "y", "z", "intensity", "classification"]
+    for c in columns:
+        if c not in known:
+            raise ValueError(f"unknown column {c!r}; have {sorted(known)}")
+    if where:
+        for name, op, _ in where:
+            if name not in known:
+                raise ValueError(f"unknown field {name!r}; have {sorted(known)}")
+            if op not in _OPS:
+                raise ValueError(f"unknown op {op!r}; have {sorted(_OPS)}")
+    las_np = dict(point_fields)
+    out_props = []
+    for c in columns:
+        ch = "f8" if c in ("x", "y", "z") else _LAS2PLY_TYPES[las_np[c]]
+        out_props.append((c, ch))
+
+    from .binary_section import plan_record_ranges
+
+    specs = []
+    for fid, (p, h) in enumerate(zip(paths, headers)):
+        sx, sy, sz = h.scale
+        ox, oy, oz = h.offset
+        for start, n in plan_record_ranges(h.pdr_nb, stride, target_bytes):
+            specs.append(
+                (fid, p, h.offset_to_points, start, n, sx, sy, sz, ox, oy, oz)
+            )
+    part_dir = out_path + f".parts-{uuid.uuid4().hex[:8]}"
+    os.makedirs(part_dir, exist_ok=True)
+
+    rec_dtype_spec = [(n, "<" + c) for n, c in point_fields]
+    out_dtype_spec = [(n, "<" + c) for n, c in out_props]
+    where_local = list(where) if where else []
+    cols_local = list(columns)
+
+    def _work(iterator):
+        import pandas as pd
+
+        rec_dtype = np.dtype(rec_dtype_spec)
+        out_dtype = np.dtype(out_dtype_spec)
+        for pdf in iterator:
+            out_rows = []
+            for row in pdf.itertuples(index=False):
+                fid, path, off = int(row.fid), row.path, int(row.offset)
+                start, n = int(row.rec_start), int(row.n)
+                scale = (row.sx, row.sy, row.sz)
+                origin = (row.ox, row.oy, row.oz)
+                with open(path, "rb") as f:
+                    f.seek(off + start * stride)
+                    buf = f.read(n * stride)
+                arr = np.frombuffer(buf, dtype=rec_dtype, count=n)
+
+                def world(name):
+                    ax = "xyz".index(name)
+                    return origin[ax] + scale[ax] * arr[name].astype(np.float64)
+
+                if where_local:
+                    mask = np.ones(n, dtype=bool)
+                    for name, op, val in where_local:
+                        col = world(name) if name in ("x", "y", "z") else arr[name]
+                        mask &= _OPS[op](col, val)
+                else:
+                    mask = slice(None)
+                out = np.empty(
+                    int(mask.sum()) if where_local else n, dtype=out_dtype
+                )
+                for c in cols_local:
+                    src_col = world(c) if c in ("x", "y", "z") else arr[c]
+                    out[c] = src_col[mask]
+                m = len(out)
+                part = ""
+                if m:
+                    part = os.path.join(
+                        part_dir, f"p-{fid}-{start}-{uuid.uuid4().hex[:8]}.bin"
+                    )
+                    with open(part, "wb") as f:
+                        f.write(out.tobytes())
+                out_rows.append(
+                    {
+                        "fid": fid,
+                        "rec_start": start,
+                        "part": part,
+                        "m": m,
+                        "read_n": n,
+                    }
+                )
+            yield pd.DataFrame(out_rows)
+
+    spec_df = spark.createDataFrame(
+        specs,
+        "fid int, path string, offset long, rec_start long, n long,"
+        " sx double, sy double, sz double, ox double, oy double, oz double",
+    ).repartition(max(1, len(specs)))
+    stats_schema = "fid int, rec_start long, part string, m long, read_n long"
+    try:
+        stats = spec_df.mapInPandas(_work, stats_schema).collect()
+        stats.sort(key=lambda r: (r["fid"], r["rec_start"]))
+        total = sum(r["m"] for r in stats)
+        live = [r for r in stats if r["m"]]
+        header = PlyHeader(
+            location=out_path,
+            little_endian=True,
+            elements=[
+                PlyElement(
+                    "vertex", total, [PlyProperty(n, c) for n, c in out_props]
+                )
+            ],
+        )
+        with open(out_path, "wb") as out:
+            out.write(header.to_bytes())
+            for r in live:
+                append_file(out, r["part"])
+    finally:
+        import shutil
+
+        shutil.rmtree(part_dir, ignore_errors=True)
+    return {
+        "points": total,
+        "read": sum(r["read_n"] for r in stats),
+        "files": len(paths),
+        "parts": len(live),
+    }

@@ -279,3 +279,68 @@ def test_ply_heterogeneous_and_invalid_rejected(spark, tmp_path):
     transcode_ply(spark, c, out, where=[("x", "<", 50.0)])
     got = spark.read.format("ply").load(out)
     assert got.count() == got.where("x < 50").count()
+
+
+# ---------------------------------------------------------------------------
+# transcode_las_to_ply — cross-format (round 8)
+# ---------------------------------------------------------------------------
+
+from spark_iqmulus_spark.sources.transcode import transcode_las_to_ply  # noqa: E402
+
+
+def test_las2ply_values_match_reader_chain(spark, las_tiles, tmp_path):
+    """The fused conversion must equal read('las')→world coords→the same
+    column subset, for both the pure merge and the filtered variant."""
+    import json
+
+    out = str(tmp_path / "conv.ply")
+    r = transcode_las_to_ply(spark, las_tiles, out)
+    assert r["points"] == 15000 and r["files"] == 3
+    got = spark.read.format("ply").load(out)
+    assert [f.name for f in got.schema.fields if f.name not in ("fid", "pid")] == [
+        "x", "y", "z", "intensity", "classification",
+    ]
+    union = spark.read.format("las").option("paths", json.dumps(las_tiles)).load()
+    want = union.select(
+        (F.col("x") * 0.01).alias("wx"),
+        F.col("intensity"),
+        F.col("classification"),
+    )
+    aggs_got = got.agg(
+        F.count(F.lit(1)), F.round(F.sum("x"), 4), F.sum("intensity"),
+        F.sum("classification"),
+    ).collect()
+    aggs_want = want.agg(
+        F.count(F.lit(1)), F.round(F.sum("wx"), 4), F.sum("intensity"),
+        F.sum("classification"),
+    ).collect()
+    assert aggs_got == aggs_want
+
+
+def test_las2ply_filter_and_heterogeneous_grids(spark, tmp_path):
+    """Sources with DIFFERENT scale/offset convert through their own grids
+    (allowed here, unlike same-format transcode) and the world-coord
+    predicate applies uniformly."""
+    a, b = str(tmp_path / "a.las"), str(tmp_path / "b.las")
+    arr_a = make_las(a, n=2000, fmt=1, seed=1)
+    arr_b = make_las(b, n=2000, fmt=1, seed=2, scale=(0.001, 0.001, 0.001))
+    out = str(tmp_path / "c.ply")
+    transcode_las_to_ply(spark, [a, b], out, where=[("x", ">", 0.0)])
+    got = spark.read.format("ply").load(out)
+    want_n = int((arr_a["x"] * 0.01 > 0.0).sum() + (arr_b["x"] * 0.001 > 0.0).sum())
+    assert got.count() == want_n
+    assert got.agg(F.min("x")).collect()[0][0] > 0.0
+
+
+def test_las2ply_column_selection_and_errors(spark, las_tiles, tmp_path):
+    out = str(tmp_path / "sel.ply")
+    transcode_las_to_ply(spark, las_tiles, out, columns=["z", "source"])
+    got = spark.read.format("ply").load(out)
+    assert [f.name for f in got.schema.fields if f.name not in ("fid", "pid")] == ["z", "source"]
+    with pytest.raises(ValueError, match="unknown column"):
+        transcode_las_to_ply(spark, las_tiles, out, columns=["nope"])
+    with pytest.raises(ValueError, match="one point layout"):
+        a, b = str(tmp_path / "f2a.las"), str(tmp_path / "f2b.las")
+        make_las(a, n=50, fmt=1)
+        make_las(b, n=50, fmt=6)
+        transcode_las_to_ply(spark, [a, b], str(tmp_path / "x.ply"))
