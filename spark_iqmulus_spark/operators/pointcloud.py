@@ -441,11 +441,41 @@ def q_las2ply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pcd_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused PCD merge/filter (round 8 — third member of the transcode
+    family, `transcode.py::transcode_pcd`): DATA-binary records are
+    record-major fixed stride, so kept records copy verbatim inside
+    Python workers; only spec/count rows cross the JVM boundary."""
+    register_sources(spark)
+    from ..sources.transcode import transcode_pcd
+
+    key = (sf_dir, "pcd_transcode")
+    if key not in _CACHE or not os.path.exists(_CACHE[key]):
+        out = os.path.join(tempfile.mkdtemp(prefix="pc_tcd_"), "merged.pcd")
+        transcode_pcd(
+            spark,
+            _pcd_dir(spark, sf_dir),
+            out,
+            where=[("c", "<=", 3)],
+        )
+        _CACHE[key] = out
+    df = spark.read.format("pcd").load(_CACHE[key])
+    return df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("x").cast("double")), 4).alias("sum_x"),
+        F.round(F.min("y").cast("double"), 4).alias("min_y"),
+        F.round(F.max("z").cast("double"), 4).alias("max_z"),
+        F.sum("i").alias("sum_intensity"),
+        F.sum("c").alias("sum_class"),
+    )
+
+
 QUERIES = {
     "q_pc_retile": q_pc_retile,
     "q_las_transcode": q_las_transcode,
     "q_ply_transcode": q_ply_transcode,
     "q_las2ply": q_las2ply,
+    "q_pcd_transcode": q_pcd_transcode,
     "q_las_roundtrip": q_las_roundtrip,
     "q_ply_roundtrip": q_ply_roundtrip,
     "q_las_filter": q_las_filter,
@@ -509,6 +539,15 @@ ORACLES = {
                max({_Z}) AS max_z,
                CAST(min(p_partkey % 6 + 1) AS TINYINT) AS min_class,
                CAST(max(p_partkey % 6 + 1) AS TINYINT) AS max_class
+        FROM part WHERE p_partkey % 6 + 1 <= 3
+    """,
+    "q_pcd_transcode": f"""
+        SELECT count(*) AS n,
+               round(sum(CAST(CAST(p_partkey AS REAL) AS DOUBLE)), 4) AS sum_x,
+               round(CAST(min(CAST(p_size AS REAL)) AS DOUBLE), 4) AS min_y,
+               round(CAST(max(CAST({_Z} AS REAL)) AS DOUBLE), 4) AS max_z,
+               CAST(sum(p_size) AS BIGINT) AS sum_intensity,
+               CAST(sum(p_partkey % 6 + 1) AS BIGINT) AS sum_class
         FROM part WHERE p_partkey % 6 + 1 <= 3
     """,
     "q_las2ply": f"""

@@ -635,3 +635,139 @@ def transcode_las_to_ply(
         "files": len(paths),
         "parts": len(live),
     }
+
+
+def transcode_pcd(
+    spark: SparkSession,
+    src,
+    out_path: str,
+    where: list[tuple[str, str, float]] | None = None,
+    target_bytes: int = _TARGET_BYTES,
+) -> dict:
+    """Merge (and optionally filter) ``DATA binary`` PCD files into ONE
+    ``.pcd`` — the third member of the fused family (round 8).
+
+    Same byte path as ``transcode_ply``: binary PCD is record-major
+    little-endian fixed stride, so kept records copy verbatim and only
+    spec/count rows cross the JVM boundary.  ``where`` compares stored
+    values on the *expanded* scalar names (``COUNT k`` fields appear as
+    ``name_0..name_{k-1}``).  ``ascii`` and ``binary_compressed`` (SoA
+    layout — not record-major, a byte copy would interleave wrong) route
+    through the general ``df.write.format("pcd")`` path.
+    Returns ``{"points": kept, "read": total, "files": n, "parts": n}``.
+    """
+    from .pcd_format import PcdHeader
+
+    paths = _resolve_paths(src, ".pcd")
+    if not paths:
+        raise FileNotFoundError(f"no .pcd files match {src!r}")
+    headers = pmap_headers(PcdHeader.parse_file, paths)
+    sigs = []
+    for p, h in zip(paths, headers):
+        if h.data_kind != "binary":
+            raise ValueError(
+                f"transcode_pcd requires DATA binary; {p} is"
+                f" {h.data_kind!r} — use df.write.format('pcd')"
+            )
+        sigs.append(tuple((f.name, f.np_char) for f in h.fields))
+    if len(set(sigs)) > 1:
+        raise ValueError(
+            f"transcode_pcd requires a uniform layout; got {set(sigs)} —"
+            " use df.write.format('pcd') for heterogeneous inputs"
+        )
+    props = sigs[0]
+    h0 = headers[0]
+    stride = h0.stride
+    if where:
+        known = {n for n, _ in props}
+        for name, op, _ in where:
+            if name not in known:
+                raise ValueError(f"unknown field {name!r}; have {sorted(known)}")
+            if op not in _OPS:
+                raise ValueError(f"unknown op {op!r}; have {sorted(_OPS)}")
+
+    from .binary_section import plan_record_ranges
+
+    specs = []
+    for fid, (p, h) in enumerate(zip(paths, headers)):
+        for start, n in plan_record_ranges(h.points, stride, target_bytes):
+            specs.append((fid, p, h.data_offset, start, n))
+    part_dir = out_path + f".parts-{uuid.uuid4().hex[:8]}"
+    os.makedirs(part_dir, exist_ok=True)
+
+    rec_dtype_spec = [(n, "<" + c) for n, c in props]
+    where_local = list(where) if where else []
+
+    def _work(iterator):
+        import pandas as pd
+
+        rec_dtype = np.dtype(rec_dtype_spec)
+        for pdf in iterator:
+            out_rows = []
+            for fid, path, off, start, n in zip(
+                pdf["fid"], pdf["path"], pdf["offset"], pdf["rec_start"], pdf["n"]
+            ):
+                fid, off, start, n = int(fid), int(off), int(start), int(n)
+                with open(path, "rb") as f:
+                    f.seek(off + start * stride)
+                    buf = f.read(n * stride)
+                raw = np.frombuffer(buf, dtype=np.uint8).reshape(n, stride)
+                if where_local:
+                    arr = np.frombuffer(buf, dtype=rec_dtype, count=n)
+                    mask = np.ones(n, dtype=bool)
+                    for name, op, val in where_local:
+                        mask &= _OPS[op](arr[name], val)
+                    kept_raw = raw[mask]
+                else:
+                    kept_raw = raw
+                m = len(kept_raw)
+                part = ""
+                if m:
+                    part = os.path.join(
+                        part_dir, f"p-{fid}-{start}-{uuid.uuid4().hex[:8]}.bin"
+                    )
+                    with open(part, "wb") as f:
+                        f.write(kept_raw.tobytes())
+                out_rows.append(
+                    {
+                        "fid": fid,
+                        "rec_start": start,
+                        "part": part,
+                        "m": m,
+                        "read_n": n,
+                    }
+                )
+            yield pd.DataFrame(out_rows)
+
+    spec_df = spark.createDataFrame(
+        specs, "fid int, path string, offset long, rec_start long, n long"
+    ).repartition(max(1, len(specs)))
+    stats_schema = "fid int, rec_start long, part string, m long, read_n long"
+    try:
+        stats = spec_df.mapInPandas(_work, stats_schema).collect()
+        stats.sort(key=lambda r: (r["fid"], r["rec_start"]))
+        total = sum(r["m"] for r in stats)
+        live = [r for r in stats if r["m"]]
+        import dataclasses as _dc
+
+        header = PcdHeader(
+            location=out_path,
+            fields=[_dc.replace(f) for f in h0.fields],
+            width=total,
+            points=total,
+            data_kind="binary",
+        )
+        with open(out_path, "wb") as out:
+            out.write(header.to_bytes())
+            for r in live:
+                append_file(out, r["part"])
+    finally:
+        import shutil
+
+        shutil.rmtree(part_dir, ignore_errors=True)
+    return {
+        "points": total,
+        "read": sum(r["read_n"] for r in stats),
+        "files": len(paths),
+        "parts": len(live),
+    }

@@ -344,3 +344,65 @@ def test_las2ply_column_selection_and_errors(spark, las_tiles, tmp_path):
         make_las(a, n=50, fmt=1)
         make_las(b, n=50, fmt=6)
         transcode_las_to_ply(spark, [a, b], str(tmp_path / "x.ply"))
+
+
+# ---------------------------------------------------------------------------
+# transcode_pcd — the PCD twin (round 8)
+# ---------------------------------------------------------------------------
+
+from .fixtures import make_pcd  # noqa: E402
+from spark_iqmulus_spark.sources.pcd_format import PcdHeader  # noqa: E402
+from spark_iqmulus_spark.sources.transcode import transcode_pcd  # noqa: E402
+
+
+def test_pcd_merge_filter_and_bytes(spark, tmp_path):
+    paths = []
+    for i, seed in enumerate((1, 2)):
+        p = str(tmp_path / f"t{i}.pcd")
+        make_pcd(p, n=3000 + i * 100, seed=seed)
+        paths.append(p)
+    out = str(tmp_path / "merged.pcd")
+    r = transcode_pcd(spark, paths, out)
+    assert r["points"] == 6100 and r["files"] == 2
+    import json
+
+    merged = spark.read.format("pcd").load(out)
+    union = spark.read.format("pcd").option("paths", json.dumps(paths)).load()
+    aggs = [
+        F.count(F.lit(1)),
+        F.sum(F.col("x").cast("double")),
+        F.sum("label"),
+        F.min("z"),
+    ]
+    assert merged.agg(*aggs).collect() == union.agg(*aggs).collect()
+    assert PcdHeader.parse_file(out).points == 6100
+    # filtered variant on the stored value
+    out2 = str(tmp_path / "f.pcd")
+    transcode_pcd(spark, paths, out2, where=[("label", "<=", 3)])
+    got = spark.read.format("pcd").load(out2)
+    want = union.where(F.col("label") <= 3)
+    assert got.agg(*aggs).collect() == want.agg(*aggs).collect()
+    # single-file pure merge is a verbatim byte copy
+    out3 = str(tmp_path / "c.pcd")
+    transcode_pcd(spark, paths[0], out3)
+    h_in, h_out = PcdHeader.parse_file(paths[0]), PcdHeader.parse_file(out3)
+    assert (
+        open(paths[0], "rb").read()[h_in.data_offset :]
+        == open(out3, "rb").read()[h_out.data_offset :]
+    )
+
+
+def test_pcd_nonbinary_and_heterogeneous_rejected(spark, tmp_path):
+    a = str(tmp_path / "a.pcd")
+    make_pcd(a, n=100)
+    # forge an ascii header variant
+    txt = str(tmp_path / "b.pcd")
+    with open(txt, "w") as f:
+        f.write(
+            "VERSION 0.7\nFIELDS x\nSIZE 4\nTYPE F\nCOUNT 1\nWIDTH 1\n"
+            "HEIGHT 1\nVIEWPOINT 0 0 0 1 0 0 0\nPOINTS 1\nDATA ascii\n1.5\n"
+        )
+    with pytest.raises(ValueError, match="DATA binary"):
+        transcode_pcd(spark, [a, txt], str(tmp_path / "o.pcd"))
+    with pytest.raises(ValueError, match="unknown field"):
+        transcode_pcd(spark, a, str(tmp_path / "o.pcd"), where=[("nope", "<", 1)])
