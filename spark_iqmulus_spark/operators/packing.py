@@ -217,3 +217,99 @@ ORACLES = {
         FROM per_src, tot
     """,
 }
+
+
+def q_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation→packing pipeline (round 8): the step a training
+    run executes after q_pipeline_curate — exact-dedup (keep lowest doc_id
+    per normalized text) + quality gate (≥10 tokens, ≥0.3 diversity), then
+    pack the survivors into 512-token sequences and report the corpus-wide
+    batch-assembly summary: docs kept, sequences produced, boundary
+    splits, and utilization (token fill of the produced sequences; the
+    last partial sequence per group is why it is < 1).  Shuffles: dedup
+    window + packing window (both keyed) + one final O(groups) rollup."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir)
+    toks = F.split(_norm(), " ")
+    n_tok = F.size(toks)
+    diversity = F.round(F.size(F.array_distinct(toks)) / n_tok, 6)
+    d = t["documents"].select(
+        "doc_id",
+        _norm().alias("norm"),
+        n_tok.alias("tok"),
+        diversity.alias("div"),
+    )
+    w = W.partitionBy("norm").orderBy("doc_id")
+    kept = (
+        d.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("tok") >= 10) & (F.col("div") >= 0.3))
+        .select("doc_id", "tok")
+    )
+    p = pack_sequences(kept)
+    per_grp = p.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tok").alias("tokens"),
+        F.floor(
+            F.max(F.col("start") + F.col("tok") - 1) / PACK_BUDGET
+        ).alias("last_seq"),
+        F.sum((F.col("seq_last") > F.col("seq_first")).cast("long")).alias(
+            "n_split"
+        ),
+    )
+    return per_grp.agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("tokens").alias("total_tokens"),
+        F.sum(F.col("last_seq") + 1).alias("n_seqs"),
+        F.sum("n_split").alias("n_split_docs"),
+        F.round(
+            F.sum("tokens") / (F.sum(F.col("last_seq") + 1) * PACK_BUDGET), 6
+        ).alias("utilization"),
+    )
+
+
+QUERIES["q_pipeline_pack"] = q_pipeline_pack
+
+ORACLES["q_pipeline_pack"] = f"""
+    WITH d AS (
+        SELECT doc_id, {_SQL_NORM} AS norm,
+               len(string_split({_SQL_NORM}, ' ')) AS tok,
+               round(CAST(len(list_distinct(string_split({_SQL_NORM}, ' ')))
+                     AS DOUBLE) / len(string_split({_SQL_NORM}, ' ')), 6)
+                   AS div
+        FROM documents
+    ), kept AS (
+        SELECT doc_id, tok,
+               md5('pk' || CAST(doc_id AS VARCHAR)) AS h
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY norm ORDER BY doc_id
+            ) AS rn FROM d
+        )
+        WHERE rn = 1 AND tok >= 10 AND div >= 0.3
+    ), w AS (
+        SELECT *, substr(h, 1, 1) AS grp,
+               sum(tok) OVER (
+                   PARTITION BY substr(h, 1, 1)
+                   ORDER BY h, doc_id
+                   ROWS UNBOUNDED PRECEDING
+               ) - tok AS start
+        FROM kept
+    ), per_grp AS (
+        SELECT grp, count(*) AS n_docs, sum(tok) AS tokens,
+               CAST(floor(max(start + tok - 1) * 1.0 / {PACK_BUDGET})
+                    AS BIGINT) AS last_seq,
+               sum(CASE WHEN CAST(floor((start + tok - 1.0) / {PACK_BUDGET})
+                             AS BIGINT)
+                         > CAST(floor(start * 1.0 / {PACK_BUDGET}) AS BIGINT)
+                        THEN 1 ELSE 0 END) AS n_split
+        FROM w GROUP BY grp
+    )
+    SELECT CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(sum(tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(last_seq + 1) AS BIGINT) AS n_seqs,
+           CAST(sum(n_split) AS BIGINT) AS n_split_docs,
+           round(CAST(sum(tokens) AS DOUBLE)
+                 / (sum(last_seq + 1) * {PACK_BUDGET}), 6) AS utilization
+    FROM per_grp
+"""

@@ -406,3 +406,55 @@ def test_pcd_nonbinary_and_heterogeneous_rejected(spark, tmp_path):
         transcode_pcd(spark, [a, txt], str(tmp_path / "o.pcd"))
     with pytest.raises(ValueError, match="unknown field"):
         transcode_pcd(spark, a, str(tmp_path / "o.pcd"), where=[("nope", "<", 1)])
+
+
+@pytest.mark.parametrize("little", [True, False])
+@pytest.mark.parametrize(
+    "fields",
+    [
+        [("x", "f4"), ("q", "u1")],
+        [("a", "i8"), ("b", "f8"), ("c", "u2")],
+        [("v", "i2"), ("w", "u4"), ("t", "f8"), ("s", "i1")],
+    ],
+)
+def test_ply_transcode_layout_matrix(spark, tmp_path, little, fields):
+    """Layout sweep: the fused PLY path must byte-preserve and
+    filter-correctly for any scalar dtype mix and either endianness."""
+    from spark_iqmulus_spark.sources.ply_format import (
+        PlyElement,
+        PlyHeader as PH,
+        PlyProperty,
+    )
+
+    rng = np.random.default_rng(hash((little, tuple(f for f, _ in fields))) & 0xFFFF)
+    n = 700
+    prefix = "<" if little else ">"
+    dtype = np.dtype([(nm, prefix + ch) for nm, ch in fields])
+    arr = np.zeros(n, dtype=dtype)
+    for nm, ch in fields:
+        if ch[0] == "f":
+            arr[nm] = rng.uniform(-50, 50, n)
+        else:
+            info = np.iinfo(prefix + ch)
+            arr[nm] = rng.integers(info.min, min(info.max, 1000), n)
+    src = str(tmp_path / "m.ply")
+    hdr = PH(
+        location=src,
+        little_endian=little,
+        elements=[
+            PlyElement("vertex", n, [PlyProperty(nm, ch) for nm, ch in fields])
+        ],
+    )
+    with open(src, "wb") as f:
+        f.write(hdr.to_bytes())
+        f.write(arr.tobytes())
+    first = fields[0][0]
+    cut = float(np.median(arr[first].astype(np.float64)))
+    out = str(tmp_path / "mo.ply")
+    r = transcode_ply(spark, src, out, where=[(first, "<=", cut)])
+    want = arr[arr[first] <= cut]
+    assert r["points"] == len(want)
+    h_out = PlyHeader.parse_file(out)
+    with open(out, "rb") as f:
+        f.seek(h_out.header_length)
+        assert f.read() == want.tobytes()
