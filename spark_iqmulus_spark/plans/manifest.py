@@ -29,22 +29,33 @@ from ..sources.las_format import LasHeader
 from ..sources.pointcloud_common import pmap_headers
 
 
-def build_manifest(spark: SparkSession, paths: list[str]) -> DataFrame:
+def build_manifest(
+    spark: SparkSession, paths: list[str], filesystem=None
+) -> DataFrame:
     """One row per LAS tile: identity (mtime/size) + count + world bounds.
 
     Header parsing is threaded (I/O-bound, GIL released); this is the one
     O(files) pass the manifest amortizes away from every later query.
+    ``filesystem`` (pyarrow.fs, sources/fsio.py) routes the header reads
+    and stats for tiles on object storage / HDFS.
     """
     sorted_paths = sorted(paths)
-    headers = pmap_headers(LasHeader.parse_file, sorted_paths)
+    headers = pmap_headers(
+        lambda p: LasHeader.parse_file(p, filesystem), sorted_paths
+    )
+    if filesystem is None:
+        stats = pmap_headers(os.stat, sorted_paths)
+        idents = [(st.st_mtime_ns, st.st_size) for st in stats]
+    else:
+        infos = pmap_headers(filesystem.get_file_info, sorted_paths)
+        idents = [(i.mtime_ns, i.size) for i in infos]
     rows = []
-    for p, h in zip(sorted_paths, headers):
-        st = os.stat(p)
+    for (p, h), (mt, sz) in zip(zip(sorted_paths, headers), idents):
         rows.append(
             Row(
                 path=p,
-                mtime_ns=st.st_mtime_ns,
-                size=st.st_size,
+                mtime_ns=mt,
+                size=sz,
                 n_points=h.pdr_nb,
                 pdr_format=h.pdr_format,
                 x_min=h.pmin[0], y_min=h.pmin[1], z_min=h.pmin[2],
@@ -102,7 +113,7 @@ def _fresh_and_kept(
 
 
 def update_manifest(
-    spark: SparkSession, manifest_path: str, dir_or_paths
+    spark: SparkSession, manifest_path: str, dir_or_paths, filesystem=None
 ) -> int:
     """Incrementally fold newly-arrived tiles into an existing manifest.
 
@@ -114,35 +125,57 @@ def update_manifest(
     ``_fresh_and_kept``); the sole collect is the fresh-path delta, which
     the driver needs anyway to parse those headers.  Returns the number of
     added/refreshed rows.
+
+    ``filesystem`` (optional ``pyarrow.fs.FileSystem``, sources/fsio.py)
+    routes the tile listing/stat and the swap renames; note ``fs.move`` on
+    an object store is copy+delete, so the non-atomic swap window (below)
+    is wider there — the '.old' recovery logic is what actually protects
+    readers, in both regimes.
     """
     import glob as _glob
 
+    from ..sources import fsio
+
     if isinstance(dir_or_paths, str):
-        if os.path.isdir(dir_or_paths):
+        if filesystem is not None:
+            base = dir_or_paths.rstrip("/")
+            paths = sorted(
+                f"{base}/{n}"
+                for n in fsio.listdir(dir_or_paths, filesystem)
+                if n.endswith(".las")
+            )
+        elif os.path.isdir(dir_or_paths):
             paths = sorted(_glob.glob(os.path.join(dir_or_paths, "*.las")))
         else:
             paths = sorted(_glob.glob(dir_or_paths))
     else:
         paths = sorted(dir_or_paths)
-    file_stats = pmap_headers(os.stat, paths)  # threaded, I/O-bound
-    stats = spark.createDataFrame(
-        [
+    if filesystem is None:
+        file_stats = pmap_headers(os.stat, paths)  # threaded, I/O-bound
+        stat_rows = [
             (p, st.st_mtime_ns, st.st_size)
             for p, st in zip(paths, file_stats)
-        ],
+        ]
+    else:
+        infos = pmap_headers(filesystem.get_file_info, paths)
+        stat_rows = [(p, i.mtime_ns, i.size) for p, i in zip(paths, infos)]
+    stats = spark.createDataFrame(
+        stat_rows,
         "path string, mtime_ns long, size long",
     )
     # crash recovery: a previous update that died between the two swap
     # renames leaves the data stranded at '.old' — restore it
     _old = manifest_path.rstrip("/") + ".old"
-    if not os.path.exists(manifest_path) and os.path.isdir(_old):
-        os.rename(_old, manifest_path)
+    if not fsio.exists(manifest_path, filesystem) and fsio.isdir(
+        _old, filesystem
+    ):
+        fsio.rename(_old, manifest_path, filesystem)
     manifest = spark.read.parquet(manifest_path)
     fresh_df, kept = _fresh_and_kept(manifest, stats)
     fresh = sorted(r["path"] for r in fresh_df.collect())
     if not fresh:
         return 0
-    new_rows = build_manifest(spark, fresh)
+    new_rows = build_manifest(spark, fresh, filesystem)
     merged = kept.unionByName(new_rows)
     # ONE write job to a staging dir, then a rename swap over the target
     # (the same trick streaming/sinks.py uses) — parquet sources can't
@@ -155,21 +188,20 @@ def update_manifest(
     # old→manifest on a failed second rename, and recover a stranded
     # '.old' on the next update; concurrent READERS during an update
     # should be prepared to retry a brief ENOENT.
-    import shutil
-
     merged = merged.localCheckpoint()
     tmp = manifest_path.rstrip("/") + ".tmp"
     _write_manifest_df(merged, tmp)
     old = manifest_path.rstrip("/") + ".old"
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(manifest_path, old)
+    fsio.rmtree(old, filesystem)
+    fsio.rename(manifest_path, old, filesystem)
     try:
-        os.rename(tmp, manifest_path)
+        fsio.rename(tmp, manifest_path, filesystem)
     except OSError:
-        os.rename(old, manifest_path)  # roll back: never leave no manifest
-        shutil.rmtree(tmp, ignore_errors=True)
+        # roll back: never leave no manifest
+        fsio.rename(old, manifest_path, filesystem)
+        fsio.rmtree(tmp, filesystem)
         raise
-    shutil.rmtree(old, ignore_errors=True)
+    fsio.rmtree(old, filesystem)
     return len(fresh)
 
 

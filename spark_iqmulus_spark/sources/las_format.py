@@ -164,8 +164,10 @@ class LasHeader:
     # -- parse --------------------------------------------------------------
 
     @classmethod
-    def parse_file(cls, path: str) -> "LasHeader":
-        with open(path, "rb") as f:
+    def parse_file(cls, path: str, filesystem=None) -> "LasHeader":
+        from .fsio import open_input
+
+        with open_input(path, filesystem) as f:
             hdr = cls.parse(f.read(1 << 16), location=path)
             # EVLR walk (LAS 1.4): extended VLRs live *after* the point
             # data; 60-byte record header with a u64 payload length.

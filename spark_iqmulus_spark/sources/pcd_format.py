@@ -97,8 +97,10 @@ class PcdHeader:
     # -- parse -------------------------------------------------------------
 
     @classmethod
-    def parse_file(cls, path: str) -> "PcdHeader":
-        with open(path, "rb") as f:
+    def parse_file(cls, path: str, filesystem=None) -> "PcdHeader":
+        from .fsio import open_input
+
+        with open_input(path, filesystem) as f:
             buf = f.read(16 * 1024)
         return cls.parse(buf, location=path)
 

@@ -215,6 +215,19 @@ class PlyHeader:
         return hdr
 
     @classmethod
-    def parse_file(cls, path: str) -> "PlyHeader":
-        with open(path, "rb") as f:
-            return cls.parse(f, location=path)
+    def parse_file(cls, path: str, filesystem=None) -> "PlyHeader":
+        if filesystem is None:
+            with open(path, "rb") as f:
+                return cls.parse(f, location=path)
+        # pyarrow streams lack readline; buffer the header region (grown
+        # until end_header appears) and parse from BytesIO
+        from .fsio import open_input
+
+        with open_input(path, filesystem) as f:
+            buf = b""
+            while b"end_header" not in buf:
+                chunk = f.read(64 * 1024)
+                if not chunk:
+                    break
+                buf += chunk
+        return cls.parse(io.BytesIO(buf), location=path)

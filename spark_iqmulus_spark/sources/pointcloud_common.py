@@ -131,19 +131,24 @@ def ignore_corrupt_option(options) -> bool:
     return options.get("ignorecorruptfiles", "true").lower() == "true"
 
 
-def clear_existing_outputs(path: str, ext: str, overwrite: bool) -> None:
+def clear_existing_outputs(
+    path: str, ext: str, overwrite: bool, filesystem=None
+) -> None:
     """Commit-phase output hygiene for the point-cloud writers.
 
     With name-restoring commits the output file set varies run to run, so
     ``mode("overwrite")`` must actively remove prior ``*ext`` files (a stale
     ``data.las`` next to a fresh ``tile_a.las`` would silently double a
     re-read); without overwrite, any pre-existing output is an error.
-    Runs on the driver, once, before the part merge."""
-    if not os.path.isdir(path):
+    Runs on the driver, once, before the part merge.  ``filesystem`` routes
+    the listing/removal through a ``pyarrow.fs.FileSystem`` (fsio.py)."""
+    from . import fsio
+
+    if not fsio.isdir(path, filesystem):
         return
     existing = [
         f
-        for f in os.listdir(path)
+        for f in fsio.listdir(path, filesystem)
         if f.endswith(ext) and not f.startswith(".part-")
     ]
     if not existing:
@@ -154,16 +159,23 @@ def clear_existing_outputs(path: str, ext: str, overwrite: bool) -> None:
             " — use mode('overwrite')"
         )
     for f in existing:
-        os.remove(os.path.join(path, f))
+        fsio.remove(path.rstrip("/") + "/" + f, filesystem)
 
 
-def append_file(out, src_path: str) -> None:
+def append_file(out, src_path: str, filesystem=None) -> None:
     """Append ``src_path``'s bytes to the open binary file object ``out``.
 
     Uses ``os.sendfile`` (zero-copy, in-kernel) where available — the
     writers' commit phase concatenates every task part into the final
     output, so this is the driver-side byte-moving hot loop; falls back to
-    1 MiB chunked copies elsewhere."""
+    1 MiB chunked copies elsewhere.  With a ``filesystem`` (pyarrow.fs,
+    see fsio.py) the source is read through the filesystem's streams —
+    no fd, so always chunked; the local default keeps sendfile."""
+    if filesystem is not None:
+        from . import fsio
+
+        fsio.copy_into(out, src_path, filesystem)
+        return
     with open(src_path, "rb") as src:
         offset = 0
         try:

@@ -26,7 +26,10 @@ Only spec and stats rows cross the JVM↔Python boundary; point data moves
 disk→numpy→disk inside each worker.  Measured at 30M points / 840 MB:
 ~2.5 s vs ~14 s for read→``df.write`` (see SCALE.md).  Cluster note: like
 the DataSource writers' commit phase, parts must land on storage the driver
-can read (shared FS / object store) — the same assumption, stated.
+can read.  Every transcoder takes ``filesystem=`` (a ``pyarrow.fs``
+FileSystem, see fsio.py) to route source reads, worker part writes, and the
+driver commit through object storage / HDFS; the default ``None`` keeps the
+POSIX ``sendfile`` fast path.
 
 Reference parity: the reference's direct save actions write partition-local
 files from the relation bytes (``las/package.scala:45-98``); this is the
@@ -43,6 +46,7 @@ import numpy as np
 
 from pyspark.sql import SparkSession
 
+from . import fsio
 from .las_format import LasHeader
 from .pointcloud_common import append_file, pmap_headers
 
@@ -59,11 +63,22 @@ _OPS = {
 _TARGET_BYTES = 32 << 20
 
 
-def _resolve_paths(src, ext: str = ".las") -> list[str]:
+def _resolve_paths(src, ext: str = ".las", filesystem=None) -> list[str]:
     import glob as _glob
 
     if isinstance(src, (list, tuple)):
         return sorted(str(p) for p in src)
+    if filesystem is not None:
+        # remote regime: a directory lists through the filesystem; globs
+        # are not supported there — pass an explicit list instead
+        if fsio.isdir(src, filesystem):
+            base = src.rstrip("/")
+            return sorted(
+                f"{base}/{name}"
+                for name in fsio.listdir(src, filesystem)
+                if name.endswith(ext)
+            )
+        return [src]
     if os.path.isdir(src):
         return sorted(_glob.glob(os.path.join(src, f"*{ext}")))
     return sorted(_glob.glob(src))
@@ -106,18 +121,25 @@ def transcode_las(
     out_path: str,
     where: list[tuple[str, str, float]] | None = None,
     target_bytes: int = _TARGET_BYTES,
+    filesystem=None,
 ) -> dict:
     """Merge (and optionally filter) LAS tiles into ONE valid ``.las`` file.
 
     ``where`` is a conjunction of ``(field, op, value)`` clauses, op in
     ``== != < <= > >=``; ``x``/``y``/``z`` compare in WORLD coordinates
     (``offset + scale*raw``), every other field on its stored value.
+    ``filesystem`` (optional ``pyarrow.fs.FileSystem``, see fsio.py) routes
+    ALL byte I/O — source reads, worker part writes, driver commit —
+    through that filesystem; pyarrow filesystems pickle, so the worker
+    closures carry it.  Default ``None`` keeps the POSIX sendfile path.
     Returns ``{"points": kept, "read": total, "files": n, "parts": n}``.
     """
-    paths = _resolve_paths(src)
+    paths = _resolve_paths(src, ".las", filesystem)
     if not paths:
         raise FileNotFoundError(f"no .las files match {src!r}")
-    headers = pmap_headers(LasHeader.parse_file, paths)
+    headers = pmap_headers(
+        lambda p: LasHeader.parse_file(p, filesystem), paths
+    )
     _check_uniform(headers, paths)
     h0 = headers[0]
     fmt = h0.pdr_format
@@ -142,12 +164,13 @@ def transcode_las(
         for start, n in plan_record_ranges(h.pdr_nb, stride, target_bytes):
             specs.append((fid, p, h.offset_to_points, start, n))
     part_dir = out_path + f".parts-{uuid.uuid4().hex[:8]}"
-    os.makedirs(part_dir, exist_ok=True)
+    fsio.makedirs(part_dir, filesystem)
 
     rec_dtype_spec = [(n, "<" + c) for n, c in point_fields]
     ret_field = "flags" if fmt < 6 else "return"
     n_extras = len(extra_names)
     where_local = list(where) if where else []
+    fs = filesystem  # picklable (pyarrow.fs); carried into the workers
 
     def _work(iterator):
         import pandas as pd
@@ -159,7 +182,7 @@ def transcode_las(
                 pdf["fid"], pdf["path"], pdf["offset"], pdf["rec_start"], pdf["n"]
             ):
                 fid, off, start, n = int(fid), int(off), int(start), int(n)
-                with open(path, "rb") as f:
+                with fsio.open_input(path, fs) as f:
                     f.seek(off + start * stride)
                     buf = f.read(n * stride)
                 raw = np.frombuffer(buf, dtype=np.uint8).reshape(n, stride)
@@ -211,10 +234,10 @@ def transcode_las(
                         emax[i] = repr(kept[en].max().item())
                 part = ""
                 if m:
-                    part = os.path.join(
-                        part_dir, f"p-{fid}-{start}-{uuid.uuid4().hex[:8]}.bin"
+                    part = (
+                        f"{part_dir}/p-{fid}-{start}-{uuid.uuid4().hex[:8]}.bin"
                     )
-                    with open(part, "wb") as f:
+                    with fsio.open_output(part, fs) as f:
                         f.write(kept_raw.tobytes())
                 out_rows.append(
                     {
@@ -274,14 +297,12 @@ def transcode_las(
             pdr_return_nb=ret,
             extra_fields=extras,
         )
-        with open(out_path, "wb") as out:
+        with fsio.open_output(out_path, filesystem) as out:
             out.write(header.to_bytes())
             for r in live:
-                append_file(out, r["part"])
+                append_file(out, r["part"], filesystem)
     finally:
-        import shutil
-
-        shutil.rmtree(part_dir, ignore_errors=True)
+        fsio.rmtree(part_dir, filesystem)
     return {
         "points": total,
         "read": sum(r["read_n"] for r in stats),
@@ -297,6 +318,7 @@ def transcode_ply(
     where: list[tuple[str, str, float]] | None = None,
     element: str = "vertex",
     target_bytes: int = _TARGET_BYTES,
+    filesystem=None,
 ) -> dict:
     """Merge (and optionally filter) binary PLY files into ONE ``.ply``.
 
@@ -320,10 +342,12 @@ def transcode_ply(
     """
     from .ply_format import PlyElement, PlyHeader, PlyProperty
 
-    paths = _resolve_paths(src, ".ply")
+    paths = _resolve_paths(src, ".ply", filesystem)
     if not paths:
         raise FileNotFoundError(f"no .ply files match {src!r}")
-    headers = pmap_headers(PlyHeader.parse_file, paths)
+    headers = pmap_headers(
+        lambda p: PlyHeader.parse_file(p, filesystem), paths
+    )
 
     # -- uniformity: binary, one endianness, identical element layout ------
     sigs = []
@@ -373,10 +397,11 @@ def transcode_ply(
         for start, n in plan_record_ranges(n_total, stride, target_bytes):
             specs.append((fid, p, sec_off, start, n))
     part_dir = out_path + f".parts-{uuid.uuid4().hex[:8]}"
-    os.makedirs(part_dir, exist_ok=True)
+    fsio.makedirs(part_dir, filesystem)
 
     rec_dtype_spec = [(n, endian + c) for n, c in props]
     where_local = list(where) if where else []
+    fs = filesystem
 
     def _work(iterator):
         import pandas as pd
@@ -388,7 +413,7 @@ def transcode_ply(
                 pdf["fid"], pdf["path"], pdf["offset"], pdf["rec_start"], pdf["n"]
             ):
                 fid, off, start, n = int(fid), int(off), int(start), int(n)
-                with open(path, "rb") as f:
+                with fsio.open_input(path, fs) as f:
                     f.seek(off + start * stride)
                     buf = f.read(n * stride)
                 raw = np.frombuffer(buf, dtype=np.uint8).reshape(n, stride)
@@ -403,10 +428,10 @@ def transcode_ply(
                 m = len(kept_raw)
                 part = ""
                 if m:
-                    part = os.path.join(
-                        part_dir, f"p-{fid}-{start}-{uuid.uuid4().hex[:8]}.bin"
+                    part = (
+                        f"{part_dir}/p-{fid}-{start}-{uuid.uuid4().hex[:8]}.bin"
                     )
-                    with open(part, "wb") as f:
+                    with fsio.open_output(part, fs) as f:
                         f.write(kept_raw.tobytes())
                 out_rows.append(
                     {
@@ -439,14 +464,12 @@ def transcode_ply(
                 )
             ],
         )
-        with open(out_path, "wb") as out:
+        with fsio.open_output(out_path, filesystem) as out:
             out.write(header.to_bytes())
             for r in live:
-                append_file(out, r["part"])
+                append_file(out, r["part"], filesystem)
     finally:
-        import shutil
-
-        shutil.rmtree(part_dir, ignore_errors=True)
+        fsio.rmtree(part_dir, filesystem)
     return {
         "points": total,
         "read": sum(r["read_n"] for r in stats),
@@ -470,6 +493,7 @@ def transcode_las_to_ply(
     where: list[tuple[str, str, float]] | None = None,
     columns: list[str] | None = None,
     target_bytes: int = _TARGET_BYTES,
+    filesystem=None,
 ) -> dict:
     """Convert (merge + optionally filter) LAS tiles into ONE binary PLY —
     the cross-format member of the fused family (round 8).
@@ -491,10 +515,12 @@ def transcode_las_to_ply(
     """
     from .ply_format import PlyElement, PlyHeader, PlyProperty
 
-    paths = _resolve_paths(src, ".las")
+    paths = _resolve_paths(src, ".las", filesystem)
     if not paths:
         raise FileNotFoundError(f"no .las files match {src!r}")
-    headers = pmap_headers(LasHeader.parse_file, paths)
+    headers = pmap_headers(
+        lambda p: LasHeader.parse_file(p, filesystem), paths
+    )
     sig0 = None
     for p, h in zip(paths, headers):
         sig = (
@@ -541,12 +567,13 @@ def transcode_las_to_ply(
                 (fid, p, h.offset_to_points, start, n, sx, sy, sz, ox, oy, oz)
             )
     part_dir = out_path + f".parts-{uuid.uuid4().hex[:8]}"
-    os.makedirs(part_dir, exist_ok=True)
+    fsio.makedirs(part_dir, filesystem)
 
     rec_dtype_spec = [(n, "<" + c) for n, c in point_fields]
     out_dtype_spec = [(n, "<" + c) for n, c in out_props]
     where_local = list(where) if where else []
     cols_local = list(columns)
+    fs = filesystem
 
     def _work(iterator):
         import pandas as pd
@@ -560,7 +587,7 @@ def transcode_las_to_ply(
                 start, n = int(row.rec_start), int(row.n)
                 scale = (row.sx, row.sy, row.sz)
                 origin = (row.ox, row.oy, row.oz)
-                with open(path, "rb") as f:
+                with fsio.open_input(path, fs) as f:
                     f.seek(off + start * stride)
                     buf = f.read(n * stride)
                 arr = np.frombuffer(buf, dtype=rec_dtype, count=n)
@@ -585,10 +612,10 @@ def transcode_las_to_ply(
                 m = len(out)
                 part = ""
                 if m:
-                    part = os.path.join(
-                        part_dir, f"p-{fid}-{start}-{uuid.uuid4().hex[:8]}.bin"
+                    part = (
+                        f"{part_dir}/p-{fid}-{start}-{uuid.uuid4().hex[:8]}.bin"
                     )
-                    with open(part, "wb") as f:
+                    with fsio.open_output(part, fs) as f:
                         f.write(out.tobytes())
                 out_rows.append(
                     {
@@ -621,14 +648,12 @@ def transcode_las_to_ply(
                 )
             ],
         )
-        with open(out_path, "wb") as out:
+        with fsio.open_output(out_path, filesystem) as out:
             out.write(header.to_bytes())
             for r in live:
-                append_file(out, r["part"])
+                append_file(out, r["part"], filesystem)
     finally:
-        import shutil
-
-        shutil.rmtree(part_dir, ignore_errors=True)
+        fsio.rmtree(part_dir, filesystem)
     return {
         "points": total,
         "read": sum(r["read_n"] for r in stats),
@@ -643,6 +668,7 @@ def transcode_pcd(
     out_path: str,
     where: list[tuple[str, str, float]] | None = None,
     target_bytes: int = _TARGET_BYTES,
+    filesystem=None,
 ) -> dict:
     """Merge (and optionally filter) ``DATA binary`` PCD files into ONE
     ``.pcd`` — the third member of the fused family (round 8).
@@ -658,10 +684,12 @@ def transcode_pcd(
     """
     from .pcd_format import PcdHeader
 
-    paths = _resolve_paths(src, ".pcd")
+    paths = _resolve_paths(src, ".pcd", filesystem)
     if not paths:
         raise FileNotFoundError(f"no .pcd files match {src!r}")
-    headers = pmap_headers(PcdHeader.parse_file, paths)
+    headers = pmap_headers(
+        lambda p: PcdHeader.parse_file(p, filesystem), paths
+    )
     sigs = []
     for p, h in zip(paths, headers):
         if h.data_kind != "binary":
@@ -693,10 +721,11 @@ def transcode_pcd(
         for start, n in plan_record_ranges(h.points, stride, target_bytes):
             specs.append((fid, p, h.data_offset, start, n))
     part_dir = out_path + f".parts-{uuid.uuid4().hex[:8]}"
-    os.makedirs(part_dir, exist_ok=True)
+    fsio.makedirs(part_dir, filesystem)
 
     rec_dtype_spec = [(n, "<" + c) for n, c in props]
     where_local = list(where) if where else []
+    fs = filesystem
 
     def _work(iterator):
         import pandas as pd
@@ -708,7 +737,7 @@ def transcode_pcd(
                 pdf["fid"], pdf["path"], pdf["offset"], pdf["rec_start"], pdf["n"]
             ):
                 fid, off, start, n = int(fid), int(off), int(start), int(n)
-                with open(path, "rb") as f:
+                with fsio.open_input(path, fs) as f:
                     f.seek(off + start * stride)
                     buf = f.read(n * stride)
                 raw = np.frombuffer(buf, dtype=np.uint8).reshape(n, stride)
@@ -723,10 +752,10 @@ def transcode_pcd(
                 m = len(kept_raw)
                 part = ""
                 if m:
-                    part = os.path.join(
-                        part_dir, f"p-{fid}-{start}-{uuid.uuid4().hex[:8]}.bin"
+                    part = (
+                        f"{part_dir}/p-{fid}-{start}-{uuid.uuid4().hex[:8]}.bin"
                     )
-                    with open(part, "wb") as f:
+                    with fsio.open_output(part, fs) as f:
                         f.write(kept_raw.tobytes())
                 out_rows.append(
                     {
@@ -757,14 +786,12 @@ def transcode_pcd(
             points=total,
             data_kind="binary",
         )
-        with open(out_path, "wb") as out:
+        with fsio.open_output(out_path, filesystem) as out:
             out.write(header.to_bytes())
             for r in live:
-                append_file(out, r["part"])
+                append_file(out, r["part"], filesystem)
     finally:
-        import shutil
-
-        shutil.rmtree(part_dir, ignore_errors=True)
+        fsio.rmtree(part_dir, filesystem)
     return {
         "points": total,
         "read": sum(r["read_n"] for r in stats),
