@@ -221,3 +221,64 @@ ORACLES["q_pc_chips"] = f"""
                 ELSE 'test' END AS split
     FROM chips
 """
+
+
+def q_privacy_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity suppression audit (k=5) over customer quasi-identifiers
+    — the privacy gate a dataset release runs before shipping rows whose
+    (segment, nation, balance-band) combination could re-identify someone.
+
+    QID = (c_mktsegment, c_nationkey, $1000 account-balance band); any QID
+    group with fewer than k=5 members is suppressed.  Output per segment:
+    group counts and row counts kept/suppressed.
+
+    Exactness: the balance band is computed in integer cents with a
+    +$100k shift so the division operand is always positive — Spark `div`
+    truncates toward zero while DuckDB `//` floors, and the shift makes
+    the two agree without a float in sight.
+
+    Scale shape: one partial-aggregated hash aggregate on the QID, then a
+    segment rollup — two shuffles total, both key-bounded; no joins, no
+    row explosion.  At 100 TB the QID cardinality (not the row count)
+    bounds the second stage.
+    """
+    t = load_tables(spark, sf_dir)
+    band = F.expr(
+        "(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) + 10000000)"
+        " div 100000"
+    )
+    groups = (
+        t["customer"]
+        .select("c_mktsegment", "c_nationkey", band.alias("bal_band"))
+        .groupBy("c_mktsegment", "c_nationkey", "bal_band")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    suppressed = (F.col("n") < 5).cast("long")
+    return groups.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(suppressed).alias("n_suppressed_groups"),
+        F.sum(F.col("n") * (1 - suppressed)).alias("n_rows_kept"),
+        F.sum(F.col("n") * suppressed).alias("n_rows_suppressed"),
+    )
+
+
+QUERIES["q_privacy_kanon"] = q_privacy_kanon
+
+ORACLES["q_privacy_kanon"] = """
+    WITH groups AS (
+        SELECT c_mktsegment, c_nationkey,
+               (CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) + 10000000)
+                   // 100000 AS bal_band,
+               count(*) AS n
+        FROM customer GROUP BY 1, 2, 3
+    )
+    SELECT c_mktsegment,
+           count(*) AS n_groups,
+           CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_suppressed_groups,
+           CAST(sum(CASE WHEN n >= 5 THEN n ELSE 0 END) AS BIGINT)
+               AS n_rows_kept,
+           CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+               AS n_rows_suppressed
+    FROM groups GROUP BY c_mktsegment
+"""

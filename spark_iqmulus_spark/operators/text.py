@@ -1012,3 +1012,137 @@ ORACLES["q_vocab_drift"] = f"""
            CAST(max(abs(p_src - p_cor)) AS BIGINT) AS max_word_ppm
     FROM joined GROUP BY source
 """
+
+
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-prep document chunking: overlapping token windows (16 tokens,
+    stride 12), rolled up per source with a chunk-level dedup count.
+
+    The chunk table itself is the operator (``doc_id, chunk_idx, chunk``);
+    the rollup keeps the oracle output bounded at any SF.  ``n_unique_
+    chunks`` counts distinct md5(chunk) — overlapping windows from
+    near-identical docs collapse here, the signal a retrieval index cares
+    about before embedding.
+
+    Scale shape: chunking is pure per-row codegen (sequence → slice →
+    array_join — no explode until the final rollup's single shuffle);
+    stride/window are literals so Catalyst folds the arithmetic.  At
+    100 TB this is a map-only pass plus one partial-aggregated hash agg.
+    """
+    t = load_tables(spark, sf_dir)
+    src = t["documents"].select("doc_id", "source", _tokens().alias("words"))
+    w = F.col("words")
+    starts = F.sequence(F.lit(1), F.size(w), F.lit(12))
+    chunks = F.transform(
+        starts, lambda s: F.array_join(F.slice(w, s, 16), " ")
+    )
+    per_chunk = src.select(
+        "doc_id", "source", F.explode(chunks).alias("chunk")
+    )
+    n_tok = F.size(F.split("chunk", " "))
+    return per_chunk.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.countDistinct(F.md5("chunk")).alias("n_unique_chunks"),
+        F.sum(n_tok).alias("total_chunk_tokens"),
+        F.max(n_tok).cast("long").alias("max_chunk_tokens"),
+    )
+
+
+QUERIES["q_chunk_docs"] = q_chunk_docs
+
+ORACLES["q_chunk_docs"] = f"""
+    WITH toks AS (
+        SELECT doc_id, source, {_SQL_TOKS} AS words FROM documents
+    ), chunks AS (
+        SELECT doc_id, source,
+               unnest(list_transform(generate_series(1, len(words), 12),
+                      s -> array_to_string(words[s:s+15], ' '))) AS chunk
+        FROM toks
+    )
+    SELECT source,
+           count(DISTINCT doc_id) AS n_docs,
+           count(*) AS n_chunks,
+           count(DISTINCT md5(chunk)) AS n_unique_chunks,
+           CAST(sum(len(string_split(chunk, ' '))) AS BIGINT)
+               AS total_chunk_tokens,
+           CAST(max(len(string_split(chunk, ' '))) AS BIGINT)
+               AS max_chunk_tokens
+    FROM chunks GROUP BY source
+"""
+
+
+def q_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate removal (CCNet-style line dedup, over
+    fixed 10-token spans since the synthetic corpus has no newlines): a
+    span is boilerplate when its md5 appears in >= 3 DISTINCT documents;
+    report, per source, how many spans/tokens removal would strip.
+
+    Scale shape: segment per-row in codegen → explode → ONE hash
+    aggregate keyed by span hash (count distinct docs; partial agg bounds
+    the shuffle by span vocabulary) → equi-join occurrences back on the
+    hash.  The join's per-key output equals the span's occurrence count
+    (each hash carries one count row), so a viral boilerplate span adds
+    linear — never quadratic — work; contrast the pair-joins in dedup.py
+    which need the MAX_DF stop-shingle cap.
+    """
+    t = load_tables(spark, sf_dir)
+    src = t["documents"].select("doc_id", "source", _tokens().alias("words"))
+    w = F.col("words")
+    starts = F.sequence(F.lit(1), F.size(w), F.lit(10))
+    spans = F.transform(
+        starts, lambda s: F.array_join(F.slice(w, s, 10), " ")
+    )
+    per_span = src.select(
+        "doc_id", "source", F.explode(spans).alias("span")
+    ).select(
+        "doc_id",
+        "source",
+        F.md5("span").alias("h"),
+        F.size(F.split("span", " ")).alias("n_tok"),
+    )
+    by_hash = per_span.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("ndocs")
+    )
+    joined = per_span.join(by_hash, "h")
+    flagged = (F.col("ndocs") >= 3).cast("long")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(flagged).alias("n_boilerplate_spans"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.sum(F.col("n_tok") * flagged).alias("tokens_removed"),
+        F.countDistinct(
+            F.when(F.col("ndocs") >= 3, F.col("doc_id"))
+        ).alias("n_docs_affected"),
+    )
+
+
+QUERIES["q_boilerplate_spans"] = q_boilerplate_spans
+
+ORACLES["q_boilerplate_spans"] = f"""
+    WITH toks AS (
+        SELECT doc_id, source, {_SQL_TOKS} AS words FROM documents
+    ), spans AS (
+        SELECT doc_id, source,
+               unnest(list_transform(generate_series(1, len(words), 10),
+                      s -> array_to_string(words[s:s+9], ' '))) AS span
+        FROM toks
+    ), hashed AS (
+        SELECT doc_id, source, md5(span) AS h,
+               len(string_split(span, ' ')) AS n_tok
+        FROM spans
+    ), by_hash AS (
+        SELECT h, count(DISTINCT doc_id) AS ndocs FROM hashed GROUP BY h
+    )
+    SELECT source,
+           count(*) AS n_spans,
+           CAST(sum(CASE WHEN ndocs >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_boilerplate_spans,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN ndocs >= 3 THEN n_tok ELSE 0 END) AS BIGINT)
+               AS tokens_removed,
+           count(DISTINCT CASE WHEN ndocs >= 3 THEN doc_id END)
+               AS n_docs_affected
+    FROM hashed JOIN by_hash USING (h)
+    GROUP BY source
+"""
