@@ -1,0 +1,135 @@
+"""Staged-oracle harness for the graph family at large scale factors.
+
+All eight graph oracles share one edge definition (``graph._EDGE_CTE``:
+banded-LSH candidate equi-join + exact-cosine recheck).  DuckDB CTE
+materialization is per-query, so a plain ``tools/check.py`` run re-derives
+that join for EVERY key — at sf5 that multiplies the most expensive oracle
+stage by eight and exhausts a single process (VERDICT r6 commit d2d510e
+identified the blocker; VERDICT r7 item 2 prescribes this staging).
+
+This runner stages the edge list ONCE::
+
+    COPY (<edge CTE> SELECT a, b FROM edges) TO <tmp>/edges.parquet
+
+then rewrites each oracle to read the staged parquet instead of re-deriving
+the CTE.  Oracle independence is preserved: the staged edges come from
+DuckDB's own CTE — Spark output never feeds the oracle side.
+
+The Spark side runs all keys in ONE session, sharing the persisted edge
+frame exactly as ``graph.sim_edges`` is designed to (the production shape:
+derive the similarity graph once, run every graph analysis on it).
+
+Usage::
+
+    python tools/check_graph_staged.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+import time
+import traceback
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
+
+from check import table_hash, type_class_problems  # noqa: E402
+
+from spark_iqmulus_spark.operators import graph  # noqa: E402
+from spark_iqmulus_spark.session import TABLES, get_spark  # noqa: E402
+
+GRAPH_KEYS = tuple(sorted(graph.ORACLES))
+
+
+def staged_oracles(con, workdir: str) -> dict[str, str]:
+    """Stage the edge list once; return per-key oracles over the staging."""
+    edges_pq = f"{workdir}/edges.parquet"
+    t0 = time.time()
+    con.execute(
+        f"COPY ({graph._EDGE_CTE} SELECT a, b FROM edges)"
+        f" TO '{edges_pq}' (FORMAT PARQUET)"
+    )
+    n = con.sql(f"SELECT count(*) FROM '{edges_pq}'").fetchone()[0]
+    print(f"staged {n} edges in {time.time()-t0:.1f}s -> {edges_pq}")
+
+    plain = graph._EDGE_CTE
+    rec = graph._EDGE_CTE.replace("WITH e AS", "WITH RECURSIVE e AS", 1)
+    base = (
+        "edges AS (SELECT a, b FROM read_parquet('{pq}')), "
+        "und AS (SELECT a, b FROM edges"
+        " UNION ALL SELECT b AS a, a AS b FROM edges)"
+    ).format(pq=edges_pq)
+    out = {}
+    for key, q in graph.ORACLES.items():
+        if q.startswith(rec) and rec != plain:
+            out[key] = "WITH RECURSIVE " + base + q[len(rec):]
+        elif q.startswith(plain):
+            out[key] = "WITH " + base + q[len(plain):]
+        else:
+            raise ValueError(f"{key}: oracle does not start with _EDGE_CTE")
+    return out
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    workdir = tempfile.mkdtemp(prefix="graph_staged_")
+    oracles = staged_oracles(con, workdir)
+
+    spark = get_spark("check-graph-staged")
+    n_pass = n_fail = 0
+    for name in GRAPH_KEYS:
+        t0 = time.time()
+        try:
+            sdf = graph.QUERIES[name](spark, sf_dir)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception:
+            print(f"FAIL {name}: spark error")
+            traceback.print_exc()
+            n_fail += 1
+            continue
+        try:
+            orel = con.sql(oracles[name])
+            ocols = list(orel.columns)
+            otypes = list(orel.types)
+            orows = orel.fetchall()
+        except Exception:
+            print(f"FAIL {name}: oracle error")
+            traceback.print_exc()
+            n_fail += 1
+            continue
+        problems = type_class_problems(sdf.schema, ocols, otypes)
+        if len(srows) != len(orows):
+            problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
+        if not problems:
+            sh, sl = table_hash(scols, [tuple(r) for r in srows], strict=True)
+            oh, ol = table_hash(ocols, orows, strict=True)
+            if sh != oh:
+                problems.append("value-hash mismatch")
+                for a, b in [(a, b) for a, b in zip(sl, ol) if a != b][:3]:
+                    problems.append(f"  spark : {a[:200]}")
+                    problems.append(f"  oracle: {b[:200]}")
+        if problems:
+            print(f"FAIL {name}: " + "; ".join(problems[:1]))
+            for p in problems[1:]:
+                print("   " + p)
+            n_fail += 1
+        else:
+            print(f"PASS {name}: {len(srows)} rows  [{time.time()-t0:.1f}s]")
+            n_pass += 1
+
+    print(f"\n{n_pass} pass, {n_fail} fail (staged edge oracle)")
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
