@@ -21,6 +21,7 @@ _MODULES = (
     "spark_iqmulus_spark.operators.pointcloud",
     "spark_iqmulus_spark.operators.partitioning",
     "spark_iqmulus_spark.operators.spatial",
+    "spark_iqmulus_spark.operators.curation",
     "spark_iqmulus_spark.operators.dedup",
     "spark_iqmulus_spark.operators.graph",
     "spark_iqmulus_spark.operators.packing",
