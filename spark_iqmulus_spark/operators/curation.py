@@ -141,8 +141,13 @@ def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tri"),
         )
     )
-    model = tri.groupBy("tri").agg(F.count(F.lit(1)).alias("c"))
-    total = tri.count()
+    # the model is bounded (≤ |charset|³ rows) — checkpoint it so the
+    # corpus-wide explode runs once, and derive the trigram total from it
+    # (sum of counts == total trigram rows) instead of a second full pass
+    model = (
+        tri.groupBy("tri").agg(F.count(F.lit(1)).alias("c")).localCheckpoint()
+    )
+    total = model.agg(F.sum("c")).collect()[0][0]
     scored = tri.join(F.broadcast(model), "tri")
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tri"),

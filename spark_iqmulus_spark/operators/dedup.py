@@ -732,14 +732,19 @@ def q_dedup_embed_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = _dot(F.col("ea"), F.col("eb")) / (
         F.sqrt(_dot(F.col("ea"), F.col("ea"))) * F.sqrt(_dot(F.col("eb"), F.col("eb")))
     )
-    # exact pairs on the SAMPLE only.  Row-count guard (ADVICE r7): below
-    # the cap the broadcast BNLJ is fine (fraction-bounded side); above it
-    # we must NOT broadcast an unbounded embeddings sample, so switch to a
+    # exact pairs on the SAMPLE only.  Size guard (ADVICE r7): below the
+    # cap the broadcast BNLJ is fine (fraction-bounded side); above it we
+    # must NOT broadcast an unbounded embeddings sample, so switch to a
     # block-replicated shuffled equi-join — a lands in one of G blocks, b
     # is replicated to all G, the join key is the block id.  Same pair set,
-    # no driver/executor hash-table holding the whole sample.
-    sample_n = sub.count()
-    if sample_n <= RECALL_BROADCAST_CAP:
+    # no driver/executor hash-table holding the whole sample.  The guard
+    # decides on a deterministic upper estimate of the sample size (the
+    # md5 bucket is binomial around frac_eff*N; 1.5x + 1024 covers the
+    # tail at any N) instead of running a full filtered scan just to pick
+    # a branch — the estimate needs no extra job.
+    frac_eff = int(frac * 0x10000 + 0.5) / 0x10000
+    sample_bound = int(frac_eff * n_vec * 1.5) + 1024
+    if sample_bound <= RECALL_BROADCAST_CAP:
         pairs = a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
     else:
         g = 64

@@ -127,11 +127,11 @@ def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["documents"]
         .groupBy("source")
         .agg(F.sum(tok).alias("tokens"))
+        .localCheckpoint()  # O(sources) rows; the corpus scan runs once
     )
-    total = per_src.agg(F.sum("tokens").alias("total")).crossJoin(
-        per_src.agg(
-            F.sum(F.sqrt(F.col("tokens").cast("double"))).alias("sum_sqrt_tok")
-        )
+    total = per_src.agg(
+        F.sum("tokens").alias("total"),
+        F.sum(F.sqrt(F.col("tokens").cast("double"))).alias("sum_sqrt_tok"),
     )
     # sqrt(share_i)/Σsqrt(share_j) == sqrt(tok_i)/Σsqrt(tok_j): the
     # 1/sqrt(total) factor cancels, so we never divide before the sqrt —

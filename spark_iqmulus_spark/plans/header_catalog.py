@@ -331,6 +331,15 @@ class SmartPointCloudFrame:
                 f" columns {tuple(missing)} (requested {tuple(cols)})"
             )
         if missing:
+            # columns already attempted by an earlier scan (they are in
+            # _manifest_cols but produced no bounds) do not exist in the
+            # files — raise without re-running the full rescan
+            known_absent = [c for c in missing if c in self._manifest_cols]
+            if known_absent:
+                raise ValueError(
+                    f"columns {tuple(known_absent)} not present in the"
+                    f" {self._fmt} files (requested {tuple(cols)})"
+                )
             # the on-demand stats scan was built for an earlier, narrower
             # column set — rebuild covering the union rather than
             # returning a dict that silently omits the new columns
@@ -341,6 +350,19 @@ class SmartPointCloudFrame:
                 self._spark, self._paths, fmt=self._fmt,
                 columns=self._manifest_cols,
             ).localCheckpoint()
+            # build_manifest_scan silently skips columns the files don't
+            # have; a column still absent after the rebuild does not exist
+            # in the data — raise the clear error (and cache the rebuilt
+            # frame so the full rescan is not repeated on retry)
+            still = [
+                c for c in cols
+                if f"{c}_min" not in self._manifest_df.columns
+            ]
+            if still:
+                raise ValueError(
+                    f"columns {tuple(still)} not present in the"
+                    f" {self._fmt} files (requested {tuple(cols)})"
+                )
         m = self._manifest_df
         aggs = []
         for c in cols:

@@ -70,13 +70,33 @@ def build_manifest(
 _MANIFEST_SINGLE_FILE_MAX = 200_000
 
 
-def _write_manifest_df(df: DataFrame, path: str, n_rows: int | None = None) -> None:
+def _write_manifest_df(
+    df: DataFrame, path: str, n_rows: int | None = None, filesystem=None
+) -> None:
     """Write a manifest frame: single file while small (one tiny parquet
     scan at plan time), repartitioned by path once tile count warrants.
 
     ``n_rows`` lets callers that already know the row count (== file count)
     skip the counting job; when omitted the frame is counted, so only pass
-    ``None`` for cheap (checkpointed / local-rows) frames."""
+    ``None`` for cheap (checkpointed / local-rows) frames.
+
+    With a ``filesystem`` the write routes driver-side through pyarrow
+    (one file inside ``path``): Spark's own writer resolves paths against
+    the cluster-default Hadoop FS, which is a *different store* than the
+    pyarrow filesystem the rest of the commit uses.  The manifest is
+    metadata (O(n_files) rows), so a driver-side write is scale-safe where
+    the data itself never would be."""
+    if filesystem is not None:
+        import pyarrow.parquet as pq
+
+        from ..sources import fsio
+
+        fsio.makedirs(path, filesystem)
+        pq.write_table(
+            df.toArrow(), path.rstrip("/") + "/part-00000.parquet",
+            filesystem=filesystem,
+        )
+        return
     if n_rows is None:
         n_rows = df.count()
     if n_rows <= _MANIFEST_SINGLE_FILE_MAX:
@@ -84,6 +104,17 @@ def _write_manifest_df(df: DataFrame, path: str, n_rows: int | None = None) -> N
     else:
         parts = int(n_rows // _MANIFEST_SINGLE_FILE_MAX) + 1
         df.repartition(parts, "path").write.mode("overwrite").parquet(path)
+
+
+def _read_manifest(spark: SparkSession, path: str, filesystem=None) -> DataFrame:
+    """Read a manifest directory as a DataFrame.  ``filesystem`` routes the
+    read through pyarrow (same store as every other commit-side op) instead
+    of Spark's cluster-default FS; the Arrow table keeps the exact schema."""
+    if filesystem is None:
+        return spark.read.parquet(path)
+    import pyarrow.parquet as pq
+
+    return spark.createDataFrame(pq.read_table(path, filesystem=filesystem))
 
 
 def write_manifest(
@@ -170,7 +201,7 @@ def update_manifest(
         _old, filesystem
     ):
         fsio.rename(_old, manifest_path, filesystem)
-    manifest = spark.read.parquet(manifest_path)
+    manifest = _read_manifest(spark, manifest_path, filesystem)
     fresh_df, kept = _fresh_and_kept(manifest, stats)
     fresh = sorted(r["path"] for r in fresh_df.collect())
     if not fresh:
@@ -190,7 +221,7 @@ def update_manifest(
     # should be prepared to retry a brief ENOENT.
     merged = merged.localCheckpoint()
     tmp = manifest_path.rstrip("/") + ".tmp"
-    _write_manifest_df(merged, tmp)
+    _write_manifest_df(merged, tmp, filesystem=filesystem)
     old = manifest_path.rstrip("/") + ".old"
     fsio.rmtree(old, filesystem)
     fsio.rename(manifest_path, old, filesystem)
@@ -212,12 +243,14 @@ def pruned_paths(
     y_range: tuple[float, float] | None = None,
     z_range: tuple[float, float] | None = None,
     verify: bool = False,
+    filesystem=None,
 ) -> list[str]:
     """Tile paths whose manifest bounds may intersect the given world-coord
     ranges — a plain Catalyst filter over the manifest parquet; collect is
     bounded by *matching* tiles (the read job needs that path list on the
-    driver regardless)."""
-    m = spark.read.parquet(manifest_path)
+    driver regardless).  ``filesystem`` routes the manifest read and the
+    optional staleness stat through pyarrow (sources/fsio.py)."""
+    m = _read_manifest(spark, manifest_path, filesystem)
     for rng, lo_c, hi_c in (
         (x_range, "x_min", "x_max"),
         (y_range, "y_min", "y_max"),
@@ -229,8 +262,13 @@ def pruned_paths(
     rows = m.select("path", "mtime_ns", "size").collect()
     if verify:
         for r in rows:
-            st = os.stat(r["path"])
-            if st.st_mtime_ns != r["mtime_ns"] or st.st_size != r["size"]:
+            if filesystem is None:
+                st = os.stat(r["path"])
+                mtime_ns, size = st.st_mtime_ns, st.st_size
+            else:
+                info = filesystem.get_file_info(r["path"])
+                mtime_ns, size = info.mtime_ns, info.size
+            if mtime_ns != r["mtime_ns"] or size != r["size"]:
                 raise ValueError(
                     f"manifest is stale for {r['path']} — rebuild with"
                     " write_manifest()"

@@ -18,7 +18,10 @@ import traceback
 
 import duckdb
 
-sys.path.insert(0, "/root/repo")
+import os
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
 
 from spark_iqmulus_spark.session import TABLES, get_spark  # noqa: E402
 
@@ -176,6 +179,10 @@ def main() -> int:
 
     spark = get_spark("check")
     con = duckdb.connect()
+    # cap the oracle engine: large-SF joins must spill, not OOM the box
+    # (the sf5 graph/dedup oracles reached 96 GB RSS unbounded)
+    con.execute("SET memory_limit='40GB'")
+    con.execute("SET temp_directory='/tmp/duck_spill'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"

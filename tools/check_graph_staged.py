@@ -33,8 +33,11 @@ import traceback
 
 import duckdb
 
-sys.path.insert(0, "/root/repo")
-sys.path.insert(0, "/root/repo/tools")
+import os as _os
+
+_ROOT = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+sys.path.insert(0, _os.path.join(_ROOT, "tools"))
 
 from check import table_hash, type_class_problems  # noqa: E402
 
@@ -76,6 +79,8 @@ def staged_oracles(con, workdir: str) -> dict[str, str]:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     con = duckdb.connect()
+    con.execute("SET memory_limit='40GB'")
+    con.execute("SET temp_directory='/tmp/duck_spill'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     workdir = tempfile.mkdtemp(prefix="graph_staged_")
