@@ -771,5 +771,29 @@ def test_smart_scan_all_formats(spark, tmp_path):
     with _pytest.raises(ValueError, match="no bounds for.*'y'"):
         smart_m.minmax(("x", "y"))
 
+    # a column the FILES don't have: clear error, and the rebuilt manifest
+    # is cached so the retry raises without re-running the stats scan
+    smart_absent = smart_scan(spark, str(ply_dir), fmt="ply")
+    smart_absent.minmax(("x",))
+    for _ in range(2):
+        with _pytest.raises(ValueError, match="not present in the ply"):
+            smart_absent.minmax(("x", "intensity"))
+    import spark_iqmulus_spark.plans.manifest as _mani
+
+    calls = []
+    orig = _mani.build_manifest_scan
+
+    def _counting(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    _mani.build_manifest_scan = _counting
+    try:
+        with _pytest.raises(ValueError, match="not present in the ply"):
+            smart_absent.minmax(("intensity",))
+        assert not calls  # known-absent: no rescan on retry
+    finally:
+        _mani.build_manifest_scan = orig
+
     with _pytest.raises(ValueError, match="fmt must be"):
         smart_scan(spark, str(las_dir), fmt="xyz")
