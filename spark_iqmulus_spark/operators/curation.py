@@ -157,10 +157,56 @@ def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: number of top merge candidates reported per BPE counting round
+BPE_TOP_K = 20
+
+
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-training merge statistics: the adjacent-symbol pair
+    counts that drive each merge round, computed the way production BPE
+    trainers scale — on the word-frequency table, not the raw corpus.
+
+    The corpus collapses to ``(word, freq)`` first (the classic trick:
+    pair counts are identical, but the problem shrinks from corpus size to
+    vocabulary size — at 100 TB the words table is million-row, not
+    trillion-row).  Each distinct word then contributes its adjacent
+    character pairs weighted by its frequency; the top-K pairs by weighted
+    count are the merge candidates.  All codegen: split → explode →
+    grouped count → transform/sequence pair explode → weighted sum →
+    row_number top-K with a unique (count desc, pair) ordering so both
+    engines select the identical set.
+    """
+    t = load_tables(spark, sf_dir)
+    words = (
+        t["documents"]
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .where(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = words.select(
+        "freq",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1),"
+                " i -> substring(word, i, 2))"
+            )
+        ).alias("pair"),
+    )
+    counted = pairs.groupBy("pair").agg(F.sum("freq").alias("cnt"))
+    w = W.orderBy(F.col("cnt").desc(), "pair")
+    return (
+        counted.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= BPE_TOP_K)
+        .select("rank", "pair", "cnt")
+    )
+
+
 QUERIES = {
     "q_dataset_diff": q_dataset_diff,
     "q_compaction_plan": q_compaction_plan,
     "q_text_perplexity": q_text_perplexity,
+    "q_bpe_pairs": q_bpe_pairs,
 }
 
 ORACLES = {
@@ -198,6 +244,26 @@ ORACLES = {
                min(doc_id) AS first_key,
                max(doc_id) AS last_key
         FROM planned GROUP BY source, bin
+    """,
+    "q_bpe_pairs": """
+        WITH words AS (
+            SELECT word, count(*) AS freq
+            FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
+                  FROM documents)
+            WHERE len(word) >= 2
+            GROUP BY word
+        ), pairs AS (
+            SELECT substr(word, CAST(i AS INT), 2) AS pair, freq
+            FROM words, unnest(generate_series(1, len(word) - 1)) AS g(i)
+        ), counted AS (
+            SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+            FROM pairs GROUP BY pair
+        )
+        SELECT rank, pair, cnt FROM (
+            SELECT pair, cnt,
+                   row_number() OVER (ORDER BY cnt DESC, pair) AS rank
+            FROM counted
+        ) WHERE rank <= 20
     """,
     "q_text_perplexity": """
         WITH tri AS (

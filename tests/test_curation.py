@@ -119,3 +119,28 @@ def test_diff_plan_prunes_text_before_join(spark):
     join_idx = plan.find("Join")
     assert join_idx != -1
     assert "md5" not in plan[:join_idx]
+
+
+def test_bpe_pairs_match_local_counts(spark):
+    """Top-K merge-pair counts equal a locally-recomputed weighted count,
+    and ranks are the unique (cnt desc, pair) ordering."""
+    from spark_iqmulus_spark.operators.curation import BPE_TOP_K, q_bpe_pairs
+
+    texts = [
+        r["text"].lower()
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    ]
+    wf: dict[str, int] = {}
+    for s in texts:
+        for w in s.split(" "):
+            if len(w) >= 2:
+                wf[w] = wf.get(w, 0) + 1
+    counts: dict[str, int] = {}
+    for w, f in wf.items():
+        for i in range(len(w) - 1):
+            counts[w[i : i + 2]] = counts.get(w[i : i + 2], 0) + f
+    expect = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:BPE_TOP_K]
+
+    rows = sorted(q_bpe_pairs(spark, SF).collect(), key=lambda r: r["rank"])
+    assert [(r["pair"], r["cnt"]) for r in rows] == expect
+    assert [r["rank"] for r in rows] == list(range(1, len(expect) + 1))
