@@ -47,13 +47,47 @@ from spark_iqmulus_spark.session import TABLES, get_spark  # noqa: E402
 GRAPH_KEYS = tuple(sorted(graph.ORACLES))
 
 
+def _staging_sql() -> str:
+    """Memory-bounded restatement of ``graph._EDGE_CTE`` for the one-time
+    staging COPY.  The production CTE's ``MATERIALIZED`` candidate set is
+    what a per-query oracle wants (eight queries share it), but at sf5 the
+    banded self-join yields ~10⁹ candidate id pairs — materializing (or
+    even DISTINCT-ing) them needs tens of GB of hash state.  For staging we
+    instead STREAM the duplicated candidate pairs straight into the exact
+    cosine re-check (build sides are just the 100k-vector table) and
+    DISTINCT only the surviving edges (~10⁶).  Identical edge set: cosine
+    is deterministic per pair, so dedup-after-filter == filter-after-dedup;
+    peak memory is the two small build tables regardless of corpus skew."""
+    from spark_iqmulus_spark.operators.dedup import COSINE_T
+    from spark_iqmulus_spark.operators.similarity import _lsh_banded_cte
+
+    return (
+        _lsh_banded_cte()
+        + f"""
+        , cand AS (
+            SELECT a.vec_id AS a, b.vec_id AS b
+            FROM (SELECT vec_id, band, val FROM banded) a
+            JOIN (SELECT vec_id, band, val FROM banded) b
+              ON a.band = b.band AND a.val = b.val
+            WHERE a.vec_id < b.vec_id
+        )
+        SELECT DISTINCT c.a, c.b
+        FROM cand c
+        JOIN e ea ON ea.vec_id = c.a
+        JOIN e eb ON eb.vec_id = c.b
+        WHERE round(list_dot_product(ea.v, eb.v)
+              / (sqrt(list_dot_product(ea.v, ea.v))
+                 * sqrt(list_dot_product(eb.v, eb.v))), 6) >= {COSINE_T}
+    """
+    )
+
+
 def staged_oracles(con, workdir: str) -> dict[str, str]:
     """Stage the edge list once; return per-key oracles over the staging."""
     edges_pq = f"{workdir}/edges.parquet"
     t0 = time.time()
     con.execute(
-        f"COPY ({graph._EDGE_CTE} SELECT a, b FROM edges)"
-        f" TO '{edges_pq}' (FORMAT PARQUET)"
+        f"COPY ({_staging_sql()}) TO '{edges_pq}' (FORMAT PARQUET)"
     )
     n = con.sql(f"SELECT count(*) FROM '{edges_pq}'").fetchone()[0]
     print(f"staged {n} edges in {time.time()-t0:.1f}s -> {edges_pq}")

@@ -46,9 +46,13 @@ def run_chunk(sf_dir: str, keys: list[str], timeout: int, strict: bool):
         out = p.stdout + p.stderr
         timed_out = False
     except subprocess.TimeoutExpired as exc:
-        out = (exc.stdout or "") + (exc.stderr or "")
-        if isinstance(out, bytes):
-            out = out.decode(errors="replace")
+        # TimeoutExpired carries bytes even with text=True
+        def _s(v):
+            if v is None:
+                return ""
+            return v.decode(errors="replace") if isinstance(v, bytes) else v
+
+        out = _s(exc.stdout) + _s(exc.stderr)
         timed_out = True
     results = {}
     for ln in out.splitlines():
