@@ -1383,3 +1383,144 @@ ORACLES["q_corpus_overlap"] = """
            CAST(sum(uni) AS BIGINT) AS sum_union
     FROM lab GROUP BY 1, 2
 """
+
+
+#: SemDeDup: target mean cluster size — the cluster count K scales with the
+#: corpus (K = max(4, N // SEM_TARGET)) so the intra-cluster pair stage is
+#: O(N * SEM_TARGET) regardless of corpus size.
+SEM_TARGET = 500
+
+
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): partition the embedding corpus into K semantic
+    clusters, then prune near-duplicates ONLY within each cluster — the
+    clustering turns the O(N²) pairwise problem into O(N · cluster_size)
+    without a similarity-preserving hash family.
+
+    Deterministic, engine-portable construction:
+
+    - vectors quantized to non-negative integer micro-units (the
+      q_embed_kmeans scheme) so centroid distances and the argmin are
+      exact integer arithmetic — no float accumulation-order drift;
+    - centroids are the first K vectors by vec_id (K = max(4, N //
+      SEM_TARGET), both engines derive it from count(*));
+    - a vector is REMOVED when a lower-vec_id vector in the same cluster
+      has cosine ≥ COSINE_T (round-6 double cosine, the family's exact
+      re-check construction).
+
+    Scale shape: the assignment cross join streams N·K rows through a
+    map-side-combined min(struct) aggregate — the shuffle carries N rows
+    (the per-partition partial argmin), never N·K; only O(K·d) centroid
+    integers reach the driver.  The pair stage repartitions by cluster id
+    with an explicit partition count (AQE-coalescing-exempt — the cost is
+    in the join OUTPUT expansion, invisible to input-size coalescing) and
+    is bounded per task at ~SEM_TARGET²/2 cosines because K grows with N.
+    Residual skew bound: a semantically degenerate megacluster still pays
+    O(k²) on its own partitions — SemDeDup's answer (and this one) is
+    raising K; the bound is the problem statement, not the plan."""
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"].select("vec_id", "embedding")
+    n = e.count()
+    k = max(4, n // SEM_TARGET)
+    q = F.transform(
+        "embedding",
+        lambda x: F.round(x.cast("double") * 1000000, 0).cast("long") + 1000000,
+    )
+    vq = e.select("vec_id", q.alias("q"))
+    # first-K-by-vec_id centroids: TakeOrdered (distributed sort+limit),
+    # O(K·d) longs on the driver — same bound as the IVF/kmeans samples
+    cents = [
+        (j, list(r["q"]))
+        for j, r in enumerate(vq.orderBy("vec_id").limit(k).collect())
+    ]
+    cdf = spark.createDataFrame(cents, "j int, cq array<long>")
+    dist = F.aggregate(
+        F.zip_with(F.col("q"), F.col("cq"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    assigned = (
+        vq.join(F.broadcast(cdf))
+        .select("vec_id", F.struct(dist.alias("d"), F.col("j")).alias("dj"))
+        .groupBy("vec_id")
+        .agg(F.min("dj").alias("best"))
+        .select("vec_id", F.col("best.j").cast("long").alias("cluster"))
+    )
+    ev = e.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    side = assigned.join(ev, "vec_id")
+    n_part = max(32, k)
+    a = side.select(
+        F.col("vec_id").alias("vec_a"), "cluster", F.col("v").alias("va")
+    ).repartition(n_part, "cluster")
+    b = side.select(
+        F.col("vec_id").alias("vec_b"), "cluster", F.col("v").alias("vb")
+    ).repartition(n_part, "cluster")
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb")))
+    )
+    removed = (
+        a.join(b, "cluster")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .where(F.round(cos, 6) >= COSINE_T)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .withColumn("is_rem", F.lit(1))
+    )
+    return (
+        assigned.join(removed, "vec_id", "left")
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.count("is_rem").alias("n_removed"),
+            (F.count(F.lit(1)) - F.count("is_rem")).alias("n_kept"),
+            F.min("vec_id").alias("min_vec_id"),
+        )
+    )
+
+
+QUERIES["q_dedup_semantic"] = q_dedup_semantic
+
+ORACLES["q_dedup_semantic"] = f"""
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   e -> CAST(round(CAST(e AS DOUBLE) * 1000000) AS BIGINT)
+                        + 1000000) AS q,
+               CAST(embedding AS DOUBLE[]) AS ve
+        FROM embeddings
+    ), nk AS (
+        SELECT GREATEST(4, count(*) // {SEM_TARGET}) AS k FROM v
+    ), c AS (
+        SELECT j, cq FROM (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, q AS cq
+            FROM v
+        ) WHERE j < (SELECT k FROM nk)
+    ), d AS (
+        SELECT v.vec_id, c.j,
+               list_sum(list_transform(generate_series(1, 64),
+                   i -> (v.q[i] - c.cq[i]) * (v.q[i] - c.cq[i]))) AS dist
+        FROM v CROSS JOIN c
+    ), a AS (
+        SELECT vec_id, CAST(j AS BIGINT) AS cluster FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY dist, j) AS rn
+            FROM d
+        ) WHERE rn = 1
+    ), m AS (
+        SELECT a.vec_id, a.cluster, v.ve FROM a JOIN v USING (vec_id)
+    ), removed AS (
+        SELECT DISTINCT y.vec_id
+        FROM m x JOIN m y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+        WHERE round(list_dot_product(x.ve, y.ve)
+                    / (sqrt(list_dot_product(x.ve, x.ve))
+                       * sqrt(list_dot_product(y.ve, y.ve))), 6) >= {COSINE_T}
+    )
+    SELECT m.cluster,
+           count(*) AS n_vecs,
+           count(r.vec_id) AS n_removed,
+           count(*) - count(r.vec_id) AS n_kept,
+           min(m.vec_id) AS min_vec_id
+    FROM m LEFT JOIN removed r ON r.vec_id = m.vec_id
+    GROUP BY 1
+"""

@@ -766,3 +766,19 @@ def test_mix_weights_normalized_and_directional(spark):
     assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-4
     by_tok = sorted(rows, key=lambda r: r["tokens"])
     assert by_tok[0]["oversample"] > 1.0 > by_tok[-1]["oversample"]
+
+
+def test_semantic_dedup_conserves_and_is_subset(spark):
+    """SemDeDup invariants the oracle doesn't phrase: cluster sizes
+    partition the corpus exactly; every removed vector has a lower-id
+    exact near-dup partner (cluster-restricted pruning can only remove a
+    SUBSET of what the exact O(N²) rule would)."""
+    from spark_iqmulus_spark.operators.dedup import q_dedup_embed, q_dedup_semantic
+
+    rows = q_dedup_semantic(spark, SF).collect()
+    n = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    assert sum(r.n_vecs for r in rows) == n
+    assert all(r.n_kept + r.n_removed == r.n_vecs for r in rows)
+    assert all(r.n_kept >= 1 for r in rows)  # a cluster keeps its lowest id
+    exact_b = {r.vec_b for r in q_dedup_embed(spark, SF).collect()}
+    assert sum(r.n_removed for r in rows) <= len(exact_b)
