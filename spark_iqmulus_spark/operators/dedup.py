@@ -1390,6 +1390,14 @@ ORACLES["q_corpus_overlap"] = """
 #: O(N * SEM_TARGET) regardless of corpus size.
 SEM_TARGET = 500
 
+#: absolute cap on K — an ENFORCED bound (not a docstring promise) on the
+#: O(K·d) centroid collect and the N·K assignment fan-out.  Past the cap
+#: (N > SEM_TARGET·SEM_K_CAP ≈ 2M vectors) mean cluster size grows with
+#: N/SEM_K_CAP and the pair stage degrades gracefully; at that scale a
+#: production pipeline supplies pre-trained centroids instead of the
+#: first-K init (the same escape hatch as IVF index training).
+SEM_K_CAP = 4096
+
 
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
@@ -1422,7 +1430,7 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     e = t["embeddings"].select("vec_id", "embedding")
     n = e.count()
-    k = max(4, n // SEM_TARGET)
+    k = min(max(4, n // SEM_TARGET), SEM_K_CAP)
     q = F.transform(
         "embedding",
         lambda x: F.round(x.cast("double") * 1000000, 0).cast("long") + 1000000,
@@ -1490,7 +1498,8 @@ ORACLES["q_dedup_semantic"] = f"""
                CAST(embedding AS DOUBLE[]) AS ve
         FROM embeddings
     ), nk AS (
-        SELECT GREATEST(4, count(*) // {SEM_TARGET}) AS k FROM v
+        SELECT LEAST(GREATEST(4, count(*) // {SEM_TARGET}), {SEM_K_CAP}) AS k
+        FROM v
     ), c AS (
         SELECT j, cq FROM (
             SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, q AS cq
