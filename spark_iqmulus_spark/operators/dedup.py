@@ -1533,3 +1533,121 @@ ORACLES["q_dedup_semantic"] = f"""
     FROM m LEFT JOIN removed r ON r.vec_id = m.vec_id
     GROUP BY 1
 """
+
+
+#: duplicated-span gram width (words).  8-word exact grams are long enough
+#: that chance collisions on natural text are negligible (the published
+#: suffix-array pipelines use 50 BPE tokens; the synthetic corpus's docs
+#: are ~30-60 words, so 8 keeps the operator exercised at every SF).
+SUBSTR_K = 8
+
+
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring detection (the suffix-array dedup of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better", re-expressed as a linear shuffle instead of a suffix array):
+    find every maximal span of >= SUBSTR_K consecutive words that occurs
+    verbatim in at least two distinct documents, and report per-document
+    span counts and duplicated-token totals.
+
+    Plan (all codegen, no UDF):
+
+    1. positional k-grams: one row per (doc, word-position), the gram
+       hashed to md5 so the shuffle carries a fixed 32-byte key, never
+       the text.
+    2. cross-doc duplicated grams: hash-aggregate on the gram key keeping
+       keys seen in >= 2 distinct docs (map-side partial aggregation; the
+       key space is uniform by construction, so no salting needed).
+    3. left-semi join the positional grams against the duplicated key set
+       (shuffle join on the same key — co-partitioned with stage 2's
+       output, and AQE can pick a broadcast when the dup set is small).
+    4. gaps-and-islands per document: two overlapping hits chain into one
+       span when their start positions are within K words; the window is
+       partitioned by doc_id, so its state is bounded by document length
+       regardless of corpus size.
+
+    Each stage is linear in corpus tokens — this is the 100 TB shape the
+    suffix array (global sort, O(total-bytes) driver-side structure)
+    cannot reach.  Within-doc-only repeats are deliberately out of scope
+    (cross-doc duplication is the training-data contamination signal);
+    the distinct-doc test is stage 2's HAVING."""
+    t = load_tables(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    k = SUBSTR_K
+    words_expr = F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ")
+    w = t["documents"].select("doc_id", words_expr.alias("words"))
+    words = F.col("words")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(words) - k),
+        lambda i: F.md5(
+            F.concat_ws(" ", *[F.element_at(words, i + j + 1) for j in range(k)])
+        ),
+    )
+    grams = F.when(F.size(words) >= k, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+    pos_grams = w.select(
+        "doc_id", F.posexplode(grams).alias("pos", "h")
+    )
+    # stage 2+3 both consume pos_grams; checkpoint so tokenize+gram runs once
+    pos_grams = pos_grams.localCheckpoint()
+    dup = (
+        pos_grams.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    hits = pos_grams.join(dup, "h", "left_semi").select("doc_id", "pos")
+    ow = W.partitionBy("doc_id").orderBy("pos")
+    isl = (
+        hits.withColumn("prev", F.coalesce(F.lag("pos").over(ow), F.col("pos")))
+        .withColumn(
+            "island",
+            F.sum(F.when(F.col("pos") - F.col("prev") > k, 1).otherwise(0)).over(ow),
+        )
+    )
+    spans = isl.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("s"), (F.max("pos") + k - 1).alias("e")
+    )
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.col("e") - F.col("s") + 1).alias("dup_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["q_dedup_substring"] = q_dedup_substring
+
+ORACLES["q_dedup_substring"] = f"""
+    WITH w AS (
+        SELECT doc_id, string_split({_NORM}, ' ') AS words FROM documents
+    ), grams AS (
+        SELECT doc_id, CAST(pos AS INTEGER) AS pos,
+               md5(array_to_string(words[pos + 1 : pos + {SUBSTR_K}], ' ')) AS h
+        FROM (SELECT doc_id, words,
+                     unnest(generate_series(0, len(words) - {SUBSTR_K})) AS pos
+              FROM w)
+    ), dup AS (
+        SELECT h FROM grams GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ), hits AS (
+        SELECT g.doc_id, g.pos FROM grams g SEMI JOIN dup USING (h)
+    ), isl AS (
+        SELECT doc_id, pos,
+               sum(CASE WHEN pos - prev > {SUBSTR_K} THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM (SELECT doc_id, pos,
+                     coalesce(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos),
+                              pos) AS prev
+              FROM hits)
+    ), spans AS (
+        SELECT doc_id, island, min(pos) AS s, max(pos) + {SUBSTR_K} - 1 AS e
+        FROM isl GROUP BY 1, 2
+    )
+    SELECT doc_id, count(*) AS n_spans,
+           CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens
+    FROM spans GROUP BY doc_id ORDER BY doc_id
+"""

@@ -282,3 +282,128 @@ ORACLES["q_privacy_kanon"] = """
                AS n_rows_suppressed
     FROM groups GROUP BY c_mktsegment
 """
+
+
+#: DSIR hashed-feature dimension.  256 buckets is deliberately small: the
+#: two distribution tables are then 256 rows each regardless of corpus
+#: size, so the re-weighting join is always a broadcast.
+DSIR_B = 256
+
+#: docs selected by the resampling step.
+DSIR_TOP = 100
+
+
+def q_sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection via importance resampling (Xie et al.
+    2023, arXiv:2302.03169): score every document by how much more likely
+    its hashed-unigram features are under a *target* distribution (here:
+    the corpus's ``lang = 'en'`` slice) than under the raw corpus, then
+    keep the top-``DSIR_TOP`` documents by mean log importance ratio.
+
+    Construction (deterministic and engine-portable):
+
+    - features: tokens hashed into ``DSIR_B`` buckets with the portable
+      ascii(md5) bucket (same arithmetic in DuckDB);
+    - bucket distributions with add-1 smoothing:
+      ``p(b) = (count(b) + 1) / (total + B)`` for target and raw;
+    - doc weight = round(avg over tokens of ln(p_t / p_r), 6), rounded
+      BEFORE ranking so cross-engine float ties resolve identically
+      (doc_id asc tiebreak).
+
+    Scale shape: one token-explode pass feeds both distribution aggregates
+    (each collapses to <= B rows map-side) and the per-doc score; the
+    bucket->log-ratio table is B rows and explicitly broadcast, so the
+    only O(corpus) shuffle is the per-doc average.  Nothing here grows
+    with corpus size except linear token traffic — the same property that
+    lets DSIR select from trillion-token raw corpora."""
+    t = load_tables(spark, sf_dir)
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    tok = (
+        t["documents"]
+        .select("doc_id", "lang", F.explode(F.split(norm, " ")).alias("tok"))
+    )
+    h = F.md5(F.col("tok"))
+    bucket = (
+        F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1))
+    ) % DSIR_B
+    tok = tok.select("doc_id", "lang", bucket.alias("b")).localCheckpoint()
+
+    raw = tok.groupBy("b").agg(F.count(F.lit(1)).alias("n_raw"))
+    tgt = (
+        tok.where(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("n_tgt"))
+    )
+    # full outer on the bounded bucket id space: a bucket unseen in one
+    # corpus still gets its smoothed probability
+    dist = (
+        raw.join(tgt, "b", "full_outer")
+        .select(
+            "b",
+            F.coalesce("n_raw", F.lit(0)).alias("n_raw"),
+            F.coalesce("n_tgt", F.lit(0)).alias("n_tgt"),
+        )
+    )
+    totals = dist.agg(
+        F.sum("n_raw").alias("tot_raw"), F.sum("n_tgt").alias("tot_tgt")
+    )
+    ratio = (
+        dist.crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            (
+                F.log((F.col("n_tgt") + 1) / (F.col("tot_tgt") + DSIR_B))
+                - F.log((F.col("n_raw") + 1) / (F.col("tot_raw") + DSIR_B))
+            ).alias("logratio"),
+        )
+    )
+    scored = (
+        tok.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(F.round(F.avg("logratio"), 6).alias("weight"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.desc("weight"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= DSIR_TOP)
+        .select("doc_id", "weight", "rk")
+    )
+
+
+QUERIES["q_sample_dsir"] = q_sample_dsir
+
+ORACLES["q_sample_dsir"] = f"""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               (ascii(substring(md5(tok), 1, 1)) * 256
+                + ascii(substring(md5(tok), 2, 1))) % {DSIR_B} AS b
+        FROM (SELECT doc_id, lang,
+                     unnest(string_split(
+                         lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+                         ' ')) AS tok
+              FROM documents)
+    ), raw AS (
+        SELECT b, count(*) AS n_raw FROM tok GROUP BY b
+    ), tgt AS (
+        SELECT b, count(*) AS n_tgt FROM tok WHERE lang = 'en' GROUP BY b
+    ), dist AS (
+        SELECT coalesce(raw.b, tgt.b) AS b,
+               coalesce(n_raw, 0) AS n_raw, coalesce(n_tgt, 0) AS n_tgt
+        FROM raw FULL OUTER JOIN tgt ON raw.b = tgt.b
+    ), ratio AS (
+        SELECT b,
+               ln((n_tgt + 1) * 1.0 / ((SELECT sum(n_tgt) FROM dist) + {DSIR_B}))
+               - ln((n_raw + 1) * 1.0 / ((SELECT sum(n_raw) FROM dist) + {DSIR_B}))
+                   AS logratio
+        FROM dist
+    ), scored AS (
+        SELECT doc_id, round(avg(logratio), 6) AS weight
+        FROM tok JOIN ratio USING (b) GROUP BY doc_id
+    )
+    SELECT doc_id, weight, rk
+    FROM (SELECT *, row_number() OVER (ORDER BY weight DESC, doc_id ASC) AS rk
+          FROM scored)
+    WHERE rk <= {DSIR_TOP}
+"""

@@ -782,3 +782,55 @@ def test_semantic_dedup_conserves_and_is_subset(spark):
     assert all(r.n_kept >= 1 for r in rows)  # a cluster keeps its lowest id
     exact_b = {r.vec_b for r in q_dedup_embed(spark, SF).collect()}
     assert sum(r.n_removed for r in rows) <= len(exact_b)
+
+
+def test_substring_dedup_span_arithmetic(spark):
+    """Duplicated-span semantics on a hand-built corpus: two docs sharing
+    a 10-word run report one span of exactly 10 duplicated tokens each; a
+    7-word shared run (< SUBSTR_K=8) is invisible; two disjoint shared
+    runs in one doc merge iff their gram starts are within K words."""
+    import spark_iqmulus_spark.operators.dedup as D
+
+    shared10 = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    shared7 = "one two three four five six seven"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared10} filler1a filler1b"),
+            (2, f"prefix2a prefix2b {shared10}"),
+            (3, f"{shared7} tail3a tail3b tail3c"),
+            (4, f"head4a {shared7} tail4a tail4b"),
+        ],
+        "doc_id long, text string",
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as td:
+        docs.coalesce(1).write.parquet(os.path.join(td, "documents.parquet"))
+        for t in ("region nation customer supplier part orders lineitem "
+                  "events embeddings").split():
+            src = os.path.join(SF, f"{t}.parquet")
+            os.symlink(src, os.path.join(td, f"{t}.parquet"))
+        rows = {r.doc_id: r for r in D.q_dedup_substring(spark, td).collect()}
+    # 10 shared words -> 3 gram positions (0..2), one island, span 0..9
+    assert set(rows) == {1, 2}
+    assert rows[1].n_spans == 1 and rows[1].dup_tokens == 10
+    assert rows[2].n_spans == 1 and rows[2].dup_tokens == 10
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    """DSIR ranking property: docs whose lang IS the target slice must
+    dominate the top of the resample (their tokens define the target
+    distribution), and weights must be monotone in rank."""
+    from spark_iqmulus_spark.operators.sampling import DSIR_TOP, q_sample_dsir
+
+    rows = q_sample_dsir(spark, SF).collect()
+    assert len(rows) == min(DSIR_TOP, 500)
+    weights = [r.weight for r in rows]
+    assert weights == sorted(weights, reverse=True)
+    langs = {
+        r.doc_id: r.lang
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    top20_en = sum(1 for r in rows[:20] if langs[r.doc_id] == "en")
+    overall_en = sum(1 for v in langs.values() if v == "en") / len(langs)
+    assert top20_en / 20 > overall_en  # enriched vs base rate
