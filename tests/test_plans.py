@@ -417,3 +417,28 @@ def test_pack_sequences_window_is_group_partitioned(spark, tables):
     txt = plan_text(pack_sequences(d))
     assert "SinglePartition" not in txt
     assert "hashpartitioning(grp" in txt
+
+
+def test_substring_dedup_semi_bounded_no_cartesian(spark, tables):
+    """The duplicated-span hit stage must be a LeftSemi against the
+    cross-doc duplicated-gram set (never a pairwise gram join), the
+    islands window must partition by doc_id (bounded state), and no
+    cartesian anywhere."""
+    from spark_iqmulus_spark.operators.dedup import q_dedup_substring
+
+    p = plan_text(q_dedup_substring(spark, SF_DIR))
+    assert "LeftSemi" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "hashpartitioning(doc_id" in p
+
+
+def test_dsir_distribution_joins_are_broadcast(spark, tables):
+    """DSIR's bucket->log-ratio table is <= 256 rows at ANY corpus size;
+    the re-weighting join must be a broadcast (an O(corpus) shuffle there
+    would be paying the big-join price for a constant-size dimension)."""
+    from spark_iqmulus_spark.operators.sampling import q_sample_dsir
+
+    p = plan_text(q_sample_dsir(spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
