@@ -3,14 +3,17 @@
 Pattern (SURVEY.md §2C): media are carried as ``binary`` columns with a
 typed metadata struct; decode / feature-extract run as Arrow-batched
 ``mapInPandas`` operators so each Python worker sees contiguous batches
-(the shape a real image/audio decoder needs).  The image/audio libraries
-are not in this container, so the *codec* step is stubbed:
+(the shape a real image/audio decoder needs).  The codec step is REAL for
+the formats stdlib+numpy can decode and an honest loud guard elsewhere:
 
-- :func:`decode_image` raises ``NotImplementedError`` (clearly-marked stub
-  for a real decoder — plug in PIL/torchvision when available);
-- :func:`extract_byte_features` is the deterministic fake used by the
-  pipeline and tests — it exercises the identical Spark plumbing (binary
-  Arrow transfer, batch iteration, schema contract).
+- :func:`decode_image` decodes PPM (P6/P3), uncompressed BMP, and
+  non-interlaced 8-bit RGB/RGBA PNG (stdlib zlib); other image containers
+  raise ``NotImplementedError`` — plug in PIL/torchvision when available;
+- :func:`decode_wav` decodes RIFF/WAVE 16-bit mono PCM via a real
+  chunk-walking parser; compressed audio raises likewise;
+- :func:`extract_byte_features` is the deterministic byte-level extractor
+  used by the metadata pipeline — it exercises the identical Spark
+  plumbing (binary Arrow transfer, batch iteration, schema contract).
 
 Scale notes: payloads never hit the driver; ``mapInPandas`` streams
 Arrow batches per partition, and the downstream rollup is an ordinary
@@ -663,3 +666,172 @@ ORACLES = {
 # the PNG key's pixels are the identical synthetic recurrence — the oracle is
 # the PPM decode oracle verbatim (what differs is the codec under test)
 ORACLES["q_multimodal_png"] = ORACLES["q_multimodal_decode"]
+
+
+# ---------------------------------------------------------------------------
+# Audio: real stdlib WAV/PCM codec (RIFF chunk walk), mirroring the PNG
+# upgrade — the audio modality's decode step is no longer a stub.
+# ---------------------------------------------------------------------------
+
+#: samples per synthetic clip = AUD_BASE + doc_id % 17 (varying lengths so
+#: header arithmetic is exercised, bounded so the oracle's generate_series
+#: stays small).
+AUD_BASE = 200
+
+
+def synth_samples(doc_id: int):
+    """Deterministic 16-bit mono PCM clip: sample i =
+    ``((doc_id*17 + i*11) % 65536) - 32768`` — pure integer arithmetic so
+    DuckDB re-derives every sample (the audio analog of _synth_pixels)."""
+    import numpy as np
+
+    n = AUD_BASE + doc_id % 17
+    i = np.arange(n, dtype=np.int64)
+    return (((doc_id * 17 + i * 11) % 65536) - 32768).astype(np.int16)
+
+
+def encode_wav(sample_rate: int, samples, junk: int = 0) -> bytes:
+    """Encode int16 mono PCM as a canonical RIFF/WAVE byte stream
+    (``fmt `` + optional odd-length ``auxi`` filler chunk + ``data``).
+
+    ``junk > 0`` inserts an unknown chunk of that many bytes before
+    ``data`` — decoders must skip it via the chunk-size walk, including
+    the RIFF word-alignment pad byte when ``junk`` is odd."""
+    import struct
+
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    chunks = [(b"fmt ", fmt)]
+    if junk:
+        chunks.append((b"auxi", bytes((i * 3) % 256 for i in range(junk))))
+    chunks.append((b"data", data))
+    body = b"WAVE"
+    for tag, payload in chunks:
+        body += tag + struct.pack("<I", len(payload)) + payload
+        if len(payload) % 2:
+            body += b"\x00"  # RIFF chunks are word-aligned
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes):
+    """Decode a RIFF/WAVE payload to ``(sample_rate, samples)`` with
+    ``samples`` an int16 ndarray.  A real chunk-walking parser: validates
+    the RIFF/WAVE container, reads ``fmt ``, skips unknown chunks (with
+    odd-size pad bytes), and stops at ``data``.  Only uncompressed 16-bit
+    mono PCM decodes; anything else raises loudly (the honest-guard
+    convention of decode_image)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError(
+            f"unsupported audio container (magic {payload[:4]!r}); only "
+            "RIFF/WAVE PCM decodes without external libraries"
+        )
+    riff_len = struct.unpack("<I", payload[4:8])[0]
+    if riff_len != len(payload) - 8:
+        raise ValueError(f"RIFF length {riff_len} != payload {len(payload) - 8}")
+    pos, rate, n_channels, bits = 12, None, None, None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if tag == b"fmt ":
+            codec, n_channels, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            if codec != 1:
+                raise NotImplementedError(f"WAV codec {codec} (only PCM=1)")
+        elif tag == b"data":
+            if rate is None:
+                raise ValueError("WAV data chunk before fmt")
+            if (n_channels, bits) != (1, 16):
+                raise NotImplementedError(
+                    f"{n_channels}ch/{bits}-bit WAV (only 16-bit mono)"
+                )
+            return rate, np.frombuffer(body, dtype="<i2")
+        pos += 8 + size + (size % 2)  # word-aligned chunk walk
+    raise ValueError("WAV without a data chunk")
+
+
+#: output schema of the audio feature extractor.
+AUDIO_SCHEMA = (
+    "doc_id long, source string, sample_rate int, n_samples int,"
+    " sum_amp long, energy long, checksum long"
+)
+
+
+def encode_then_decode_wav(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """WAV round-trip inside Arrow batches: synthesize the PCM clip, encode
+    to RIFF bytes (odd doc_ids get an odd-length junk chunk so the
+    skip-and-pad branch runs on half the corpus), decode with the real
+    parser, emit integer features."""
+    import numpy as np
+
+    for pdf in batches:
+        rows = {k: [] for k in ("doc_id", "source", "sample_rate", "n_samples",
+                                "sum_amp", "energy", "checksum")}
+        for doc_id, source in zip(pdf["doc_id"], pdf["source"]):
+            doc_id = int(doc_id)
+            rate_in = 8000 + (doc_id % 3) * 4000
+            payload = encode_wav(
+                rate_in, synth_samples(doc_id), junk=(13 if doc_id % 2 else 0)
+            )
+            rate, s = decode_wav(payload)
+            s64 = s.astype(np.int64)
+            rows["doc_id"].append(doc_id)
+            rows["source"].append(source)
+            rows["sample_rate"].append(rate)
+            rows["n_samples"].append(len(s))
+            rows["sum_amp"].append(int(s64.sum()))
+            rows["energy"].append(int((s64 * s64).sum()))
+            rows["checksum"].append(int((s64 * (np.arange(len(s64)) + 1)).sum()))
+        yield pd.DataFrame(rows)
+
+
+def q_multimodal_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decode pipeline with a REAL codec: per-doc RIFF/WAVE PCM
+    payload → ``decode_wav`` (stdlib-struct chunk walk; unknown-chunk skip
+    and word-alignment pad exercised on odd doc_ids) inside mapInPandas →
+    per-source rollup of exact integer sample statistics.  The oracle
+    re-derives every sample from the same integer recurrence, so a header
+    misparse, off-by-one chunk walk, byte-order slip, or dropped sample
+    hash-fails.  Scale shape: identical to the image keys — payloads stay
+    in Python workers, the rollup is an ordinary partial-aggregated hash
+    aggregate on O(sources) groups."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "source").repartition("source")
+    feats = docs.mapInPandas(encode_then_decode_wav, schema=AUDIO_SCHEMA)
+    return feats.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.sum(F.col("n_samples").cast("long")).alias("total_samples"),
+        F.sum("sum_amp").alias("sum_amp"),
+        F.sum("energy").alias("sum_energy"),
+        F.sum("checksum").alias("sum_checksum"),
+    )
+
+
+QUERIES["q_multimodal_wav"] = q_multimodal_wav
+
+ORACLES["q_multimodal_wav"] = f"""
+    WITH s AS (
+        SELECT d.doc_id, d.source, t.i,
+               ((d.doc_id * 17 + t.i * 11) % 65536) - 32768 AS v
+        FROM documents d
+        CROSS JOIN generate_series(0, {AUD_BASE} + 16) AS t(i)
+        WHERE t.i < {AUD_BASE} + d.doc_id % 17
+    ), per_doc AS (
+        SELECT doc_id, source,
+               count(*) AS n,
+               sum(v) AS sum_amp,
+               sum(v * v) AS energy,
+               sum(v * (i + 1)) AS checksum
+        FROM s GROUP BY doc_id, source
+    )
+    SELECT source,
+           count(*) AS n_clips,
+           CAST(sum(n) AS BIGINT) AS total_samples,
+           CAST(sum(sum_amp) AS BIGINT) AS sum_amp,
+           CAST(sum(energy) AS BIGINT) AS sum_energy,
+           CAST(sum(checksum) AS BIGINT) AS sum_checksum
+    FROM per_doc GROUP BY source
+"""

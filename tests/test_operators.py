@@ -834,3 +834,47 @@ def test_dsir_weights_favor_target_like_docs(spark):
     top20_en = sum(1 for r in rows[:20] if langs[r.doc_id] == "en")
     overall_en = sum(1 for v in langs.values() if v == "en") / len(langs)
     assert top20_en / 20 > overall_en  # enriched vs base rate
+
+
+def test_audio_codec_wav():
+    """encode_wav → decode_wav is identity (samples and rate), unknown
+    chunks are skipped (odd sizes pad per RIFF), and non-PCM / multichannel
+    / truncated containers raise clearly."""
+    import struct
+
+    import numpy as np
+
+    from spark_iqmulus_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+        synth_samples,
+    )
+
+    rng = np.random.default_rng(7)
+    for n in (1, 17, 200):
+        s = rng.integers(-32768, 32768, n, dtype=np.int16)
+        for junk in (0, 13, 14):
+            rate, back = decode_wav(encode_wav(22050, s, junk=junk))
+            assert rate == 22050
+            np.testing.assert_array_equal(back, s)
+
+    # synth recurrence matches the oracle's formula
+    s = synth_samples(42)
+    assert len(s) == 200 + 42 % 17
+    assert int(s[3]) == ((42 * 17 + 3 * 11) % 65536) - 32768
+
+    with pytest.raises(NotImplementedError):  # not a RIFF container
+        decode_wav(b"OggS" + b"\x00" * 40)
+    # stereo data rejected
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    body = (
+        b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", 4) + b"\x00" * 4
+    )
+    stereo = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(NotImplementedError):
+        decode_wav(stereo)
+    # truncated RIFF length rejected
+    bad = b"RIFF" + struct.pack("<I", 999) + body
+    with pytest.raises(ValueError):
+        decode_wav(bad)
