@@ -804,6 +804,9 @@ def q_multimodal_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_clips"),
         F.sum(F.col("n_samples").cast("long")).alias("total_samples"),
+        # decoded (not synthesized) rates: pins the fmt-chunk parse, which
+        # the data-byte checksums cannot see
+        F.sum(F.col("sample_rate").cast("long")).alias("sum_rate"),
         F.sum("sum_amp").alias("sum_amp"),
         F.sum("energy").alias("sum_energy"),
         F.sum("checksum").alias("sum_checksum"),
@@ -830,6 +833,7 @@ ORACLES["q_multimodal_wav"] = f"""
     SELECT source,
            count(*) AS n_clips,
            CAST(sum(n) AS BIGINT) AS total_samples,
+           CAST(sum(8000 + (doc_id % 3) * 4000) AS BIGINT) AS sum_rate,
            CAST(sum(sum_amp) AS BIGINT) AS sum_amp,
            CAST(sum(energy) AS BIGINT) AS sum_energy,
            CAST(sum(checksum) AS BIGINT) AS sum_checksum

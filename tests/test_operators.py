@@ -799,6 +799,7 @@ def test_substring_dedup_span_arithmetic(spark):
             (2, f"prefix2a prefix2b {shared10}"),
             (3, f"{shared7} tail3a tail3b tail3c"),
             (4, f"head4a {shared7} tail4a tail4b"),
+            (5, "alpha bravo charlie delta echo"),  # < K words: no grams
         ],
         "doc_id long, text string",
     )
