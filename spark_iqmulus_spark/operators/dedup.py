@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..session import load_tables
+from ..session import load_tables, table_count
 from .text import STOPWORDS
 
 #: shingles appearing in more than this many documents are dropped from the
@@ -40,6 +40,13 @@ MAX_DF = 100
 
 #: exact-Jaccard threshold for reported near-duplicate pairs.
 JACCARD_T = 0.05
+
+#: simhash band buckets holding more than this many fingerprints are dropped
+#: from candidate generation (the MAX_DF pattern applied to band keys — a
+#: dup-rich 16-bit chunk value would otherwise concentrate O(bucket²) pairs
+#: in one join task; demonstrated executor OOM at 50× scale).  Mirrored in
+#: the DuckDB oracle so both engines see the same candidate set.
+SIMHASH_MAX_BUCKET = 200
 
 #: cosine threshold for embedding near-duplicates (testdata max pairwise
 #: cosine is ~0.51; 0.4 keeps output small but non-empty).
@@ -509,7 +516,15 @@ def simhash_64(docs: DataFrame) -> DataFrame:
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 64-bit fingerprints, banded into 4×16-bit
     chunks for candidate generation, verified by hamming distance <= 6.
-    Deterministic (md5-derived bits) → full oracle hash check."""
+    Deterministic (md5-derived bits) → full oracle hash check.
+
+    Band buckets larger than SIMHASH_MAX_BUCKET fingerprints are dropped
+    before the self-join (same recall trade as the MAX_DF stop-shingle
+    guard): a dup-rich chunk value otherwise concentrates O(bucket²)
+    candidate pairs on one join key — AQE cannot split a single key, and a
+    50×-scale run demonstrated the executor OOM.  A pair lost to one hot
+    chunk is still found through its other three chunks unless ALL its
+    bands are degenerate, which on near-dup corpora means boilerplate."""
     t = load_tables(spark, sf_dir)
     sigs = simhash_64(t["documents"])
     chunks = sigs.select(
@@ -529,9 +544,19 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("cv"),
     ).select("doc_id", "simhash", "cv.chunk", "cv.val")
-    # localCheckpoint: both self-join sides derive from chunks and Spark plans no
-    # ReusedExchange, so the md5-bit fingerprint pipeline would run twice
+    # localCheckpoint: the bucket-size aggregate and both self-join sides
+    # derive from chunks and Spark plans no ReusedExchange, so the md5-bit
+    # fingerprint pipeline would run three times
     chunks = chunks.localCheckpoint()
+    # hot-bucket guard — no broadcast hint (bucket stats grow with the
+    # corpus; AQE broadcasts while small)
+    small_buckets = (
+        chunks.groupBy("chunk", "val")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .where(F.col("bn") <= SIMHASH_MAX_BUCKET)
+        .select("chunk", "val")
+    )
+    chunks = chunks.join(small_buckets, ["chunk", "val"])
     a = chunks.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "chunk", "val"
     )
@@ -723,7 +748,7 @@ def q_dedup_embed_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     e = t["embeddings"].select("vec_id", "embedding")
-    n_vec = e.count()  # O(parquet row-group metadata)
+    n_vec = table_count(sf_dir, "embeddings")  # footer catalog, no job
     frac = min(RECALL_SAMPLE_FRAC, RECALL_SAMPLE_CAP / max(n_vec, 1))
     thr = format(int(frac * 0x10000 + 0.5), "04x")
     sub = e.where(_hash_bucket(F.col("vec_id"), "er") < F.lit(thr))
@@ -1285,10 +1310,15 @@ def _simhash_oracle() -> str:
                    CAST(sum(CASE WHEN s >= 0 THEN mask ELSE 0 END) AS BIGINT)
                        AS simhash
             FROM s GROUP BY doc_id
-        ), chunks AS (
+        ), chunks0 AS (
             SELECT doc_id, simhash, c.chunk,
                    (simhash >> (c.chunk * 16)) & 65535 AS val
             FROM sim CROSS JOIN (VALUES (0), (1), (2), (3)) c(chunk)
+        ), small_buckets AS (
+            SELECT chunk, val FROM chunks0
+            GROUP BY chunk, val HAVING count(*) <= {SIMHASH_MAX_BUCKET}
+        ), chunks AS (
+            SELECT c.* FROM chunks0 c JOIN small_buckets USING (chunk, val)
         ), cand AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                             a.simhash AS sh_a, b.simhash AS sh_b
@@ -1429,7 +1459,7 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     raising K; the bound is the problem statement, not the plan."""
     t = load_tables(spark, sf_dir)
     e = t["embeddings"].select("vec_id", "embedding")
-    n = e.count()
+    n = table_count(sf_dir, "embeddings")  # footer catalog — no count() job
     k = min(max(4, n // SEM_TARGET), SEM_K_CAP)
     q = F.transform(
         "embedding",
@@ -1546,9 +1576,12 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-substring detection (the suffix-array dedup of
     Lee et al. 2022, "Deduplicating Training Data Makes Language Models
     Better", re-expressed as a linear shuffle instead of a suffix array):
-    find every maximal span of >= SUBSTR_K consecutive words that occurs
-    verbatim in at least two distinct documents, and report per-document
-    span counts and duplicated-token totals.
+    find every maximal run of words covered by cross-doc-duplicated
+    k-grams (each constituent k-gram occurs verbatim in >= 2 distinct
+    documents — the standard Lee et al. approximation; a chained span can
+    mix k-grams duplicated against *different* partner docs, so the span
+    as a whole need not appear verbatim anywhere else), and report
+    per-document span counts and duplicated-token totals.
 
     Plan (all codegen, no UDF):
 

@@ -179,16 +179,24 @@ def bfs_levels(edges: DataFrame, max_hops: int = 4) -> DataFrame:
     visited = seed
     frontier = seed
     for hop in range(1, max_hops + 1):
+        # localCheckpoint (eager): materializes the frontier once and
+        # truncates lineage, so each hop's blocks are GC-reclaimable after
+        # the caller drops the result — a persist() here would linger in the
+        # cache for the session (it can only be unpersisted after the final
+        # union materializes, which the caller controls, not this function)
         nxt = (
             und.join(frontier.select(F.col("node").alias("a")), "a")
             .select(F.col("b").alias("node"))
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
             .withColumn("level", F.lit(hop))
-            .persist()
+            .localCheckpoint()
         )
         visited = visited.union(nxt)
         frontier = nxt
+    # every frontier is checkpointed, so nothing downstream recomputes
+    # through the undirected edge list — drop its cached blocks now
+    und.unpersist()
     return visited
 
 
@@ -231,6 +239,10 @@ def pagerank(edges: DataFrame, iterations: int = 5, damping: float = 0.85) -> Da
             .select("node", "degree", "n", "pr")
             .localCheckpoint()
         )
+    # the final ranks are checkpointed — the iteration scaffolding's cached
+    # blocks are no longer reachable from the result, so release them
+    und.unpersist()
+    deg.unpersist()
     return ranks.select("node", F.round("pr", 6).alias("pr"))
 
 

@@ -736,6 +736,11 @@ def decode_wav(payload: bytes):
     while pos + 8 <= len(payload):
         tag = payload[pos : pos + 4]
         size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        if pos + 8 + size > len(payload):
+            raise ValueError(
+                f"WAV chunk {tag!r} declares {size} bytes but only "
+                f"{len(payload) - pos - 8} remain"
+            )
         body = payload[pos + 8 : pos + 8 + size]
         if tag == b"fmt ":
             codec, n_channels, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])

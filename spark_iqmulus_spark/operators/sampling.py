@@ -364,10 +364,14 @@ def q_sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window as W
 
+    # top-DSIR_TOP via orderBy+limit, which plans as TakeOrderedAndProject
+    # (per-partition heap + driver merge of TOP×partitions rows) — never a
+    # SinglePartition window over every per-doc score; the rank window then
+    # orders only the DSIR_TOP survivors (plan-pinned in tests/test_plans.py)
+    top = scored.orderBy(F.desc("weight"), F.asc("doc_id")).limit(DSIR_TOP)
     w = W.orderBy(F.desc("weight"), F.asc("doc_id"))
     return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= DSIR_TOP)
+        top.withColumn("rk", F.row_number().over(w))
         .select("doc_id", "weight", "rk")
     )
 

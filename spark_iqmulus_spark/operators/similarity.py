@@ -23,7 +23,7 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..session import load_tables
+from ..session import load_tables, table_count
 
 TOP_K = 5
 N_QUERIES = 10  # query set = vec_id < 10
@@ -224,7 +224,7 @@ def q_sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     t = load_tables(spark, sf_dir)
     e = t["embeddings"]
-    n = e.count()
+    n = table_count(sf_dir, "embeddings")  # footer catalog — no count() job
     step = max(n // N_CELLS, 1)
     cents = (
         e.where((F.col("vec_id") % step == 0) & (F.col("vec_id") / step < N_CELLS))
@@ -556,7 +556,7 @@ def q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     t = load_tables(spark, sf_dir)
     e = t["embeddings"]
-    n = e.count()
+    n = table_count(sf_dir, "embeddings")  # footer catalog — no count() job
     step = max(n // PQ_K, 1)
     sample = (
         e.where((F.col("vec_id") % step == 0) & (F.col("vec_id") / step < PQ_K))
@@ -838,7 +838,7 @@ def q_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     is value-hash-checkable against DuckDB."""
     t = load_tables(spark, sf_dir)
     e = t["embeddings"]
-    n = e.count()
+    n = table_count(sf_dir, "embeddings")  # footer catalog — no count() job
 
     # coarse centroids: deterministic normalized sample (q_sim_knn_ivf)
     step = max(n // N_CELLS, 1)

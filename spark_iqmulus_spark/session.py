@@ -64,6 +64,32 @@ def get_spark(app_name: str = "spark_iqmulus_spark", cpus: int | None = None) ->
     )
 
 
+#: (sf_dir, table) → row count, answered from parquet footers.
+_COUNT_CACHE: dict[tuple[str, str], int] = {}
+
+
+def table_count(sf_dir: str, name: str) -> int:
+    """Row count of a testdata table from parquet footer metadata — zero
+    Spark jobs, cached per (sf_dir, table).
+
+    The operators that size a deterministic sample from ``count(*)`` (IVF
+    centroids, PQ codebooks, SemDeDup's K, the recall-certification sample)
+    share this catalog instead of each paying a full ``df.count()`` job
+    before their main pass — at 100 TB that job is an extra corpus scan per
+    operator.  Footer counts are exact (parquet row-group metadata), so the
+    value is identical to ``count(*)`` and the oracle arithmetic is
+    unchanged."""
+    key = (sf_dir, name)
+    n = _COUNT_CACHE.get(key)
+    if n is None:
+        import pyarrow.dataset as ds
+
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        n = ds.dataset(path, format="parquet").count_rows()
+        _COUNT_CACHE[key] = n
+    return n
+
+
 def normalize_session(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable configs needed for deterministic results."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")

@@ -40,6 +40,26 @@ def test_simhash_deterministic(spark):
     assert a == b and len(a) > 0
 
 
+def test_simhash_bucket_cap(spark, tmp_path, monkeypatch):
+    """A band bucket larger than SIMHASH_MAX_BUCKET must drop out of
+    candidate generation (the hot-bucket OOM guard — one dup-rich 16-bit
+    chunk value otherwise concentrates O(bucket²) pairs on one join key),
+    while pairs in small buckets survive untouched."""
+    from spark_iqmulus_spark.operators import dedup
+
+    hot = [(i, "alpha beta gamma delta") for i in range(6)]
+    cold = [(100, "epsilon zeta eta theta"), (101, "epsilon zeta eta theta")]
+    df = spark.createDataFrame(hot + cold, "doc_id long, text string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    monkeypatch.setattr(dedup, "SIMHASH_MAX_BUCKET", 4)
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.q_dedup_simhash(spark, str(tmp_path)).collect()
+    }
+    assert (100, 101) in pairs  # small bucket: identical fingerprints pair up
+    assert not any(a < 6 and b < 6 for a, b in pairs)  # hot bucket capped
+
+
 def test_knn_lsh_recall(spark):
     """Banded hyperplane LSH recall vs brute force. Testdata embeddings are
     near-orthogonal (top-5 cosine ≈ 0.25, far below the LSH design point),

@@ -442,3 +442,8 @@ def test_dsir_distribution_joins_are_broadcast(spark, tables):
     p = plan_text(q_sample_dsir(spark, SF_DIR))
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+    # the top-DSIR_TOP selection must be a per-partition heap + driver merge
+    # (TakeOrderedAndProject), never a SinglePartition window ranking every
+    # per-doc score; the only global window allowed is the rank over the
+    # <= DSIR_TOP survivors
+    assert "TakeOrderedAndProject" in p

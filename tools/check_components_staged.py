@@ -13,7 +13,7 @@ Staging here:
 
 - DuckDB derives the PAIR set with the *verbatim* ``pairs`` CTE prefix of
   the production oracle (string-sliced from ``ORACLES['q_dedup_clusters']``
-  so it cannot drift) — 9,458 pairs at sf5, ~35 s;
+  so it cannot drift) — 9,458 pairs at sf5, ~30 s;
 - DuckDB derives per-doc quality with the verbatim ``q_text_quality``
   oracle (linear, no closure);
 - a textbook union-find over the staged pairs replaces the recursive CTE —
