@@ -74,6 +74,46 @@ def _ply_dir(spark: SparkSession, sf_dir: str) -> str:
     return _CACHE[key]
 
 
+def _ply_multi_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Multi-element PLY fixture: every single-element tile from
+    ``_ply_dir`` rewritten with a trailing fixed-stride ``extra`` element
+    (deterministic content), so the transcoder's element_only path has a
+    real second section to skip and a reconstructed header to prove."""
+    key = (sf_dir, "ply_multi")
+    if key not in _CACHE or not os.path.exists(_CACHE[key]):
+        import numpy as np
+
+        from ..sources.ply_format import PlyElement, PlyHeader, PlyProperty
+
+        src = _ply_dir(spark, sf_dir)
+        out = tempfile.mkdtemp(prefix="pc_plym_")
+        for f in sorted(os.listdir(src)):
+            if not f.endswith(".ply"):
+                continue
+            p = os.path.join(src, f)
+            h = PlyHeader.parse_file(p)
+            v = h.element("vertex")
+            with open(p, "rb") as fh:
+                fh.seek(h.section_offset("vertex"))
+                vbytes = fh.read(v.byte_size)
+            endian = "<" if h.little_endian else ">"
+            extra = (np.arange(7, dtype=endian + "i4") * 3 + 1).tobytes()
+            nh = PlyHeader(
+                location="",
+                little_endian=h.little_endian,
+                elements=[
+                    PlyElement("vertex", v.count, list(v.properties)),
+                    PlyElement("extra", 7, [PlyProperty("tag", "i4")]),
+                ],
+            )
+            with open(os.path.join(out, f), "wb") as o:
+                o.write(nh.to_bytes())
+                o.write(vbytes)
+                o.write(extra)
+        _CACHE[key] = out
+    return _CACHE[key]
+
+
 def _pcd_dir(spark: SparkSession, sf_dir: str) -> str:
     key = (sf_dir, "pcd")
     if key not in _CACHE or not os.path.exists(_CACHE[key]):
@@ -411,6 +451,39 @@ def q_ply_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ply_transcode_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-element PLY transcode (round 9 — VERDICT r8 item 7):
+    vertex+extra two-element sources transcoded with ``element_only=True``
+    into ONE single-element merged vertex file, with the same stored-value
+    filter as q_ply_transcode.  Certifies the reconstructed header, the
+    vertex section offsets past the multi-element layout, and that the
+    dropped element never leaks into the output (the reader would fail on
+    a corrupt record count if it did)."""
+    register_sources(spark)
+    from ..sources.transcode import transcode_ply
+
+    key = (sf_dir, "ply_transcode_multi")
+    if key not in _CACHE or not os.path.exists(_CACHE[key]):
+        out = os.path.join(tempfile.mkdtemp(prefix="pc_tcpm_"), "merged.ply")
+        transcode_ply(
+            spark,
+            _ply_multi_dir(spark, sf_dir),
+            out,
+            where=[("c", "<=", 3)],
+            element_only=True,
+        )
+        _CACHE[key] = out
+    df = spark.read.format("ply").load(_CACHE[key])
+    return df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("x").cast("double")), 4).alias("sum_x"),
+        F.round(F.min("y").cast("double"), 4).alias("min_y"),
+        F.round(F.max("z").cast("double"), 4).alias("max_z"),
+        F.min("c").alias("min_c"),
+        F.max("c").alias("max_c"),
+    )
+
+
 def q_las2ply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fused cross-format conversion (round 8): LAS tiles → ONE binary PLY
     with world-coordinate doubles, filtered, entirely inside Python
@@ -474,6 +547,7 @@ QUERIES = {
     "q_pc_retile": q_pc_retile,
     "q_las_transcode": q_las_transcode,
     "q_ply_transcode": q_ply_transcode,
+    "q_ply_transcode_multi": q_ply_transcode_multi,
     "q_las2ply": q_las2ply,
     "q_pcd_transcode": q_pcd_transcode,
     "q_las_roundtrip": q_las_roundtrip,
@@ -559,6 +633,15 @@ ORACLES = {
         FROM part WHERE p_size <= 25
     """,
     "q_ply_transcode": f"""
+        SELECT count(*) AS n,
+               round(sum(CAST(CAST(p_partkey AS REAL) AS DOUBLE)), 4) AS sum_x,
+               round(CAST(min(CAST(p_size AS REAL)) AS DOUBLE), 4) AS min_y,
+               round(CAST(max(CAST({_Z} AS REAL)) AS DOUBLE), 4) AS max_z,
+               CAST(min(p_partkey % 6 + 1) AS TINYINT) AS min_c,
+               CAST(max(p_partkey % 6 + 1) AS TINYINT) AS max_c
+        FROM part WHERE p_partkey % 6 + 1 <= 3
+    """,
+    "q_ply_transcode_multi": f"""
         SELECT count(*) AS n,
                round(sum(CAST(CAST(p_partkey AS REAL) AS DOUBLE)), 4) AS sum_x,
                round(CAST(min(CAST(p_size AS REAL)) AS DOUBLE), 4) AS min_y,

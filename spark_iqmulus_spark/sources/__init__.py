@@ -6,7 +6,11 @@ from pyspark.sql import SparkSession
 
 
 def register_sources(spark: SparkSession) -> None:
-    """Register the ply/las/pcd DataSources on a session (idempotent)."""
+    """Register the ply/las/pcd DataSources on a session (idempotent), and
+    install the fused write fast path (``df.write.format("las")`` on a
+    pure scan→filter plan takes the transcode byte path — see
+    sources/fused_write.py; ``.option("fusedWrite", "false")`` opts out)."""
+    from .fused_write import install_fused_write
     from .las import LasDataSource
     from .pcd import PcdDataSource
     from .ply import PlyDataSource
@@ -14,3 +18,4 @@ def register_sources(spark: SparkSession) -> None:
     spark.dataSource.register(PlyDataSource)
     spark.dataSource.register(LasDataSource)
     spark.dataSource.register(PcdDataSource)
+    install_fused_write()

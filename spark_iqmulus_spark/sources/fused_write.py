@@ -1,0 +1,338 @@
+"""Transparent fused fast path for ``df.write.format("las")``.
+
+The general Python-DataSource sink pays the JVM→Python Arrow hop twice
+(scan side and write side) — a measured ~12 s floor at 30M points that no
+writer code can remove (SCALE.md §write).  But the dominant write shapes —
+``read → write`` (copy/merge) and ``read → filter → write`` (las2las) —
+never need the points in the JVM at all: the fused ``transcode_*`` byte
+path covers them at ~7× the throughput.
+
+This module makes stock ``df.write.format("las").save(out)`` take that
+byte path AUTOMATICALLY when — and only when — it is provably equivalent
+to the general sink:
+
+- the optimized logical plan is exactly ``RelationV2[las]`` or
+  ``Filter(RelationV2[las])`` (no Project, no join/agg/union — anything
+  else falls back);
+- every filter conjunct is ``column <op> numeric-literal`` (op in
+  ``= != < <= > >=``; widening casts of the column allowed — they are
+  value-preserving on LAS's integer fields), translated to the
+  transcoder's ``where`` clauses, which use the same world-coordinate
+  arithmetic as the reader;
+- the write options carry nothing but path/mode (an explicit ``scale``,
+  ``offset``, ``namecol``, ``lasformat``, ``minor`` … means the user wants
+  re-encoding — general sink);
+- the source headers match what the general sink would write back:
+  uniform layout, writer-default grid (scale 0.01, offset 0), version
+  minor 2, point format < 6 re-derivable from the schema, standard stride
+  (a nonstandard ``pdr_length`` means undescribed trailing bytes the two
+  paths treat differently);
+- output naming replicates the sink's fid-restore convention exactly
+  (source basenames, ``-fidN`` on collisions, all-filtered sources emit
+  nothing), driven by the SAME ``fid`` paths metadata the writer uses.
+
+The rewrite is installed by ``register_sources`` via
+``install_fused_write()`` — the same opt-in surface that registers the
+formats, so a session that can read ``las`` writes it fused.  Any doubt at
+analysis time falls back to the general sink silently and side-effect
+free; ``.option("fusedWrite", "false")`` disables the rewrite explicitly
+(the equivalence tests use it to run both paths).
+
+This is the write-side sibling of the ``smart_scan`` facade (SURVEY §1.4
+A15): pure Python cannot inject a Catalyst strategy, so the planner-level
+rewrite the reference does in Scala is expressed at the API layer —
+inspecting the *optimized* plan through the py4j gateway, which sees
+exactly what a strategy would see.
+"""
+
+from __future__ import annotations
+
+import os
+
+#: ops the transcoder understands, keyed by Catalyst expression class.
+_CMP = {
+    "LessThan": "<",
+    "LessThanOrEqual": "<=",
+    "GreaterThan": ">",
+    "GreaterThanOrEqual": ">=",
+    "EqualTo": "==",
+}
+#: flipped op for literal-on-the-left conjuncts (3 <= x  ≡  x >= 3).
+_FLIP = {"<": ">", "<=": ">=", ">": "<", ">=": "<=", "==": "=="}
+
+#: write options that do NOT disqualify the rewrite.
+_NEUTRAL_WRITE_OPTS = {"path", "fusedwrite"}
+
+
+def _simple(jobj) -> str:
+    return jobj.getClass().getSimpleName()
+
+
+def _conjuncts(cond):
+    """Flatten an And tree into its leaves."""
+    if _simple(cond) == "And":
+        cs = cond.children()
+        yield from _conjuncts(cs.apply(0))
+        yield from _conjuncts(cs.apply(1))
+    else:
+        yield cond
+
+
+def _attr_name(e):
+    """Column name if ``e`` is an attribute (possibly under widening
+    casts), else None."""
+    while _simple(e) == "Cast":
+        e = e.children().apply(0)
+    if _simple(e) == "AttributeReference":
+        return str(e.name())
+    return None
+
+
+def _literal_value(e):
+    """Python numeric value if ``e`` is a numeric literal, else None."""
+    if _simple(e) != "Literal":
+        return None
+    v = e.value()
+    # py4j converts Byte/Short/Integer/Long/Float/Double to Python
+    # int/float; anything else (Decimal, UTF8String, null) is not a plain
+    # numeric and disqualifies the conjunct
+    if isinstance(v, bool) or not isinstance(v, (int, float)):
+        return None
+    return v
+
+
+def _translate_filter(cond):
+    """Catalyst condition → transcoder ``where`` clauses, or None if any
+    conjunct is not a plain column-vs-numeric comparison."""
+    clauses = []
+    for c in _conjuncts(cond):
+        cls = _simple(c)
+        if cls == "Not":
+            inner = c.children().apply(0)
+            if _simple(inner) != "EqualTo":
+                return None
+            kids = inner.children()
+            lhs, rhs = kids.apply(0), kids.apply(1)
+            name, val = _attr_name(lhs), _literal_value(rhs)
+            if name is None or val is None:
+                name, val = _attr_name(rhs), _literal_value(lhs)
+            if name is None or val is None:
+                return None
+            clauses.append((name, "!=", val))
+            continue
+        op = _CMP.get(cls)
+        if op is None:
+            return None
+        kids = c.children()
+        lhs, rhs = kids.apply(0), kids.apply(1)
+        name, val = _attr_name(lhs), _literal_value(rhs)
+        if name is not None and val is not None:
+            clauses.append((name, op, val))
+            continue
+        name, val = _attr_name(rhs), _literal_value(lhs)
+        if name is not None and val is not None:
+            clauses.append((name, _FLIP[op], val))
+            continue
+        return None
+    return clauses
+
+
+def _extract_scan_filter(df):
+    """``(source_name, where_clauses)`` when the optimized plan is exactly
+    a (possibly filtered) full scan of one of our Python data sources,
+    else None.  Analysis only — no side effects."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan()
+    except Exception:
+        return None
+    where = []
+    node = plan
+    if node.nodeName() == "Filter":
+        where = _translate_filter(node.condition())
+        if where is None:
+            return None
+        node = node.children().apply(0)
+    if node.nodeName() != "DataSourceV2ScanRelation":
+        return None
+    rel = node.relation()
+    table = rel.table()
+    if not table.getClass().getName().endswith("PythonTable"):
+        return None
+    source = str(table.name())
+    # no Project between write and scan → the relation's full output is
+    # written; a pruned output (possible only via an explicit select,
+    # which inserts a Project) never reaches here, but double-check arity
+    if node.output().size() != len(df.columns):
+        return None
+    return source, where
+
+
+def _las_fused_plan(df, where, path, overwrite):
+    """Validate LAS source/writer equivalence and return a ready-to-run
+    closure, or None.  Side-effect free until the closure runs."""
+    import numpy as np
+
+    from .las_format import POINT_FORMATS, LasHeader, format_from_schema
+    from .pointcloud_common import pmap_headers
+
+    schema = df.schema
+    if "fid" not in schema.names:
+        return None
+    meta = schema["fid"].metadata or {}
+    paths = list(meta.get("paths") or [])
+    if not paths:
+        return None
+    try:
+        headers = pmap_headers(LasHeader.parse_file, paths)
+    except Exception:
+        return None
+    h0 = headers[0]
+    sig0 = (
+        h0.pdr_format,
+        h0.stride,
+        h0.scale,
+        h0.offset,
+        tuple((e.name, e.np_char) for e in h0.extra_fields),
+    )
+    for h in headers[1:]:
+        if (
+            h.pdr_format,
+            h.stride,
+            h.scale,
+            h.offset,
+            tuple((e.name, e.np_char) for e in h.extra_fields),
+        ) != sig0:
+            return None  # heterogeneous layout → general sink re-encodes
+    # the general sink re-grids onto its option grid (default 0.01 / 0)
+    # and writes version minor 2; byte-copy is only equivalent when the
+    # sources already sit on exactly that grid/version
+    if h0.scale != (0.01, 0.01, 0.01) or h0.offset != (0.0, 0.0, 0.0):
+        return None
+    if any(h.version_minor != 2 for h in headers):
+        return None
+    if h0.pdr_format >= 6 or sum(h.pdr_nb for h in headers) >= 2**32:
+        return None
+    # the sink derives the format from the schema's known columns — must
+    # round-trip to the source format or the record layout differs
+    known = {n for flds in POINT_FORMATS.values() for n, _ in flds}
+    data_names = {n for n in schema.names if n in known}
+    try:
+        if format_from_schema(data_names) != h0.pdr_format:
+            return None
+    except Exception:
+        return None
+    # nonstandard pdr_length carries undescribed trailing bytes: the
+    # byte-copy preserves them, the general sink drops them — not
+    # equivalent, fall back
+    std = np.dtype([(n, "<" + c) for n, c in h0.point_fields]).itemsize
+    if std != h0.stride:
+        return None
+    # every filtered column must be a stored field (fid/pid predicates
+    # have no byte-level equivalent)
+    field_names = {n for n, _ in h0.point_fields}
+    if any(name not in field_names for name, _, _ in where):
+        return None
+
+    def _run(spark, out_dir):
+        from .pointcloud_common import clear_existing_outputs
+        from .transcode import transcode_las_tiled
+
+        os.makedirs(out_dir, exist_ok=True)
+        clear_existing_outputs(out_dir, ".las", overwrite)
+        transcode_las_tiled(spark, paths, out_dir, where=where or None)
+
+    return _run
+
+
+def plan_fused_save(df, source: str, path: str, mode, options):
+    """Analysis stage of the fused byte-path save: returns a ready-to-run
+    ``closure(spark, out_dir)`` when the write qualifies, else None.
+    Strictly side-effect free — callers run the closure OUTSIDE any
+    fallback handling, so a mid-write failure propagates instead of
+    silently double-writing through the general sink."""
+    if source != "las" or not path:
+        return None
+    if str(options.get("fusedwrite", "true")).lower() == "false":
+        return None
+    if any(k not in _NEUTRAL_WRITE_OPTS for k in options):
+        return None
+    if mode not in (None, "error", "errorifexists", "overwrite"):
+        return None
+    extracted = _extract_scan_filter(df)
+    if extracted is None or extracted[0] != source:
+        return None
+    return _las_fused_plan(df, extracted[1], path, mode == "overwrite")
+
+
+_INSTALLED = False
+
+
+def install_fused_write() -> None:
+    """Patch ``DataFrameWriter`` so format/mode/options are mirrored on the
+    Python wrapper and ``save`` tries the fused path first.  Idempotent;
+    every non-las (or non-qualifying) write delegates to the original
+    methods untouched."""
+    global _INSTALLED
+    if _INSTALLED:
+        return
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    orig_format = DataFrameWriter.format
+    orig_mode = DataFrameWriter.mode
+    orig_option = DataFrameWriter.option
+    orig_options = DataFrameWriter.options
+    orig_save = DataFrameWriter.save
+
+    def _format(self, source):
+        self._fw_format = source
+        return orig_format(self, source)
+
+    def _mode(self, saveMode):
+        self._fw_mode = saveMode
+        return orig_mode(self, saveMode)
+
+    def _option(self, key, value):
+        opts = getattr(self, "_fw_options", None)
+        if opts is None:
+            opts = self._fw_options = {}
+        opts[str(key).lower()] = value
+        return orig_option(self, key, value)
+
+    def _options(self, **options):
+        opts = getattr(self, "_fw_options", None)
+        if opts is None:
+            opts = self._fw_options = {}
+        for k, v in options.items():
+            opts[str(k).lower()] = v
+        return orig_options(self, **options)
+
+    def _save(self, path=None, format=None, mode=None, partitionBy=None, **options):
+        eff_format = format or getattr(self, "_fw_format", None)
+        if eff_format == "las" and partitionBy is None:
+            eff_mode = mode or getattr(self, "_fw_mode", None)
+            eff_opts = dict(getattr(self, "_fw_options", {}) or {})
+            for k, v in options.items():
+                eff_opts[str(k).lower()] = v
+            eff_path = path or eff_opts.get("path")
+            try:
+                run = plan_fused_save(
+                    self._df, eff_format, eff_path, eff_mode, eff_opts
+                )
+            except Exception:
+                run = None  # analysis-stage hiccup → general sink
+            if run is not None:
+                # past this point failures PROPAGATE — falling back after a
+                # partial fused write would double-write or mask the error
+                run(self._df.sparkSession, eff_path)
+                return None
+        return orig_save(
+            self, path=path, format=format, mode=mode,
+            partitionBy=partitionBy, **options,
+        )
+
+    DataFrameWriter.format = _format
+    DataFrameWriter.mode = _mode
+    DataFrameWriter.option = _option
+    DataFrameWriter.options = _options
+    DataFrameWriter.save = _save
+    _INSTALLED = True

@@ -1,0 +1,126 @@
+"""Fused write fast path (sources/fused_write.py): equivalence with the
+general Python-DataSource sink, and the fallback gates.
+
+The rewrite makes stock ``df.write.format("las")`` take the transcode byte
+path when the plan is a pure scan→filter of the same format; every test
+here compares it against the general sink (forced via
+``.option("fusedWrite", "false")``) at the reader level — same rows, same
+restored file names."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from .fixtures import make_las
+
+
+@pytest.fixture()
+def tiles(tmp_path):
+    d = tmp_path / "tiles"
+    d.mkdir()
+    make_las(str(d / "tile_a.las"), n=8000, fmt=1)
+    make_las(str(d / "tile_b.las"), n=5000, fmt=1)
+    return str(d)
+
+
+def _rows(spark, path):
+    return sorted(
+        map(tuple, spark.read.format("las").load(path).drop("fid", "pid").collect())
+    )
+
+
+def _names(path):
+    return sorted(f for f in os.listdir(path) if f.endswith(".las"))
+
+
+def _both(spark, df_fn, tmp_path, tag):
+    outg = str(tmp_path / f"general_{tag}")
+    outf = str(tmp_path / f"fused_{tag}")
+    df_fn().write.format("las").option("fusedWrite", "false").mode(
+        "overwrite"
+    ).save(outg)
+    df_fn().write.format("las").mode("overwrite").save(outf)
+    return outg, outf
+
+
+def test_fused_scan_write_equals_general(spark, tiles, tmp_path):
+    outg, outf = _both(
+        spark, lambda: spark.read.format("las").load(tiles), tmp_path, "scan"
+    )
+    assert _names(outg) == _names(outf) == ["tile_a.las", "tile_b.las"]
+    assert _rows(spark, outg) == _rows(spark, outf)
+
+
+def test_fused_filter_write_equals_general(spark, tiles, tmp_path):
+    def df_fn():
+        return (
+            spark.read.format("las")
+            .load(tiles)
+            .where((F.col("classification") <= 3) & (F.col("intensity") > 100))
+        )
+
+    outg, outf = _both(spark, df_fn, tmp_path, "filter")
+    assert _names(outg) == _names(outf)
+    rows = _rows(spark, outf)
+    assert rows and rows == _rows(spark, outg)
+
+
+def test_fused_respects_mode_error(spark, tiles, tmp_path):
+    out = str(tmp_path / "once")
+    df = spark.read.format("las").load(tiles)
+    df.write.format("las").save(out)
+    assert _names(out) == ["tile_a.las", "tile_b.las"]
+    with pytest.raises(Exception):
+        df.write.format("las").save(out)  # default mode errors on existing
+
+
+def test_projection_falls_back_to_general_sink(spark, tiles, tmp_path):
+    # dropping fid removes name-restore provenance; the general sink merges
+    # into data.las — if the fused path (wrongly) engaged, names would be
+    # the restored tile names instead
+    out = str(tmp_path / "proj")
+    spark.read.format("las").load(tiles).select("x", "y", "z").write.format(
+        "las"
+    ).mode("overwrite").save(out)
+    assert _names(out) == ["data.las"]
+
+
+def test_non_scan_plan_falls_back(spark, tiles, tmp_path):
+    # an aggregate-derived frame is not a scan→filter: must go through the
+    # general sink (and still produce a valid file)
+    df = spark.read.format("las").load(tiles)
+    small = df.limit(100)
+    out = str(tmp_path / "limit")
+    small.write.format("las").mode("overwrite").save(out)
+    assert spark.read.format("las").load(out).count() == 100
+
+
+def test_write_options_disable_fusing(spark, tiles, tmp_path):
+    # an explicit grid option means re-encoding — general sink; the output
+    # must actually carry the requested scale
+    from spark_iqmulus_spark.sources.las_format import LasHeader
+
+    out = str(tmp_path / "regrid")
+    spark.read.format("las").load(tiles).write.format("las").option(
+        "scale", "0.001,0.001,0.001"
+    ).mode("overwrite").save(out)
+    for f in _names(out):
+        assert LasHeader.parse_file(os.path.join(out, f)).scale == (
+            0.001,
+            0.001,
+            0.001,
+        )
+
+
+def test_fused_plan_analysis_is_side_effect_free(spark, tiles, tmp_path):
+    # a qualifying plan analyzed but not run must not create anything
+    from spark_iqmulus_spark.sources.fused_write import plan_fused_save
+
+    df = spark.read.format("las").load(tiles)
+    out = str(tmp_path / "never")
+    run = plan_fused_save(df, "las", out, "overwrite", {})
+    assert run is not None
+    assert not os.path.exists(out)

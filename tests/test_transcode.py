@@ -281,6 +281,77 @@ def test_ply_heterogeneous_and_invalid_rejected(spark, tmp_path):
     assert got.count() == got.where("x < 50").count()
 
 
+def _add_extra_element(path: str, n_extra: int = 5, first: bool = False):
+    """Rewrite a single-element PLY with a second fixed-stride ``extra``
+    element (before or after vertex) — the multi-element fixture shape."""
+    import numpy as np
+
+    from spark_iqmulus_spark.sources.ply_format import (
+        PlyElement,
+        PlyProperty,
+    )
+
+    h = PlyHeader.parse_file(path)
+    v = h.element("vertex")
+    with open(path, "rb") as f:
+        f.seek(h.section_offset("vertex"))
+        vbytes = f.read(v.byte_size)
+    endian = "<" if h.little_endian else ">"
+    ebytes = (np.arange(n_extra, dtype=endian + "i4") * 2).tobytes()
+    velem = PlyElement("vertex", v.count, list(v.properties))
+    eelem = PlyElement("extra", n_extra, [PlyProperty("tag", "i4")])
+    elements = [eelem, velem] if first else [velem, eelem]
+    sections = [ebytes, vbytes] if first else [vbytes, ebytes]
+    nh = PlyHeader(location="", little_endian=h.little_endian, elements=elements)
+    with open(path, "wb") as f:
+        f.write(nh.to_bytes())
+        for s in sections:
+            f.write(s)
+
+
+def test_ply_multi_element_requires_opt_in(spark, tmp_path):
+    a = str(tmp_path / "a.ply")
+    make_ply_xyz(a, n=100)
+    _add_extra_element(a)
+    with pytest.raises(ValueError, match="element_only"):
+        transcode_ply(spark, a, str(tmp_path / "o.ply"))
+
+
+def test_ply_multi_element_element_only_transcode(spark, tmp_path):
+    """element_only=True must merge exactly the vertex sections of
+    multi-element sources — including one whose vertex section sits AFTER
+    another element (section-offset arithmetic) — filter them, and emit a
+    valid single-element output."""
+    a, b = str(tmp_path / "a.ply"), str(tmp_path / "b.ply")
+    make_ply_xyz(a, n=120, seed=1)
+    make_ply_xyz(b, n=80, seed=2)
+    exp = sorted(
+        map(
+            tuple,
+            spark.read.format("ply")
+            .load(str(tmp_path))
+            .where("x < 50")
+            .drop("fid", "pid")
+            .collect(),
+        )
+    )
+    _add_extra_element(a, first=False)
+    _add_extra_element(b, first=True)  # vertex offset shifted by extras
+    out = str(tmp_path / "merged.ply")
+    transcode_ply(
+        spark, [a, b], out, where=[("x", "<", 50.0)], element_only=True
+    )
+    h = PlyHeader.parse_file(out)
+    assert [e.name for e in h.elements] == ["vertex"]
+    got = sorted(
+        map(
+            tuple,
+            spark.read.format("ply").load(out).drop("fid", "pid").collect(),
+        )
+    )
+    assert got == exp and got
+
+
 # ---------------------------------------------------------------------------
 # transcode_las_to_ply — cross-format (round 8)
 # ---------------------------------------------------------------------------
