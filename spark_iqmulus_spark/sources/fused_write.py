@@ -227,11 +227,37 @@ def _las_fused_plan(df, where, path, overwrite):
     std = np.dtype([(n, "<" + c) for n, c in h0.point_fields]).itemsize
     if std != h0.stride:
         return None
+    # the general sink writes extras from the SCHEMA type; an unsigned
+    # source descriptor (u2 …) round-trips through Spark as a wider signed
+    # type, so the two paths would write different descriptors — fall back
+    _spark_to_np = {
+        "tinyint": "i1", "smallint": "i2", "int": "i4", "bigint": "i8",
+        "float": "f4", "double": "f8",
+    }
+    for e in h0.extra_fields:
+        if e.name not in schema.names:
+            return None
+        st = schema[e.name].dataType.simpleString()
+        if _spark_to_np.get(st) != e.np_char:
+            return None
     # every filtered column must be a stored field (fid/pid predicates
     # have no byte-level equivalent)
     field_names = {n for n, _ in h0.point_fields}
     if any(name not in field_names for name, _, _ in where):
         return None
+    # the DataFrame's x/y/z are RAW grid int32 (scaled-integer semantics,
+    # SURVEY §1.4), but the transcoder's where compares WORLD values —
+    # translate thresholds onto the world grid.  Exact under the gated
+    # grid: t → offset + scale·t is strictly monotone and injective on the
+    # int32 raw range in float64 (products are distinct), so every
+    # comparison answers identically on both sides.
+    translated = []
+    for name, op, val in where:
+        if name in ("x", "y", "z"):
+            ax = "xyz".index(name)
+            val = h0.offset[ax] + h0.scale[ax] * val
+        translated.append((name, op, val))
+    where = translated
 
     def _run(spark, out_dir):
         from .pointcloud_common import clear_existing_outputs

@@ -68,6 +68,25 @@ def test_fused_filter_write_equals_general(spark, tiles, tmp_path):
     assert rows and rows == _rows(spark, outg)
 
 
+def test_fused_xyz_filter_translates_grid_to_world(spark, tiles, tmp_path):
+    """x/y/z in the DataFrame are RAW grid ints; the transcoder's where is
+    WORLD-valued — the fused path must translate thresholds so <=, <, and
+    == answer identically on both paths (including a non-integer literal
+    that casts the int column)."""
+
+    def df_fn():
+        return (
+            spark.read.format("las")
+            .load(tiles)
+            .where((F.col("x") <= 5000) & (F.col("y") > 2500.5))
+        )
+
+    outg, outf = _both(spark, df_fn, tmp_path, "xyz")
+    rows = _rows(spark, outf)
+    assert rows and rows == _rows(spark, outg)
+    assert _names(outg) == _names(outf)
+
+
 def test_fused_respects_mode_error(spark, tiles, tmp_path):
     out = str(tmp_path / "once")
     df = spark.read.format("las").load(tiles)

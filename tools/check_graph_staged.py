@@ -82,16 +82,9 @@ def _staging_sql() -> str:
     )
 
 
-def staged_oracles(con, workdir: str) -> dict[str, str]:
-    """Stage the edge list once; return per-key oracles over the staging."""
-    edges_pq = f"{workdir}/edges.parquet"
-    t0 = time.time()
-    con.execute(
-        f"COPY ({_staging_sql()}) TO '{edges_pq}' (FORMAT PARQUET)"
-    )
-    n = con.sql(f"SELECT count(*) FROM '{edges_pq}'").fetchone()[0]
-    print(f"staged {n} edges in {time.time()-t0:.1f}s -> {edges_pq}")
-
+def rewritten_oracles(edges_pq: str) -> dict[str, str]:
+    """Per-key oracles with the shared edge CTE replaced by a read of the
+    staged edge parquet."""
     plain = graph._EDGE_CTE
     rec = graph._EDGE_CTE.replace("WITH e AS", "WITH RECURSIVE e AS", 1)
     base = (
@@ -110,19 +103,51 @@ def staged_oracles(con, workdir: str) -> dict[str, str]:
     return out
 
 
+def staged_oracles(con, workdir: str) -> dict[str, str]:
+    """Stage the edge list once; return per-key oracles over the staging."""
+    edges_pq = f"{workdir}/edges.parquet"
+    t0 = time.time()
+    con.execute(
+        f"COPY ({_staging_sql()}) TO '{edges_pq}' (FORMAT PARQUET)"
+    )
+    n = con.sql(f"SELECT count(*) FROM '{edges_pq}'").fetchone()[0]
+    print(f"staged {n} edges in {time.time()-t0:.1f}s -> {edges_pq}")
+    return rewritten_oracles(edges_pq)
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    """CLI: ``check_graph_staged.py [sf_dir] [--edges PATH] [key ...]``.
+
+    ``--edges`` reuses an already-staged edge parquet (staging at sf5
+    takes minutes — one staging serves all eight keys across runs); a key
+    list restricts the run, enabling PER-KEY Spark sessions from an outer
+    loop — at sf5 the whole family in one session accumulates shuffle
+    spill past this box's disk (SCALE.md round-8 carry), while one key
+    per process frees spill at session exit."""
+    argv = list(sys.argv[1:])
+    edges_pq = None
+    if "--edges" in argv:
+        i = argv.index("--edges")
+        edges_pq = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     con = duckdb.connect()
     con.execute("SET memory_limit='40GB'")
     con.execute("SET temp_directory='/tmp/duck_spill'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    workdir = tempfile.mkdtemp(prefix="graph_staged_")
-    oracles = staged_oracles(con, workdir)
+    if edges_pq is None:
+        workdir = tempfile.mkdtemp(prefix="graph_staged_")
+        oracles = staged_oracles(con, workdir)
+    else:
+        oracles = rewritten_oracles(edges_pq)
 
     spark = get_spark("check-graph-staged")
     n_pass = n_fail = 0
     for name in GRAPH_KEYS:
+        if only and name not in only:
+            continue
         t0 = time.time()
         try:
             sdf = graph.QUERIES[name](spark, sf_dir)
