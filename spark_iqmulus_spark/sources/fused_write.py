@@ -137,10 +137,18 @@ def _translate_filter(cond):
     return clauses
 
 
+#: read options that cannot change the scan's OUTPUT (only its planning),
+#: so a relation carrying them is still byte-equivalent to the raw files.
+#: ``columns`` (in-scan pruning) or ``ignorecorruptfiles`` (skips files the
+#: transcoder would read) change the output → general sink.
+_NEUTRAL_READ_OPTS = {"path", "paths", "pushdown", "partition_bytes", "partitionbytes"}
+
+
 def _extract_scan_filter(df):
     """``(source_name, where_clauses)`` when the optimized plan is exactly
-    a (possibly filtered) full scan of one of our Python data sources,
-    else None.  Analysis only — no side effects."""
+    a (possibly filtered) full scan of one of our Python data sources with
+    output-neutral read options, else None.  Analysis only — no side
+    effects."""
     try:
         plan = df._jdf.queryExecution().optimizedPlan()
     except Exception:
@@ -159,6 +167,13 @@ def _extract_scan_filter(df):
     if not table.getClass().getName().endswith("PythonTable"):
         return None
     source = str(table.name())
+    # a read option like columns= prunes INSIDE the source (no Project
+    # node), so the plan shape alone can't prove full output — gate on the
+    # relation's option keys
+    it = rel.options().entrySet().iterator()
+    while it.hasNext():
+        if str(it.next().getKey()).lower() not in _NEUTRAL_READ_OPTS:
+            return None
     # no Project between write and scan → the relation's full output is
     # written; a pruned output (possible only via an explicit select,
     # which inserts a Project) never reaches here, but double-check arity
@@ -270,13 +285,72 @@ def _las_fused_plan(df, where, path, overwrite):
     return _run
 
 
+def _ply_fused_plan(df, where, path, overwrite):
+    """Validate PLY source/writer equivalence and return a ready-to-run
+    closure, or None.  Side-effect free until the closure runs.
+
+    PLY properties are stored world values (no grid), so filters need no
+    translation; the gates are layout round-trip identity (every property
+    survives Spark's type mapping unchanged, in schema order) and the
+    writer-default little endianness.  Multi-element sources qualify: the
+    reader reads only the vertex element and the sink writes only vertex,
+    which is exactly ``transcode_ply_tiled(element_only=True)``."""
+    from .ply_format import SPARK_TO_NP, PlyHeader
+    from .pointcloud_common import pmap_headers
+    from .transcode import _ply_uniform
+
+    schema = df.schema
+    if "fid" not in schema.names:
+        return None
+    meta = schema["fid"].metadata or {}
+    paths = list(meta.get("paths") or [])
+    if not paths:
+        return None
+    try:
+        headers = pmap_headers(PlyHeader.parse_file, paths)
+        little, props = _ply_uniform(paths, headers, "vertex", True)
+    except Exception:
+        return None
+    if not little:
+        return None  # the sink writes little-endian by default
+    # writer layout = schema order sans fid/pid mapped through
+    # SPARK_TO_NP; byte-copy is equivalent only when that round-trips to
+    # the source property layout exactly (unsigned types widen → fall back)
+    data_fields = [
+        (f.name, SPARK_TO_NP.get(f.dataType.simpleString()))
+        for f in schema.fields
+        if f.name not in ("fid", "pid")
+    ]
+    if data_fields != [(n, c) for n, c in props]:
+        return None
+    prop_names = {n for n, _ in props}
+    if any(name not in prop_names for name, _, _ in where):
+        return None
+
+    def _run(spark, out_dir):
+        from .pointcloud_common import clear_existing_outputs
+        from .transcode import transcode_ply_tiled
+
+        os.makedirs(out_dir, exist_ok=True)
+        clear_existing_outputs(out_dir, ".ply", overwrite)
+        transcode_ply_tiled(
+            spark, paths, out_dir, where=where or None, element_only=True
+        )
+
+    return _run
+
+
+_PLANNERS = {"las": _las_fused_plan, "ply": _ply_fused_plan}
+
+
 def plan_fused_save(df, source: str, path: str, mode, options):
     """Analysis stage of the fused byte-path save: returns a ready-to-run
     ``closure(spark, out_dir)`` when the write qualifies, else None.
     Strictly side-effect free — callers run the closure OUTSIDE any
     fallback handling, so a mid-write failure propagates instead of
     silently double-writing through the general sink."""
-    if source != "las" or not path:
+    planner = _PLANNERS.get(source)
+    if planner is None or not path:
         return None
     if str(options.get("fusedwrite", "true")).lower() == "false":
         return None
@@ -287,7 +361,7 @@ def plan_fused_save(df, source: str, path: str, mode, options):
     extracted = _extract_scan_filter(df)
     if extracted is None or extracted[0] != source:
         return None
-    return _las_fused_plan(df, extracted[1], path, mode == "overwrite")
+    return planner(df, extracted[1], path, mode == "overwrite")
 
 
 _INSTALLED = False
@@ -334,7 +408,7 @@ def install_fused_write() -> None:
 
     def _save(self, path=None, format=None, mode=None, partitionBy=None, **options):
         eff_format = format or getattr(self, "_fw_format", None)
-        if eff_format == "las" and partitionBy is None:
+        if eff_format in _PLANNERS and partitionBy is None:
             eff_mode = mode or getattr(self, "_fw_mode", None)
             eff_opts = dict(getattr(self, "_fw_options", {}) or {})
             for k, v in options.items():

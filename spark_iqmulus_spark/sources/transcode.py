@@ -446,7 +446,7 @@ def transcode_ply(
     ``ply/package.scala:40-69`` write relation bytes partition-locally;
     this expresses the same idea as one Spark job + driver commit.
     """
-    from .ply_format import PlyElement, PlyHeader, PlyProperty
+    from .ply_format import PlyHeader
 
     paths = _resolve_paths(src, ".ply", filesystem)
     if not paths:
@@ -454,8 +454,32 @@ def transcode_ply(
     headers = pmap_headers(
         lambda p: PlyHeader.parse_file(p, filesystem), paths
     )
+    little, props = _ply_uniform(paths, headers, element, element_only)
+    part_dir = out_path + f".parts-{uuid.uuid4().hex[:8]}"
+    fsio.makedirs(part_dir, filesystem)
+    try:
+        stats = _ply_scan_stats(
+            spark, paths, headers, element, little, props, where,
+            target_bytes, filesystem, part_dir,
+        )
+        total = _merge_ply_stats(
+            out_path, stats, element, little, props, filesystem
+        )
+    finally:
+        fsio.rmtree(part_dir, filesystem)
+    return {
+        "points": total,
+        "read": sum(r["read_n"] for r in stats),
+        "files": len(paths),
+        "parts": sum(1 for r in stats if r["m"]),
+    }
 
-    # -- uniformity: binary, one endianness, identical element layout ------
+
+def _ply_uniform(paths, headers, element: str, element_only: bool):
+    """Uniformity gate shared by the PLY transcoders: binary, one
+    endianness, identical property layout for ``element``; other non-empty
+    elements allowed only under ``element_only``.  Returns
+    ``(little_endian, props)``."""
     sigs = []
     for p, h in zip(paths, headers):
         if h.is_ascii:
@@ -483,10 +507,27 @@ def transcode_ply(
             f"transcode_ply requires a uniform layout; got {set(sigs)} —"
             " use df.write.format('ply') for heterogeneous inputs"
         )
-    little, props = sigs[0]
+    return sigs[0]
+
+
+def _ply_scan_stats(
+    spark: SparkSession,
+    paths: list[str],
+    headers: list,
+    element: str,
+    little: bool,
+    props,
+    where,
+    target_bytes: int,
+    filesystem,
+    part_dir: str,
+) -> list:
+    """Shared scan stage of the fused PLY byte path (the PLY twin of
+    ``_las_scan_stats``): one Spark job over record-aligned element
+    ranges, raw-record part files under ``part_dir``, stats rows back,
+    sorted by (fid, rec_start)."""
     endian = "<" if little else ">"
-    el0 = headers[0].element(element)
-    stride = el0.stride
+    stride = headers[0].element(element).stride
     if where:
         known = {n for n, _ in props}
         for name, op, _ in where:
@@ -504,8 +545,6 @@ def transcode_ply(
         n_total = h.element(element).count
         for start, n in plan_record_ranges(n_total, stride, target_bytes):
             specs.append((fid, p, sec_off, start, n))
-    part_dir = out_path + f".parts-{uuid.uuid4().hex[:8]}"
-    fsio.makedirs(part_dir, filesystem)
 
     rec_dtype_spec = [(n, endian + c) for n, c in props]
     where_local = list(where) if where else []
@@ -556,33 +595,98 @@ def transcode_ply(
         specs, "fid int, path string, offset long, rec_start long, n long"
     ).repartition(max(1, len(specs)))
     stats_schema = "fid int, rec_start long, part string, m long, read_n long"
+    stats = spec_df.mapInPandas(_work, stats_schema).collect()
+    stats.sort(key=lambda r: (r["fid"], r["rec_start"]))
+    return stats
+
+
+def _merge_ply_stats(
+    out_path: str, stats: list, element: str, little: bool, props, filesystem=None
+) -> int:
+    """Commit one ``.ply`` from scan-stage stats rows: single-element
+    header + sendfile part concat in (fid, rec_start) order."""
+    from .ply_format import PlyElement, PlyHeader, PlyProperty
+
+    total = sum(r["m"] for r in stats)
+    live = [r for r in stats if r["m"]]
+    header = PlyHeader(
+        location=out_path,
+        little_endian=little,
+        elements=[
+            PlyElement(element, total, [PlyProperty(n, c) for n, c in props])
+        ],
+    )
+    with fsio.open_output(out_path, filesystem) as out:
+        out.write(header.to_bytes())
+        for r in live:
+            append_file(out, r["part"], filesystem)
+    return total
+
+
+def transcode_ply_tiled(
+    spark: SparkSession,
+    src,
+    out_dir: str,
+    where: list[tuple[str, str, float]] | None = None,
+    element: str = "vertex",
+    element_only: bool = False,
+    names: dict[int, str] | None = None,
+    target_bytes: int = _TARGET_BYTES,
+    filesystem=None,
+) -> dict:
+    """Filter/copy PLY tiles into ``out_dir``, ONE output per source tile
+    (the name-restoring shape of ``df.write.format("ply")``) through the
+    fused byte path — the PLY twin of ``transcode_las_tiled``.  Sources
+    whose rows are all filtered out produce no output, matching the
+    general sink."""
+    from .ply_format import PlyHeader
+    from .pointcloud_common import pmap_merges
+
+    paths = _resolve_paths(src, ".ply", filesystem)
+    if not paths:
+        raise FileNotFoundError(f"no .ply files match {src!r}")
+    headers = pmap_headers(
+        lambda p: PlyHeader.parse_file(p, filesystem), paths
+    )
+    little, props = _ply_uniform(paths, headers, element, element_only)
+    if names is None:
+        bases = [os.path.splitext(os.path.basename(p))[0] for p in paths]
+        dup = {b for b in bases if bases.count(b) > 1}
+        names = {
+            fid: (f"{b}-fid{fid}.ply" if b in dup else f"{b}.ply")
+            for fid, b in enumerate(bases)
+        }
+    fsio.makedirs(out_dir, filesystem)
+    part_dir = out_dir.rstrip("/") + f"/.parts-{uuid.uuid4().hex[:8]}"
+    fsio.makedirs(part_dir, filesystem)
     try:
-        stats = spec_df.mapInPandas(_work, stats_schema).collect()
-        stats.sort(key=lambda r: (r["fid"], r["rec_start"]))
-        total = sum(r["m"] for r in stats)
-        live = [r for r in stats if r["m"]]
-        header = PlyHeader(
-            location=out_path,
-            little_endian=little,
-            elements=[
-                PlyElement(
-                    element,
-                    total,
-                    [PlyProperty(n, c) for n, c in props],
-                )
-            ],
+        stats = _ply_scan_stats(
+            spark, paths, headers, element, little, props, where,
+            target_bytes, filesystem, part_dir,
         )
-        with fsio.open_output(out_path, filesystem) as out:
-            out.write(header.to_bytes())
-            for r in live:
-                append_file(out, r["part"], filesystem)
+        by_fid: dict[int, list] = {}
+        for r in stats:
+            by_fid.setdefault(r["fid"], []).append(r)
+        jobs = [
+            (
+                out_dir.rstrip("/") + "/" + names[fid],
+                rows,
+                element,
+                little,
+                props,
+                filesystem,
+            )
+            for fid, rows in sorted(by_fid.items())
+            if any(r["m"] for r in rows)
+        ]
+        pmap_merges(_merge_ply_stats, jobs)
     finally:
         fsio.rmtree(part_dir, filesystem)
     return {
-        "points": total,
+        "points": sum(r["m"] for r in stats),
         "read": sum(r["read_n"] for r in stats),
         "files": len(paths),
-        "parts": len(live),
+        "outputs": len(jobs),
     }
 
 

@@ -134,6 +134,62 @@ def test_write_options_disable_fusing(spark, tiles, tmp_path):
         )
 
 
+@pytest.fixture()
+def ply_tiles(tmp_path):
+    from .fixtures import make_ply_xyz
+
+    d = tmp_path / "ply_tiles"
+    d.mkdir()
+    make_ply_xyz(str(d / "pa.ply"), n=700, seed=3)
+    make_ply_xyz(str(d / "pb.ply"), n=500, seed=4)
+    return str(d)
+
+
+def _ply_rows(spark, path):
+    return sorted(
+        map(tuple, spark.read.format("ply").load(path).drop("fid", "pid").collect())
+    )
+
+
+def test_fused_ply_filter_write_equals_general(spark, ply_tiles, tmp_path):
+    def df_fn():
+        return (
+            spark.read.format("ply").load(ply_tiles).where(F.col("x") < 50.0)
+        )
+
+    outg = str(tmp_path / "ply_general")
+    outf = str(tmp_path / "ply_fused")
+    df_fn().write.format("ply").option("fusedWrite", "false").mode(
+        "overwrite"
+    ).save(outg)
+    df_fn().write.format("ply").mode("overwrite").save(outf)
+    gnames = sorted(f for f in os.listdir(outg) if f.endswith(".ply"))
+    fnames = sorted(f for f in os.listdir(outf) if f.endswith(".ply"))
+    assert gnames == fnames == ["pa.ply", "pb.ply"]
+    rows = _ply_rows(spark, outf)
+    assert rows and rows == _ply_rows(spark, outg)
+
+
+def test_fused_ply_unsigned_property_falls_back(spark, tmp_path):
+    # u1 rgb properties map through Spark's signed types (tinyint → i1) —
+    # the two paths would write different property descriptors, so the
+    # rewrite must not engage (observable: the general sink re-types
+    # r/g/b to signed; a byte copy would keep u1)
+    from .fixtures import make_ply_xyz
+    from spark_iqmulus_spark.sources.ply_format import PlyHeader
+
+    d = tmp_path / "rgb"
+    d.mkdir()
+    make_ply_xyz(str(d / "t.ply"), n=300, rgb=True)
+    out = str(tmp_path / "rgb_out")
+    spark.read.format("ply").load(str(d)).write.format("ply").mode(
+        "overwrite"
+    ).save(out)
+    h = PlyHeader.parse_file(os.path.join(out, "t.ply"))
+    got = {p.name: p.np_char for p in h.element("vertex").properties}
+    assert got["r"] == "i1"  # general sink's signed re-typing → fell back
+
+
 def test_fused_plan_analysis_is_side_effect_free(spark, tiles, tmp_path):
     # a qualifying plan analyzed but not run must not create anything
     from spark_iqmulus_spark.sources.fused_write import plan_fused_save
