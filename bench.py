@@ -99,9 +99,22 @@ def main() -> None:
         minmax_from_headers(spark, [las_path])
 
     def write_roundtrip():
+        # stock API path — round 9 fuses a pure-scan write onto the
+        # transcode byte path automatically (sources/fused_write.py)
         out = os.path.join(pc_dir, "rt_las")
         df = spark.read.format("las").load(las_path)
         df.write.format("las").mode("overwrite").save(out)
+        assert spark.read.format("las").load(out).count() == N_POINTS
+
+    def write_general():
+        # forced general Python-DataSource sink — tracks the JVM→Python
+        # Arrow-hop tax the fused path skips; the gap between this and
+        # bench_write_roundtrip is the rewrite's win
+        out = os.path.join(pc_dir, "rt_las_gen")
+        df = spark.read.format("las").load(las_path)
+        df.write.format("las").option("fusedWrite", "false").mode(
+            "overwrite"
+        ).save(out)
         assert spark.read.format("las").load(out).count() == N_POINTS
 
     results["bench_ply_read"] = _timed(ply_scan, "bench_ply_read")
@@ -152,6 +165,10 @@ def main() -> None:
             transcode_las(spark, las_path, os.path.join(pc_dir, "tc.las"))
 
         results["bench_las_transcode"] = _timed(las_transcode, "bench_las_transcode")
+
+        # general-sink write (extras; excluded from total) — the Arrow-hop
+        # tax bench_write_roundtrip no longer pays after the round-9 fusing
+        results["bench_write_general"] = _timed(write_general, "bench_write_general")
 
         # the PLY twin over the same point count (round 8)
         def ply_transcode():

@@ -52,6 +52,14 @@ SIMHASH_MAX_BUCKET = 200
 #: cosine is ~0.51; 0.4 keeps output small but non-empty).
 COSINE_T = 0.40
 
+#: vector-count cap for broadcasting the embeddings dim into the LSH
+#: candidate re-check (~0.5 GB at 500k × 64-dim float64 — bounded per
+#: executor).  At or below it, cosine filters the duplicated candidate
+#: stream BEFORE the pair distinct, so the big stream never shuffles;
+#: above it, the distinct-first shuffled plan takes over (cluster-correct:
+#: local disks aggregate across executors).
+EMBED_LSH_BROADCAST_CAP = 500_000
+
 # DuckDB-side text normalization matching the Spark side: single-backslash
 # regex in the emitted SQL plus the 'g' flag (DuckDB replaces only the first
 # match without it, and '\\s' would match a literal backslash).
@@ -667,25 +675,45 @@ def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # salt exists to split.  A user-specified repartition(n, keys) is
     # exempt from AQE coalescing, pinning one partition per salted bucket.
     n_part = 16 * LSH_BANDS * salt_r
-    pairs = (
+    cand = (
         a.repartition(n_part, "band", "val", "salt")
         .join(b.repartition(n_part, "band", "val", "salt"), ["band", "val", "salt"])
         .where(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b")
-        .dropDuplicates(["vec_a", "vec_b"])
     )
     ea = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     eb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     cos = _dot(F.col("ea"), F.col("eb")) / (
         F.sqrt(_dot(F.col("ea"), F.col("ea"))) * F.sqrt(_dot(F.col("eb"), F.col("eb")))
     )
-    # NO explicit broadcast hint on the vector join-back: F.broadcast
-    # bypasses the size threshold, and at the corpus scales the salted join
-    # above targets a forced full-embeddings broadcast risks driver/executor
-    # OOM (ADVICE r6).  Unhinted, AQE broadcasts while the table is under
-    # autoBroadcastJoinThreshold and falls back to a shuffled hash join
-    # beyond it — the shuffle stays cheap because `pairs` carries only
-    # 16-byte id pairs into each join and embeddings shuffle O(N) rows once.
+    n_vec = table_count(sf_dir, "embeddings")
+    if n_vec <= EMBED_LSH_BROADCAST_CAP:
+        # Filter-before-distinct (round 9): the candidate stream holds up
+        # to O(Σ bucket²) duplicated id pairs (~1e9 at 100k dup-rich
+        # vectors) — DISTINCTing it first shuffles the whole stream and
+        # spilled past a single box's disk (r8 sf5 failure).  Cosine is
+        # deterministic per pair, so filter-then-distinct is
+        # result-identical while the distinct's input collapses to the
+        # ~1e-3 surviving fraction.  The re-check join is map-side only:
+        # the embeddings dim is broadcast under an explicit VECTOR-COUNT
+        # cap (the RECALL_BROADCAST_CAP pattern — bounded, unlike the
+        # unconditional hint ADVICE r6 flagged), so the candidate stream
+        # itself never shuffles.
+        return (
+            cand.join(F.broadcast(ea), "vec_a")
+            .join(F.broadcast(eb), "vec_b")
+            .withColumn("cos", F.round(cos, 6))
+            .where(F.col("cos") >= COSINE_T)
+            .dropDuplicates(["vec_a", "vec_b"])
+            .select("vec_a", "vec_b", "cos")
+        )
+    # Past the broadcast cap: distinct first (one shuffle of id pairs —
+    # on a cluster the spill spreads across executors' local disks), then
+    # an UNHINTED join-back: AQE broadcasts while the embeddings table is
+    # small and falls back to a shuffled hash join beyond that, where the
+    # shuffle stays cheap because `pairs` carries only 16-byte id pairs
+    # and embeddings shuffle O(N) rows once.
+    pairs = cand.dropDuplicates(["vec_a", "vec_b"])
     return (
         pairs.join(ea, "vec_a")
         .join(eb, "vec_b")

@@ -340,7 +340,61 @@ def _ply_fused_plan(df, where, path, overwrite):
     return _run
 
 
-_PLANNERS = {"las": _las_fused_plan, "ply": _ply_fused_plan}
+def _pcd_fused_plan(df, where, path, overwrite):
+    """Validate PCD source/writer equivalence and return a ready-to-run
+    closure, or None.  Binary record-major PCD only; stored-value filters;
+    layout must round-trip Spark's type mapping unchanged (same gates as
+    PLY — PCD fields are expanded count-1 scalars on both paths)."""
+    from .pcd_format import SPARK_TO_NP, PcdHeader
+    from .pointcloud_common import pmap_headers
+
+    schema = df.schema
+    if "fid" not in schema.names:
+        return None
+    meta = schema["fid"].metadata or {}
+    paths = list(meta.get("paths") or [])
+    if not paths:
+        return None
+    try:
+        headers = pmap_headers(PcdHeader.parse_file, paths)
+    except Exception:
+        return None
+    sigs = {
+        (h.data_kind, tuple((f.name, f.np_char) for f in h.fields))
+        for h in headers
+    }
+    if len(sigs) != 1:
+        return None
+    data_kind, props = next(iter(sigs))
+    if data_kind != "binary":
+        return None  # ascii / binary_compressed re-encode via the sink
+    data_fields = [
+        (f.name, SPARK_TO_NP.get(f.dataType.simpleString()))
+        for f in schema.fields
+        if f.name not in ("fid", "pid")
+    ]
+    if data_fields != [(n, c) for n, c in props]:
+        return None
+    prop_names = {n for n, _ in props}
+    if any(name not in prop_names for name, _, _ in where):
+        return None
+
+    def _run(spark, out_dir):
+        from .pointcloud_common import clear_existing_outputs
+        from .transcode import transcode_pcd_tiled
+
+        os.makedirs(out_dir, exist_ok=True)
+        clear_existing_outputs(out_dir, ".pcd", overwrite)
+        transcode_pcd_tiled(spark, paths, out_dir, where=where or None)
+
+    return _run
+
+
+_PLANNERS = {
+    "las": _las_fused_plan,
+    "ply": _ply_fused_plan,
+    "pcd": _pcd_fused_plan,
+}
 
 
 def plan_fused_save(df, source: str, path: str, mode, options):

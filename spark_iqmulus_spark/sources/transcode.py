@@ -916,8 +916,37 @@ def transcode_pcd(
             " use df.write.format('pcd') for heterogeneous inputs"
         )
     props = sigs[0]
-    h0 = headers[0]
-    stride = h0.stride
+    part_dir = out_path + f".parts-{uuid.uuid4().hex[:8]}"
+    fsio.makedirs(part_dir, filesystem)
+    try:
+        stats = _pcd_scan_stats(
+            spark, paths, headers, props, where, target_bytes, filesystem,
+            part_dir,
+        )
+        total = _merge_pcd_stats(out_path, stats, headers[0], filesystem)
+    finally:
+        fsio.rmtree(part_dir, filesystem)
+    return {
+        "points": total,
+        "read": sum(r["read_n"] for r in stats),
+        "files": len(paths),
+        "parts": sum(1 for r in stats if r["m"]),
+    }
+
+
+def _pcd_scan_stats(
+    spark: SparkSession,
+    paths: list[str],
+    headers: list,
+    props,
+    where,
+    target_bytes: int,
+    filesystem,
+    part_dir: str,
+) -> list:
+    """Shared scan stage of the fused PCD byte path (the PCD twin of
+    ``_ply_scan_stats``)."""
+    stride = headers[0].stride
     if where:
         known = {n for n, _ in props}
         for name, op, _ in where:
@@ -932,8 +961,6 @@ def transcode_pcd(
     for fid, (p, h) in enumerate(zip(paths, headers)):
         for start, n in plan_record_ranges(h.points, stride, target_bytes):
             specs.append((fid, p, h.data_offset, start, n))
-    part_dir = out_path + f".parts-{uuid.uuid4().hex[:8]}"
-    fsio.makedirs(part_dir, filesystem)
 
     rec_dtype_spec = [(n, "<" + c) for n, c in props]
     where_local = list(where) if where else []
@@ -984,29 +1011,102 @@ def transcode_pcd(
         specs, "fid int, path string, offset long, rec_start long, n long"
     ).repartition(max(1, len(specs)))
     stats_schema = "fid int, rec_start long, part string, m long, read_n long"
-    try:
-        stats = spec_df.mapInPandas(_work, stats_schema).collect()
-        stats.sort(key=lambda r: (r["fid"], r["rec_start"]))
-        total = sum(r["m"] for r in stats)
-        live = [r for r in stats if r["m"]]
-        import dataclasses as _dc
+    stats = spec_df.mapInPandas(_work, stats_schema).collect()
+    stats.sort(key=lambda r: (r["fid"], r["rec_start"]))
+    return stats
 
-        header = PcdHeader(
-            location=out_path,
-            fields=[_dc.replace(f) for f in h0.fields],
-            width=total,
-            points=total,
-            data_kind="binary",
+
+def _merge_pcd_stats(out_path: str, stats: list, h0, filesystem=None) -> int:
+    """Commit one ``.pcd`` from scan-stage stats rows."""
+    import dataclasses as _dc
+
+    from .pcd_format import PcdHeader
+
+    total = sum(r["m"] for r in stats)
+    live = [r for r in stats if r["m"]]
+    header = PcdHeader(
+        location=out_path,
+        fields=[_dc.replace(f) for f in h0.fields],
+        width=total,
+        points=total,
+        data_kind="binary",
+    )
+    with fsio.open_output(out_path, filesystem) as out:
+        out.write(header.to_bytes())
+        for r in live:
+            append_file(out, r["part"], filesystem)
+    return total
+
+
+def transcode_pcd_tiled(
+    spark: SparkSession,
+    src,
+    out_dir: str,
+    where: list[tuple[str, str, float]] | None = None,
+    names: dict[int, str] | None = None,
+    target_bytes: int = _TARGET_BYTES,
+    filesystem=None,
+) -> dict:
+    """Filter/copy PCD tiles into ``out_dir``, ONE output per source tile
+    (the name-restoring shape of ``df.write.format("pcd")``) through the
+    fused byte path — the PCD twin of ``transcode_las_tiled``."""
+    from .pcd_format import PcdHeader
+    from .pointcloud_common import pmap_merges
+
+    paths = _resolve_paths(src, ".pcd", filesystem)
+    if not paths:
+        raise FileNotFoundError(f"no .pcd files match {src!r}")
+    headers = pmap_headers(
+        lambda p: PcdHeader.parse_file(p, filesystem), paths
+    )
+    sigs = []
+    for p, h in zip(paths, headers):
+        if h.data_kind != "binary":
+            raise ValueError(
+                f"transcode_pcd requires DATA binary; {p} is"
+                f" {h.data_kind!r} — use df.write.format('pcd')"
+            )
+        sigs.append(tuple((f.name, f.np_char) for f in h.fields))
+    if len(set(sigs)) > 1:
+        raise ValueError(
+            f"transcode_pcd requires a uniform layout; got {set(sigs)} —"
+            " use df.write.format('pcd') for heterogeneous inputs"
         )
-        with fsio.open_output(out_path, filesystem) as out:
-            out.write(header.to_bytes())
-            for r in live:
-                append_file(out, r["part"], filesystem)
+    props = sigs[0]
+    if names is None:
+        bases = [os.path.splitext(os.path.basename(p))[0] for p in paths]
+        dup = {b for b in bases if bases.count(b) > 1}
+        names = {
+            fid: (f"{b}-fid{fid}.pcd" if b in dup else f"{b}.pcd")
+            for fid, b in enumerate(bases)
+        }
+    fsio.makedirs(out_dir, filesystem)
+    part_dir = out_dir.rstrip("/") + f"/.parts-{uuid.uuid4().hex[:8]}"
+    fsio.makedirs(part_dir, filesystem)
+    try:
+        stats = _pcd_scan_stats(
+            spark, paths, headers, props, where, target_bytes, filesystem,
+            part_dir,
+        )
+        by_fid: dict[int, list] = {}
+        for r in stats:
+            by_fid.setdefault(r["fid"], []).append(r)
+        jobs = [
+            (
+                out_dir.rstrip("/") + "/" + names[fid],
+                rows,
+                headers[fid],
+                filesystem,
+            )
+            for fid, rows in sorted(by_fid.items())
+            if any(r["m"] for r in rows)
+        ]
+        pmap_merges(_merge_pcd_stats, jobs)
     finally:
         fsio.rmtree(part_dir, filesystem)
     return {
-        "points": total,
+        "points": sum(r["m"] for r in stats),
         "read": sum(r["read_n"] for r in stats),
         "files": len(paths),
-        "parts": len(live),
+        "outputs": len(jobs),
     }

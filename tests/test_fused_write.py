@@ -190,6 +190,44 @@ def test_fused_ply_unsigned_property_falls_back(spark, tmp_path):
     assert got["r"] == "i1"  # general sink's signed re-typing → fell back
 
 
+def test_fused_pcd_filter_write_equals_general(spark, tmp_path):
+    from .fixtures import make_pcd
+
+    d = tmp_path / "pcd_tiles"
+    d.mkdir()
+    make_pcd(str(d / "ca.pcd"), n=600, seed=5)
+    make_pcd(str(d / "cb.pcd"), n=400, seed=6)
+
+    def df_fn():
+        return (
+            spark.read.format("pcd").load(str(d)).where(F.col("label") <= 4)
+        )
+
+    outg = str(tmp_path / "pcd_general")
+    outf = str(tmp_path / "pcd_fused")
+    df_fn().write.format("pcd").option("fusedWrite", "false").mode(
+        "overwrite"
+    ).save(outg)
+    df_fn().write.format("pcd").mode("overwrite").save(outf)
+
+    def rows(path):
+        return sorted(
+            map(
+                tuple,
+                spark.read.format("pcd")
+                .load(path)
+                .drop("fid", "pid")
+                .collect(),
+            )
+        )
+
+    gnames = sorted(f for f in os.listdir(outg) if f.endswith(".pcd"))
+    fnames = sorted(f for f in os.listdir(outf) if f.endswith(".pcd"))
+    assert gnames == fnames == ["ca.pcd", "cb.pcd"]
+    got = rows(outf)
+    assert got and got == rows(outg)
+
+
 def test_fused_plan_analysis_is_side_effect_free(spark, tiles, tmp_path):
     # a qualifying plan analyzed but not run must not create anything
     from spark_iqmulus_spark.sources.fused_write import plan_fused_save
