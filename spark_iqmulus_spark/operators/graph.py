@@ -101,7 +101,7 @@ def sim_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     staged = _os.environ.get("SPARK_GRAFT_EDGES_PARQUET")
     if staged:
-        return spark.read.parquet(staged).select("a", "b")
+        return _validated_staged_edges(spark, staged, sf_dir)
     key = (id(spark), sf_dir)
     df = _EDGE_CACHE.get(key)
     if df is None:
@@ -112,6 +112,76 @@ def sim_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _EDGE_CACHE[key] = df
     return df
+
+
+#: staged-edge paths already validated this process (one check per path).
+_STAGED_OK: set = set()
+
+#: sidecar written next to a staged edge parquet (underscore prefix =
+#: ignored by Spark's parquet reader) recording which dataset it derives
+#: from, so a stale SPARK_GRAFT_EDGES_PARQUET cannot silently substitute
+#: the wrong graph (ADVICE r9).
+_EDGES_META = "_IQMULUS_EDGES_META.json"
+
+
+def stage_edges(spark: SparkSession, sf_dir: str, out_path: str) -> None:
+    """Materialize ``sim_edges`` durably with a provenance sidecar — the
+    production staging step the ``SPARK_GRAFT_EDGES_PARQUET`` override
+    expects."""
+    import json as _json
+    import os as _os
+
+    sim_edges(spark, sf_dir).write.mode("overwrite").parquet(out_path)
+    with open(_os.path.join(out_path, _EDGES_META), "w") as f:
+        _json.dump({"sf_dir": _os.path.abspath(sf_dir), "source": "sim_edges"}, f)
+
+
+def _validated_staged_edges(spark: SparkSession, staged: str, sf_dir: str) -> DataFrame:
+    """Read the override parquet, loudly: warn that the override is
+    active, cross-check its provenance sidecar against the requested
+    dataset, and verify the ``(a, b, a < b)`` edge-list contract once per
+    path (a stale or wrong env var must fail, not silently substitute a
+    different graph into every graph query — ADVICE r9)."""
+    import json as _json
+    import os as _os
+    import sys as _sys
+
+    df = spark.read.parquet(staged)
+    if not {"a", "b"}.issubset(set(df.columns)):
+        raise ValueError(
+            f"SPARK_GRAFT_EDGES_PARQUET={staged!r} lacks the (a, b) edge"
+            f" columns (found {df.columns}) — not a staged edge list"
+        )
+    if staged not in _STAGED_OK:
+        print(
+            f"[sim_edges] SPARK_GRAFT_EDGES_PARQUET override active: {staged}",
+            file=_sys.stderr,
+        )
+        meta_path = _os.path.join(staged, _EDGES_META)
+        if _os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = _json.load(f)
+            want = _os.path.abspath(sf_dir)
+            have = meta.get("sf_dir")
+            if have != want:
+                raise ValueError(
+                    f"staged edges at {staged!r} were derived from"
+                    f" {have!r} but the query asked for {want!r} — stale"
+                    " SPARK_GRAFT_EDGES_PARQUET; restage or unset it"
+                )
+        else:
+            print(
+                f"[sim_edges] no {_EDGES_META} sidecar at {staged} —"
+                " cannot verify which dataset these edges derive from",
+                file=_sys.stderr,
+            )
+        bad = df.where(F.col("a") >= F.col("b")).limit(1).count()
+        if bad:
+            raise ValueError(
+                f"staged edges at {staged!r} violate the a < b contract"
+            )
+        _STAGED_OK.add(staged)
+    return df.select("a", "b")
 
 
 def _undirected(edges: DataFrame) -> DataFrame:
@@ -188,7 +258,14 @@ def bfs_levels(edges: DataFrame, max_hops: int = 4) -> DataFrame:
     the whole walk stays on the executors.
     """
     und = _undirected(edges).persist()
-    seed = und.agg(F.min("a").alias("node")).withColumn("level", F.lit(0))
+    # the seed is checkpointed like the frontiers: the returned union is
+    # lazy, so without it the 1-row min(a) aggregate would recompute
+    # through the by-then-unpersisted undirected union (ADVICE r9)
+    seed = (
+        und.agg(F.min("a").alias("node"))
+        .withColumn("level", F.lit(0))
+        .localCheckpoint()
+    )
     visited = seed
     frontier = seed
     for hop in range(1, max_hops + 1):

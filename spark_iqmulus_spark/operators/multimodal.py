@@ -737,10 +737,20 @@ def decode_wav(payload: bytes):
         tag = payload[pos : pos + 4]
         size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
         if pos + 8 + size > len(payload):
-            raise ValueError(
-                f"WAV chunk {tag!r} declares {size} bytes but only "
-                f"{len(payload) - pos - 8} remain"
-            )
+            # only chunks the decoder CONSUMES must be complete; an
+            # unknown trailing chunk with an oversized/streaming size
+            # field is clamped to the remaining bytes instead of failing
+            # the whole record (ADVICE r9)
+            if tag in (b"fmt ", b"data"):
+                raise ValueError(
+                    f"WAV chunk {tag!r} declares {size} bytes but only "
+                    f"{len(payload) - pos - 8} remain"
+                )
+            idx = payload.find(b"data", pos + 8)
+            if idx < 0:
+                break  # no data chunk anywhere → the final raise below
+            pos = idx
+            continue
         body = payload[pos + 8 : pos + 8 + size]
         if tag == b"fmt ":
             codec, n_channels, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])

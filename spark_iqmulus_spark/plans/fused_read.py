@@ -1,0 +1,265 @@
+"""Transparent metadata-only COUNT / MIN-MAX for the point-cloud scans.
+
+The reference registers two Catalyst strategies
+(``/root/reference/src/main/scala/fr/ign/spark/iqmulus/ExtraStrategies.scala:35-76``)
+so that stock ``df.count()`` and ``df.agg(min('x'), max('x'))`` over a LAS
+relation are answered from file headers — O(files) driver work, zero point
+bytes scanned.  ``smart_scan`` (plans/header_catalog.py) reproduced that as
+an opt-in facade; this module closes the gap transparently, using the same
+py4j optimized-plan inspection that ``sources/fused_write.py`` proved on
+the write side: pure Python cannot inject a strategy, but patching the two
+DataFrame actions and inspecting ``queryExecution().optimizedPlan()`` sees
+exactly what a strategy would see.
+
+``install_fused_read()`` (called by ``register_sources``) patches:
+
+- ``DataFrame.count`` — when the optimized plan is a chain of row-preserving
+  ``Project`` nodes over a bare ``DataSourceV2ScanRelation`` of one of our
+  Python sources (las/ply/pcd) with count-neutral read options, answer
+  ``Σ`` per-file header counts with no Spark job.  A ``Filter`` (or any
+  other node) in the plan falls back to the real count.
+- ``DataFrame.collect`` — when the optimized plan is a global (no grouping)
+  ``Aggregate`` of only ``count(1)`` / ``min`` / ``max`` over stored
+  ``x|y|z`` attributes, over a bare LAS scan with uniform grid, answer from
+  header bounds.  Covers both ``df.agg(...).collect()`` and SQL
+  ``SELECT count(*), min(x) FROM view`` (same optimized plan).
+
+Header bounds are WORLD doubles while the scan's x/y/z are RAW grid int32
+(scaled-integer semantics, SURVEY §1.4) — bounds are mapped back through
+``raw = round((world − offset) / scale)``, exact because the stored world
+bound is ``offset + scale·raw`` and float64 round-off is far below half a
+grid step.  Like the reference's CountPlan/AggregatePlan, the fast path
+TRUSTS headers (a lying header answers wrong on both engines);
+``smart_scan(verify=True)`` remains the cross-checking variant, and any
+header parse failure, heterogeneous grid, or unexpected plan shape falls
+back to the real scan.
+
+Opt-outs: session-wide ``spark.conf.set("spark.iqmulus.fusedRead",
+"false")`` or per-read ``.option("fusedRead", "false")``.
+"""
+
+from __future__ import annotations
+
+#: read options that cannot change the row COUNT of the scan.  ``columns``
+#: prunes fields (row-preserving); ``element`` is passed through to the
+#: header counter; ``ignorecorruptfiles`` is safe because a header that
+#: fails to parse aborts the fast path entirely (fall back to the scan,
+#: which applies its own skip-with-warning semantics).
+_COUNT_NEUTRAL_OPTS = {
+    "path", "paths", "pushdown", "partition_bytes", "partitionbytes",
+    "columns", "element", "ignorecorruptfiles", "fusedread",
+}
+
+#: read options that keep MIN/MAX(x,y,z) answerable from LAS headers.
+#: ``element`` is PLY-only, and ``ignorecorruptfiles`` could drop a file
+#: whose bounds the headers still include — both disqualify.
+_MINMAX_NEUTRAL_OPTS = {
+    "path", "paths", "pushdown", "partition_bytes", "partitionbytes",
+    "columns", "fusedread",
+}
+
+_SOURCES = {"las": ".las", "ply": ".ply", "pcd": ".pcd"}
+
+
+def _simple(jobj) -> str:
+    return jobj.getClass().getSimpleName()
+
+
+def _scan_relation(node, neutral_opts):
+    """``(source_name, options_dict)`` when ``node`` is a
+    DataSourceV2ScanRelation of one of our Python sources whose read
+    options are all in ``neutral_opts`` (with ``fusedRead`` ≠ false),
+    else None."""
+    if node.nodeName() != "DataSourceV2ScanRelation":
+        return None
+    rel = node.relation()
+    table = rel.table()
+    if not table.getClass().getName().endswith("PythonTable"):
+        return None
+    source = str(table.name())
+    if source not in _SOURCES:
+        return None
+    opts = {}
+    it = rel.options().entrySet().iterator()
+    while it.hasNext():
+        e = it.next()
+        opts[str(e.getKey()).lower()] = str(e.getValue())
+    if any(k not in neutral_opts for k in opts):
+        return None
+    if opts.get("fusedread", "true").lower() == "false":
+        return None
+    return source, opts
+
+
+def _paths_for(source: str, opts: dict) -> list[str]:
+    from ..sources.pointcloud_common import expand_paths
+
+    o = dict(opts)
+    o["ext"] = _SOURCES[source]
+    return expand_paths(o)
+
+
+def _enabled(df) -> bool:
+    try:
+        return (
+            str(df.sparkSession.conf.get("spark.iqmulus.fusedRead", "true"))
+            .lower()
+            != "false"
+        )
+    except Exception:
+        return True
+
+
+def _try_header_count(df):
+    """Header-catalog answer for ``df.count()``, or None.  Accepts any
+    chain of Project nodes (always 1:1 on rows) over the bare scan."""
+    if not _enabled(df):
+        return None
+    node = df._jdf.queryExecution().optimizedPlan()
+    while node.nodeName() == "Project":
+        node = node.children().apply(0)
+    found = _scan_relation(node, _COUNT_NEUTRAL_OPTS)
+    if found is None:
+        return None
+    source, opts = found
+    from .header_catalog import count_from_headers
+
+    return count_from_headers(
+        None,
+        _paths_for(source, opts),
+        fmt=source,
+        element=opts.get("element", "vertex"),
+    )
+
+
+def _try_header_aggregate(df):
+    """Header-catalog answer (list[Row]) for a global count/min/max
+    aggregate over a bare LAS scan, or None."""
+    if not _enabled(df):
+        return None
+    plan = df._jdf.queryExecution().optimizedPlan()
+    if plan.nodeName() != "Aggregate":
+        return None
+    if plan.groupingExpressions().size() != 0:
+        return None
+    node = plan.children().apply(0)
+    # ColumnPruning may interpose a Project of plain attributes — allow it
+    while node.nodeName() == "Project":
+        pl = node.projectList()
+        for i in range(pl.size()):
+            if _simple(pl.apply(i)) != "AttributeReference":
+                return None
+        node = node.children().apply(0)
+    found = _scan_relation(node, _MINMAX_NEUTRAL_OPTS)
+    if found is None or found[0] != "las":
+        return None
+    source, opts = found
+    # every aggregate must be count(1) or min/max of a stored x/y/z attr
+    wanted = []  # (name, kind, axis)
+    aggs = plan.aggregateExpressions()
+    for i in range(aggs.size()):
+        ne = aggs.apply(i)
+        if _simple(ne) != "Alias":
+            return None
+        name = str(ne.name())
+        child = ne.child()
+        if _simple(child) != "AggregateExpression":
+            return None
+        if child.isDistinct() or child.filter().isDefined():
+            return None
+        fn = child.aggregateFunction()
+        kind = _simple(fn)
+        if kind == "Count":
+            if fn.children().size() != 1:
+                return None
+            lit = fn.children().apply(0)
+            if _simple(lit) != "Literal" or lit.value() is None:
+                return None
+            wanted.append((name, "count", None))
+        elif kind in ("Min", "Max"):
+            arg = fn.children().apply(0)
+            if _simple(arg) != "AttributeReference":
+                return None
+            col = str(arg.name())
+            if col not in ("x", "y", "z"):
+                return None
+            wanted.append((name, kind.lower(), "xyz".index(col)))
+        else:
+            return None
+    if not wanted:
+        return None
+
+    from ..sources.las_format import LasHeader
+    from ..sources.pointcloud_common import pmap_headers
+
+    paths = _paths_for(source, opts)
+    if not paths:
+        return None
+    headers = pmap_headers(LasHeader.parse_file, paths)
+    total = sum(h.pdr_nb for h in headers)
+    if any(k != "count" for _, k, _ in wanted):
+        # raw = round((world − offset)/scale) needs one uniform grid
+        grids = {(h.scale, h.offset) for h in headers}
+        if len(grids) != 1:
+            return None
+        scale, offset = next(iter(grids))
+    values = []
+    nonempty = [h for h in headers if h.pdr_nb > 0]
+    for name, kind, ax in wanted:
+        if kind == "count":
+            values.append(total)
+        elif total == 0:
+            values.append(None)  # min/max over an empty scan is NULL
+        else:
+            if kind == "min":
+                world = min(h.pmin[ax] for h in nonempty)
+            else:
+                world = max(h.pmax[ax] for h in nonempty)
+            values.append(int(round((world - offset[ax]) / scale[ax])))
+    from pyspark.sql import Row
+
+    return [Row(*[n for n, _, _ in wanted])(*values)]
+
+
+_INSTALLED = False
+
+
+def install_fused_read() -> None:
+    """Patch ``DataFrame.count`` / ``DataFrame.collect`` with the header
+    fast paths.  Idempotent; every non-qualifying call (and any analysis
+    error) delegates to the original method untouched."""
+    global _INSTALLED
+    if _INSTALLED:
+        return
+    # PySpark 4 instantiates pyspark.sql.classic.dataframe.DataFrame, which
+    # OVERRIDES count/collect — patching the dispatching base class would
+    # never be reached.  Older layouts have only the base class.
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:  # pragma: no cover - pyspark < 4 layout
+        from pyspark.sql import DataFrame
+
+    orig_count = DataFrame.count
+    orig_collect = DataFrame.collect
+
+    def _count(self):
+        try:
+            n = _try_header_count(self)
+        except Exception:
+            n = None
+        if n is not None:
+            return n
+        return orig_count(self)
+
+    def _collect(self):
+        try:
+            rows = _try_header_aggregate(self)
+        except Exception:
+            rows = None
+        if rows is not None:
+            return rows
+        return orig_collect(self)
+
+    DataFrame.count = _count
+    DataFrame.collect = _collect
+    _INSTALLED = True

@@ -7,9 +7,14 @@ from pyspark.sql import SparkSession
 
 def register_sources(spark: SparkSession) -> None:
     """Register the ply/las/pcd DataSources on a session (idempotent), and
-    install the fused write fast path (``df.write.format("las")`` on a
+    install the fused fast paths: writes (``df.write.format("las")`` on a
     pure scan→filter plan takes the transcode byte path — see
-    sources/fused_write.py; ``.option("fusedWrite", "false")`` opts out)."""
+    sources/fused_write.py; ``.option("fusedWrite", "false")`` opts out)
+    and reads (stock ``df.count()`` / global min-max aggregates over a
+    bare scan answer from file headers — see plans/fused_read.py;
+    ``.option("fusedRead", "false")`` or the ``spark.iqmulus.fusedRead``
+    conf opts out)."""
+    from ..plans.fused_read import install_fused_read
     from .fused_write import install_fused_write
     from .las import LasDataSource
     from .pcd import PcdDataSource
@@ -19,3 +24,4 @@ def register_sources(spark: SparkSession) -> None:
     spark.dataSource.register(LasDataSource)
     spark.dataSource.register(PcdDataSource)
     install_fused_write()
+    install_fused_read()

@@ -1,0 +1,60 @@
+"""Aggregated-hash oracle mode (tools/check.py --agg-hash).
+
+The digest — (count, Σ lower-64-bits of per-row md5 over name-sorted,
+'|'-joined, NULL-canonicalized columns) — must be bit-identical between
+the Spark and DuckDB implementations, order-insensitive, and sensitive to
+any value change, so 10⁸-row outputs verify without driver
+materialization."""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, "/root/repo/tools")
+
+
+def _digesters():
+    from check import agg_digest_duck, agg_digest_spark
+
+    return agg_digest_spark, agg_digest_duck
+
+
+def test_agg_digest_parity_and_sensitivity(spark, tmp_path):
+    agg_spark, agg_duck = _digesters()
+    sdf = spark.createDataFrame(
+        [(1, "a", None), (2, "b|c", "x"), (None, None, "NULL"), (3, "d", "y")],
+        "k int, s string, t string",
+    )
+    pq = str(tmp_path / "digest.parquet")
+    sdf.write.parquet(pq)
+
+    con = duckdb.connect()
+    sql = f"SELECT * FROM '{pq}/*.parquet'"
+    got_s = agg_spark(spark.read.parquet(pq))
+    got_d = agg_duck(con, sql, ["k", "s", "t"])
+    assert got_s == got_d
+    assert got_s[0] == 4 and got_s[1] > 0
+
+    # order-insensitive: a reversed oracle hashes identically
+    assert agg_duck(con, sql + " ORDER BY k DESC NULLS FIRST", ["k", "s", "t"]) == got_d
+    # value-sensitive: one changed cell changes the digest
+    changed = agg_duck(
+        con, sql.replace("SELECT *", "SELECT k+0 AS k, s, t"), ["k", "s", "t"]
+    )
+    assert changed == got_d  # same values, different SQL → same digest
+    perturbed = agg_duck(
+        con,
+        f"SELECT CASE WHEN k = 2 THEN 99 ELSE k END AS k, s, t FROM '{pq}/*.parquet'",
+        ["k", "s", "t"],
+    )
+    assert perturbed != got_d
+
+
+def test_agg_digest_rejects_drifty_types(spark):
+    agg_spark, _ = _digesters()
+    df = spark.createDataFrame([(1.5,)], "x double")
+    with pytest.raises(ValueError, match="agg-hash unsafe"):
+        agg_spark(df)

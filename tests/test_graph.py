@@ -107,3 +107,46 @@ def test_clustering_coef_k4_and_path(spark):
     assert all(abs(c - 1.0) < 1e-9 for c in coef(k4).values())
     path = _edges(spark, [(1, 2), (2, 3), (3, 4)])
     assert all(c == 0.0 for c in coef(path).values())
+
+
+def test_staged_edges_guard(spark, tmp_path, monkeypatch):
+    """ADVICE r9: a stale/wrong SPARK_GRAFT_EDGES_PARQUET must fail loudly,
+    not silently substitute a different graph."""
+    import json
+    import os
+
+    import pytest
+
+    from spark_iqmulus_spark.operators import graph
+
+    good = str(tmp_path / "edges_ok")
+    spark.createDataFrame([(1, 2), (2, 3)], "a int, b int").write.parquet(good)
+    with open(os.path.join(good, graph._EDGES_META), "w") as f:
+        json.dump({"sf_dir": os.path.abspath("/root/testdata/sf0.001"),
+                   "source": "sim_edges"}, f)
+
+    monkeypatch.setenv("SPARK_GRAFT_EDGES_PARQUET", good)
+    graph._STAGED_OK.clear()
+    df = graph.sim_edges(spark, "/root/testdata/sf0.001")
+    assert df.columns == ["a", "b"] and df.count() == 2
+
+    # provenance mismatch: staged for sf0.001, asked for sf0.01
+    graph._STAGED_OK.clear()
+    with pytest.raises(ValueError, match="stale"):
+        graph.sim_edges(spark, "/root/testdata/sf0.01")
+
+    # contract violation: an a >= b row
+    bad = str(tmp_path / "edges_bad")
+    spark.createDataFrame([(5, 2)], "a int, b int").write.parquet(bad)
+    monkeypatch.setenv("SPARK_GRAFT_EDGES_PARQUET", bad)
+    graph._STAGED_OK.clear()
+    with pytest.raises(ValueError, match="a < b"):
+        graph.sim_edges(spark, "/root/testdata/sf0.001")
+
+    # wrong shape: missing edge columns
+    shapeless = str(tmp_path / "edges_shapeless")
+    spark.createDataFrame([(1,)], "x int").write.parquet(shapeless)
+    monkeypatch.setenv("SPARK_GRAFT_EDGES_PARQUET", shapeless)
+    graph._STAGED_OK.clear()
+    with pytest.raises(ValueError, match="edge"):
+        graph.sim_edges(spark, "/root/testdata/sf0.001")

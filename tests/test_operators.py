@@ -899,3 +899,37 @@ def test_audio_codec_wav():
     bad = b"RIFF" + struct.pack("<I", 999) + body
     with pytest.raises(ValueError):
         decode_wav(bad)
+
+
+def test_audio_wav_lying_unknown_chunk_recovers():
+    """ADVICE r9: an unknown chunk whose size field lies (streaming-style
+    0xFFFFFFFF) must not fail the record — the decoder re-syncs on the
+    data tag; a lying fmt/data chunk still raises."""
+    import struct
+
+    import numpy as np
+
+    from spark_iqmulus_spark.operators.multimodal import decode_wav
+
+    samples = np.arange(-4, 4, dtype=np.int16)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"JUNK" + struct.pack("<I", 0xFFFFFFF0) + b"\x00" * 6
+        + b"data" + struct.pack("<I", samples.nbytes) + samples.tobytes()
+    )
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    rate, back = decode_wav(wav)
+    assert rate == 8000
+    np.testing.assert_array_equal(back, samples)
+
+    # a consumed chunk (data) lying about its size still fails loudly
+    body2 = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", 0xFFFFFFF0) + samples.tobytes()
+    )
+    bad = b"RIFF" + struct.pack("<I", len(body2)) + body2
+    with pytest.raises(ValueError):
+        decode_wav(bad)

@@ -166,9 +166,65 @@ def table_hash(
     return h, lines
 
 
+#: Spark-side column types the aggregated digest canonicalizes identically
+#: to DuckDB's ``CAST(x AS VARCHAR)`` (exact value rendering — floats and
+#: decimals are NOT here; their reprs can drift between engines).
+_AGG_SAFE_TYPES = {"tinyint", "smallint", "int", "bigint", "string", "boolean", "date"}
+
+
+def agg_digest_spark(sdf) -> tuple[int, int]:
+    """Order-insensitive engine-side digest ``(count, Σ md5_lower64)`` of a
+    Spark DataFrame — two numbers cross the driver, never the rows, so a
+    98M-row output verifies without materialization (VERDICT r9 item 3).
+
+    Per row: columns sorted by name, each rendered ``CAST(c AS STRING)``
+    with NULL → 'NULL', joined by '|'; md5 of that line; the LOWER 64 bits
+    of the digest (little-endian — DuckDB ``md5_number_lower`` semantics,
+    rebuilt here by byte-reversing hex chars 17..32) summed exactly.
+    Raises ValueError for column types whose string rendering can drift
+    between engines (float/double/decimal/arrays)."""
+    from pyspark.sql import functions as F
+
+    bad = [
+        f.name
+        for f in sdf.schema.fields
+        if f.dataType.simpleString() not in _AGG_SAFE_TYPES
+    ]
+    if bad:
+        raise ValueError(
+            f"agg-hash unsafe column types {bad}; only {_AGG_SAFE_TYPES} "
+            "render identically in both engines"
+        )
+    cols = sorted(sdf.columns)
+    line = F.concat_ws(
+        "|", *[F.coalesce(F.col(c).cast("string"), F.lit("NULL")) for c in cols]
+    )
+    h = F.md5(line)
+    lower_le = F.concat(*[F.substring(h, 31 - 2 * i, 2) for i in range(8)])
+    val = F.conv(lower_le, 16, 10).cast("decimal(38,0)")
+    r = sdf.select(
+        F.count(F.lit(1)).alias("n"), F.sum(val).alias("h")
+    ).collect()[0]
+    return int(r["n"]), int(r["h"]) if r["h"] is not None else 0
+
+
+def agg_digest_duck(con, sql: str, cols: list[str]) -> tuple[int, int]:
+    """DuckDB twin of ``agg_digest_spark`` over an oracle SQL string."""
+    parts = ", ".join(
+        f"coalesce(CAST(t.\"{c}\" AS VARCHAR), 'NULL')" for c in sorted(cols)
+    )
+    q = (
+        f"SELECT count(*) AS n, sum(md5_number_lower(concat_ws('|', {parts}))) AS h "
+        f"FROM ({sql}) t"
+    )
+    n, h = con.sql(q).fetchone()
+    return int(n), int(h) if h is not None else 0
+
+
 def main() -> int:
-    argv = [a for a in sys.argv[1:] if a != "--strict"]
+    argv = [a for a in sys.argv[1:] if a not in ("--strict", "--agg-hash")]
     strict = "--strict" in sys.argv[1:]
+    agg_hash = "--agg-hash" in sys.argv[1:]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
 
@@ -193,6 +249,38 @@ def main() -> int:
         if only and name not in only:
             continue
         t0 = time.time()
+        if agg_hash and name in oracles:
+            # engine-side digests: rows never cross the driver on either
+            # engine, so 10⁸-row outputs verify (VERDICT r9 item 3)
+            try:
+                sdf = fn(spark, sf_dir)
+                ocols = list(con.sql(f"SELECT * FROM ({oracles[name]}) t LIMIT 0").columns)
+                if sorted(sdf.columns) != sorted(ocols):
+                    print(
+                        f"FAIL {name}: cols spark={sorted(sdf.columns)}"
+                        f" oracle={sorted(ocols)}"
+                    )
+                    n_fail += 1
+                    continue
+                sn, sh = agg_digest_spark(sdf)
+                on_, oh = agg_digest_duck(con, oracles[name], ocols)
+            except Exception:
+                print(f"FAIL {name}: agg-hash error")
+                traceback.print_exc()
+                n_fail += 1
+                continue
+            if (sn, sh) != (on_, oh):
+                print(
+                    f"FAIL {name}: agg-hash mismatch spark=({sn},{sh})"
+                    f" oracle=({on_},{oh})  [{time.time()-t0:.1f}s]"
+                )
+                n_fail += 1
+            else:
+                print(
+                    f"PASS {name}: {sn} rows (agg-hash)  [{time.time()-t0:.1f}s]"
+                )
+                n_pass += 1
+            continue
         try:
             sdf = fn(spark, sf_dir)
             srows = sdf.collect()

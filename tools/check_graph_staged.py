@@ -39,7 +39,12 @@ _ROOT = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
 sys.path.insert(0, _ROOT)
 sys.path.insert(0, _os.path.join(_ROOT, "tools"))
 
-from check import table_hash, type_class_problems  # noqa: E402
+from check import (  # noqa: E402
+    agg_digest_duck,
+    agg_digest_spark,
+    table_hash,
+    type_class_problems,
+)
 
 from spark_iqmulus_spark.operators import graph  # noqa: E402
 from spark_iqmulus_spark.session import TABLES, get_spark  # noqa: E402
@@ -126,6 +131,9 @@ def main() -> int:
     per process frees spill at session exit."""
     argv = list(sys.argv[1:])
     edges_pq = None
+    agg_hash = "--agg-hash" in argv
+    if agg_hash:
+        argv.remove("--agg-hash")
     if "--edges" in argv:
         i = argv.index("--edges")
         edges_pq = argv[i + 1]
@@ -149,6 +157,39 @@ def main() -> int:
         if only and name not in only:
             continue
         t0 = time.time()
+        if agg_hash:
+            # engine-side digest compare: neither engine materializes rows
+            # to its driver, so sf5 triangles' ~98M rows verify strictly
+            # (VERDICT r9 item 3)
+            try:
+                sdf = graph.QUERIES[name](spark, sf_dir)
+                ocols = list(
+                    con.sql(f"SELECT * FROM ({oracles[name]}) t LIMIT 0").columns
+                )
+                if sorted(sdf.columns) != sorted(ocols):
+                    print(
+                        f"FAIL {name}: cols spark={sorted(sdf.columns)}"
+                        f" oracle={sorted(ocols)}"
+                    )
+                    n_fail += 1
+                    continue
+                sn, sh = agg_digest_spark(sdf)
+                on_, oh = agg_digest_duck(con, oracles[name], ocols)
+            except Exception:
+                print(f"FAIL {name}: agg-hash error")
+                traceback.print_exc()
+                n_fail += 1
+                continue
+            if (sn, sh) != (on_, oh):
+                print(
+                    f"FAIL {name}: agg-hash mismatch spark=({sn},{sh})"
+                    f" oracle=({on_},{oh})  [{time.time()-t0:.1f}s]"
+                )
+                n_fail += 1
+            else:
+                print(f"PASS {name}: {sn} rows (agg-hash)  [{time.time()-t0:.1f}s]")
+                n_pass += 1
+            continue
         try:
             sdf = graph.QUERIES[name](spark, sf_dir)
             srows = sdf.collect()

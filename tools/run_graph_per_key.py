@@ -70,7 +70,7 @@ def main() -> int:
         "from spark_iqmulus_spark.operators import graph\n"
         "s = get_spark('edges-materialize')\n"
         "s.sparkContext.setLogLevel('ERROR')\n"
-        "graph.sim_edges(s, {sf!r}).write.mode('overwrite').parquet({pq!r})\n"
+        "graph.stage_edges(s, {sf!r}, {pq!r})\n"
         "print('spark edges written')\n"
         "s.stop()\n"
     ).format(root=_ROOT, sf=sf_dir, pq=spark_pq)
