@@ -11,9 +11,12 @@ This module makes stock ``df.write.format("las").save(out)`` take that
 byte path AUTOMATICALLY when — and only when — it is provably equivalent
 to the general sink:
 
-- the optimized logical plan is exactly ``RelationV2[las]`` or
-  ``Filter(RelationV2[las])`` (no Project, no join/agg/union — anything
-  else falls back);
+- the optimized logical plan is exactly ``RelationV2[las]``, optionally
+  under a ``Filter`` and/or a pure-column ``Project`` (the las2las
+  column-subset shape, LAS only: projected records re-encode onto the
+  smallest standard point format covering the names, zero-filling the
+  rest exactly like the general sink; computed columns, joins, aggs,
+  unions — anything else — falls back);
 - every filter conjunct is ``column <op> numeric-literal`` (op in
   ``= != < <= > >=``; widening casts of the column allowed — they are
   value-preserving on LAS's integer fields), translated to the
@@ -182,16 +185,37 @@ _NEUTRAL_READ_OPTS = {"path", "paths", "pushdown", "partition_bytes", "partition
 
 
 def _extract_scan_filter(df):
-    """``(source_name, where_clauses)`` when the optimized plan is exactly
-    a (possibly filtered) full scan of one of our Python data sources with
-    output-neutral read options, else None.  Analysis only — no side
-    effects."""
+    """``(source_name, where_clauses, projected_columns)`` when the
+    optimized plan is exactly a (possibly projected and/or filtered) full
+    scan of one of our Python data sources with output-neutral read
+    options, else None.  ``projected_columns`` is None for a full-width
+    scan, else the attribute names of a pure-column Project (computed
+    expressions disqualify — no byte-level equivalent).  Catalyst pushes
+    deterministic predicates below a Project, so the only shapes are
+    Scan, Filter(Scan), Project(Scan), Project(Filter(Scan)).  Analysis
+    only — no side effects."""
     try:
         plan = df._jdf.queryExecution().optimizedPlan()
     except Exception as exc:
         return _no(f"optimized plan unavailable: {exc!r}")
     where = []
+    projected = None
     node = plan
+    if node.nodeName() == "Project":
+        names = []
+        pl = node.projectList()
+        for i in range(pl.size()):
+            e = pl.apply(i)
+            if _simple(e) != "AttributeReference":
+                return _no(
+                    "projection contains a computed column (no byte-level"
+                    " equivalent)"
+                )
+            names.append(str(e.name()))
+        if len(set(names)) != len(names):
+            return _no("projection repeats a column")
+        projected = names
+        node = node.children().apply(0)
     if node.nodeName() == "Filter":
         where = _translate_filter(node.condition())
         if where is None:
@@ -215,17 +239,23 @@ def _extract_scan_filter(df):
         k = str(it.next().getKey()).lower()
         if k not in _NEUTRAL_READ_OPTS:
             return _no(f"read option {k!r} can change the scan output")
-    # no Project between write and scan → the relation's full output is
-    # written; a pruned output (possible only via an explicit select,
-    # which inserts a Project) never reaches here, but double-check arity
-    if node.output().size() != len(df.columns):
+    # with no Project, the relation's full output is written — double-check
+    # arity; with a Project, the DataFrame's columns ARE the projection
+    if projected is None and node.output().size() != len(df.columns):
         return _no("scan output arity != DataFrame columns")
-    return source, where
+    return source, where, projected
 
 
-def _las_fused_plan(df, where, path, overwrite):
+def _las_fused_plan(df, where, path, overwrite, projected=None):
     """Validate LAS source/writer equivalence and return a ready-to-run
-    closure, or None.  Side-effect free until the closure runs."""
+    closure, or None.  Side-effect free until the closure runs.
+
+    ``projected`` (a pure-column Project over the scan — the las2las
+    column-subset shape) re-encodes records onto the smallest standard
+    point format covering the projected names via
+    ``transcode_las_tiled(project=...)``; every projected data column
+    must be a STANDARD point field (an ExtraBytes name would make the
+    general sink emit an ExtraBytes descriptor this path does not)."""
     import numpy as np
 
     from .las_format import POINT_FORMATS, LasHeader, format_from_schema
@@ -238,6 +268,16 @@ def _las_fused_plan(df, where, path, overwrite):
     paths = list(meta.get("paths") or [])
     if not paths:
         return None
+    known = {n for flds in POINT_FORMATS.values() for n, _ in flds}
+    project = None
+    if projected is not None:
+        project = [c for c in projected if c not in ("fid", "pid")]
+        bad = [c for c in project if c not in known]
+        if bad:
+            return _no(
+                f"projected columns {bad} are not standard LAS point"
+                " fields (general sink would write ExtraBytes)"
+            )
     try:
         headers = pmap_headers(LasHeader.parse_file, paths)
     except Exception:
@@ -268,15 +308,16 @@ def _las_fused_plan(df, where, path, overwrite):
         return None
     if h0.pdr_format >= 6 or sum(h.pdr_nb for h in headers) >= 2**32:
         return None
-    # the sink derives the format from the schema's known columns — must
-    # round-trip to the source format or the record layout differs
-    known = {n for flds in POINT_FORMATS.values() for n, _ in flds}
-    data_names = {n for n in schema.names if n in known}
-    try:
-        if format_from_schema(data_names) != h0.pdr_format:
+    # full-width mode: the sink derives the format from the schema's known
+    # columns — must round-trip to the source format or the record layout
+    # differs (projected mode re-encodes, so the round-trip is not needed)
+    if project is None:
+        data_names = {n for n in schema.names if n in known}
+        try:
+            if format_from_schema(data_names) != h0.pdr_format:
+                return None
+        except Exception:
             return None
-    except Exception:
-        return None
     # nonstandard pdr_length carries undescribed trailing bytes: the
     # byte-copy preserves them, the general sink drops them — not
     # equivalent, fall back
@@ -285,17 +326,20 @@ def _las_fused_plan(df, where, path, overwrite):
         return None
     # the general sink writes extras from the SCHEMA type; an unsigned
     # source descriptor (u2 …) round-trips through Spark as a wider signed
-    # type, so the two paths would write different descriptors — fall back
-    _spark_to_np = {
-        "tinyint": "i1", "smallint": "i2", "int": "i4", "bigint": "i8",
-        "float": "f4", "double": "f8",
-    }
-    for e in h0.extra_fields:
-        if e.name not in schema.names:
-            return None
-        st = schema[e.name].dataType.simpleString()
-        if _spark_to_np.get(st) != e.np_char:
-            return None
+    # type, so the two paths would write different descriptors — fall back.
+    # (Projected mode never writes extras — its schema has none, gated
+    # above — so the round-trip is moot there.)
+    if project is None:
+        _spark_to_np = {
+            "tinyint": "i1", "smallint": "i2", "int": "i4", "bigint": "i8",
+            "float": "f4", "double": "f8",
+        }
+        for e in h0.extra_fields:
+            if e.name not in schema.names:
+                return None
+            st = schema[e.name].dataType.simpleString()
+            if _spark_to_np.get(st) != e.np_char:
+                return None
     # every filtered column must be a stored field (fid/pid predicates
     # have no byte-level equivalent)
     field_names = {n for n, _ in h0.point_fields}
@@ -321,12 +365,14 @@ def _las_fused_plan(df, where, path, overwrite):
 
         os.makedirs(out_dir, exist_ok=True)
         clear_existing_outputs(out_dir, ".las", overwrite)
-        transcode_las_tiled(spark, paths, out_dir, where=where or None)
+        transcode_las_tiled(
+            spark, paths, out_dir, where=where or None, project=project
+        )
 
     return _run
 
 
-def _ply_fused_plan(df, where, path, overwrite):
+def _ply_fused_plan(df, where, path, overwrite, projected=None):
     """Validate PLY source/writer equivalence and return a ready-to-run
     closure, or None.  Side-effect free until the closure runs.
 
@@ -336,6 +382,8 @@ def _ply_fused_plan(df, where, path, overwrite):
     writer-default little endianness.  Multi-element sources qualify: the
     reader reads only the vertex element and the sink writes only vertex,
     which is exactly ``transcode_ply_tiled(element_only=True)``."""
+    if projected is not None:
+        return _no("column-subset projection is LAS-only on the byte path")
     from .ply_format import SPARK_TO_NP, PlyHeader
     from .pointcloud_common import pmap_headers
     from .transcode import _ply_uniform
@@ -381,11 +429,13 @@ def _ply_fused_plan(df, where, path, overwrite):
     return _run
 
 
-def _pcd_fused_plan(df, where, path, overwrite):
+def _pcd_fused_plan(df, where, path, overwrite, projected=None):
     """Validate PCD source/writer equivalence and return a ready-to-run
     closure, or None.  Binary record-major PCD only; stored-value filters;
     layout must round-trip Spark's type mapping unchanged (same gates as
     PLY — PCD fields are expanded count-1 scalars on both paths)."""
+    if projected is not None:
+        return _no("column-subset projection is LAS-only on the byte path")
     from .pcd_format import SPARK_TO_NP, PcdHeader
     from .pointcloud_common import pmap_headers
 
@@ -469,7 +519,7 @@ def plan_fused_save(df, source: str, path: str, mode, options, partition_by=None
         return _no(
             f"plan scans {extracted[0]!r} but the write format is {source!r}"
         )
-    run = planner(df, extracted[1], path, mode == "overwrite")
+    run = planner(df, extracted[1], path, mode == "overwrite", extracted[2])
     if run is None and _LAST_DECLINE is None:
         _no(
             f"source/writer layouts not byte-equivalent for {source!r}"

@@ -123,11 +123,21 @@ def _las_scan_stats(
     target_bytes: int,
     filesystem,
     part_dir: str,
+    project: list[str] | None = None,
 ) -> list:
     """Shared scan stage of the fused LAS byte path: plan record-aligned
     ranges over ``paths``, run ONE Spark job that bulk-reads / filters /
     writes raw-record part files under ``part_dir``, and return the stats
-    rows sorted by (fid, rec_start).  Callers own ``part_dir`` cleanup."""
+    rows sorted by (fid, rec_start).  Callers own ``part_dir`` cleanup.
+
+    ``project`` re-encodes each kept record onto the smallest standard
+    point format covering exactly those field names (the las2las
+    column-subset shape): projected fields copy over, the target format's
+    other fields zero-fill — the same dtype-building rule as the general
+    sink (las.py ``rec = np.zeros(n, dtype)``), so header stats are
+    computed from the RE-ENCODED records.  Filters still evaluate on the
+    full source record (Catalyst pushes predicates below a Project, so
+    the general sink sees pre-projection values too)."""
     h0 = headers[0]
     fmt = h0.pdr_format
     stride = h0.stride
@@ -141,6 +151,23 @@ def _las_scan_stats(
                 raise ValueError(f"unknown field {name!r}; have {sorted(known)}")
             if op not in _OPS:
                 raise ValueError(f"unknown op {op!r}; have {sorted(_OPS)}")
+    out_dtype_spec = copy_names = None
+    if project is not None:
+        from .las_format import POINT_FORMATS, format_from_schema
+
+        src_names = {n for n, _ in point_fields}
+        missing = [n for n in project if n not in src_names]
+        if missing:
+            raise ValueError(
+                f"projected fields {missing} not in the source layout"
+            )
+        out_fmt = format_from_schema(set(project))
+        out_fields = POINT_FORMATS[out_fmt]
+        out_dtype_spec = [(n, "<" + c) for n, c in out_fields]
+        keep = set(project)
+        copy_names = [n for n, _ in out_fields if n in keep]
+        fmt = out_fmt  # stats (return-number field) follow the OUTPUT format
+        extra_names = []  # standard-format output carries no ExtraBytes
 
     # -- plan: record-aligned ranges, one spec row per task-sized slice ----
     from .binary_section import plan_record_ranges
@@ -189,6 +216,15 @@ def _las_scan_stats(
                     kept_raw = raw[mask]
                 else:
                     kept, kept_raw = arr, raw
+                if out_dtype_spec is not None:
+                    # re-encode onto the target layout: projected fields
+                    # copy, the rest stay zero (general-sink rule); stats
+                    # below read the ENCODED records so header bounds and
+                    # return counts describe what is actually written
+                    enc = np.zeros(len(kept), dtype=np.dtype(out_dtype_spec))
+                    for nm in copy_names:
+                        enc[nm] = kept[nm]
+                    kept = kept_raw = enc
                 m = len(kept)
                 pmin, pmax = [0.0] * 3, [0.0] * 3
                 ret = [0] * 15
@@ -296,6 +332,23 @@ def _merge_las_stats(
     return total
 
 
+def _projected_header(h: LasHeader, project: list[str]) -> LasHeader:
+    """Output header for the column-subset (las2las) shape: the smallest
+    standard format covering the projected names, no ExtraBytes, derived
+    stride — grid and version carry over from the source."""
+    import dataclasses
+
+    from .las_format import format_from_schema
+
+    return dataclasses.replace(
+        h,
+        pdr_format=format_from_schema(set(project)),
+        extra_fields=[],
+        pdr_length=0,
+        pdr_offset=0,
+    )
+
+
 def transcode_las(
     spark: SparkSession,
     src,
@@ -303,16 +356,21 @@ def transcode_las(
     where: list[tuple[str, str, float]] | None = None,
     target_bytes: int = _TARGET_BYTES,
     filesystem=None,
+    project: list[str] | None = None,
 ) -> dict:
     """Merge (and optionally filter) LAS tiles into ONE valid ``.las`` file.
 
     ``where`` is a conjunction of ``(field, op, value)`` clauses, op in
     ``== != < <= > >=``; ``x``/``y``/``z`` compare in WORLD coordinates
     (``offset + scale*raw``), every other field on its stored value.
-    ``filesystem`` (optional ``pyarrow.fs.FileSystem``, see fsio.py) routes
-    ALL byte I/O — source reads, worker part writes, driver commit —
-    through that filesystem; pyarrow filesystems pickle, so the worker
-    closures carry it.  Default ``None`` keeps the POSIX sendfile path.
+    ``project`` keeps only those point fields, re-encoding records onto
+    the smallest standard point format that covers them (zero-filling its
+    other fields, the general-sink rule) — the las2las column-subset
+    shape.  ``filesystem`` (optional ``pyarrow.fs.FileSystem``, see
+    fsio.py) routes ALL byte I/O — source reads, worker part writes,
+    driver commit — through that filesystem; pyarrow filesystems pickle,
+    so the worker closures carry it.  Default ``None`` keeps the POSIX
+    sendfile path.
     Returns ``{"points": kept, "read": total, "files": n, "parts": n}``.
     """
     paths = _resolve_paths(src, ".las", filesystem)
@@ -323,13 +381,15 @@ def transcode_las(
     )
     _check_uniform(headers, paths)
     minor = max(h.version_minor for h in headers)
+    h_out = headers[0] if project is None else _projected_header(headers[0], project)
     part_dir = out_path + f".parts-{uuid.uuid4().hex[:8]}"
     fsio.makedirs(part_dir, filesystem)
     try:
         stats = _las_scan_stats(
-            spark, paths, headers, where, target_bytes, filesystem, part_dir
+            spark, paths, headers, where, target_bytes, filesystem, part_dir,
+            project=project,
         )
-        total = _merge_las_stats(out_path, stats, headers[0], minor, filesystem)
+        total = _merge_las_stats(out_path, stats, h_out, minor, filesystem)
     finally:
         fsio.rmtree(part_dir, filesystem)
     return {
@@ -348,6 +408,7 @@ def transcode_las_tiled(
     names: dict[int, str] | None = None,
     target_bytes: int = _TARGET_BYTES,
     filesystem=None,
+    project: list[str] | None = None,
 ) -> dict:
     """Filter/copy LAS tiles into ``out_dir``, ONE output per source tile
     (the name-restoring shape of ``df.write.format("las")``), through the
@@ -381,7 +442,8 @@ def transcode_las_tiled(
     fsio.makedirs(part_dir, filesystem)
     try:
         stats = _las_scan_stats(
-            spark, paths, headers, where, target_bytes, filesystem, part_dir
+            spark, paths, headers, where, target_bytes, filesystem, part_dir,
+            project=project,
         )
         by_fid: dict[int, list] = {}
         for r in stats:
@@ -390,7 +452,8 @@ def transcode_las_tiled(
             (
                 out_dir.rstrip("/") + "/" + names[fid],
                 rows,
-                headers[fid],
+                headers[fid] if project is None
+                else _projected_header(headers[fid], project),
                 headers[fid].version_minor,
                 filesystem,
             )

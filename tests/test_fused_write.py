@@ -319,3 +319,75 @@ def test_decline_reason_is_recorded(spark, tiles, tmp_path):
     assert "scale" in (fw._LAST_DECLINE or "")
     assert fw.plan_fused_save(df.limit(5), "las", out, "overwrite", {}) is None
     assert fw._LAST_DECLINE
+
+
+def test_projected_filter_write_fuses_and_equals_general(spark, tiles, tmp_path):
+    """VERDICT r9 item 4: the las2las column-subset shape
+    ``read → select(core fields) → filter → write`` takes the byte path
+    (re-encoding onto the smallest covering format) and matches the
+    general sink file-for-file, row-for-row."""
+    from spark_iqmulus_spark.sources.fused_write import plan_fused_save
+    from spark_iqmulus_spark.sources.las_format import LasHeader
+
+    def df_fn():
+        return (
+            spark.read.format("las")
+            .load(tiles)
+            .select("fid", "x", "y", "z", "intensity")
+            .where(F.col("intensity") > 100)
+        )
+
+    assert (
+        plan_fused_save(df_fn(), "las", str(tmp_path / "p"), "overwrite", {})
+        is not None
+    )
+    outg, outf = _both(spark, df_fn, tmp_path, "proj")
+    assert _names(outg) == _names(outf) == ["tile_a.las", "tile_b.las"]
+    rows = _rows(spark, outf)
+    assert rows and rows == _rows(spark, outg)
+    for nm in _names(outf):
+        hf = LasHeader.parse_file(os.path.join(outf, nm))
+        hg = LasHeader.parse_file(os.path.join(outg, nm))
+        assert (hf.pdr_format, hf.pdr_nb, hf.pmin, hf.pmax, hf.pdr_return_nb) == (
+            hg.pdr_format, hg.pdr_nb, hg.pmin, hg.pmax, hg.pdr_return_nb
+        )
+        assert hf.pdr_format == 0  # x/y/z/intensity collapse to fmt 0
+
+
+def test_projected_without_fid_falls_back(spark, tiles, tmp_path):
+    # no fid → no name-restore provenance → general sink merges to data.las
+    out = str(tmp_path / "nofid")
+    spark.read.format("las").load(tiles).select("x", "y", "intensity").write.format(
+        "las"
+    ).mode("overwrite").save(out)
+    assert _names(out) == ["data.las"]
+
+
+def test_projected_computed_column_falls_back(spark, tiles, tmp_path):
+    from spark_iqmulus_spark.sources.fused_write import plan_fused_save
+
+    df = (
+        spark.read.format("las")
+        .load(tiles)
+        .select("fid", (F.col("x") + 1).alias("x"), "y", "z")
+    )
+    assert plan_fused_save(df, "las", str(tmp_path / "c"), "overwrite", {}) is None
+
+
+def test_projected_extra_bytes_column_falls_back(spark, tmp_path):
+    """A projected ExtraBytes column would make the general sink emit an
+    ExtraBytes descriptor the byte path doesn't — must decline (and the
+    two paths then agree trivially)."""
+    from spark_iqmulus_spark.sources.fused_write import plan_fused_save
+
+    d = tmp_path / "ex"
+    d.mkdir()
+    make_las(str(d / "e.las"), n=500, fmt=1, extra=True)
+    df = spark.read.format("las").load(str(d))
+    assert "reflectance" in df.columns  # the fixture's ExtraBytes field
+    proj = df.select("fid", "x", "y", "reflectance")
+    assert plan_fused_save(proj, "las", str(tmp_path / "x"), "overwrite", {}) is None
+    # a standard-field projection of the same extras-carrying source DOES
+    # fuse (the output simply has no ExtraBytes, like the general sink)
+    proj2 = df.select("fid", "x", "y", "intensity")
+    assert plan_fused_save(proj2, "las", str(tmp_path / "y"), "overwrite", {}) is not None
