@@ -420,6 +420,23 @@ def q_las_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_las_fastcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transparent metadata-only aggregation (round 10 — A15 closed,
+    `plans/fused_read.py`): STOCK ``df.count()`` and a global
+    ``min(x)/max(z)`` aggregate over a bare LAS scan answer O(files) from
+    file headers with zero point bytes scanned (reference
+    ``ExtraStrategies.scala:35-76`` UX, no facade call).  The oracle
+    recomputes the same numbers from ``part``, so a header/scan
+    divergence (or a fast path that stopped engaging) hash-fails."""
+    register_sources(spark)
+    df = spark.read.format("las").load(_las_dir(spark, sf_dir))
+    n = df.count()  # header catalog — no Spark job
+    row = df.agg(F.min("x").alias("min_x"), F.max("z").alias("max_z")).collect()[0]
+    return spark.createDataFrame(
+        [(n, row["min_x"], row["max_z"])], "n bigint, min_x int, max_z int"
+    )
+
+
 def q_las_transcode_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Projected las2las via the STOCK write API (round 10 — VERDICT r9
     item 4): ``read → filter → select(core subset) → write.format("las")``
@@ -582,6 +599,7 @@ def q_pcd_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q_pc_retile": q_pc_retile,
     "q_las_transcode": q_las_transcode,
+    "q_las_fastcount": q_las_fastcount,
     "q_las_transcode_project": q_las_transcode_project,
     "q_ply_transcode": q_ply_transcode,
     "q_ply_transcode_multi": q_ply_transcode_multi,
@@ -651,6 +669,12 @@ ORACLES = {
                CAST(min(p_partkey % 6 + 1) AS TINYINT) AS min_class,
                CAST(max(p_partkey % 6 + 1) AS TINYINT) AS max_class
         FROM part WHERE p_partkey % 6 + 1 <= 3
+    """,
+    "q_las_fastcount": """
+        SELECT count(*) AS n,
+               min(CAST(p_partkey AS INTEGER)) AS min_x,
+               CAST(max(round(p_retailprice * 100, 0)) AS INTEGER) AS max_z
+        FROM part
     """,
     "q_las_transcode_project": """
         SELECT count(*) AS n,

@@ -46,6 +46,18 @@ def main() -> int:
         i = argv.index("--timeout")
         timeout = int(argv[i + 1])
         del argv[i : i + 2]
+    # --agg-hash: engine-side digest compare for keys whose output is too
+    # big to collect (sf5 triangles, VERDICT r9 item 3); forwarded to each
+    # per-key check_graph_staged invocation
+    agg_hash = "--agg-hash" in argv
+    if agg_hash:
+        argv.remove("--agg-hash")
+    # --keys a,b,c restricts the per-key loop (e.g. just q_graph_triangles)
+    only = None
+    if "--keys" in argv:
+        i = argv.index("--keys")
+        only = set(argv[i + 1].split(","))
+        del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     work = tempfile.mkdtemp(prefix="graph_perkey_")
 
@@ -88,6 +100,8 @@ def main() -> int:
     env_key["SPARK_GRAFT_EDGES_PARQUET"] = spark_pq
     n_pass = n_fail = 0
     for key in GRAPH_KEYS:
+        if only and key not in only:
+            continue
         t0 = time.time()
         try:
             p = subprocess.run(
@@ -98,7 +112,8 @@ def main() -> int:
                     "--edges",
                     duck_pq,
                     key,
-                ],
+                ]
+                + (["--agg-hash"] if agg_hash else []),
                 env=env_key,
                 timeout=timeout,
                 capture_output=True,
