@@ -177,3 +177,27 @@ def test_distinct_and_grouped_aggregates_fall_back(spark, tiles):
     assert sorted(map(tuple, g.collect())) == sorted(
         map(tuple, _real(g, lambda d: d.collect()))
     )
+
+
+def test_minmax_through_projection_stays_fast(spark, tmp_path):
+    # Aggregate over Project(attrs) over the scan: ColumnPruning inserts
+    # exactly this shape — prove it still answers from headers using a
+    # truncated (unscannable) file
+    import struct
+
+    d = tmp_path / "lying4"
+    d.mkdir()
+    p = str(d / "t.las")
+    make_las(p, n=1500, fmt=1)
+    with open(p, "rb") as f:
+        blob = f.read()
+    offset_to_points = struct.unpack_from("<I", blob, 96)[0]
+    stride = struct.unpack_from("<H", blob, 105)[0]
+    with open(p, "wb") as f:
+        f.write(blob[: offset_to_points + 5 * stride])
+    df = spark.read.format("las").load(str(d))
+    row = df.select("x", "z").agg(
+        F.count(F.lit(1)).alias("n"), F.min("x").alias("mn")
+    ).collect()[0]
+    assert row["n"] == 1500  # header count — a scan could not produce this
+    assert isinstance(row["mn"], int)
