@@ -100,9 +100,12 @@ def main() -> int:
         if agg_hash:
             # the cos column is float → agg-hash's exact-rendering guard
             # would refuse; digest the id pairs and compare cos via its
-            # rounded sum (stable at 6dp over exact joins on both sides)
+            # rounded sum (stable at 6dp over exact joins on both sides).
+            # localCheckpoint: the digest and the cos sum are two actions —
+            # without it the whole banded derivation would run twice.
             from check import agg_digest_duck, agg_digest_spark
 
+            sdf = sdf.localCheckpoint()
             sn, sh = agg_digest_spark(sdf.select("vec_a", "vec_b"))
             on_, oh = agg_digest_duck(
                 con, f"SELECT vec_a, vec_b FROM ({oracle}) t", ["vec_a", "vec_b"]
