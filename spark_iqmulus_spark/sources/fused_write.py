@@ -179,8 +179,9 @@ def _translate_filter(cond):
 
 #: read options that cannot change the scan's OUTPUT (only its planning),
 #: so a relation carrying them is still byte-equivalent to the raw files.
-#: ``columns`` (in-scan pruning) or ``ignorecorruptfiles`` (skips files the
-#: transcoder would read) change the output → general sink.
+#: ``columns`` (in-scan pruning) is handled separately as the read-option
+#: spelling of a projection; ``ignorecorruptfiles`` (skips files the
+#: transcoder would read) changes the output → general sink.
 _NEUTRAL_READ_OPTS = {"path", "paths", "pushdown", "partition_bytes", "partitionbytes"}
 
 
@@ -234,15 +235,24 @@ def _extract_scan_filter(df):
     # a read option like columns= prunes INSIDE the source (no Project
     # node), so the plan shape alone can't prove full output — gate on the
     # relation's option keys
+    pruned_scan = False
     it = rel.options().entrySet().iterator()
     while it.hasNext():
         k = str(it.next().getKey()).lower()
+        if k == "columns":
+            # in-scan pruning is the read-option spelling of a projection:
+            # the scan's (and hence the write's) columns are the pruned
+            # set, which the projected byte path reproduces exactly
+            pruned_scan = True
+            continue
         if k not in _NEUTRAL_READ_OPTS:
             return _no(f"read option {k!r} can change the scan output")
     # with no Project, the relation's full output is written — double-check
     # arity; with a Project, the DataFrame's columns ARE the projection
     if projected is None and node.output().size() != len(df.columns):
         return _no("scan output arity != DataFrame columns")
+    if pruned_scan and projected is None:
+        projected = list(df.columns)
     return source, where, projected
 
 

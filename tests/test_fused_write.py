@@ -391,3 +391,33 @@ def test_projected_extra_bytes_column_falls_back(spark, tmp_path):
     # fuse (the output simply has no ExtraBytes, like the general sink)
     proj2 = df.select("fid", "x", "y", "intensity")
     assert plan_fused_save(proj2, "las", str(tmp_path / "y"), "overwrite", {}) is not None
+
+
+def test_columns_option_write_fuses_and_equals_general(spark, tiles, tmp_path):
+    """The read-option spelling of projection: .option("columns","x,y,z,
+    intensity") prunes in-scan (no Project node) — the write must take the
+    same projected byte path and match the general sink."""
+    from spark_iqmulus_spark.sources.fused_write import plan_fused_save
+    from spark_iqmulus_spark.sources.las_format import LasHeader
+
+    def df_fn():
+        return (
+            spark.read.format("las")
+            .option("columns", "x,y,z,intensity")
+            .load(tiles)
+            .where(F.col("x") <= 5000)
+        )
+
+    assert (
+        plan_fused_save(df_fn(), "las", str(tmp_path / "c"), "overwrite", {})
+        is not None
+    )
+    outg, outf = _both(spark, df_fn, tmp_path, "colsopt")
+    assert _names(outg) == _names(outf) == ["tile_a.las", "tile_b.las"]
+    rows = _rows(spark, outf)
+    assert rows and rows == _rows(spark, outg)
+    for nm in _names(outf):
+        hf = LasHeader.parse_file(os.path.join(outf, nm))
+        hg = LasHeader.parse_file(os.path.join(outg, nm))
+        assert hf.pdr_format == hg.pdr_format == 0
+        assert (hf.pdr_nb, hf.pmin, hf.pmax) == (hg.pdr_nb, hg.pmin, hg.pmax)
