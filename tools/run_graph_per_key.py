@@ -52,6 +52,14 @@ def main() -> int:
     agg_hash = "--agg-hash" in argv
     if agg_hash:
         argv.remove("--agg-hash")
+    # --agg-hash-keys a,b: digest compare for just those keys (integer
+    # outputs only — the digest refuses float columns), normal value-hash
+    # for the rest; lets one staging serve a mixed-mode family run
+    agg_keys: set = set()
+    if "--agg-hash-keys" in argv:
+        i = argv.index("--agg-hash-keys")
+        agg_keys = set(argv[i + 1].split(","))
+        del argv[i : i + 2]
     # --keys a,b,c restricts the per-key loop (e.g. just q_graph_triangles)
     only = None
     if "--keys" in argv:
@@ -113,7 +121,7 @@ def main() -> int:
                     duck_pq,
                     key,
                 ]
-                + (["--agg-hash"] if agg_hash else []),
+                + (["--agg-hash"] if agg_hash or key in agg_keys else []),
                 env=env_key,
                 timeout=timeout,
                 capture_output=True,
