@@ -102,6 +102,14 @@ def sim_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = _os.environ.get("SPARK_GRAFT_EDGES_PARQUET")
     if staged:
         return _validated_staged_edges(spark, staged, sf_dir)
+    return _derive_edges(spark, sf_dir)
+
+
+def _derive_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual edge derivation (banded-LSH candidates + exact cosine),
+    persisted per (session, sf_dir).  Never consults the staged-edges env
+    override — ``stage_edges`` must re-derive, not launder an existing
+    staging through a fresh provenance sidecar."""
     key = (id(spark), sf_dir)
     df = _EDGE_CACHE.get(key)
     if df is None:
@@ -125,13 +133,17 @@ _EDGES_META = "_IQMULUS_EDGES_META.json"
 
 
 def stage_edges(spark: SparkSession, sf_dir: str, out_path: str) -> None:
-    """Materialize ``sim_edges`` durably with a provenance sidecar — the
-    production staging step the ``SPARK_GRAFT_EDGES_PARQUET`` override
-    expects."""
+    """Materialize the edge derivation durably with a provenance sidecar —
+    the production staging step the ``SPARK_GRAFT_EDGES_PARQUET`` override
+    expects.  Always re-derives from ``sf_dir`` (bypassing any active
+    override): staging THROUGH the override would copy stale edges and
+    stamp them with a fresh sidecar, laundering exactly the substitution
+    the sidecar exists to catch — and with ``out_path`` equal to the
+    override path it would overwrite its own input mid-read."""
     import json as _json
     import os as _os
 
-    sim_edges(spark, sf_dir).write.mode("overwrite").parquet(out_path)
+    _derive_edges(spark, sf_dir).write.mode("overwrite").parquet(out_path)
     with open(_os.path.join(out_path, _EDGES_META), "w") as f:
         _json.dump({"sf_dir": _os.path.abspath(sf_dir), "source": "sim_edges"}, f)
 
@@ -152,7 +164,11 @@ def _validated_staged_edges(spark: SparkSession, staged: str, sf_dir: str) -> Da
             f"SPARK_GRAFT_EDGES_PARQUET={staged!r} lacks the (a, b) edge"
             f" columns (found {df.columns}) — not a staged edge list"
         )
-    if staged not in _STAGED_OK:
+    # keyed by (path, dataset): the same staged path re-used with a
+    # DIFFERENT sf_dir must re-run the sidecar check, or the cache would
+    # skip exactly the mismatch the guard exists to catch
+    cache_key = (staged, _os.path.abspath(sf_dir))
+    if cache_key not in _STAGED_OK:
         print(
             f"[sim_edges] SPARK_GRAFT_EDGES_PARQUET override active: {staged}",
             file=_sys.stderr,
@@ -180,7 +196,7 @@ def _validated_staged_edges(spark: SparkSession, staged: str, sf_dir: str) -> Da
             raise ValueError(
                 f"staged edges at {staged!r} violate the a < b contract"
             )
-        _STAGED_OK.add(staged)
+        _STAGED_OK.add(cache_key)
     return df.select("a", "b")
 
 

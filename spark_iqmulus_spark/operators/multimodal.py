@@ -746,7 +746,17 @@ def decode_wav(payload: bytes):
                     f"WAV chunk {tag!r} declares {size} bytes but only "
                     f"{len(payload) - pos - 8} remain"
                 )
+            # only accept a re-sync candidate that parses as a PLAUSIBLE
+            # chunk header (declared size fits the remaining payload) —
+            # a bare find() would match the 4 bytes 'data' inside the
+            # lying chunk's binary body and decode garbage as samples
             idx = payload.find(b"data", pos + 8)
+            while idx >= 0 and not (
+                idx + 8 <= len(payload)
+                and idx + 8 + struct.unpack("<I", payload[idx + 4 : idx + 8])[0]
+                <= len(payload)
+            ):
+                idx = payload.find(b"data", idx + 1)
             if idx < 0:
                 break  # no data chunk anywhere → the final raise below
             pos = idx

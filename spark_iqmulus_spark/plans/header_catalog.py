@@ -232,6 +232,13 @@ class SmartPointCloudFrame:
             reader = self._spark.read.format(self._fmt)
             for k, v in self._options.items():
                 reader = reader.option(k, v)
+            if self._verify:
+                # verify=True cross-checks headers against the REAL scan;
+                # with the round-10 transparent fast path installed
+                # (plans/fused_read.py) a bare count()/min-max over this
+                # frame would answer from the same headers it is supposed
+                # to verify — force the scan path for every delegated op
+                reader = reader.option("fusedRead", "false")
             self._df = reader.option(
                 "paths", json.dumps(self._paths)
             ).load()

@@ -53,6 +53,25 @@ def test_agg_digest_parity_and_sensitivity(spark, tmp_path):
     assert perturbed != got_d
 
 
+def test_agg_digest_no_separator_or_null_collisions(spark):
+    """Fields are length-prefixed: ('a|b','c') vs ('a','b|c') must digest
+    differently, and SQL NULL must not collide with the string 'NULL'."""
+    import duckdb
+
+    agg_spark, agg_duck = _digesters()
+    con = duckdb.connect()
+    shifted_a = agg_duck(con, "SELECT 'a|b' AS x, 'c' AS y", ["x", "y"])
+    shifted_b = agg_duck(con, "SELECT 'a' AS x, 'b|c' AS y", ["x", "y"])
+    assert shifted_a != shifted_b
+    null_v = agg_duck(con, "SELECT CAST(NULL AS VARCHAR) AS x", ["x"])
+    null_s = agg_duck(con, "SELECT 'NULL' AS x", ["x"])
+    assert null_v != null_s
+    # and Spark agrees with DuckDB on both renderings
+    assert agg_spark(spark.createDataFrame([("a|b", "c")], "x string, y string")) == shifted_a
+    assert agg_spark(spark.createDataFrame([(None,)], "x string")) == null_v
+    assert agg_spark(spark.createDataFrame([("NULL",)], "x string")) == null_s
+
+
 def test_agg_digest_rejects_drifty_types(spark):
     agg_spark, _ = _digesters()
     df = spark.createDataFrame([(1.5,)], "x double")

@@ -201,3 +201,19 @@ def test_minmax_through_projection_stays_fast(spark, tmp_path):
     ).collect()[0]
     assert row["n"] == 1500  # header count — a scan could not produce this
     assert isinstance(row["mn"], int)
+
+
+def test_smart_verify_scan_bypasses_fast_path(spark, tiles):
+    """Code-review r10: smart_scan(verify=True)'s cross-check scan must
+    NOT be answered by the transparent header fast path — that would
+    verify the headers against themselves.  The verify frame carries
+    fusedRead=false, so the fast-path gate declines it."""
+    from spark_iqmulus_spark.plans.fused_read import _try_header_count
+    from spark_iqmulus_spark.plans.header_catalog import smart_las
+
+    smart = smart_las(spark, tiles, verify=True)
+    assert _try_header_count(smart.toDF()) is None  # real scan path
+    assert smart.count() == 8000  # and the verified answer still agrees
+
+    fast = smart_las(spark, tiles, verify=False)
+    assert _try_header_count(fast.toDF()) == 8000  # non-verify stays fast

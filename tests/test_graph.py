@@ -130,8 +130,9 @@ def test_staged_edges_guard(spark, tmp_path, monkeypatch):
     df = graph.sim_edges(spark, "/root/testdata/sf0.001")
     assert df.columns == ["a", "b"] and df.count() == 2
 
-    # provenance mismatch: staged for sf0.001, asked for sf0.01
-    graph._STAGED_OK.clear()
+    # provenance mismatch: staged for sf0.001, asked for sf0.01 — must
+    # re-validate WITHOUT clearing the cache (keyed per dataset, not per
+    # path: a path-only cache would skip exactly this check)
     with pytest.raises(ValueError, match="stale"):
         graph.sim_edges(spark, "/root/testdata/sf0.01")
 

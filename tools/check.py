@@ -177,12 +177,16 @@ def agg_digest_spark(sdf) -> tuple[int, int]:
     Spark DataFrame — two numbers cross the driver, never the rows, so a
     98M-row output verifies without materialization (VERDICT r9 item 3).
 
-    Per row: columns sorted by name, each rendered ``CAST(c AS STRING)``
-    with NULL → 'NULL', joined by '|'; md5 of that line; the LOWER 64 bits
-    of the digest (little-endian — DuckDB ``md5_number_lower`` semantics,
-    rebuilt here by byte-reversing hex chars 17..32) summed exactly.
-    Raises ValueError for column types whose string rendering can drift
-    between engines (float/double/decimal/arrays)."""
+    Per row: columns sorted by name, each rendered length-prefixed
+    (``len:value`` from ``CAST(c AS STRING)``, NULL → the unambiguous
+    marker ``N``), joined by '|' — the length prefix makes field
+    boundaries unambiguous (a bare join would hash ('a|b','c') and
+    ('a','b|c') identically, and NULL would collide with the string
+    'NULL'); md5 of that line; the LOWER 64 bits of the digest
+    (little-endian — DuckDB ``md5_number_lower`` semantics, rebuilt here
+    by byte-reversing hex chars 17..32) summed exactly.  Raises
+    ValueError for column types whose string rendering can drift between
+    engines (float/double/decimal/arrays)."""
     from pyspark.sql import functions as F
 
     bad = [
@@ -196,9 +200,14 @@ def agg_digest_spark(sdf) -> tuple[int, int]:
             "render identically in both engines"
         )
     cols = sorted(sdf.columns)
-    line = F.concat_ws(
-        "|", *[F.coalesce(F.col(c).cast("string"), F.lit("NULL")) for c in cols]
-    )
+
+    def fld(c):
+        s = F.col(c).cast("string")
+        return F.when(F.col(c).isNull(), F.lit("N")).otherwise(
+            F.concat(F.length(s).cast("string"), F.lit(":"), s)
+        )
+
+    line = F.concat_ws("|", *[fld(c) for c in cols])
     h = F.md5(line)
     lower_le = F.concat(*[F.substring(h, 31 - 2 * i, 2) for i in range(8)])
     val = F.conv(lower_le, 16, 10).cast("decimal(38,0)")
@@ -211,7 +220,10 @@ def agg_digest_spark(sdf) -> tuple[int, int]:
 def agg_digest_duck(con, sql: str, cols: list[str]) -> tuple[int, int]:
     """DuckDB twin of ``agg_digest_spark`` over an oracle SQL string."""
     parts = ", ".join(
-        f"coalesce(CAST(t.\"{c}\" AS VARCHAR), 'NULL')" for c in sorted(cols)
+        f"CASE WHEN t.\"{c}\" IS NULL THEN 'N' ELSE"
+        f" concat(length(CAST(t.\"{c}\" AS VARCHAR)), ':',"
+        f" CAST(t.\"{c}\" AS VARCHAR)) END"
+        for c in sorted(cols)
     )
     q = (
         f"SELECT count(*) AS n, sum(md5_number_lower(concat_ws('|', {parts}))) AS h "
@@ -219,6 +231,25 @@ def agg_digest_duck(con, sql: str, cols: list[str]) -> tuple[int, int]:
     )
     n, h = con.sql(q).fetchone()
     return int(n), int(h) if h is not None else 0
+
+
+def agg_compare(sdf, con, oracle_sql: str, name: str, t0: float):
+    """The shared agg-hash comparison protocol (column names, then
+    (count, digest) per engine).  Returns ``(ok, line)`` — one place to
+    evolve digest semantics for check.py and both staged runners."""
+    ocols = list(con.sql(f"SELECT * FROM ({oracle_sql}) t LIMIT 0").columns)
+    if sorted(sdf.columns) != sorted(ocols):
+        return False, (
+            f"FAIL {name}: cols spark={sorted(sdf.columns)} oracle={sorted(ocols)}"
+        )
+    sn, sh = agg_digest_spark(sdf)
+    on_, oh = agg_digest_duck(con, oracle_sql, ocols)
+    if (sn, sh) != (on_, oh):
+        return False, (
+            f"FAIL {name}: agg-hash mismatch spark=({sn},{sh})"
+            f" oracle=({on_},{oh})  [{time.time()-t0:.1f}s]"
+        )
+    return True, f"PASS {name}: {sn} rows (agg-hash)  [{time.time()-t0:.1f}s]"
 
 
 def main() -> int:
@@ -253,33 +284,14 @@ def main() -> int:
             # engine-side digests: rows never cross the driver on either
             # engine, so 10⁸-row outputs verify (VERDICT r9 item 3)
             try:
-                sdf = fn(spark, sf_dir)
-                ocols = list(con.sql(f"SELECT * FROM ({oracles[name]}) t LIMIT 0").columns)
-                if sorted(sdf.columns) != sorted(ocols):
-                    print(
-                        f"FAIL {name}: cols spark={sorted(sdf.columns)}"
-                        f" oracle={sorted(ocols)}"
-                    )
-                    n_fail += 1
-                    continue
-                sn, sh = agg_digest_spark(sdf)
-                on_, oh = agg_digest_duck(con, oracles[name], ocols)
+                ok, line = agg_compare(fn(spark, sf_dir), con, oracles[name], name, t0)
             except Exception:
                 print(f"FAIL {name}: agg-hash error")
                 traceback.print_exc()
                 n_fail += 1
                 continue
-            if (sn, sh) != (on_, oh):
-                print(
-                    f"FAIL {name}: agg-hash mismatch spark=({sn},{sh})"
-                    f" oracle=({on_},{oh})  [{time.time()-t0:.1f}s]"
-                )
-                n_fail += 1
-            else:
-                print(
-                    f"PASS {name}: {sn} rows (agg-hash)  [{time.time()-t0:.1f}s]"
-                )
-                n_pass += 1
+            print(line)
+            n_pass, n_fail = n_pass + ok, n_fail + (not ok)
             continue
         try:
             sdf = fn(spark, sf_dir)

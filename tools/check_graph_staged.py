@@ -39,12 +39,7 @@ _ROOT = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
 sys.path.insert(0, _ROOT)
 sys.path.insert(0, _os.path.join(_ROOT, "tools"))
 
-from check import (  # noqa: E402
-    agg_digest_duck,
-    agg_digest_spark,
-    table_hash,
-    type_class_problems,
-)
+from check import agg_compare, table_hash, type_class_problems  # noqa: E402
 
 from spark_iqmulus_spark.operators import graph  # noqa: E402
 from spark_iqmulus_spark.session import TABLES, get_spark  # noqa: E402
@@ -162,33 +157,16 @@ def main() -> int:
             # to its driver, so sf5 triangles' ~98M rows verify strictly
             # (VERDICT r9 item 3)
             try:
-                sdf = graph.QUERIES[name](spark, sf_dir)
-                ocols = list(
-                    con.sql(f"SELECT * FROM ({oracles[name]}) t LIMIT 0").columns
+                ok, line = agg_compare(
+                    graph.QUERIES[name](spark, sf_dir), con, oracles[name], name, t0
                 )
-                if sorted(sdf.columns) != sorted(ocols):
-                    print(
-                        f"FAIL {name}: cols spark={sorted(sdf.columns)}"
-                        f" oracle={sorted(ocols)}"
-                    )
-                    n_fail += 1
-                    continue
-                sn, sh = agg_digest_spark(sdf)
-                on_, oh = agg_digest_duck(con, oracles[name], ocols)
             except Exception:
                 print(f"FAIL {name}: agg-hash error")
                 traceback.print_exc()
                 n_fail += 1
                 continue
-            if (sn, sh) != (on_, oh):
-                print(
-                    f"FAIL {name}: agg-hash mismatch spark=({sn},{sh})"
-                    f" oracle=({on_},{oh})  [{time.time()-t0:.1f}s]"
-                )
-                n_fail += 1
-            else:
-                print(f"PASS {name}: {sn} rows (agg-hash)  [{time.time()-t0:.1f}s]")
-                n_pass += 1
+            print(line)
+            n_pass, n_fail = n_pass + ok, n_fail + (not ok)
             continue
         try:
             sdf = graph.QUERIES[name](spark, sf_dir)
