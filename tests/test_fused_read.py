@@ -2,13 +2,16 @@
 
 Reference parity: ExtraStrategies.scala:35-76 answers stock ``df.count()``
 and global ``min/max(x|y|z)`` from LAS headers with zero point bytes
-scanned.  The decisive zero-scan proof here is a file whose header claims
-more points than its body holds — the fast path answers the header count,
-the real scan cannot."""
+scanned.  The zero-scan proof is the Spark status tracker: a qualifying
+action launches ZERO jobs.  Since round 11 the fast path stat-guards every
+file (``size ≥ data_offset + count·stride``), so a truncated body declines
+to the real scan and surfaces its error instead of a silent plausible
+answer (VERDICT r10 #1)."""
 
 from __future__ import annotations
 
 import os
+import struct
 
 import pytest
 from pyspark.sql import functions as F
@@ -34,28 +37,61 @@ def _real(df, fn):
         spark.conf.set("spark.iqmulus.fusedRead", "true")
 
 
+def _jobs(spark) -> set:
+    """Job ids the default (None) job group has run so far — tests run
+    without a job group, so every real scan lands here."""
+    return set(spark.sparkContext.statusTracker().getJobIdsForGroup(None) or [])
+
+
+def _truncate_las(path: str, keep_records: int) -> None:
+    with open(path, "rb") as f:
+        blob = f.read()
+    offset_to_points = struct.unpack_from("<I", blob, 96)[0]
+    stride = struct.unpack_from("<H", blob, 105)[0]
+    with open(path, "wb") as f:
+        f.write(blob[: offset_to_points + keep_records * stride])
+
+
 def test_count_matches_scan(spark, tiles):
     df = spark.read.format("las").load(tiles)
     assert df.count() == 8000 == _real(df, lambda d: d.count())
 
 
-def test_count_zero_scan_proof(spark, tmp_path):
-    # header claims 4000 points; the body holds only 1000 — a real scan
-    # cannot produce 4000, so getting 4000 proves the headers answered
-    d = tmp_path / "lying"
+def test_count_zero_scan_proof(spark, tiles):
+    df = spark.read.format("las").load(tiles)
+    before = _jobs(spark)
+    assert df.count() == 8000
+    assert _jobs(spark) == before  # answered with zero Spark jobs
+
+
+def test_truncated_file_declines_to_real_scan(spark, tmp_path):
+    # VERDICT r10 #1 regression: a header that claims more records than
+    # the body holds must NOT be answered from the header — the fast path
+    # declines (stat-guard), so stock count() behaves exactly like the
+    # fusedRead=false read.  Under the default ignoreCorruptFiles=true
+    # that is PARTIAL results (the records the body actually holds,
+    # VERDICT r10 #2); with the option off it is the real scan's error.
+    d = tmp_path / "trunc"
     d.mkdir()
     p = str(d / "t.las")
     make_las(p, n=4000, fmt=1)
-    import struct
-
-    with open(p, "rb") as f:
-        blob = f.read()
-    offset_to_points = struct.unpack_from("<I", blob, 96)[0]
-    stride = struct.unpack_from("<H", blob, 105)[0]
-    with open(p, "wb") as f:
-        f.write(blob[: offset_to_points + 1000 * stride])
+    _truncate_las(p, 1000)
     df = spark.read.format("las").load(str(d))
-    assert df.count() == 4000
+    before = _jobs(spark)
+    n = df.count()
+    assert n == 1000 == _real(df, lambda x: x.count())  # never the lying 4000
+    assert len(_jobs(spark) - before) >= 1  # real scans, not headers
+    # min/max over the truncated file declines too (partial, not header)
+    agg = df.agg(F.min("x").alias("mn"))
+    assert agg.collect() == _real(agg, lambda a: a.collect())
+    # fail-fast mode: the explicit option surfaces the error
+    strict = (
+        spark.read.format("las")
+        .option("ignoreCorruptFiles", "false")
+        .load(str(d))
+    )
+    with pytest.raises(Exception):
+        strict.count()
 
 
 def test_minmax_aggregate_matches_scan(spark, tiles):
@@ -104,21 +140,14 @@ def test_filter_falls_back_to_scan(spark, tiles):
 
 def test_projection_chain_count_still_fast(spark, tmp_path):
     # Project nodes are row-preserving: select().count() keeps the fast
-    # path (proved via a lying header again)
-    d = tmp_path / "lying2"
+    # path (zero jobs)
+    d = tmp_path / "proj"
     d.mkdir()
-    p = str(d / "t.las")
-    make_las(p, n=2000, fmt=1)
-    import struct
-
-    with open(p, "rb") as f:
-        blob = f.read()
-    offset_to_points = struct.unpack_from("<I", blob, 96)[0]
-    stride = struct.unpack_from("<H", blob, 105)[0]
-    with open(p, "wb") as f:
-        f.write(blob[: offset_to_points + 10 * stride])
+    make_las(str(d / "t.las"), n=2000, fmt=1)
     df = spark.read.format("las").load(str(d))
+    before = _jobs(spark)
     assert df.select("x", "y").count() == 2000
+    assert _jobs(spark) == before
 
 
 def test_non_xyz_minmax_falls_back(spark, tiles):
@@ -143,30 +172,107 @@ def test_heterogeneous_grid_falls_back(spark, tmp_path):
 
 
 def test_read_option_opt_out(spark, tmp_path):
-    # a lying header + .option("fusedRead","false") → the real scan's
-    # (smaller) answer, proving the per-read opt-out reaches the gate
-    d = tmp_path / "lying3"
+    # .option("fusedRead","false") must reach the gate: the opted-out
+    # count runs a real scan (≥1 Spark job), the default runs zero
+    d = tmp_path / "optout"
     d.mkdir()
-    p = str(d / "t.las")
-    make_las(p, n=3000, fmt=1)
-    import struct
+    make_las(str(d / "t.las"), n=3000, fmt=1)
+    fast = spark.read.format("las").load(str(d))
+    before = _jobs(spark)
+    assert fast.count() == 3000
+    assert _jobs(spark) == before
+    slow = spark.read.format("las").option("fusedRead", "false").load(str(d))
+    before = _jobs(spark)
+    assert slow.count() == 3000
+    assert len(_jobs(spark) - before) >= 1
 
+
+def test_ignore_corrupt_files_option_disqualifies(spark, tmp_path):
+    # ignoreCorruptFiles changes which files the real scan includes (it
+    # skips short/unparsable ones), so the fast path must decline when
+    # the option is set (ADVICE r10) — proved by the job counter
+    d = tmp_path / "icf"
+    d.mkdir()
+    make_las(str(d / "t.las"), n=1200, fmt=1)
+    df = spark.read.format("las").option("ignoreCorruptFiles", "true").load(str(d))
+    before = _jobs(spark)
+    assert df.count() == 1200
+    assert len(_jobs(spark) - before) >= 1  # fell back to the real scan
+
+
+def test_truncated_ply_pcd_decline(spark, tmp_path):
+    # the stat-guard covers PLY (element section end) and PCD (binary
+    # data section end) too — stock count behaves like the real scan
+    # (partial results under the default ignoreCorruptFiles=true, never
+    # the lying header count)
+    dp = tmp_path / "ply"
+    dp.mkdir()
+    p = str(dp / "a.ply")
+    make_ply_xyz(p, n=500)
     with open(p, "rb") as f:
         blob = f.read()
-    offset_to_points = struct.unpack_from("<I", blob, 96)[0]
-    stride = struct.unpack_from("<H", blob, 105)[0]
     with open(p, "wb") as f:
-        f.write(blob[: offset_to_points + 500 * stride])
-    fast = spark.read.format("las").load(str(d))
-    assert fast.count() == 3000
-    slow = (
-        spark.read.format("las").option("fusedRead", "false").load(str(d))
-    )
-    try:
-        n = slow.count()
-    except Exception:
-        n = None  # the real scan hits the truncation and fails the task
-    assert n != 3000
+        f.write(blob[:-100])
+    dfp = spark.read.format("ply").load(str(dp))
+    before = _jobs(spark)
+    n = dfp.count()
+    assert n < 500 and n == _real(dfp, lambda d: d.count())
+    assert len(_jobs(spark) - before) >= 1
+    dc = tmp_path / "pcd"
+    dc.mkdir()
+    c = str(dc / "a.pcd")
+    make_pcd(c, n=300)
+    with open(c, "rb") as f:
+        blob = f.read()
+    with open(c, "wb") as f:
+        f.write(blob[:-64])
+    dfc = spark.read.format("pcd").load(str(dc))
+    before = _jobs(spark)
+    n = dfc.count()
+    assert n < 300 and n == _real(dfc, lambda d: d.count())
+    assert len(_jobs(spark) - before) >= 1
+
+
+def test_sql_count_over_ply_pcd_zero_jobs(spark, tmp_path):
+    # VERDICT r10 missing #1: SQL count(*) over ply/pcd views answers
+    # from headers like df.count() already did (CountPlan matches any
+    # relation, ExtraStrategies.scala:102-105)
+    dp = tmp_path / "plyv"
+    dp.mkdir()
+    make_ply_xyz(str(dp / "a.ply"), n=321)
+    spark.read.format("ply").load(str(dp)).createOrReplaceTempView("fr_plyv")
+    before = _jobs(spark)
+    assert spark.sql("select count(*) as c from fr_plyv").collect()[0]["c"] == 321
+    assert _jobs(spark) == before
+    dc = tmp_path / "pcdv"
+    dc.mkdir()
+    make_pcd(str(dc / "a.pcd"), n=77)
+    spark.read.format("pcd").load(str(dc)).createOrReplaceTempView("fr_pcdv")
+    before = _jobs(spark)
+    assert spark.sql("select count(*) as c from fr_pcdv").collect()[0]["c"] == 77
+    assert _jobs(spark) == before
+    # min/max stays LAS-only: over ply it falls back yet stays correct
+    q = spark.sql("select min(x) as mn from fr_plyv")
+    before = _jobs(spark)
+    mn = q.collect()[0]["mn"]
+    assert len(_jobs(spark) - before) >= 1
+    assert mn == _real(q, lambda d: d.collect())[0]["mn"]
+
+
+def test_negative_scale_minmax_falls_back(spark, tmp_path):
+    # a negative LAS scale inverts world↔raw order: the header world min
+    # maps to the raw MAX, so the fast path must decline (ADVICE r10) —
+    # fast and opted-out answers must agree
+    d = tmp_path / "negscale"
+    d.mkdir()
+    make_las(str(d / "t.las"), n=800, fmt=1, scale=(-0.01, 0.01, 0.01))
+    df = spark.read.format("las").load(str(d))
+    agg = df.agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    assert agg.collect() == _real(agg, lambda a: a.collect())
+    # count needs no grid: still header-fast
+    before = _jobs(spark)
+    assert df.count() == 800
+    assert _jobs(spark) == before
 
 
 def test_distinct_and_grouped_aggregates_fall_back(spark, tiles):
@@ -181,25 +287,18 @@ def test_distinct_and_grouped_aggregates_fall_back(spark, tiles):
 
 def test_minmax_through_projection_stays_fast(spark, tmp_path):
     # Aggregate over Project(attrs) over the scan: ColumnPruning inserts
-    # exactly this shape — prove it still answers from headers using a
-    # truncated (unscannable) file
-    import struct
-
-    d = tmp_path / "lying4"
+    # exactly this shape — prove it still answers from headers with the
+    # job counter
+    d = tmp_path / "projagg"
     d.mkdir()
-    p = str(d / "t.las")
-    make_las(p, n=1500, fmt=1)
-    with open(p, "rb") as f:
-        blob = f.read()
-    offset_to_points = struct.unpack_from("<I", blob, 96)[0]
-    stride = struct.unpack_from("<H", blob, 105)[0]
-    with open(p, "wb") as f:
-        f.write(blob[: offset_to_points + 5 * stride])
+    make_las(str(d / "t.las"), n=1500, fmt=1)
     df = spark.read.format("las").load(str(d))
+    before = _jobs(spark)
     row = df.select("x", "z").agg(
         F.count(F.lit(1)).alias("n"), F.min("x").alias("mn")
     ).collect()[0]
-    assert row["n"] == 1500  # header count — a scan could not produce this
+    assert _jobs(spark) == before
+    assert row["n"] == 1500
     assert isinstance(row["mn"], int)
 
 
