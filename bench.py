@@ -100,7 +100,11 @@ def main() -> None:
 
     def write_roundtrip():
         # stock API path — round 9 fuses a pure-scan write onto the
-        # transcode byte path automatically (sources/fused_write.py)
+        # transcode byte path automatically (sources/fused_write.py).
+        # NOTE (BASELINE.md §round-11): since the transparent fused READ
+        # (round 10), the assert below answers from the written header +
+        # truncation stat-guard (O(1), zero scan jobs) — the metric times
+        # the write leg + header verify, not a read-back scan
         out = os.path.join(pc_dir, "rt_las")
         df = spark.read.format("las").load(las_path)
         df.write.format("las").mode("overwrite").save(out)

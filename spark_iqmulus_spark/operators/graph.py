@@ -185,11 +185,24 @@ def _validated_staged_edges(spark: SparkSession, staged: str, sf_dir: str) -> Da
                     f" {have!r} but the query asked for {want!r} — stale"
                     " SPARK_GRAFT_EDGES_PARQUET; restage or unset it"
                 )
-        else:
+        elif _os.environ.get("SPARK_GRAFT_EDGES_ALLOW_NOSIDECAR"):
+            # explicit opt-in for legacy stagings predating the sidecar —
+            # warn-only, since provenance genuinely cannot be checked
             print(
                 f"[sim_edges] no {_EDGES_META} sidecar at {staged} —"
-                " cannot verify which dataset these edges derive from",
+                " cannot verify which dataset these edges derive from"
+                " (SPARK_GRAFT_EDGES_ALLOW_NOSIDECAR set)",
                 file=_sys.stderr,
+            )
+        else:
+            # default STRICT (ADVICE r10): stage_edges always writes a
+            # sidecar, so its absence means an unknown-provenance staging —
+            # exactly the stale-substitution scenario the guard targets
+            raise ValueError(
+                f"staged edges at {staged!r} carry no {_EDGES_META}"
+                " provenance sidecar — restage with stage_edges(), or set"
+                " SPARK_GRAFT_EDGES_ALLOW_NOSIDECAR=1 to accept a legacy"
+                " staging unverified"
             )
         bad = df.where(F.col("a") >= F.col("b")).limit(1).count()
         if bad:

@@ -738,9 +738,9 @@ def decode_wav(payload: bytes):
         size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
         if pos + 8 + size > len(payload):
             # only chunks the decoder CONSUMES must be complete; an
-            # unknown trailing chunk with an oversized/streaming size
-            # field is clamped to the remaining bytes instead of failing
-            # the whole record (ADVICE r9)
+            # unknown chunk with an oversized/streaming size field makes
+            # the walk RE-SYNC: scan forward for the next known chunk
+            # header and resume there (ADVICE r9/r10)
             if tag in (b"fmt ", b"data"):
                 raise ValueError(
                     f"WAV chunk {tag!r} declares {size} bytes but only "
@@ -749,17 +749,25 @@ def decode_wav(payload: bytes):
             # only accept a re-sync candidate that parses as a PLAUSIBLE
             # chunk header (declared size fits the remaining payload) —
             # a bare find() would match the 4 bytes 'data' inside the
-            # lying chunk's binary body and decode garbage as samples
-            idx = payload.find(b"data", pos + 8)
-            while idx >= 0 and not (
-                idx + 8 <= len(payload)
-                and idx + 8 + struct.unpack("<I", payload[idx + 4 : idx + 8])[0]
-                <= len(payload)
-            ):
-                idx = payload.find(b"data", idx + 1)
-            if idx < 0:
-                break  # no data chunk anywhere → the final raise below
-            pos = idx
+            # lying chunk's binary body and decode garbage as samples.
+            # Scan for BOTH known tags and take the earliest: resuming at
+            # a 'fmt ' located after the lying chunk keeps it from being
+            # skipped, and halves the false-acceptance surface (ADVICE r10)
+            candidates = []
+            for known in (b"fmt ", b"data"):
+                idx = payload.find(known, pos + 8)
+                while idx >= 0 and not (
+                    idx + 8 <= len(payload)
+                    and idx + 8
+                    + struct.unpack("<I", payload[idx + 4 : idx + 8])[0]
+                    <= len(payload)
+                ):
+                    idx = payload.find(known, idx + 1)
+                if idx >= 0:
+                    candidates.append(idx)
+            if not candidates:
+                break  # no known chunk anywhere → the final raise below
+            pos = min(candidates)
             continue
         body = payload[pos + 8 : pos + 8 + size]
         if tag == b"fmt ":

@@ -136,13 +136,32 @@ def test_staged_edges_guard(spark, tmp_path, monkeypatch):
     with pytest.raises(ValueError, match="stale"):
         graph.sim_edges(spark, "/root/testdata/sf0.01")
 
-    # contract violation: an a >= b row
+    # contract violation: an a >= b row (sidecar present, so the check
+    # proceeds past provenance)
     bad = str(tmp_path / "edges_bad")
     spark.createDataFrame([(5, 2)], "a int, b int").write.parquet(bad)
+    with open(os.path.join(bad, graph._EDGES_META), "w") as f:
+        json.dump({"sf_dir": os.path.abspath("/root/testdata/sf0.001"),
+                   "source": "sim_edges"}, f)
     monkeypatch.setenv("SPARK_GRAFT_EDGES_PARQUET", bad)
     graph._STAGED_OK.clear()
     with pytest.raises(ValueError, match="a < b"):
         graph.sim_edges(spark, "/root/testdata/sf0.001")
+
+    # missing sidecar: strict by default (ADVICE r10 — stage_edges always
+    # writes one, so absence means unknown provenance), warn-only behind
+    # the explicit legacy opt-in
+    nosc = str(tmp_path / "edges_nosidecar")
+    spark.createDataFrame([(1, 2)], "a int, b int").write.parquet(nosc)
+    monkeypatch.setenv("SPARK_GRAFT_EDGES_PARQUET", nosc)
+    graph._STAGED_OK.clear()
+    with pytest.raises(ValueError, match="sidecar"):
+        graph.sim_edges(spark, "/root/testdata/sf0.001")
+    monkeypatch.setenv("SPARK_GRAFT_EDGES_ALLOW_NOSIDECAR", "1")
+    graph._STAGED_OK.clear()
+    df = graph.sim_edges(spark, "/root/testdata/sf0.001")
+    assert df.count() == 1
+    monkeypatch.delenv("SPARK_GRAFT_EDGES_ALLOW_NOSIDECAR")
 
     # wrong shape: missing edge columns
     shapeless = str(tmp_path / "edges_shapeless")
