@@ -16,7 +16,9 @@ to the general sink:
   shape: LAS re-encodes onto the smallest standard point format covering
   the names, zero-filling the rest exactly like the general sink;
   PLY/PCD layouts are self-describing, so their output record is exactly
-  the projected properties in schema order; computed columns, joins,
+  the projected properties in schema order — including pure RENAMES
+  (``.alias``/``withColumnRenamed``), which LAS declines because its
+  field names are fixed by the point format; computed columns, joins,
   aggs, unions — anything else — falls back);
 - every filter conjunct is ``column <op> numeric-literal`` (op in
   ``= != < <= > >=``; widening casts of the column allowed — they are
@@ -191,11 +193,13 @@ def _extract_scan_filter(df):
     optimized plan is exactly a (possibly projected and/or filtered) full
     scan of one of our Python data sources with output-neutral read
     options, else None.  ``projected_columns`` is None for a full-width
-    scan, else the attribute names of a pure-column Project (computed
-    expressions disqualify — no byte-level equivalent).  Catalyst pushes
-    deterministic predicates below a Project, so the only shapes are
-    Scan, Filter(Scan), Project(Scan), Project(Filter(Scan)).  Analysis
-    only — no side effects."""
+    scan, else ``[(out_name, src_name)]`` pairs of a pure-column Project —
+    a plain attribute yields ``out == src``; an ``Alias`` over an
+    attribute (``withColumnRenamed`` / ``.alias``) yields the rename
+    (computed expressions disqualify — no byte-level equivalent).
+    Catalyst pushes deterministic predicates below a Project, so the only
+    shapes are Scan, Filter(Scan), Project(Scan), Project(Filter(Scan)).
+    Analysis only — no side effects."""
     try:
         plan = df._jdf.queryExecution().optimizedPlan()
     except Exception as exc:
@@ -204,19 +208,29 @@ def _extract_scan_filter(df):
     projected = None
     node = plan
     if node.nodeName() == "Project":
-        names = []
+        pairs = []
         pl = node.projectList()
         for i in range(pl.size()):
             e = pl.apply(i)
+            if _simple(e) == "Alias":
+                child = e.child()
+                if _simple(child) != "AttributeReference":
+                    return _no(
+                        "projection contains a computed column (no"
+                        " byte-level equivalent)"
+                    )
+                pairs.append((str(e.name()), str(child.name())))
+                continue
             if _simple(e) != "AttributeReference":
                 return _no(
                     "projection contains a computed column (no byte-level"
                     " equivalent)"
                 )
-            names.append(str(e.name()))
-        if len(set(names)) != len(names):
-            return _no("projection repeats a column")
-        projected = names
+            pairs.append((str(e.name()), str(e.name())))
+        outs = [o for o, _ in pairs]
+        if len(set(outs)) != len(outs):
+            return _no("projection repeats an output column")
+        projected = pairs
         node = node.children().apply(0)
     if node.nodeName() == "Filter":
         where = _translate_filter(node.condition())
@@ -253,7 +267,7 @@ def _extract_scan_filter(df):
     if projected is None and node.output().size() != len(df.columns):
         return _no("scan output arity != DataFrame columns")
     if pruned_scan and projected is None:
-        projected = list(df.columns)
+        projected = [(c, c) for c in df.columns]
     return source, where, projected
 
 
@@ -282,7 +296,14 @@ def _las_fused_plan(df, where, path, overwrite, projected=None):
     known = {n for flds in POINT_FORMATS.values() for n, _ in flds}
     project = None
     if projected is not None:
-        project = [c for c in projected if c not in ("fid", "pid")]
+        pairs = [(o, s) for o, s in projected if o not in ("fid", "pid")]
+        renamed = [(o, s) for o, s in pairs if o != s]
+        if renamed:
+            return _no(
+                f"renamed columns {renamed} have no LAS byte-path"
+                " equivalent (standard point-format field names are fixed)"
+            )
+        project = [o for o, _ in pairs]
         bad = [c for c in project if c not in known]
         if bad:
             return _no(
@@ -408,10 +429,12 @@ def _ply_fused_plan(df, where, path, overwrite, projected=None):
     reader reads only the vertex element and the sink writes only vertex,
     which is exactly ``transcode_ply_tiled(element_only=True)``.
 
-    ``projected`` (the ``select(subset) → write`` shape) re-encodes onto
-    just those properties — PLY layouts are self-describing, so unlike
-    LAS there is no format round-trip to gate on: each projected property
-    only needs its own Spark-type round-trip (VERDICT r10 next #3)."""
+    ``projected`` (the ``select(subset) → write`` shape, including pure
+    RENAMES — ``.alias``/``withColumnRenamed`` pairs) re-encodes onto
+    just those properties under their output names — PLY layouts are
+    self-describing, so unlike LAS there is no format round-trip (or
+    fixed field naming) to gate on: each projected property only needs
+    its own Spark-type round-trip (VERDICT r10 next #3)."""
     from .ply_format import SPARK_TO_NP, PlyHeader
     from .pointcloud_common import pmap_headers
     from .transcode import _ply_uniform
@@ -425,7 +448,7 @@ def _ply_fused_plan(df, where, path, overwrite, projected=None):
         return None
     project = None
     if projected is not None:
-        project = [c for c in projected if c not in ("fid", "pid")]
+        project = [(o, s) for o, s in projected if o not in ("fid", "pid")]
         if not project:
             return _no("projection keeps no data columns")
     try:
@@ -449,7 +472,7 @@ def _ply_fused_plan(df, where, path, overwrite, projected=None):
     expected = (
         [(n, c) for n, c in props]
         if project is None
-        else [(n, by_name.get(n)) for n in project]
+        else [(o, by_name.get(s)) for o, s in project]
     )
     if data_fields != expected:
         return None
@@ -490,7 +513,7 @@ def _pcd_fused_plan(df, where, path, overwrite, projected=None):
         return None
     project = None
     if projected is not None:
-        project = [c for c in projected if c not in ("fid", "pid")]
+        project = [(o, s) for o, s in projected if o not in ("fid", "pid")]
         if not project:
             return _no("projection keeps no data columns")
     try:
@@ -515,7 +538,7 @@ def _pcd_fused_plan(df, where, path, overwrite, projected=None):
     expected = (
         [(n, c) for n, c in props]
         if project is None
-        else [(n, by_name.get(n)) for n in project]
+        else [(o, by_name.get(s)) for o, s in project]
     )
     if data_fields != expected:
         return None

@@ -63,6 +63,20 @@ _OPS = {
 _TARGET_BYTES = 32 << 20
 
 
+def normalize_project(project) -> list[tuple[str, str]]:
+    """``project`` entries → ``(out_name, src_name)`` pairs: a bare string
+    keeps its name; a 2-sequence is a rename.  Output names must be
+    unique (they become structured-dtype / header field names)."""
+    pairs = [
+        (p, p) if isinstance(p, str) else (str(p[0]), str(p[1]))
+        for p in project
+    ]
+    outs = [o for o, _ in pairs]
+    if len(set(outs)) != len(outs):
+        raise ValueError(f"duplicate projected output names in {outs}")
+    return pairs
+
+
 def _resolve_paths(src, ext: str = ".las", filesystem=None) -> list[str]:
     import glob as _glob
 
@@ -593,11 +607,14 @@ def _ply_scan_stats(
 
     ``project`` re-encodes each kept record onto just those properties (in
     the given order, keeping their source types) — the column-subset
-    shape of ``select(...) → write.format("ply")``.  Unlike LAS there is
-    no fixed point format to zero-fill: a PLY layout is self-describing,
-    so the output record is exactly the projected properties.  Filters
-    still evaluate on the full source record (Catalyst pushes predicates
-    below a Project, so the general sink sees pre-projection values too)."""
+    shape of ``select(...) → write.format("ply")``.  Entries are source
+    property names, or ``(out_name, src_name)`` pairs for pure renames
+    (``withColumnRenamed``): the output property takes ``out_name`` with
+    ``src_name``'s values and type.  Unlike LAS there is no fixed point
+    format to zero-fill: a PLY layout is self-describing, so the output
+    record is exactly the projected properties.  Filters still evaluate
+    on the full source record (Catalyst pushes predicates below a
+    Project, so the general sink sees pre-projection values too)."""
     endian = "<" if little else ">"
     stride = headers[0].element(element).stride
     if where:
@@ -607,15 +624,16 @@ def _ply_scan_stats(
                 raise ValueError(f"unknown property {name!r}; have {sorted(known)}")
             if op not in _OPS:
                 raise ValueError(f"unknown op {op!r}; have {sorted(_OPS)}")
-    out_dtype_spec = None
+    out_dtype_spec = copy_pairs = None
     if project is not None:
         by_name = dict(props)
-        missing = [n for n in project if n not in by_name]
+        copy_pairs = normalize_project(project)
+        missing = [s for _, s in copy_pairs if s not in by_name]
         if missing:
             raise ValueError(
                 f"projected properties {missing} not in the source layout"
             )
-        out_dtype_spec = [(n, endian + by_name[n]) for n in project]
+        out_dtype_spec = [(o, endian + by_name[s]) for o, s in copy_pairs]
 
     # -- plan: record-aligned ranges over each file's element section ------
     from .binary_section import plan_record_ranges
@@ -657,8 +675,8 @@ def _ply_scan_stats(
                     kept, kept_raw = arr, raw
                 if out_dtype_spec is not None:
                     enc = np.zeros(len(kept), dtype=np.dtype(out_dtype_spec))
-                    for nm in enc.dtype.names:
-                        enc[nm] = kept[nm]
+                    for out_nm, src_nm in copy_pairs:
+                        enc[out_nm] = kept[src_nm]
                     kept_raw = enc
                 m = len(kept_raw)
                 part = ""
@@ -742,7 +760,7 @@ def transcode_ply_tiled(
     out_props = list(props)
     if project is not None:
         by_name = dict(props)
-        out_props = [(n, by_name[n]) for n in project]
+        out_props = [(o, by_name[s]) for o, s in normalize_project(project)]
     if names is None:
         bases = [os.path.splitext(os.path.basename(p))[0] for p in paths]
         dup = {b for b in bases if bases.count(b) > 1}
@@ -1049,15 +1067,16 @@ def _pcd_scan_stats(
                 raise ValueError(f"unknown field {name!r}; have {sorted(known)}")
             if op not in _OPS:
                 raise ValueError(f"unknown op {op!r}; have {sorted(_OPS)}")
-    out_dtype_spec = None
+    out_dtype_spec = copy_pairs = None
     if project is not None:
         by_name = dict(props)
-        missing = [n for n in project if n not in by_name]
+        copy_pairs = normalize_project(project)
+        missing = [s for _, s in copy_pairs if s not in by_name]
         if missing:
             raise ValueError(
                 f"projected fields {missing} not in the source layout"
             )
-        out_dtype_spec = [(n, "<" + by_name[n]) for n in project]
+        out_dtype_spec = [(o, "<" + by_name[s]) for o, s in copy_pairs]
 
     from .binary_section import plan_record_ranges
 
@@ -1096,8 +1115,8 @@ def _pcd_scan_stats(
                     kept, kept_raw = arr, raw
                 if out_dtype_spec is not None:
                     enc = np.zeros(len(kept), dtype=np.dtype(out_dtype_spec))
-                    for nm in enc.dtype.names:
-                        enc[nm] = kept[nm]
+                    for out_nm, src_nm in copy_pairs:
+                        enc[out_nm] = kept[src_nm]
                     kept_raw = enc
                 m = len(kept_raw)
                 part = ""
@@ -1212,7 +1231,9 @@ def transcode_pcd_tiled(
         out_fields = None
         if project is not None:
             by_name = dict(props)
-            out_fields = [(n, by_name[n]) for n in project]
+            out_fields = [
+                (o, by_name[s]) for o, s in normalize_project(project)
+            ]
         by_fid: dict[int, list] = {}
         for r in stats:
             by_fid.setdefault(r["fid"], []).append(r)

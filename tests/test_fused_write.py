@@ -283,6 +283,54 @@ def test_fused_pcd_projected_write_equals_general(spark, tmp_path):
         assert hf.points == hg.points
 
 
+def test_fused_ply_renamed_write_equals_general(spark, ply_tiles, tmp_path):
+    """Pure renames (withColumnRenamed / .alias) are byte-path-fusable for
+    self-describing layouts: the output property takes the new name with
+    the source values — matching the general sink, which writes schema
+    names.  LAS declines (standard field names are fixed)."""
+    from spark_iqmulus_spark.sources.fused_write import plan_fused_save
+    from spark_iqmulus_spark.sources.ply_format import PlyHeader
+
+    def df_fn():
+        return (
+            spark.read.format("ply")
+            .load(ply_tiles)
+            .where(F.col("y") < 50.0)  # filter column dropped by the select
+            .select("fid", F.col("x").alias("easting"), "z")
+        )
+
+    assert (
+        plan_fused_save(df_fn(), "ply", str(tmp_path / "rn"), "overwrite", {})
+        is not None
+    )
+    outg = str(tmp_path / "rn_general")
+    outf = str(tmp_path / "rn_fused")
+    df_fn().write.format("ply").option("fusedWrite", "false").mode(
+        "overwrite"
+    ).save(outg)
+    df_fn().write.format("ply").mode("overwrite").save(outf)
+    names = sorted(f for f in os.listdir(outf) if f.endswith(".ply"))
+    assert names == sorted(f for f in os.listdir(outg) if f.endswith(".ply"))
+    rows = _ply_rows(spark, outf)
+    assert rows and rows == _ply_rows(spark, outg)
+    for nm in names:
+        h = PlyHeader.parse_file(os.path.join(outf, nm))
+        lay = [(p.name, p.np_char) for p in h.element("vertex").properties]
+        assert lay == [("easting", "f4"), ("z", "f4")]
+
+
+def test_las_renamed_projection_falls_back(spark, tiles, tmp_path):
+    from spark_iqmulus_spark.sources import fused_write as fw
+
+    df = (
+        spark.read.format("las")
+        .load(tiles)
+        .select("fid", F.col("x").alias("easting"), "y", "z")
+    )
+    assert fw.plan_fused_save(df, "las", str(tmp_path / "r"), "overwrite", {}) is None
+    assert "renamed" in (fw._LAST_DECLINE or "")
+
+
 def test_projected_extra_bytes_standard_name_falls_back(spark, tmp_path):
     """ADVICE r10: an ExtraBytes field that REUSES a standard name from
     another point format ('red' is standard on fmt 2/3 but ExtraBytes on

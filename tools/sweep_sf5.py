@@ -1,0 +1,146 @@
+"""Standing sf5 sweep: the staged-oracle family runs, one command,
+one round-stamped JSONL (VERDICT r10 item 7).
+
+Rounds 8-10 ran the sf5 verifications by hand — the graph family through
+``run_graph_per_key.py`` (stage DuckDB's own edge oracle once, materialize
+the Spark edges once, per-key subprocess sessions so the banded self-join's
+shuffle spill frees between keys), the embed-LSH pairs through
+``check_dedup_staged.py`` (staged pair oracle: 252 s staging once, seconds
+per re-run), and the connected-components keys through
+``check_components_staged.py`` (union-find replaces the recursive-CTE
+blow-up).  This driver folds those into ONE command that emits a
+round-stamped JSONL like the sf0.01 sweep's, so every round's close can
+carry a fresh sf5 artifact:
+
+    python tools/sweep_sf5.py /tmp/sfscale/sf5 --round 11
+    # -> sweeps/sweep_r11_sf5.jsonl
+
+Per-key records: ``{"key", "status" (pass|fail|timeout), "mode"
+(strict|agg-hash|staged-strict), "secs", "ts", "sf_dir"}``.  Digest mode
+(``agg-hash``) is used for keys whose sf5 output is too large to collect
+(triangles: 97.6M rows; embed-LSH pairs: 3.6M) — the engine-side
+length-prefixed digest compare, same as the r10 certifications.
+
+The sf5 dataset comes from ``tools/make_scale.py /tmp/sfscale/sf5 --mult
+50`` (facts replicated with shifted keys off sf0.1).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+#: keys the engine-side digest compares (outputs too large to collect)
+AGG_HASH_GRAPH_KEYS = "q_graph_triangles"
+
+VERDICT = re.compile(r"^(PASS|FAIL) (q_[a-z0-9_]+)")
+
+
+def _run(cmd: list[str], timeout: int) -> tuple[int, str]:
+    env = dict(os.environ)
+    env.setdefault("SPARK_DRIVER_MEMORY", "24g")
+    try:
+        p = subprocess.run(
+            cmd, env=env, timeout=timeout, capture_output=True, text=True,
+            cwd=_ROOT,
+        )
+        return p.returncode, p.stdout + p.stderr
+    except subprocess.TimeoutExpired as e:
+        def _s(x):
+            if isinstance(x, bytes):
+                return x.decode(errors="replace")
+            return x or ""
+
+        return -1, _s(e.stdout) + _s(e.stderr)
+
+
+def _parse(out: str, mode_by_key) -> list[dict]:
+    recs = []
+    for ln in out.splitlines():
+        m = VERDICT.match(ln.strip())
+        if m:
+            status, key = m.group(1).lower(), m.group(2)
+            recs.append({"key": key, "status": status, "mode": mode_by_key(key)})
+    return recs
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sf_dir", nargs="?", default="/tmp/sfscale/sf5")
+    ap.add_argument("--round", type=int, required=True, help="round number for the artifact stamp")
+    ap.add_argument("--timeout", type=int, default=3600, help="per-stage timeout (s)")
+    ap.add_argument("--log", default=None, help="override the JSONL path")
+    args = ap.parse_args()
+    log = args.log or os.path.join(
+        _ROOT, "sweeps", f"sweep_r{args.round}_sf5.jsonl"
+    )
+    os.makedirs(os.path.dirname(log), exist_ok=True)
+    done = set()
+    if os.path.exists(log):  # resumable like tools/sweep.py
+        with open(log) as f:
+            done = {json.loads(ln)["key"] for ln in f if ln.strip()}
+
+    stages = [
+        (
+            "graph family (per-key staged sessions)",
+            [sys.executable, "tools/run_graph_per_key.py", args.sf_dir,
+             "--agg-hash-keys", AGG_HASH_GRAPH_KEYS,
+             "--timeout", str(args.timeout)],
+            lambda k: "agg-hash" if k in AGG_HASH_GRAPH_KEYS.split(",") else "staged-strict",
+        ),
+        (
+            "embed-LSH pairs (staged oracle, digest)",
+            [sys.executable, "tools/check_dedup_staged.py", args.sf_dir,
+             "--agg-hash"],
+            lambda k: "agg-hash",
+        ),
+        (
+            "connected-components keys (union-find oracle)",
+            [sys.executable, "tools/check_components_staged.py", args.sf_dir],
+            lambda k: "staged-strict",
+        ),
+    ]
+
+    n_pass = n_fail = 0
+    with open(log, "a") as f:
+        for title, cmd, mode_by_key in stages:
+            print(f"== {title}", flush=True)
+            t0 = time.time()
+            rc, out = _run(cmd, args.timeout * 4)
+            secs = round(time.time() - t0, 1)
+            recs = _parse(out, mode_by_key)
+            if not recs:
+                recs = [{
+                    "key": f"stage:{cmd[1].rsplit('/', 1)[-1]}",
+                    "status": "timeout" if rc == -1 else "fail",
+                    "mode": "stage",
+                }]
+            for r in recs:
+                if r["key"] in done:
+                    continue
+                r.update({"secs": secs if len(recs) == 1 else None,
+                          "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+                          "sf_dir": args.sf_dir})
+                f.write(json.dumps(r) + "\n")
+                f.flush()
+                print(f"  {r['status'].upper()} {r['key']} ({r['mode']})", flush=True)
+                if r["status"] == "pass":
+                    n_pass += 1
+                else:
+                    n_fail += 1
+            if rc != 0 and not any(x["status"] != "pass" for x in recs):
+                print(f"  (stage rc={rc} but all parsed keys passed — check output)\n{out[-1500:]}", flush=True)
+
+    print(f"\nsf5 sweep: {n_pass} pass, {n_fail} fail -> {log}")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
