@@ -747,21 +747,41 @@ def decode_wav(payload: bytes):
                     f"{len(payload) - pos - 8} remain"
                 )
             # only accept a re-sync candidate that parses as a PLAUSIBLE
-            # chunk header (declared size fits the remaining payload) —
-            # a bare find() would match the 4 bytes 'data' inside the
-            # lying chunk's binary body and decode garbage as samples.
-            # Scan for BOTH known tags and take the earliest: resuming at
-            # a 'fmt ' located after the lying chunk keeps it from being
-            # skipped, and halves the false-acceptance surface (ADVICE r10)
+            # chunk header — a bare find() would match the 4 bytes 'data'
+            # inside the lying chunk's binary body and decode garbage as
+            # samples.  Scan for BOTH known tags and take the earliest,
+            # so a real 'fmt ' located after the lying chunk isn't
+            # skipped (ADVICE r10).  Plausibility per tag: the declared
+            # size must fit the remaining payload, and a 'fmt ' candidate
+            # must additionally parse as sane PCM (codec/channels/rate/
+            # bits in range) — without that, scanning for 'fmt ' would
+            # ENLARGE the false-acceptance surface: a false match inside
+            # the lying body would silently overwrite rate/channels/bits
+            # (round-11 self-review)
+            def _plausible(idx: int, tag: bytes) -> bool:
+                if idx + 8 > len(payload):
+                    return False
+                sz = struct.unpack("<I", payload[idx + 4 : idx + 8])[0]
+                if idx + 8 + sz > len(payload):
+                    return False
+                if tag == b"fmt ":
+                    if sz < 16:
+                        return False
+                    codec, ch, rt, _, _, bt = struct.unpack(
+                        "<HHIIHH", payload[idx + 8 : idx + 24]
+                    )
+                    return (
+                        codec == 1
+                        and 1 <= ch <= 8
+                        and 1 <= rt <= 1_000_000
+                        and bt in (8, 16, 24, 32)
+                    )
+                return True
+
             candidates = []
             for known in (b"fmt ", b"data"):
                 idx = payload.find(known, pos + 8)
-                while idx >= 0 and not (
-                    idx + 8 <= len(payload)
-                    and idx + 8
-                    + struct.unpack("<I", payload[idx + 4 : idx + 8])[0]
-                    <= len(payload)
-                ):
+                while idx >= 0 and not _plausible(idx, known):
                     idx = payload.find(known, idx + 1)
                 if idx >= 0:
                     candidates.append(idx)

@@ -119,44 +119,52 @@ def _file_size(path: str) -> int:
     return fsio.file_size(fs_path, fs)
 
 
+def _headers_with_sizes(parse_one, paths):
+    """``[(header, file_size)]`` — header parse AND the truncation-guard
+    stat ride the same thread-pool pass (a serial per-file stat after the
+    parallel parse would re-serialize the O(files) driver path the pool
+    exists to keep fast on 100k-tile remote reads — round-11 self-review)."""
+    from ..sources.pointcloud_common import pmap_headers
+
+    return pmap_headers(lambda p: (parse_one(p), _file_size(p)), paths)
+
+
 def _verified_count(source: str, paths: list[str], element: str) -> int | None:
     """Σ per-file header counts, answerable ONLY when every file's size
     covers its declared data section (``size ≥ data_offset + count·stride``
     — the truncation stat-guard, VERDICT r10 #1).  O(files) header parses +
-    stats, zero Spark jobs.  Returns None (decline to the real scan) on any
-    shortfall or on layouts without a fixed stride to check (ascii PLY,
-    non-binary PCD)."""
-    from ..sources.pointcloud_common import pmap_headers
-
+    stats (one pooled pass), zero Spark jobs.  Returns None (decline to the
+    real scan) on any shortfall or on layouts without a fixed stride to
+    check (ascii PLY, non-binary PCD)."""
     if source == "las":
         from ..sources.las_format import LasHeader
 
-        headers = pmap_headers(LasHeader.parse_file, paths)
-        for p, h in zip(paths, headers):
-            if _file_size(p) < h.offset_to_points + h.pdr_nb * h.stride:
+        parsed = _headers_with_sizes(LasHeader.parse_file, paths)
+        for h, size in parsed:
+            if size < h.offset_to_points + h.pdr_nb * h.stride:
                 return None
-        return sum(h.pdr_nb for h in headers)
+        return sum(h.pdr_nb for h, _ in parsed)
     if source == "pcd":
         from ..sources.pcd_format import PcdHeader
 
-        headers = pmap_headers(PcdHeader.parse_file, paths)
-        for p, h in zip(paths, headers):
+        parsed = _headers_with_sizes(PcdHeader.parse_file, paths)
+        for h, size in parsed:
             if h.data_kind != "binary":
                 return None
-            if _file_size(p) < h.data_offset + h.points * h.stride:
+            if size < h.data_offset + h.points * h.stride:
                 return None
-        return sum(h.points for h in headers)
+        return sum(h.points for h, _ in parsed)
     from ..sources.ply_format import PlyHeader
 
-    headers = pmap_headers(PlyHeader.parse_file, paths)
+    parsed = _headers_with_sizes(PlyHeader.parse_file, paths)
     total = 0
-    for p, h in zip(paths, headers):
+    for h, size in parsed:
         if h.is_ascii:
             return None
         el = h.element(element)
         if el is None:
             continue
-        if _file_size(p) < h.section_offset(element) + el.byte_size:
+        if size < h.section_offset(element) + el.byte_size:
             return None
         total += el.count
     return total
@@ -266,14 +274,14 @@ def _try_header_aggregate(df):
         return None
 
     from ..sources.las_format import LasHeader
-    from ..sources.pointcloud_common import pmap_headers
 
-    headers = pmap_headers(LasHeader.parse_file, paths)
-    for p, h in zip(paths, headers):
+    parsed = _headers_with_sizes(LasHeader.parse_file, paths)
+    for h, size in parsed:
         # the truncation stat-guard applies to min/max too: a short data
         # section makes the real scan fail, so the fast path must decline
-        if _file_size(p) < h.offset_to_points + h.pdr_nb * h.stride:
+        if size < h.offset_to_points + h.pdr_nb * h.stride:
             return None
+    headers = [h for h, _ in parsed]
     total = sum(h.pdr_nb for h in headers)
     # raw = round((world − offset)/scale) needs one uniform grid, and a
     # POSITIVE scale — a negative scale inverts the world↔raw order, so

@@ -418,6 +418,26 @@ def _las_fused_plan(df, where, path, overwrite, projected=None):
     return _run
 
 
+def _layout_round_trips(schema, props, project, spark_to_np) -> bool:
+    """Shared PLY/PCD gate: the writer layout (schema order sans fid/pid
+    mapped through ``spark_to_np``) must match the source property layout
+    — the full list when ``project`` is None, else each projected
+    property's type under its OUTPUT name (unsigned source types widen
+    through Spark and fail the match → fall back)."""
+    data_fields = [
+        (f.name, spark_to_np.get(f.dataType.simpleString()))
+        for f in schema.fields
+        if f.name not in ("fid", "pid")
+    ]
+    by_name = dict(props)
+    expected = (
+        [(n, c) for n, c in props]
+        if project is None
+        else [(o, by_name.get(s)) for o, s in project]
+    )
+    return data_fields == expected
+
+
 def _ply_fused_plan(df, where, path, overwrite, projected=None):
     """Validate PLY source/writer equivalence and return a ready-to-run
     closure, or None.  Side-effect free until the closure runs.
@@ -458,23 +478,9 @@ def _ply_fused_plan(df, where, path, overwrite, projected=None):
         return None
     if not little:
         return None  # the sink writes little-endian by default
-    # writer layout = schema order sans fid/pid mapped through
-    # SPARK_TO_NP; byte-copy is equivalent only when that round-trips to
-    # the source property layout exactly (unsigned types widen → fall
-    # back).  Projected mode compares against the projected subset — the
-    # DataFrame's schema IS the projection, in order.
-    data_fields = [
-        (f.name, SPARK_TO_NP.get(f.dataType.simpleString()))
-        for f in schema.fields
-        if f.name not in ("fid", "pid")
-    ]
-    by_name = dict(props)
-    expected = (
-        [(n, c) for n, c in props]
-        if project is None
-        else [(o, by_name.get(s)) for o, s in project]
-    )
-    if data_fields != expected:
+    # projected mode compares against the projected subset — the
+    # DataFrame's schema IS the projection, in order
+    if not _layout_round_trips(schema, props, project, SPARK_TO_NP):
         return None
     prop_names = {n for n, _ in props}
     if any(name not in prop_names for name, _, _ in where):
@@ -529,18 +535,7 @@ def _pcd_fused_plan(df, where, path, overwrite, projected=None):
     data_kind, props = next(iter(sigs))
     if data_kind != "binary":
         return None  # ascii / binary_compressed re-encode via the sink
-    data_fields = [
-        (f.name, SPARK_TO_NP.get(f.dataType.simpleString()))
-        for f in schema.fields
-        if f.name not in ("fid", "pid")
-    ]
-    by_name = dict(props)
-    expected = (
-        [(n, c) for n, c in props]
-        if project is None
-        else [(o, by_name.get(s)) for o, s in project]
-    )
-    if data_fields != expected:
+    if not _layout_round_trips(schema, props, project, SPARK_TO_NP):
         return None
     prop_names = {n for n, _ in props}
     if any(name not in prop_names for name, _, _ in where):

@@ -760,7 +760,13 @@ def transcode_ply_tiled(
     out_props = list(props)
     if project is not None:
         by_name = dict(props)
-        out_props = [(o, by_name[s]) for o, s in normalize_project(project)]
+        pairs = normalize_project(project)
+        missing = [s for _, s in pairs if s not in by_name]
+        if missing:
+            raise ValueError(
+                f"projected properties {missing} not in the source layout"
+            )
+        out_props = [(o, by_name[s]) for o, s in pairs]
     if names is None:
         bases = [os.path.splitext(os.path.basename(p))[0] for p in paths]
         dup = {b for b in bases if bases.count(b) > 1}

@@ -133,11 +133,15 @@ def main() -> int:
             round(statistics.median(s), 4) for s in per_session[m]
         ]
         pooled = sorted(x for s in per_session[m] for x in s)
-        q = statistics.quantiles(pooled, n=4)
+        if len(pooled) >= 2:
+            q = statistics.quantiles(pooled, n=4)
+            iqr = [round(q[0], 4), round(q[2], 4)]
+        else:  # --sessions 1 --runs 1 smoke: no quartiles from one sample
+            iqr = [pooled[0], pooled[0]]
         agg[m] = {
             "session_medians": session_medians,
             "median_of_medians": round(statistics.median(session_medians), 4),
-            "pooled_iqr": [round(q[0], 4), round(q[2], 4)],
+            "pooled_iqr": iqr,
             "n_sessions": args.sessions,
             "runs_per_session": args.runs,
         }

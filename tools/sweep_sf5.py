@@ -85,7 +85,14 @@ def main() -> int:
     done = set()
     if os.path.exists(log):  # resumable like tools/sweep.py
         with open(log) as f:
-            done = {json.loads(ln)["key"] for ln in f if ln.strip()}
+            # only a PASS is final: a rerun must re-attempt (and re-record)
+            # failed/timed-out keys, or the artifact keeps a stale verdict
+            # while the sweep exits green (round-11 self-review)
+            done = {
+                r["key"]
+                for r in (json.loads(ln) for ln in f if ln.strip())
+                if r.get("status") == "pass"
+            }
 
     stages = [
         (
@@ -116,12 +123,17 @@ def main() -> int:
             rc, out = _run(cmd, args.timeout * 4)
             secs = round(time.time() - t0, 1)
             recs = _parse(out, mode_by_key)
-            if not recs:
-                recs = [{
+            if rc != 0 and all(r["status"] == "pass" for r in recs):
+                # a stage that crashed / timed out after printing only PASS
+                # lines must NOT read as a clean sweep: keys it never
+                # reached are missing, so record the stage itself as failed
+                # (a stage whose nonzero exit reflects an already-parsed
+                # per-key FAIL needs no extra record) — round-11 self-review
+                recs.append({
                     "key": f"stage:{cmd[1].rsplit('/', 1)[-1]}",
                     "status": "timeout" if rc == -1 else "fail",
                     "mode": "stage",
-                }]
+                })
             for r in recs:
                 if r["key"] in done:
                     continue
@@ -135,8 +147,8 @@ def main() -> int:
                     n_pass += 1
                 else:
                     n_fail += 1
-            if rc != 0 and not any(x["status"] != "pass" for x in recs):
-                print(f"  (stage rc={rc} but all parsed keys passed — check output)\n{out[-1500:]}", flush=True)
+            if rc != 0:
+                print(f"  (stage rc={rc}; output tail)\n{out[-1500:]}", flush=True)
 
     print(f"\nsf5 sweep: {n_pass} pass, {n_fail} fail -> {log}")
     return 1 if n_fail else 0
