@@ -77,3 +77,47 @@ def test_agg_digest_rejects_drifty_types(spark):
     df = spark.createDataFrame([(1.5,)], "x double")
     with pytest.raises(ValueError, match="agg-hash unsafe"):
         agg_spark(df)
+
+
+def test_sweep_sf5_parse_and_stage_honesty():
+    """sweep_sf5's verdict parser and the stage-honesty rule (round-11
+    self-review): a stage that exits non-zero after printing only PASS
+    lines must surface a stage-level failure record, while a stage whose
+    nonzero exit reflects a parsed per-key FAIL must not double-record."""
+    import sweep_sf5
+
+    out = "noise\nPASS q_graph_degree: 60 rows\nFAIL q_graph_cc: mismatch\n"
+    recs = sweep_sf5._parse(out, lambda k: "staged-strict")
+    assert [(r["key"], r["status"]) for r in recs] == [
+        ("q_graph_degree", "pass"),
+        ("q_graph_cc", "fail"),
+    ]
+    # the stage-record rule, inlined from main(): only all-pass + rc!=0
+    # warrants a synthetic stage failure
+    def needs_stage_record(rc, recs):
+        return rc != 0 and all(r["status"] == "pass" for r in recs)
+
+    assert needs_stage_record(1, sweep_sf5._parse("PASS q_a: ok", lambda k: "m"))
+    assert not needs_stage_record(0, sweep_sf5._parse("PASS q_a: ok", lambda k: "m"))
+    assert not needs_stage_record(1, recs)  # FAIL already recorded
+    assert needs_stage_record(-1, [])  # timeout before any verdict
+
+
+def test_sweep_sf5_resume_only_skips_passes(tmp_path):
+    """A rerun must re-attempt failed/timed-out keys: only 'pass' records
+    mark a key done in the resume set."""
+    import json
+
+    log = tmp_path / "sweep.jsonl"
+    log.write_text(
+        json.dumps({"key": "q_a", "status": "pass"}) + "\n"
+        + json.dumps({"key": "q_b", "status": "fail"}) + "\n"
+        + json.dumps({"key": "q_c", "status": "timeout"}) + "\n"
+    )
+    with open(log) as f:
+        done = {
+            r["key"]
+            for r in (json.loads(ln) for ln in f if ln.strip())
+            if r.get("status") == "pass"
+        }
+    assert done == {"q_a"}
