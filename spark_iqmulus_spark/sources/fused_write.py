@@ -478,6 +478,8 @@ def _ply_fused_plan(df, where, path, overwrite, projected=None):
         return None
     if not little:
         return None  # the sink writes little-endian by default
+    if project is not None and project == [(n, n) for n, _ in props]:
+        project = None  # identity projection → pure byte copy, no re-encode
     # projected mode compares against the projected subset — the
     # DataFrame's schema IS the projection, in order
     if not _layout_round_trips(schema, props, project, SPARK_TO_NP):
@@ -535,6 +537,8 @@ def _pcd_fused_plan(df, where, path, overwrite, projected=None):
     data_kind, props = next(iter(sigs))
     if data_kind != "binary":
         return None  # ascii / binary_compressed re-encode via the sink
+    if project is not None and project == [(n, n) for n, _ in props]:
+        project = None  # identity projection → pure byte copy, no re-encode
     if not _layout_round_trips(schema, props, project, SPARK_TO_NP):
         return None
     prop_names = {n for n, _ in props}

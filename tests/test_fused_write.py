@@ -613,3 +613,23 @@ def test_columns_option_write_fuses_and_equals_general(spark, tiles, tmp_path):
         hg = LasHeader.parse_file(os.path.join(outg, nm))
         assert hf.pdr_format == hg.pdr_format == 0
         assert (hf.pdr_nb, hf.pmin, hf.pmax) == (hg.pdr_nb, hg.pmin, hg.pmax)
+
+
+def test_identity_projection_takes_byte_copy(spark, ply_tiles, tmp_path):
+    """select(all columns, source order) is an identity projection: the
+    planner collapses it to the full-width pure byte copy (no re-encode)
+    and the output equals both the general sink and the unprojected fused
+    write."""
+    def df_fn():
+        return spark.read.format("ply").load(ply_tiles).select(
+            "fid", "pid", "x", "y", "z"
+        )
+
+    outg = str(tmp_path / "idp_general")
+    outf = str(tmp_path / "idp_fused")
+    df_fn().write.format("ply").option("fusedWrite", "false").mode(
+        "overwrite"
+    ).save(outg)
+    df_fn().write.format("ply").mode("overwrite").save(outf)
+    rows = _ply_rows(spark, outf)
+    assert rows and rows == _ply_rows(spark, outg)
