@@ -43,6 +43,7 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DEFAULT_METRICS = ["bench_las_transcode", "bench_ply_transcode"]
+KNOWN_METRICS = DEFAULT_METRICS + ["bench_write_roundtrip"]
 N_POINTS = int(os.environ.get("SPARK_GRAFT_PC_POINTS", "600000"))
 
 
@@ -70,6 +71,12 @@ def _child(metrics: list[str], runs: int) -> None:
         transcode_ply,
     )
 
+    def write_roundtrip():
+        out = os.path.join(pc_dir, "rt_las")
+        df = spark.read.format("las").load(las_path)
+        df.write.format("las").mode("overwrite").save(out)
+        assert spark.read.format("las").load(out).count() == N_POINTS
+
     fns = {
         "bench_las_transcode": lambda: transcode_las(
             spark, las_path, os.path.join(pc_dir, "tc.las")
@@ -77,6 +84,7 @@ def _child(metrics: list[str], runs: int) -> None:
         "bench_ply_transcode": lambda: transcode_ply(
             spark, ply_path, os.path.join(pc_dir, "tc.ply")
         ),
+        "bench_write_roundtrip": write_roundtrip,
     }
     picked = {m: fns[m] for m in metrics}
     for fn in picked.values():  # one warm-up each
@@ -102,9 +110,9 @@ def main() -> int:
     ap.add_argument("--child", action="store_true", help=argparse.SUPPRESS)
     args = ap.parse_args()
     metrics = [m for m in args.metrics.split(",") if m]
-    unknown = [m for m in metrics if m not in DEFAULT_METRICS]
+    unknown = [m for m in metrics if m not in KNOWN_METRICS]
     if unknown:
-        print(f"unknown metrics {unknown}; have {DEFAULT_METRICS}", file=sys.stderr)
+        print(f"unknown metrics {unknown}; have {KNOWN_METRICS}", file=sys.stderr)
         return 2
 
     if args.child:
