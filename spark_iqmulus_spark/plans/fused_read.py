@@ -19,13 +19,16 @@ exactly what a strategy would see.
   ``Σ`` per-file header counts with no Spark job.  A ``Filter`` (or any
   other node) in the plan falls back to the real count.
 - ``DataFrame.collect`` — when the optimized plan is a global (no grouping)
-  ``Aggregate`` of only ``count(1)`` / ``min`` / ``max`` over stored
-  ``x|y|z`` attributes, over a bare scan, answer from headers.  A
-  count-only aggregate (SQL ``SELECT count(*) FROM view``) is answerable
+  ``Aggregate`` of only ``count(1)`` / ``count(col)`` / ``min`` / ``max``
+  over stored ``x|y|z`` attributes, over a bare scan, answer from headers.
+  A count-only aggregate (SQL ``SELECT count(*) FROM view``) is answerable
   for las/ply/pcd alike (the reference's CountPlan matches any relation,
-  ExtraStrategies.scala:102-105); min/max needs header bounds and a
-  uniform positive grid, so it stays LAS-only.  Covers both
-  ``df.agg(...).collect()`` and SQL (same optimized plan).
+  ExtraStrategies.scala:102-105); ``count(col)`` additionally requires the
+  column to be provably non-null in every row-contributing file
+  (``_cols_never_null`` — exceeds the reference, which matches only
+  count(literal)); min/max needs header bounds and a uniform positive
+  grid, so it stays LAS-only.  Covers both ``df.agg(...).collect()`` and
+  SQL (same optimized plan).
 
 Header bounds are WORLD doubles while the scan's x/y/z are RAW grid int32
 (scaled-integer semantics, SURVEY §1.4) — bounds are mapped back through
@@ -129,13 +132,14 @@ def _headers_with_sizes(parse_one, paths):
     return pmap_headers(lambda p: (parse_one(p), _file_size(p)), paths)
 
 
-def _verified_count(source: str, paths: list[str], element: str) -> int | None:
-    """Σ per-file header counts, answerable ONLY when every file's size
-    covers its declared data section (``size ≥ data_offset + count·stride``
-    — the truncation stat-guard, VERDICT r10 #1).  O(files) header parses +
-    stats (one pooled pass), zero Spark jobs.  Returns None (decline to the
-    real scan) on any shortfall or on layouts without a fixed stride to
-    check (ascii PLY, non-binary PCD)."""
+def _verified_parsed(source: str, paths: list[str], element: str):
+    """``(headers, total)`` with Σ per-file header counts, answerable ONLY
+    when every file's size covers its declared data section
+    (``size ≥ data_offset + count·stride`` — the truncation stat-guard,
+    VERDICT r10 #1).  O(files) header parses + stats (one pooled pass),
+    zero Spark jobs.  Returns None (decline to the real scan) on any
+    shortfall or on layouts without a fixed stride to check (ascii PLY,
+    non-binary PCD)."""
     if source == "las":
         from ..sources.las_format import LasHeader
 
@@ -143,7 +147,7 @@ def _verified_count(source: str, paths: list[str], element: str) -> int | None:
         for h, size in parsed:
             if size < h.offset_to_points + h.pdr_nb * h.stride:
                 return None
-        return sum(h.pdr_nb for h, _ in parsed)
+        return [h for h, _ in parsed], sum(h.pdr_nb for h, _ in parsed)
     if source == "pcd":
         from ..sources.pcd_format import PcdHeader
 
@@ -153,7 +157,7 @@ def _verified_count(source: str, paths: list[str], element: str) -> int | None:
                 return None
             if size < h.data_offset + h.points * h.stride:
                 return None
-        return sum(h.points for h, _ in parsed)
+        return [h for h, _ in parsed], sum(h.points for h, _ in parsed)
     from ..sources.ply_format import PlyHeader
 
     parsed = _headers_with_sizes(PlyHeader.parse_file, paths)
@@ -167,7 +171,60 @@ def _verified_count(source: str, paths: list[str], element: str) -> int | None:
         if size < h.section_offset(element) + el.byte_size:
             return None
         total += el.count
-    return total
+    return [h for h, _ in parsed], total
+
+
+def _verified_count(source: str, paths: list[str], element: str) -> int | None:
+    got = _verified_parsed(source, paths, element)
+    return None if got is None else got[1]
+
+
+def _cols_never_null(source, headers, cols, element: str) -> bool:
+    """True when every column in ``cols`` is provably non-null in EVERY
+    row-contributing file, so ``count(col) == count(*)``:
+
+    - ``fid``/``pid`` are engine-generated, never null;
+    - LAS: fields of the file's own point format decode without a nodata
+      sentinel (only ExtraBytes carry nodata → those never qualify, which
+      also kills the name-shadowing case from ADVICE r10);
+    - PLY/PCD: stored properties have no nodata path at all — but a
+      column MISSING from a file's layout null-fills under the merged
+      schema (adapt_batch), so presence is required per file.
+    Files contributing zero rows can't produce nulls and are skipped."""
+    safe_always = {"fid", "pid"}
+    if all(c in safe_always for c in cols):
+        return True
+    need = [c for c in cols if c not in safe_always]
+    if source == "las":
+        from ..sources.las_format import POINT_FORMATS
+
+        for h in headers:
+            if h.pdr_nb == 0:
+                continue
+            own = {n for n, _ in POINT_FORMATS[h.pdr_format]}
+            extras = {e.name for e in h.extra_fields}
+            # an ExtraBytes descriptor shadowing a format-own name is a
+            # malformed layout the decode would reject — decline rather
+            # than answer ahead of the scan's failure
+            if any(c not in own or c in extras for c in need):
+                return False
+        return True
+    if source == "pcd":
+        for h in headers:
+            if h.points == 0:
+                continue
+            names = {f.name for f in h.fields}
+            if any(c not in names for c in need):
+                return False
+        return True
+    for h in headers:
+        el = h.element(element)
+        if el is None or el.count == 0:
+            continue
+        names = {p.name for p in el.properties}
+        if any(c not in names for c in need):
+            return False
+    return True
 
 
 def _enabled(df) -> bool:
@@ -238,10 +295,18 @@ def _try_header_aggregate(df):
         if kind == "Count":
             if fn.children().size() != 1:
                 return None
-            lit = fn.children().apply(0)
-            if _simple(lit) != "Literal" or lit.value() is None:
+            arg = fn.children().apply(0)
+            if _simple(arg) == "Literal" and arg.value() is not None:
+                wanted.append((name, "count", None))
+            elif _simple(arg) == "AttributeReference":
+                # count(col) == count(*) only when col is provably
+                # non-null in every row-contributing file — validated
+                # against the parsed headers below (_cols_never_null);
+                # exceeds the reference, whose CountPlan matches only
+                # count(literal)
+                wanted.append((name, "count_col", str(arg.name())))
+            else:
                 return None
-            wanted.append((name, "count", None))
         elif kind in ("Min", "Max"):
             arg = fn.children().apply(0)
             if _simple(arg) != "AttributeReference":
@@ -258,14 +323,19 @@ def _try_header_aggregate(df):
     paths = _paths_for(source, opts)
     if not paths:
         return None
-    count_only = all(k == "count" for _, k, _ in wanted)
+    count_only = all(k in ("count", "count_col") for _, k, _ in wanted)
     if count_only:
         # SQL ``SELECT count(*) FROM view`` over ply/pcd answers from
         # headers like LAS — the reference's CountPlan matches ANY binary
         # relation (ExtraStrategies.scala:102-105); min/max stays LAS-only
         # because only LAS headers carry bounds (VERDICT r10 missing #1)
-        total = _verified_count(source, paths, opts.get("element", "vertex"))
-        if total is None:
+        element = opts.get("element", "vertex")
+        got = _verified_parsed(source, paths, element)
+        if got is None:
+            return None
+        headers, total = got
+        cols = [c for _, k, c in wanted if k == "count_col"]
+        if cols and not _cols_never_null(source, headers, cols, element):
             return None
         from pyspark.sql import Row
 
@@ -283,6 +353,9 @@ def _try_header_aggregate(df):
             return None
     headers = [h for h, _ in parsed]
     total = sum(h.pdr_nb for h in headers)
+    count_cols = [c for _, k, c in wanted if k == "count_col"]
+    if count_cols and not _cols_never_null("las", headers, count_cols, ""):
+        return None
     # raw = round((world − offset)/scale) needs one uniform grid, and a
     # POSITIVE scale — a negative scale inverts the world↔raw order, so
     # the header world minimum would map to the raw maximum (ADVICE r10)
@@ -295,7 +368,7 @@ def _try_header_aggregate(df):
     values = []
     nonempty = [h for h in headers if h.pdr_nb > 0]
     for name, kind, ax in wanted:
-        if kind == "count":
+        if kind in ("count", "count_col"):
             values.append(total)
         elif total == 0:
             values.append(None)  # min/max over an empty scan is NULL

@@ -259,6 +259,62 @@ def test_sql_count_over_ply_pcd_zero_jobs(spark, tmp_path):
     assert mn == _real(q, lambda d: d.collect())[0]["mn"]
 
 
+def test_count_column_fast_when_provably_nonnull(spark, tmp_path):
+    """count(col) == count(*) when col is non-null in every
+    row-contributing file: LAS format-own fields, PLY/PCD stored
+    properties, and fid/pid qualify (zero jobs); a nullable ExtraBytes
+    column falls back to the real scan (its nodata sentinel reads as
+    NULL, so the header count would overcount)."""
+    d = tmp_path / "cc"
+    d.mkdir()
+    make_las(str(d / "t.las"), n=2500, fmt=1, extra=True)
+    df = spark.read.format("las").load(str(d))
+    agg = df.agg(F.count("intensity").alias("n"), F.min("x").alias("mn"))
+    before = _jobs(spark)
+    fast = agg.collect()
+    assert _jobs(spark) == before  # zero jobs: headers answered
+    assert fast == _real(agg, lambda a: a.collect())
+    assert fast[0]["n"] == 2500
+    # the fixture's 'amplitude' ExtraBytes column carries nodata=-9999 →
+    # some rows are NULL, count(amplitude) < count(*): must fall back
+    amp = df.agg(F.count("amplitude").alias("n"))
+    before = _jobs(spark)
+    rows = amp.collect()
+    assert len(_jobs(spark) - before) >= 1  # real scan ran
+    assert rows == _real(amp, lambda a: a.collect())
+    assert rows[0]["n"] < 2500
+    # PLY: stored properties are never null → count(x) is header-fast
+    dp = tmp_path / "plycc"
+    dp.mkdir()
+    make_ply_xyz(str(dp / "a.ply"), n=640)
+    dfp = spark.read.format("ply").load(str(dp))
+    q = dfp.agg(F.count("x").alias("n"))
+    before = _jobs(spark)
+    assert q.collect()[0]["n"] == 640
+    assert _jobs(spark) == before
+
+
+def test_count_column_mixed_formats_falls_back(spark, tmp_path):
+    """A multi-file load of DIFFERENT point formats null-fills fields the
+    narrower format lacks (schema merge): count(time) over a fmt1+fmt0
+    union must fall back and agree with the real scan."""
+    d = tmp_path / "mixed_fmt"
+    d.mkdir()
+    make_las(str(d / "a.las"), n=900, fmt=1)  # fmt1 has 'time'
+    make_las(str(d / "b.las"), n=700, fmt=0, seed=5)  # fmt0 does not
+    df = spark.read.format("las").load(str(d))
+    q = df.agg(F.count("time").alias("n"))
+    before = _jobs(spark)
+    rows = q.collect()
+    assert len(_jobs(spark) - before) >= 1  # real scan, not headers
+    assert rows[0]["n"] == 900 and rows == _real(q, lambda a: a.collect())
+    # count(x) stays fast — present in both formats
+    q2 = df.agg(F.count("x").alias("n"))
+    before = _jobs(spark)
+    assert q2.collect()[0]["n"] == 1600
+    assert _jobs(spark) == before
+
+
 def test_negative_scale_minmax_falls_back(spark, tmp_path):
     # a negative LAS scale inverts world↔raw order: the header world min
     # maps to the raw MAX, so the fast path must decline (ADVICE r10) —
