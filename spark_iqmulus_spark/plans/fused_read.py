@@ -127,9 +127,9 @@ def _headers_with_sizes(parse_one, paths):
     stat ride the same thread-pool pass (a serial per-file stat after the
     parallel parse would re-serialize the O(files) driver path the pool
     exists to keep fast on 100k-tile remote reads — round-11 self-review)."""
-    from ..sources.pointcloud_common import pmap_headers
+    from ..sources.pointcloud_common import headers_with_sizes
 
-    return pmap_headers(lambda p: (parse_one(p), _file_size(p)), paths)
+    return headers_with_sizes(parse_one, paths)
 
 
 def _verified_parsed(source: str, paths: list[str], element: str):

@@ -284,7 +284,7 @@ def _las_fused_plan(df, where, path, overwrite, projected=None):
     import numpy as np
 
     from .las_format import POINT_FORMATS, LasHeader, format_from_schema
-    from .pointcloud_common import pmap_headers
+    from .pointcloud_common import headers_with_sizes
 
     schema = df.schema
     if "fid" not in schema.names:
@@ -311,9 +311,20 @@ def _las_fused_plan(df, where, path, overwrite, projected=None):
                 " fields (general sink would write ExtraBytes)"
             )
     try:
-        headers = pmap_headers(LasHeader.parse_file, paths)
+        parsed = headers_with_sizes(LasHeader.parse_file, paths)
     except Exception:
         return None
+    for h, size in parsed:
+        # truncation stat-guard (mirrors plans/fused_read.py): a body
+        # shorter than the header claims makes the byte path RAISE
+        # mid-transcode while the general sink (allow_short scan) writes
+        # the partial records — not equivalent, fall back
+        if size < h.offset_to_points + h.pdr_nb * h.stride:
+            return _no(
+                f"{h.location or 'source'}: data section shorter than the"
+                " header claims (general sink writes partial records)"
+            )
+    headers = [h for h, _ in parsed]
     h0 = headers[0]
     sig0 = (
         h0.pdr_format,
@@ -456,7 +467,7 @@ def _ply_fused_plan(df, where, path, overwrite, projected=None):
     fixed field naming) to gate on: each projected property only needs
     its own Spark-type round-trip (VERDICT r10 next #3)."""
     from .ply_format import SPARK_TO_NP, PlyHeader
-    from .pointcloud_common import pmap_headers
+    from .pointcloud_common import headers_with_sizes
     from .transcode import _ply_uniform
 
     schema = df.schema
@@ -472,10 +483,18 @@ def _ply_fused_plan(df, where, path, overwrite, projected=None):
         if not project:
             return _no("projection keeps no data columns")
     try:
-        headers = pmap_headers(PlyHeader.parse_file, paths)
+        parsed = headers_with_sizes(PlyHeader.parse_file, paths)
+        headers = [h for h, _ in parsed]
         little, props = _ply_uniform(paths, headers, "vertex", True)
     except Exception:
         return None
+    for h, size in parsed:
+        el = h.element("vertex")
+        if el is not None and size < h.section_offset("vertex") + el.byte_size:
+            return _no(
+                f"{h.location or 'source'}: vertex section shorter than"
+                " the header claims (general sink writes partial records)"
+            )
     if not little:
         return None  # the sink writes little-endian by default
     if project is not None and project == [(n, n) for n, _ in props]:
@@ -510,7 +529,7 @@ def _pcd_fused_plan(df, where, path, overwrite, projected=None):
     same projected re-encode applies: the output header is exactly the
     projected fields, count-1 each, like the general sink writes)."""
     from .pcd_format import SPARK_TO_NP, PcdHeader
-    from .pointcloud_common import pmap_headers
+    from .pointcloud_common import headers_with_sizes
 
     schema = df.schema
     if "fid" not in schema.names:
@@ -525,9 +544,16 @@ def _pcd_fused_plan(df, where, path, overwrite, projected=None):
         if not project:
             return _no("projection keeps no data columns")
     try:
-        headers = pmap_headers(PcdHeader.parse_file, paths)
+        parsed = headers_with_sizes(PcdHeader.parse_file, paths)
     except Exception:
         return None
+    for h, size in parsed:
+        if h.data_kind == "binary" and size < h.data_offset + h.points * h.stride:
+            return _no(
+                f"{h.location or 'source'}: data section shorter than the"
+                " header claims (general sink writes partial records)"
+            )
+    headers = [h for h, _ in parsed]
     sigs = {
         (h.data_kind, tuple((f.name, f.np_char) for f in h.fields))
         for h in headers

@@ -245,6 +245,20 @@ def pmap_headers(parse_one, paths):
         return list(pool.map(parse_one, paths))
 
 
+def headers_with_sizes(parse_one, paths):
+    """``[(header, file_size)]`` in one pooled pass — the truncation
+    stat-guard's input (fused read AND write: both must decline when a
+    file's body is shorter than its header claims, because the real
+    scan's behavior differs from header arithmetic there)."""
+    from . import fsio
+
+    def one(p):
+        fs, fp = fsio.from_uri_or_local(p)
+        return parse_one(p), fsio.file_size(fp, fs)
+
+    return pmap_headers(one, paths)
+
+
 def parse_sections(paths, parse_one, ignore_corrupt: bool, kind: str):
     """Parse per-file headers, assigning ``fid`` from the KEPT list position.
 

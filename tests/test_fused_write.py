@@ -633,3 +633,30 @@ def test_identity_projection_takes_byte_copy(spark, ply_tiles, tmp_path):
     df_fn().write.format("ply").mode("overwrite").save(outf)
     rows = _ply_rows(spark, outf)
     assert rows and rows == _ply_rows(spark, outg)
+
+
+def test_truncated_source_falls_back_and_matches_general(spark, tmp_path):
+    """A truncated source file: the general sink (allow_short scan under
+    the default ignoreCorruptFiles=true) writes the partial records; the
+    byte path would raise mid-transcode — the planner must decline so the
+    stock write matches the general sink (round-11 equivalence guard)."""
+    import struct
+
+    from spark_iqmulus_spark.sources import fused_write as fw
+
+    d = tmp_path / "trunc_src"
+    d.mkdir()
+    p = str(d / "t.las")
+    make_las(p, n=3000, fmt=1)
+    with open(p, "rb") as f:
+        blob = f.read()
+    off = struct.unpack_from("<I", blob, 96)[0]
+    stride = struct.unpack_from("<H", blob, 105)[0]
+    with open(p, "wb") as f:
+        f.write(blob[: off + 1200 * stride])
+    df = spark.read.format("las").load(str(d))
+    assert fw.plan_fused_save(df, "las", str(tmp_path / "o"), "overwrite", {}) is None
+    assert "shorter" in (fw._LAST_DECLINE or "")
+    out = str(tmp_path / "out")
+    df.write.format("las").mode("overwrite").save(out)  # general sink
+    assert spark.read.format("las").load(out).count() == 1200
