@@ -115,23 +115,6 @@ def _paths_for(source: str, opts: dict) -> list[str]:
     return expand_paths(o)
 
 
-def _file_size(path: str) -> int:
-    from ..sources import fsio
-
-    fs, fs_path = fsio.from_uri_or_local(path)
-    return fsio.file_size(fs_path, fs)
-
-
-def _headers_with_sizes(parse_one, paths):
-    """``[(header, file_size)]`` — header parse AND the truncation-guard
-    stat ride the same thread-pool pass (a serial per-file stat after the
-    parallel parse would re-serialize the O(files) driver path the pool
-    exists to keep fast on 100k-tile remote reads — round-11 self-review)."""
-    from ..sources.pointcloud_common import headers_with_sizes
-
-    return headers_with_sizes(parse_one, paths)
-
-
 def _verified_parsed(source: str, paths: list[str], element: str):
     """``(headers, total)`` with Σ per-file header counts, answerable ONLY
     when every file's size covers its declared data section
@@ -140,10 +123,12 @@ def _verified_parsed(source: str, paths: list[str], element: str):
     zero Spark jobs.  Returns None (decline to the real scan) on any
     shortfall or on layouts without a fixed stride to check (ascii PLY,
     non-binary PCD)."""
+    from ..sources.pointcloud_common import headers_with_sizes
+
     if source == "las":
         from ..sources.las_format import LasHeader
 
-        parsed = _headers_with_sizes(LasHeader.parse_file, paths)
+        parsed = headers_with_sizes(LasHeader.parse_file, paths)
         for h, size in parsed:
             if size < h.offset_to_points + h.pdr_nb * h.stride:
                 return None
@@ -151,7 +136,7 @@ def _verified_parsed(source: str, paths: list[str], element: str):
     if source == "pcd":
         from ..sources.pcd_format import PcdHeader
 
-        parsed = _headers_with_sizes(PcdHeader.parse_file, paths)
+        parsed = headers_with_sizes(PcdHeader.parse_file, paths)
         for h, size in parsed:
             if h.data_kind != "binary":
                 return None
@@ -160,7 +145,7 @@ def _verified_parsed(source: str, paths: list[str], element: str):
         return [h for h, _ in parsed], sum(h.points for h, _ in parsed)
     from ..sources.ply_format import PlyHeader
 
-    parsed = _headers_with_sizes(PlyHeader.parse_file, paths)
+    parsed = headers_with_sizes(PlyHeader.parse_file, paths)
     total = 0
     for h, size in parsed:
         if h.is_ascii:
@@ -344,8 +329,9 @@ def _try_header_aggregate(df):
         return None
 
     from ..sources.las_format import LasHeader
+    from ..sources.pointcloud_common import headers_with_sizes
 
-    parsed = _headers_with_sizes(LasHeader.parse_file, paths)
+    parsed = headers_with_sizes(LasHeader.parse_file, paths)
     for h, size in parsed:
         # the truncation stat-guard applies to min/max too: a short data
         # section makes the real scan fail, so the fast path must decline

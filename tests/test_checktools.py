@@ -92,15 +92,22 @@ def test_sweep_sf5_parse_and_stage_honesty():
         ("q_graph_degree", "pass"),
         ("q_graph_cc", "fail"),
     ]
-    # the stage-record rule, inlined from main(): only all-pass + rc!=0
-    # warrants a synthetic stage failure
-    def needs_stage_record(rc, recs):
-        return rc != 0 and all(r["status"] == "pass" for r in recs)
-
-    assert needs_stage_record(1, sweep_sf5._parse("PASS q_a: ok", lambda k: "m"))
-    assert not needs_stage_record(0, sweep_sf5._parse("PASS q_a: ok", lambda k: "m"))
-    assert not needs_stage_record(1, recs)  # FAIL already recorded
-    assert needs_stage_record(-1, [])  # timeout before any verdict
+    # the SHIPPED stage-record rule (sweep_sf5._stage_record_needed):
+    # all-pass + rc!=0, or zero parsed verdicts (format drift / empty key
+    # loop), warrants a synthetic stage failure; a parsed per-key FAIL
+    # already accounts for the nonzero exit
+    rule = sweep_sf5._stage_record_needed
+    assert rule(1, sweep_sf5._parse("PASS q_a: ok", lambda k: "m"))
+    assert not rule(0, sweep_sf5._parse("PASS q_a: ok", lambda k: "m"))
+    assert not rule(1, recs)  # FAIL already recorded
+    assert rule(-1, [])  # timeout before any verdict
+    assert rule(0, [])  # rc==0 with NO verdicts must not read as clean
+    # duplicate verdict lines (a failing child's echoed tail) dedupe to
+    # the first occurrence per key
+    dup = sweep_sf5._parse(
+        "FAIL q_x: mismatch\nsome tail\nFAIL q_x: mismatch", lambda k: "m"
+    )
+    assert [(r["key"], r["status"]) for r in dup] == [("q_x", "fail")]
 
 
 def test_sweep_sf5_resume_only_skips_passes(tmp_path):

@@ -615,22 +615,34 @@ def test_columns_option_write_fuses_and_equals_general(spark, tiles, tmp_path):
         assert (hf.pdr_nb, hf.pmin, hf.pmax) == (hg.pdr_nb, hg.pmin, hg.pmax)
 
 
-def test_identity_projection_takes_byte_copy(spark, ply_tiles, tmp_path):
+def test_identity_projection_takes_byte_copy(spark, ply_tiles, tmp_path, monkeypatch):
     """select(all columns, source order) is an identity projection: the
-    planner collapses it to the full-width pure byte copy (no re-encode)
-    and the output equals both the general sink and the unprojected fused
-    write."""
+    planner collapses it to the full-width pure byte copy (project=None
+    reaches the transcoder — pinned by a recording wrapper, since the
+    re-encode would produce byte-equal output and hide a regression) and
+    the output equals the general sink."""
+    from spark_iqmulus_spark.sources import transcode as tc
+
     def df_fn():
         return spark.read.format("ply").load(ply_tiles).select(
             "fid", "pid", "x", "y", "z"
         )
 
+    seen = {}
+    real = tc.transcode_ply_tiled
+
+    def recording(*a, **kw):
+        seen["project"] = kw.get("project", "MISSING")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(tc, "transcode_ply_tiled", recording)
     outg = str(tmp_path / "idp_general")
     outf = str(tmp_path / "idp_fused")
     df_fn().write.format("ply").option("fusedWrite", "false").mode(
         "overwrite"
     ).save(outg)
     df_fn().write.format("ply").mode("overwrite").save(outf)
+    assert seen["project"] is None  # collapsed, not re-encoded
     rows = _ply_rows(spark, outf)
     assert rows and rows == _ply_rows(spark, outg)
 

@@ -62,13 +62,30 @@ def _run(cmd: list[str], timeout: int) -> tuple[int, str]:
 
 
 def _parse(out: str, mode_by_key) -> list[dict]:
-    recs = []
+    """First verdict per key, in print order — the sub-tools echo a failing
+    child's output tail, which repeats the FAIL line; taking the first
+    occurrence keeps the artifact free of duplicate keys (r11 review)."""
+    recs, seen = [], set()
     for ln in out.splitlines():
         m = VERDICT.match(ln.strip())
         if m:
             status, key = m.group(1).lower(), m.group(2)
+            if key in seen:
+                continue
+            seen.add(key)
             recs.append({"key": key, "status": status, "mode": mode_by_key(key)})
     return recs
+
+
+def _stage_record_needed(rc: int, recs: list[dict]) -> bool:
+    """True when the stage itself must be recorded as failed: it exited
+    non-zero with only PASS verdicts (crashed/timed out before reaching
+    remaining keys), or it produced NO verdicts at all (format drift or an
+    empty key loop would otherwise read as a clean sweep) — the shipped
+    rule main() applies, exported so the test exercises the real code."""
+    if not recs:
+        return True
+    return rc != 0 and all(r["status"] == "pass" for r in recs)
 
 
 def main() -> int:
@@ -123,19 +140,22 @@ def main() -> int:
             rc, out = _run(cmd, args.timeout * 4)
             secs = round(time.time() - t0, 1)
             recs = _parse(out, mode_by_key)
-            if rc != 0 and all(r["status"] == "pass" for r in recs):
+            if _stage_record_needed(rc, recs):
                 # a stage that crashed / timed out after printing only PASS
-                # lines must NOT read as a clean sweep: keys it never
-                # reached are missing, so record the stage itself as failed
-                # (a stage whose nonzero exit reflects an already-parsed
-                # per-key FAIL needs no extra record) — round-11 self-review
+                # lines (or none at all) must NOT read as a clean sweep:
+                # keys it never reached are missing, so record the stage
+                # itself as failed (a stage whose nonzero exit reflects an
+                # already-parsed per-key FAIL needs no extra record)
                 recs.append({
                     "key": f"stage:{cmd[1].rsplit('/', 1)[-1]}",
                     "status": "timeout" if rc == -1 else "fail",
                     "mode": "stage",
                 })
             for r in recs:
-                if r["key"] in done:
+                # skip only keys that passed before AND pass again — a key
+                # that passed in a prior run but FAILS now must be recorded
+                # (r11 review: silence here hides an observed failure)
+                if r["key"] in done and r["status"] == "pass":
                     continue
                 r.update({"secs": secs if len(recs) == 1 else None,
                           "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
