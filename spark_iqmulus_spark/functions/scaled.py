@@ -39,3 +39,31 @@ def unscale(col: Column, scale: float, offset: float) -> Column:
     """World → raw int32, the writer-side inverse
     (``(p - offset) / scale`` rounded — ExtraStrategies.scala:53)."""
     return F.round((col - F.lit(offset)) / F.lit(scale), 0).cast("int")
+
+
+def regrid(
+    df: DataFrame,
+    scale: tuple[float, float, float],
+    offset: tuple[float, float, float] = (0.0, 0.0, 0.0),
+    names: tuple[str, ...] = ("x", "y", "z"),
+) -> DataFrame:
+    """Re-derive raw scaled-int coordinates onto a NEW grid — the las2las
+    re-grid shape: ``raw' = round((world − offset') / scale')`` with
+    ``world`` read through each column's current scale/offset metadata.
+
+    Writing the result with the matching writer grid engages the fused
+    byte path transparently (sources/fused_write.py replays exactly this
+    arithmetic in numpy — any equivalent hand-built expression of casts,
+    ``+ − × ÷``, and ``round(·, 0)`` over the same column qualifies too)::
+
+        regrid(df, (0.001,) * 3).write.format("las")
+            .option("scale", "0.001,0.001,0.001").option("offset", "0,0,0")
+            .save(out)
+    """
+    out = df
+    for i, n in enumerate(names):
+        if n in df.columns:
+            out = out.withColumn(
+                n, unscale(world_coord(df, n), scale[i], offset[i])
+            )
+    return out

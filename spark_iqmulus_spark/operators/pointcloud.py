@@ -495,6 +495,49 @@ def q_las_transcode_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_las_regrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-grid las2las via the STOCK write API (round 12 — VERDICT r11
+    next #1): ``read → filter → regrid(new scale/offset) → write`` with
+    matching ``scale``/``offset`` writer options engages the transparent
+    fused byte path, which replays the Catalyst re-grid arithmetic
+    bit-exactly in numpy (sources/exprprog.py) — the computed-column
+    write shape that previously paid the JVM→Python Arrow hop.  The
+    read-back aggregate certifies kept rows, the re-derived raw x/y/z
+    (including float64 rounding), and the re-stamped header grid against
+    the ``part`` oracle; the oracle SQL mirrors the float64 expression
+    with explicit ::DOUBLE literals so both engines run the same IEEE
+    ops."""
+    register_sources(spark)
+    from ..functions.scaled import regrid
+
+    key = (sf_dir, "regrid")
+    if key not in _CACHE or not os.path.exists(_CACHE[key]):
+        out = tempfile.mkdtemp(prefix="pc_regrid_")
+        df = (
+            spark.read.format("las")
+            .load(_las_dir(spark, sf_dir))
+            .where(F.col("classification") <= 3)
+        )
+        (
+            regrid(df, (0.002, 0.002, 0.002), (100.0, 0.0, -5.0))
+            .write.format("las")
+            .mode("overwrite")
+            .option("scale", "0.002,0.002,0.002")
+            .option("offset", "100,0,-5")
+            .save(out)
+        )
+        _CACHE[key] = out
+    back = spark.read.format("las").load(_CACHE[key])
+    return back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sum_x"),
+        F.max("y").alias("max_y"),
+        F.sum("z").alias("sum_z"),
+        F.lit(float(back.schema["x"].metadata["scale"])).alias("out_scale_x"),
+        F.lit(float(back.schema["z"].metadata["offset"])).alias("out_offset_z"),
+    )
+
+
 def q_ply_transcode_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Projected PLY transcode via the STOCK write API (round 11 — VERDICT
     r10 item 3): ``read → filter → select(x, z) → write.format("ply")``
@@ -687,6 +730,7 @@ QUERIES = {
     "q_las_fastcount": q_las_fastcount,
     "q_pc_fastcount": q_pc_fastcount,
     "q_las_transcode_project": q_las_transcode_project,
+    "q_las_regrid": q_las_regrid,
     "q_ply_transcode": q_ply_transcode,
     "q_ply_transcode_project": q_ply_transcode_project,
     "q_pcd_transcode_project": q_pcd_transcode_project,
@@ -774,6 +818,19 @@ ORACLES = {
                CAST(max(round(p_retailprice * 100, 0)) AS INTEGER) AS max_z,
                CAST(0 AS BIGINT) AS sum_class
         FROM part WHERE p_partkey % 6 + 1 <= 3
+    """,
+    "q_las_regrid": f"""
+        WITH pts AS (
+            SELECT CAST(p_partkey AS INTEGER) AS x, p_size AS y, {_Z} AS z
+            FROM part WHERE p_partkey % 6 + 1 <= 3
+        )
+        SELECT count(*) AS n,
+               CAST(sum(CAST(round((0.0::DOUBLE + 0.01::DOUBLE * x - 100.0::DOUBLE) / 0.002::DOUBLE, 0) AS INTEGER)) AS BIGINT) AS sum_x,
+               max(CAST(round((0.0::DOUBLE + 0.01::DOUBLE * y - 0.0::DOUBLE) / 0.002::DOUBLE, 0) AS INTEGER)) AS max_y,
+               CAST(sum(CAST(round((0.0::DOUBLE + 0.01::DOUBLE * z - (-5.0::DOUBLE)) / 0.002::DOUBLE, 0) AS INTEGER)) AS BIGINT) AS sum_z,
+               0.002::DOUBLE AS out_scale_x,
+               -5.0::DOUBLE AS out_offset_z
+        FROM pts
     """,
     "q_pcd_transcode": f"""
         SELECT count(*) AS n,

@@ -189,23 +189,31 @@ _NEUTRAL_READ_OPTS = {"path", "paths", "pushdown", "partition_bytes", "partition
 
 
 def _extract_scan_filter(df):
-    """``(source_name, where_clauses, projected_columns)`` when the
-    optimized plan is exactly a (possibly projected and/or filtered) full
-    scan of one of our Python data sources with output-neutral read
+    """``(source_name, where_clauses, projected_columns, computed)`` when
+    the optimized plan is exactly a (possibly projected and/or filtered)
+    full scan of one of our Python data sources with output-neutral read
     options, else None.  ``projected_columns`` is None for a full-width
     scan, else ``[(out_name, src_name)]`` pairs of a pure-column Project —
     a plain attribute yields ``out == src``; an ``Alias`` over an
-    attribute (``withColumnRenamed`` / ``.alias``) yields the rename
-    (computed expressions disqualify — no byte-level equivalent).
-    Catalyst pushes deterministic predicates below a Project, so the only
-    shapes are Scan, Filter(Scan), Project(Scan), Project(Filter(Scan)).
-    Analysis only — no side effects."""
+    attribute (``withColumnRenamed`` / ``.alias``) yields the rename.
+    ``computed`` maps an ``x``/``y``/``z`` output column to an exprprog
+    program (sources/exprprog.py) when its Alias carries a replayable
+    arithmetic expression over the SAME-named int source column — the
+    re-grid shape; such a column also appears in ``projected_columns`` as
+    ``(name, name)``.  Any other computed expression disqualifies (no
+    byte-level equivalent).  Catalyst pushes deterministic predicates
+    below a Project, so the only shapes are Scan, Filter(Scan),
+    Project(Scan), Project(Filter(Scan)).  Analysis only — no side
+    effects."""
+    from .exprprog import extract_program
+
     try:
         plan = df._jdf.queryExecution().optimizedPlan()
     except Exception as exc:
         return _no(f"optimized plan unavailable: {exc!r}")
     where = []
     projected = None
+    computed = {}
     node = plan
     if node.nodeName() == "Project":
         pairs = []
@@ -214,12 +222,24 @@ def _extract_scan_filter(df):
             e = pl.apply(i)
             if _simple(e) == "Alias":
                 child = e.child()
-                if _simple(child) != "AttributeReference":
+                if _simple(child) == "AttributeReference":
+                    pairs.append((str(e.name()), str(child.name())))
+                    continue
+                name = str(e.name())
+                got = (
+                    extract_program(child, name)
+                    if name in ("x", "y", "z")
+                    else None
+                )
+                if got is None:
                     return _no(
-                        "projection contains a computed column (no"
-                        " byte-level equivalent)"
+                        f"projection computes {name!r} with an expression"
+                        " the byte path cannot replay (only double"
+                        " arithmetic over the same int x/y/z column,"
+                        " round(·, 0), and a final int cast qualify)"
                     )
-                pairs.append((str(e.name()), str(child.name())))
+                computed[name] = got  # (program, ansi_or_None)
+                pairs.append((name, name))
                 continue
             if _simple(e) != "AttributeReference":
                 return _no(
@@ -268,10 +288,13 @@ def _extract_scan_filter(df):
         return _no("scan output arity != DataFrame columns")
     if pruned_scan and projected is None:
         projected = [(c, c) for c in df.columns]
-    return source, where, projected
+    return source, where, projected, computed
 
 
-def _las_fused_plan(df, where, path, overwrite, projected=None):
+def _las_fused_plan(
+    df, where, path, overwrite, projected=None, computed=None,
+    out_grid=None, ansi=True,
+):
     """Validate LAS source/writer equivalence and return a ready-to-run
     closure, or None.  Side-effect free until the closure runs.
 
@@ -280,12 +303,26 @@ def _las_fused_plan(df, where, path, overwrite, projected=None):
     point format covering the projected names via
     ``transcode_las_tiled(project=...)``; every projected data column
     must be a STANDARD point field (an ExtraBytes name would make the
-    general sink emit an ExtraBytes descriptor this path does not)."""
+    general sink emit an ExtraBytes descriptor this path does not).
+
+    ``computed`` maps x/y/z to exprprog programs (the re-grid las2las
+    shape, VERDICT r11 #1) replayed bit-exactly in numpy; ``out_grid``
+    is the writer's option grid ``(scale3, offset3)`` the output header
+    declares — a NON-computed axis byte-copies its raw values, which is
+    only sink-equivalent when the source grid already equals the option
+    grid on that axis (the sink passes raw ints through and stamps the
+    option grid); a computed axis carries the grid change in its own
+    arithmetic, so its source grid is unconstrained.  ``ansi`` picks the
+    cast-overflow semantics the general sink's Project would apply."""
     import numpy as np
 
     from .las_format import POINT_FORMATS, LasHeader, format_from_schema
     from .pointcloud_common import headers_with_sizes
 
+    computed = computed or {}
+    out_scale, out_offset = out_grid if out_grid else (
+        (0.01, 0.01, 0.01), (0.0, 0.0, 0.0)
+    )
     schema = df.schema
     if "fid" not in schema.names:
         return None
@@ -342,11 +379,22 @@ def _las_fused_plan(df, where, path, overwrite, projected=None):
             tuple((e.name, e.np_char) for e in h.extra_fields),
         ) != sig0:
             return None  # heterogeneous layout → general sink re-encodes
-    # the general sink re-grids onto its option grid (default 0.01 / 0)
-    # and writes version minor 2; byte-copy is only equivalent when the
-    # sources already sit on exactly that grid/version
-    if h0.scale != (0.01, 0.01, 0.01) or h0.offset != (0.0, 0.0, 0.0):
-        return None
+    # the general sink stamps its OPTION grid (default 0.01 / 0) while
+    # passing raw ints through: a non-computed axis byte-copies, so its
+    # source grid must already equal the option grid; a computed axis
+    # re-derives its raw values, so its source grid is free (the source
+    # scale/offset are baked into the replayed expression's literals).
+    # The sink also writes version minor 2 unconditionally.
+    for ax, name in enumerate("xyz"):
+        if name in computed:
+            continue
+        if h0.scale[ax] != out_scale[ax] or h0.offset[ax] != out_offset[ax]:
+            return _no(
+                f"source grid for {name!r} ({h0.scale[ax]}, {h0.offset[ax]})"
+                f" differs from the writer grid ({out_scale[ax]},"
+                f" {out_offset[ax]}) and the column is not re-computed —"
+                " the general sink relabels raw values onto its grid"
+            )
     if any(h.version_minor != 2 for h in headers):
         return None
     if h0.pdr_format >= 6 or sum(h.pdr_nb for h in headers) >= 2**32:
@@ -415,6 +463,15 @@ def _las_fused_plan(df, where, path, overwrite, projected=None):
             val = h0.offset[ax] + h0.scale[ax] * val
         translated.append((name, op, val))
     where = translated
+    # per-column cast evalMode, when Catalyst exposed it, wins over the
+    # session conf; programs extracted under DIFFERENT modes in one plan
+    # cannot share the transcoder's single overflow semantic — fall back
+    modes = {m for _, m in computed.values() if m is not None}
+    if len(modes) > 1:
+        return _no("computed columns mix ANSI and LEGACY cast modes")
+    ansi_eff = modes.pop() if modes else bool(ansi)
+    compute = {k: p for k, (p, _) in computed.items()} or None
+    grid = (tuple(out_scale), tuple(out_offset))
 
     def _run(spark, out_dir):
         from .pointcloud_common import clear_existing_outputs
@@ -423,7 +480,8 @@ def _las_fused_plan(df, where, path, overwrite, projected=None):
         os.makedirs(out_dir, exist_ok=True)
         clear_existing_outputs(out_dir, ".las", overwrite)
         transcode_las_tiled(
-            spark, paths, out_dir, where=where or None, project=project
+            spark, paths, out_dir, where=where or None, project=project,
+            compute=compute, out_grid=grid, ansi=ansi_eff,
         )
 
     return _run
@@ -610,19 +668,66 @@ def plan_fused_save(df, source: str, path: str, mode, options, partition_by=None
         return _no(f"partitionBy={partition_by!r} requested")
     if str(options.get("fusedwrite", "true")).lower() == "false":
         return _no("fusedWrite=false")
-    bad = sorted(k for k in options if k not in _NEUTRAL_WRITE_OPTS)
+    # scale/offset stay re-encoding options for PLY/PCD, but for LAS they
+    # only pick the OUTPUT HEADER grid (the sink passes raw ints through
+    # regardless, las.py) — the byte path replicates that exactly, so for
+    # LAS they are grid parameters, not disqualifiers (re-grid shape,
+    # VERDICT r11 #1)
+    grid_opt_keys = {"scale", "offset"} if source == "las" else set()
+    bad = sorted(
+        k for k in options
+        if k not in _NEUTRAL_WRITE_OPTS and k not in grid_opt_keys
+    )
     if bad:
         return _no(f"write options {bad} request re-encoding")
+    out_grid = None
+    if source == "las":
+        try:
+            # the sink's exact parse (las.py LasWriter.__init__); a
+            # malformed value or wrong arity declines so the general
+            # sink surfaces its own error
+            out_scale = tuple(
+                float(v)
+                for v in str(options.get("scale", "0.01,0.01,0.01")).split(",")
+            )
+            out_offset = tuple(
+                float(v) for v in str(options.get("offset", "0,0,0")).split(",")
+            )
+        except ValueError:
+            return _no("unparseable scale/offset write option")
+        if len(out_scale) != 3 or len(out_offset) != 3:
+            return _no("scale/offset write options must be comma triples")
+        out_grid = (out_scale, out_offset)
     if mode not in (None, "error", "errorifexists", "overwrite"):
         return _no(f"write mode {mode!r} unsupported by the byte path")
     extracted = _extract_scan_filter(df)
     if extracted is None:
         return None  # _extract_scan_filter recorded the reason
-    if extracted[0] != source:
+    src_name, where, projected, computed = extracted
+    if src_name != source:
         return _no(
-            f"plan scans {extracted[0]!r} but the write format is {source!r}"
+            f"plan scans {src_name!r} but the write format is {source!r}"
         )
-    run = planner(df, extracted[1], path, mode == "overwrite", extracted[2])
+    if source == "las":
+        try:
+            ansi = (
+                str(df.sparkSession.conf.get("spark.sql.ansi.enabled", "true"))
+                .lower()
+                != "false"
+            )
+        except Exception:
+            ansi = True
+        run = planner(
+            df, where, path, mode == "overwrite", projected,
+            computed=computed, out_grid=out_grid, ansi=ansi,
+        )
+    else:
+        if computed:
+            return _no(
+                f"computed columns have no byte-path equivalent for"
+                f" {source!r}"
+            )
+        run = planner(df, where, path, mode == "overwrite", projected)
     if run is None and _LAST_DECLINE is None:
         _no(
             f"source/writer layouts not byte-equivalent for {source!r}"

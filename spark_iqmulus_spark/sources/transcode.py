@@ -138,6 +138,9 @@ def _las_scan_stats(
     filesystem,
     part_dir: str,
     project: list[str] | None = None,
+    compute: dict | None = None,
+    out_grid: tuple | None = None,
+    ansi: bool = True,
 ) -> list:
     """Shared scan stage of the fused LAS byte path: plan record-aligned
     ranges over ``paths``, run ONE Spark job that bulk-reads / filters /
@@ -151,13 +154,38 @@ def _las_scan_stats(
     sink (las.py ``rec = np.zeros(n, dtype)``), so header stats are
     computed from the RE-ENCODED records.  Filters still evaluate on the
     full source record (Catalyst pushes predicates below a Project, so
-    the general sink sees pre-projection values too)."""
+    the general sink sees pre-projection values too).
+
+    ``compute`` maps ``x``/``y``/``z`` to exprprog programs
+    (``sources/exprprog.py``) replayed over each kept record's SOURCE
+    value — the re-grid (computed-column las2las) shape; ``ansi`` picks
+    the cast-overflow semantics the general sink would apply.
+    ``out_grid`` (``(scale3, offset3)``) is the grid the OUTPUT header
+    will declare: stats (world bounds) are computed on it, since that is
+    how the general sink computes them (las.py ``world = self.offset +
+    self.scale * sub[name]``); default is the source grid."""
     h0 = headers[0]
     fmt = h0.pdr_format
     stride = h0.stride
     scale, offset = h0.scale, h0.offset
+    # the OUTPUT header's grid drives the world-bound stats (general-sink
+    # rule); filters below keep comparing on the SOURCE grid
+    stat_scale, stat_offset = out_grid if out_grid is not None else (scale, offset)
     point_fields = h0.point_fields  # [(name, np_char)] incl. extras
     extra_names = [e.name for e in h0.extra_fields]
+    if compute:
+        bad = sorted(set(compute) - {"x", "y", "z"})
+        if bad:
+            raise ValueError(f"compute supports only x/y/z, got {bad}")
+        rec_itemsize = np.dtype(
+            [(n, "<" + c) for n, c in point_fields]
+        ).itemsize
+        if rec_itemsize != stride:
+            raise ValueError(
+                "compute requires a standard pdr_length (structured"
+                " re-encode would drop undescribed trailing bytes) — use"
+                " df.write.format('las')"
+            )
     if where:
         known = {n for n, _ in point_fields}
         for name, op, _ in where:
@@ -195,10 +223,14 @@ def _las_scan_stats(
     ret_field = "flags" if fmt < 6 else "return"
     n_extras = len(extra_names)
     where_local = list(where) if where else []
+    compute_local = sorted(compute.items()) if compute else []
+    ansi_local = bool(ansi)
     fs = filesystem  # picklable (pyarrow.fs); carried into the workers
 
     def _work(iterator):
         import pandas as pd
+
+        from .exprprog import eval_program
 
         rec_dtype = np.dtype(rec_dtype_spec)
         for pdf in iterator:
@@ -238,6 +270,16 @@ def _las_scan_stats(
                     enc = np.zeros(len(kept), dtype=np.dtype(out_dtype_spec))
                     for nm in copy_names:
                         enc[nm] = kept[nm]
+                    # computed columns replay over the SOURCE value (the
+                    # general sink's Project also reads pre-projection
+                    # attributes), overwriting the plain copy
+                    for nm, prg in compute_local:
+                        enc[nm] = eval_program(prg, kept[nm], ansi_local)
+                    kept = kept_raw = enc
+                elif compute_local:
+                    enc = kept.copy()
+                    for nm, prg in compute_local:
+                        enc[nm] = eval_program(prg, kept[nm], ansi_local)
                     kept = kept_raw = enc
                 m = len(kept)
                 pmin, pmax = [0.0] * 3, [0.0] * 3
@@ -248,9 +290,9 @@ def _las_scan_stats(
                 emin, emax = [""] * n_extras, [""] * n_extras
                 if m:
                     for ax, name in enumerate("xyz"):
-                        world = offset[ax] + scale[ax] * kept[name].astype(
-                            np.float64
-                        )
+                        world = stat_offset[ax] + stat_scale[ax] * kept[
+                            name
+                        ].astype(np.float64)
                         pmin[ax] = float(world.min())
                         pmax[ax] = float(world.max())
                     r = (
@@ -363,6 +405,19 @@ def _projected_header(h: LasHeader, project: list[str]) -> LasHeader:
     )
 
 
+def _grid_header(h: LasHeader, out_grid) -> LasHeader:
+    """Header for the re-grid shape: the output declares ``out_grid``
+    (scale/offset triples) — the general sink's rule (header grid comes
+    from the writer options, las.py ``LasHeader(scale=self.scale, ...)``)."""
+    import dataclasses
+
+    if out_grid is None:
+        return h
+    return dataclasses.replace(
+        h, scale=tuple(out_grid[0]), offset=tuple(out_grid[1])
+    )
+
+
 def transcode_las(
     spark: SparkSession,
     src,
@@ -371,6 +426,9 @@ def transcode_las(
     target_bytes: int = _TARGET_BYTES,
     filesystem=None,
     project: list[str] | None = None,
+    compute: dict | None = None,
+    out_grid: tuple | None = None,
+    ansi: bool = True,
 ) -> dict:
     """Merge (and optionally filter) LAS tiles into ONE valid ``.las`` file.
 
@@ -380,7 +438,12 @@ def transcode_las(
     ``project`` keeps only those point fields, re-encoding records onto
     the smallest standard point format that covers them (zero-filling its
     other fields, the general-sink rule) — the las2las column-subset
-    shape.  ``filesystem`` (optional ``pyarrow.fs.FileSystem``, see
+    shape.  ``compute`` maps ``x``/``y``/``z`` to exprprog programs
+    (sources/exprprog.py) replayed over each kept record's source value,
+    and ``out_grid`` (``(scale3, offset3)``) sets the output header's
+    grid — together the re-grid las2las shape; ``ansi`` picks the
+    cast-overflow semantics (raise vs JVM d2i saturate).
+    ``filesystem`` (optional ``pyarrow.fs.FileSystem``, see
     fsio.py) routes ALL byte I/O — source reads, worker part writes,
     driver commit — through that filesystem; pyarrow filesystems pickle,
     so the worker closures carry it.  Default ``None`` keeps the POSIX
@@ -396,12 +459,13 @@ def transcode_las(
     _check_uniform(headers, paths)
     minor = max(h.version_minor for h in headers)
     h_out = headers[0] if project is None else _projected_header(headers[0], project)
+    h_out = _grid_header(h_out, out_grid)
     part_dir = out_path + f".parts-{uuid.uuid4().hex[:8]}"
     fsio.makedirs(part_dir, filesystem)
     try:
         stats = _las_scan_stats(
             spark, paths, headers, where, target_bytes, filesystem, part_dir,
-            project=project,
+            project=project, compute=compute, out_grid=out_grid, ansi=ansi,
         )
         total = _merge_las_stats(out_path, stats, h_out, minor, filesystem)
     finally:
@@ -423,11 +487,16 @@ def transcode_las_tiled(
     target_bytes: int = _TARGET_BYTES,
     filesystem=None,
     project: list[str] | None = None,
+    compute: dict | None = None,
+    out_grid: tuple | None = None,
+    ansi: bool = True,
 ) -> dict:
     """Filter/copy LAS tiles into ``out_dir``, ONE output per source tile
     (the name-restoring shape of ``df.write.format("las")``), through the
     same fused byte path as ``transcode_las`` — one Spark job over spec
     rows, per-destination commits merged concurrently.
+    ``compute``/``out_grid``/``ansi`` are the re-grid shape, exactly as in
+    ``transcode_las``.
 
     ``names`` maps source index (fid) → output basename; default is the
     writer's fid-restore convention (source basename, ``-fid<N>``
@@ -457,7 +526,7 @@ def transcode_las_tiled(
     try:
         stats = _las_scan_stats(
             spark, paths, headers, where, target_bytes, filesystem, part_dir,
-            project=project,
+            project=project, compute=compute, out_grid=out_grid, ansi=ansi,
         )
         by_fid: dict[int, list] = {}
         for r in stats:
@@ -466,8 +535,11 @@ def transcode_las_tiled(
             (
                 out_dir.rstrip("/") + "/" + names[fid],
                 rows,
-                headers[fid] if project is None
-                else _projected_header(headers[fid], project),
+                _grid_header(
+                    headers[fid] if project is None
+                    else _projected_header(headers[fid], project),
+                    out_grid,
+                ),
                 headers[fid].version_minor,
                 filesystem,
             )

@@ -672,3 +672,226 @@ def test_truncated_source_falls_back_and_matches_general(spark, tmp_path):
     out = str(tmp_path / "out")
     df.write.format("las").mode("overwrite").save(out)  # general sink
     assert spark.read.format("las").load(out).count() == 1200
+
+
+# --- re-grid (computed-column) fused write — round 12 ---------------------
+
+
+def _regrid_df_fn(spark, tiles, scale, offset, flt=None):
+    from spark_iqmulus_spark.functions.scaled import regrid
+
+    def df_fn():
+        df = spark.read.format("las").load(tiles)
+        if flt is not None:
+            df = df.where(flt)
+        return regrid(df, scale, offset)
+
+    return df_fn
+
+
+def _grid_opts(scale, offset):
+    return {
+        "scale": ",".join(repr(v) for v in scale),
+        "offset": ",".join(repr(v) for v in offset),
+    }
+
+
+def test_regrid_write_fuses_and_equals_general(spark, tiles, tmp_path):
+    """The headline re-grid shape: read → filter → regrid → write with the
+    matching writer grid engages the byte path and matches the general
+    sink row-for-row AND header-for-header (grid, bounds, counts)."""
+    from spark_iqmulus_spark.sources import fused_write as fw
+    from spark_iqmulus_spark.sources.las_format import LasHeader
+
+    scale, offset = (0.002, 0.002, 0.002), (100.0, 0.0, -5.0)
+    df_fn = _regrid_df_fn(
+        spark, tiles, scale, offset, flt=F.col("classification") <= 3
+    )
+    opts = _grid_opts(scale, offset)
+    run = fw.plan_fused_save(
+        df_fn(), "las", str(tmp_path / "r"), "overwrite", dict(opts)
+    )
+    assert run is not None, fw._LAST_DECLINE
+
+    outg = str(tmp_path / "rg_general")
+    outf = str(tmp_path / "rg_fused")
+    w = df_fn().write.format("las").mode("overwrite")
+    for k, v in opts.items():
+        w = w.option(k, v)
+    w.option("fusedWrite", "false").save(outg)
+    w2 = df_fn().write.format("las").mode("overwrite")
+    for k, v in opts.items():
+        w2 = w2.option(k, v)
+    w2.save(outf)
+
+    assert _names(outg) == _names(outf) == ["tile_a.las", "tile_b.las"]
+    rows = _rows(spark, outf)
+    assert rows and rows == _rows(spark, outg)
+    for nm in _names(outf):
+        hf = LasHeader.parse_file(os.path.join(outf, nm))
+        hg = LasHeader.parse_file(os.path.join(outg, nm))
+        assert hf.scale == hg.scale == scale
+        assert hf.offset == hg.offset == offset
+        assert (hf.pdr_nb, hf.pmin, hf.pmax, hf.pdr_return_nb) == (
+            hg.pdr_nb, hg.pmin, hg.pmax, hg.pdr_return_nb
+        )
+
+
+def test_regrid_grid_boundary_rounding_matches(spark, tmp_path):
+    """Adversarial .5 ties: halving the grid (0.01 → 0.02) puts every odd
+    raw value EXACTLY on a .5 boundary in float64 (fl(0.02) = 2·fl(0.01)).
+    Spark rounds HALF_UP (away from zero) — a replay using numpy's
+    half-even round would shift points one grid cell.  Asserts exact
+    expected raws on both signs AND fused == general."""
+    from spark_iqmulus_spark.functions.scaled import regrid
+    from spark_iqmulus_spark.sources import fused_write as fw
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1,), (-1,), (0,), (2,), (-2,), (4,)], "x int"
+    ).write.format("las").mode("overwrite").save(src)
+
+    scale, offset = (0.02, 0.02, 0.02), (0.0, 0.0, 0.0)
+    opts = _grid_opts(scale, offset)
+
+    def df_fn():
+        return regrid(spark.read.format("las").load(src), scale, offset)
+
+    assert (
+        fw.plan_fused_save(
+            df_fn(), "las", str(tmp_path / "p"), "overwrite", dict(opts)
+        )
+        is not None
+    ), fw._LAST_DECLINE
+    outg, outf = str(tmp_path / "bg"), str(tmp_path / "bf")
+    df_fn().write.format("las").mode("overwrite").options(**opts).option(
+        "fusedWrite", "false"
+    ).save(outg)
+    df_fn().write.format("las").mode("overwrite").options(**opts).save(outf)
+    xs_f = sorted(r["x"] for r in spark.read.format("las").load(outf).collect())
+    xs_g = sorted(r["x"] for r in spark.read.format("las").load(outg).collect())
+    # HALF_UP: 1 → 0.5 → 1; −1 → −0.5 → −1 (away from zero); 2 → 1; 4 → 2
+    assert xs_f == xs_g == [-1, -1, 0, 1, 1, 2]
+
+
+def test_regrid_source_grid_differs_without_compute_falls_back(
+    spark, tiles, tmp_path
+):
+    """scale/offset options WITHOUT recomputed x/y/z: the sink relabels raw
+    values onto the option grid — byte-copy is only equivalent when the
+    source already sits on that grid, so a differing grid declines."""
+    from spark_iqmulus_spark.sources import fused_write as fw
+
+    df = spark.read.format("las").load(tiles)
+    opts = _grid_opts((0.5, 0.5, 0.5), (0.0, 0.0, 0.0))
+    assert (
+        fw.plan_fused_save(df, "las", str(tmp_path / "x"), "overwrite", dict(opts))
+        is None
+    )
+    assert "grid" in (fw._LAST_DECLINE or "")
+    # …but matching options (the source's own grid) DO fuse: they are the
+    # sink's defaults spelled explicitly
+    opts2 = _grid_opts((0.01, 0.01, 0.01), (0.0, 0.0, 0.0))
+    assert (
+        fw.plan_fused_save(df, "las", str(tmp_path / "y"), "overwrite", dict(opts2))
+        is not None
+    )
+
+
+def test_regrid_unreplayable_expressions_fall_back(spark, tiles, tmp_path):
+    """Outside the replayable node set → general sink: another column's
+    attribute, a non-zero round scale, a non-xyz computed target, and a
+    computation without the int cast root."""
+    from spark_iqmulus_spark.sources import fused_write as fw
+
+    df = spark.read.format("las").load(tiles)
+    out = str(tmp_path / "o")
+
+    def declined(frame):
+        assert (
+            fw.plan_fused_save(frame, "las", out, "overwrite", {}) is None
+        )
+        assert "replay" in (fw._LAST_DECLINE or "") or "computed" in (
+            fw._LAST_DECLINE or ""
+        ), fw._LAST_DECLINE
+
+    wx = F.lit(0.0) + F.lit(0.01) * F.col("y").cast("double")  # wrong column
+    declined(df.withColumn("x", F.round(wx / F.lit(0.002), 0).cast("int")))
+    wx2 = F.lit(0.0) + F.lit(0.01) * F.col("x").cast("double")
+    declined(df.withColumn("x", F.round(wx2 / F.lit(0.002), 2).cast("int")))
+    declined(
+        df.withColumn(
+            "intensity",
+            F.round(F.col("intensity").cast("double") * F.lit(2.0), 0).cast(
+                "smallint"
+            ),
+        )
+    )
+    declined(df.withColumn("x", F.sqrt(F.col("x").cast("double")).cast("int")))
+
+
+def test_regrid_ansi_overflow_fails_like_general_sink(spark, tiles, tmp_path):
+    """A re-grid that overflows int32: under ANSI (Spark 4 default) the
+    general sink's job fails with CAST_OVERFLOW — the fused byte path must
+    also FAIL (worker-side ArithmeticError), never silently saturate."""
+    from py4j.protocol import Py4JJavaError
+
+    from spark_iqmulus_spark.functions.scaled import regrid
+
+    scale, offset = (1e-12, 1e-12, 1e-12), (0.0, 0.0, 0.0)
+    opts = _grid_opts(scale, offset)
+
+    def df_fn():
+        return regrid(spark.read.format("las").load(tiles), scale, offset)
+
+    with pytest.raises(Exception) as exc_f:
+        df_fn().write.format("las").mode("overwrite").options(**opts).save(
+            str(tmp_path / "of")
+        )
+    assert "CAST_OVERFLOW" in str(exc_f.value)
+    with pytest.raises((Exception, Py4JJavaError)) as exc_g:
+        df_fn().write.format("las").mode("overwrite").options(**opts).option(
+            "fusedWrite", "false"
+        ).save(str(tmp_path / "og"))
+    assert "CAST_OVERFLOW" in str(exc_g.value)
+
+
+def test_regrid_with_projection_fuses_and_equals_general(spark, tiles, tmp_path):
+    """select(subset) + regrid in one Project: re-encode onto the smallest
+    covering format AND replay the computed x — both at once."""
+    from spark_iqmulus_spark.functions.scaled import regrid
+    from spark_iqmulus_spark.sources import fused_write as fw
+    from spark_iqmulus_spark.sources.las_format import LasHeader
+
+    scale, offset = (0.005, 0.01, 0.01), (2.0, 0.0, 0.0)
+    opts = _grid_opts(scale, offset)
+
+    def df_fn():
+        df = (
+            spark.read.format("las")
+            .load(tiles)
+            .where(F.col("intensity") <= 2000)
+            .select("fid", "x", "y", "z", "intensity")
+        )
+        # only x moves grid; y/z stay on the source grid (per-axis gate)
+        return regrid(df, scale, offset, names=("x",))
+
+    assert (
+        fw.plan_fused_save(
+            df_fn(), "las", str(tmp_path / "p"), "overwrite", dict(opts)
+        )
+        is not None
+    ), fw._LAST_DECLINE
+    outg, outf = str(tmp_path / "prg"), str(tmp_path / "prf")
+    df_fn().write.format("las").mode("overwrite").options(**opts).option(
+        "fusedWrite", "false"
+    ).save(outg)
+    df_fn().write.format("las").mode("overwrite").options(**opts).save(outf)
+    rows = _rows(spark, outf)
+    assert rows and rows == _rows(spark, outg)
+    for nm in _names(outf):
+        hf = LasHeader.parse_file(os.path.join(outf, nm))
+        hg = LasHeader.parse_file(os.path.join(outg, nm))
+        assert hf.pdr_format == hg.pdr_format == 0
+        assert hf.scale == hg.scale == scale
+        assert (hf.pdr_nb, hf.pmin, hf.pmax) == (hg.pdr_nb, hg.pmin, hg.pmax)
