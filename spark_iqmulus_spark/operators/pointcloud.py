@@ -459,6 +459,56 @@ def q_pc_fastcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pc_fastminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-backed MIN/MAX over bounds-less formats (round 12 —
+    VERDICT r11 next #2): PLY/PCD headers carry no bounds, so the LAS
+    header min/max fast path could never apply — but a FRESH scan-stats
+    manifest (plans/manifest.py::build_manifest_scan, the Iceberg model)
+    does.  ``.option("manifest", path)`` + stock ``df.agg(min/max/count)``
+    answers O(files) from the manifest parquet with ZERO scan jobs when
+    every file's mtime+size matches its manifest row, and declines to the
+    real scan otherwise (plans/fused_read.py::_try_manifest_aggregate).
+    The oracle recomputes both formats' stats from ``part``, so a stale
+    or wrong manifest answer hash-fails."""
+    import glob
+
+    from ..plans.manifest import write_manifest_scan
+
+    register_sources(spark)
+    out_rows = []
+    for fmt, dir_fn, cols in (
+        ("ply", _ply_dir, ("x", "z")),
+        ("pcd", _pcd_dir, ("x", "z")),
+    ):
+        src = dir_fn(spark, sf_dir)
+        key = (sf_dir, f"{fmt}_manifest_stats")
+        if key not in _CACHE or not os.path.exists(_CACHE[key]):
+            mpath = os.path.join(tempfile.mkdtemp(prefix="pc_mstat_"), "manifest")
+            write_manifest_scan(
+                spark, sorted(glob.glob(os.path.join(src, f"*.{fmt}"))), mpath,
+                fmt=fmt,
+            )
+            _CACHE[key] = mpath
+        df = spark.read.format(fmt).option("manifest", _CACHE[key]).load(src)
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("x").alias("min_x"),
+            F.max("z").alias("max_z"),
+        ).collect()[0]
+        out_rows.append((fmt, row["n"], float(row["min_x"]), float(row["max_z"])))
+    return (
+        spark.createDataFrame(
+            out_rows, "fmt string, n bigint, min_x double, max_z double"
+        )
+        .select(
+            "fmt",
+            "n",
+            F.round("min_x", 4).alias("min_x"),
+            F.round("max_z", 4).alias("max_z"),
+        )
+    )
+
+
 def q_las_transcode_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Projected las2las via the STOCK write API (round 10 — VERDICT r9
     item 4): ``read → filter → select(core subset) → write.format("las")``
@@ -729,6 +779,7 @@ QUERIES = {
     "q_las_transcode": q_las_transcode,
     "q_las_fastcount": q_las_fastcount,
     "q_pc_fastcount": q_pc_fastcount,
+    "q_pc_fastminmax": q_pc_fastminmax,
     "q_las_transcode_project": q_las_transcode_project,
     "q_las_regrid": q_las_regrid,
     "q_ply_transcode": q_ply_transcode,
@@ -810,6 +861,17 @@ ORACLES = {
     """,
     "q_pc_fastcount": """
         SELECT count(*) AS n_ply, count(*) AS n_pcd FROM part
+    """,
+    "q_pc_fastminmax": f"""
+        SELECT 'ply' AS fmt, count(*) AS n,
+               round(CAST(min(CAST(p_partkey AS REAL)) AS DOUBLE), 4) AS min_x,
+               round(CAST(max(CAST({_Z} AS REAL)) AS DOUBLE), 4) AS max_z
+        FROM part
+        UNION ALL
+        SELECT 'pcd' AS fmt, count(*) AS n,
+               round(CAST(min(CAST(p_partkey AS REAL)) AS DOUBLE), 4) AS min_x,
+               round(CAST(max(CAST({_Z} AS REAL)) AS DOUBLE), 4) AS max_z
+        FROM part
     """,
     "q_las_transcode_project": """
         SELECT count(*) AS n,

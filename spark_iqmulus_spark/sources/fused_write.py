@@ -184,8 +184,12 @@ def _translate_filter(cond):
 #: so a relation carrying them is still byte-equivalent to the raw files.
 #: ``columns`` (in-scan pruning) is handled separately as the read-option
 #: spelling of a projection; ``ignorecorruptfiles`` (skips files the
-#: transcoder would read) changes the output → general sink.
-_NEUTRAL_READ_OPTS = {"path", "paths", "pushdown", "partition_bytes", "partitionbytes"}
+#: transcoder would read) changes the output → general sink; ``manifest``
+#: is a stats hint the scan itself ignores (plans/fused_read.py).
+_NEUTRAL_READ_OPTS = {
+    "path", "paths", "pushdown", "partition_bytes", "partitionbytes",
+    "manifest",
+}
 
 
 def _extract_scan_filter(df):

@@ -372,3 +372,124 @@ def test_smart_verify_scan_bypasses_fast_path(spark, tiles):
 
     fast = smart_las(spark, tiles, verify=False)
     assert _try_header_count(fast.toDF()) == 8000  # non-verify stays fast
+
+
+# --- manifest-backed min/max for bounds-less formats — round 12 ------------
+
+
+@pytest.fixture()
+def ply_manifested(spark, tmp_path):
+    """Two PLY tiles + a fresh scan-stats manifest over exactly them."""
+    import glob
+
+    from spark_iqmulus_spark.plans.manifest import write_manifest_scan
+
+    d = tmp_path / "plym"
+    d.mkdir()
+    make_ply_xyz(str(d / "a.ply"), n=4000)
+    make_ply_xyz(str(d / "b.ply"), n=2500, seed=9)
+    mpath = str(tmp_path / "manifest")
+    write_manifest_scan(spark, sorted(glob.glob(str(d / "*.ply"))), mpath, fmt="ply")
+    return str(d), mpath
+
+
+def test_manifest_minmax_zero_jobs_and_matches_scan(spark, ply_manifested):
+    tiles, mpath = ply_manifested
+    df = spark.read.format("ply").option("manifest", mpath).load(tiles)
+    aggd = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("x").alias("min_x"),
+        F.max("z").alias("max_z"),
+    )
+    before = _jobs(spark)
+    fast = aggd.collect()
+    assert _jobs(spark) == before  # answered from the manifest, zero jobs
+    real = _real(aggd, lambda d: d.collect())
+    assert fast == real
+    assert fast[0]["n"] == 6500
+
+
+def test_manifest_minmax_without_option_scans(spark, ply_manifested):
+    tiles, _ = ply_manifested
+    df = spark.read.format("ply").load(tiles)
+    aggd = df.agg(F.min("x").alias("min_x"))
+    before = _jobs(spark)
+    aggd.collect()
+    assert len(_jobs(spark) - before) >= 1  # no manifest hint → real scan
+
+
+def test_manifest_stale_falls_back(spark, ply_manifested):
+    import os
+
+    tiles, mpath = ply_manifested
+    victim = os.path.join(tiles, "a.ply")
+    os.utime(victim, ns=(123456789, 987654321000000000))  # mtime drift
+    df = spark.read.format("ply").option("manifest", mpath).load(tiles)
+    aggd = df.agg(F.min("x").alias("min_x"), F.max("x").alias("max_x"))
+    before = _jobs(spark)
+    rows = aggd.collect()
+    assert len(_jobs(spark) - before) >= 1  # stale → real scan
+    assert rows == _real(aggd, lambda d: d.collect())
+
+
+def test_manifest_file_set_mismatch_falls_back(spark, ply_manifested, tmp_path):
+    """Manifest covering a DIFFERENT file set (here: a superset after a
+    new tile arrives) must decline — its bounds describe other files."""
+    tiles, mpath = ply_manifested
+    make_ply_xyz(str(tmp_path / "plym" / "c.ply"), n=100, seed=3)
+    df = spark.read.format("ply").option("manifest", mpath).load(tiles)
+    aggd = df.agg(F.min("x").alias("min_x"))
+    before = _jobs(spark)
+    rows = aggd.collect()
+    assert len(_jobs(spark) - before) >= 1
+    assert rows == _real(aggd, lambda d: d.collect())
+
+
+def test_manifest_count_col_needs_presence_proof(spark, ply_manifested):
+    """count(col) through the manifest path still runs the per-file
+    presence proof against headers (merged-schema null-fill)."""
+    tiles, mpath = ply_manifested
+    df = spark.read.format("ply").option("manifest", mpath).load(tiles)
+    aggd = df.agg(F.count("x").alias("nx"), F.min("x").alias("min_x"))
+    before = _jobs(spark)
+    rows = aggd.collect()
+    assert _jobs(spark) == before  # x present in every tile → zero jobs
+    assert rows == _real(aggd, lambda d: d.collect())
+
+
+def test_manifest_pcd_minmax_zero_jobs(spark, tmp_path):
+    import glob
+
+    from spark_iqmulus_spark.plans.manifest import write_manifest_scan
+
+    d = tmp_path / "pcdm"
+    d.mkdir()
+    make_pcd(str(d / "a.pcd"), n=3000)
+    make_pcd(str(d / "b.pcd"), n=1500, seed=5)
+    mpath = str(tmp_path / "pcd_manifest")
+    write_manifest_scan(spark, sorted(glob.glob(str(d / "*.pcd"))), mpath, fmt="pcd")
+    df = spark.read.format("pcd").option("manifest", mpath).load(str(d))
+    aggd = df.agg(F.min("y").alias("min_y"), F.max("y").alias("max_y"))
+    before = _jobs(spark)
+    fast = aggd.collect()
+    assert _jobs(spark) == before
+    assert fast == _real(aggd, lambda d: d.collect())
+
+
+def test_manifest_las_still_answers_from_headers(spark, tiles, tmp_path):
+    """A manifest hint on a LAS scan is neutral: headers already carry
+    bounds, so min/max stays zero-job through the HEADER path."""
+    import glob
+
+    from spark_iqmulus_spark.plans.manifest import write_manifest_scan
+
+    mpath = str(tmp_path / "las_manifest")
+    write_manifest_scan(
+        spark, sorted(glob.glob(tiles + "/*.las")), mpath, fmt="las"
+    )
+    df = spark.read.format("las").option("manifest", mpath).load(tiles)
+    aggd = df.agg(F.min("x").alias("min_x"))
+    before = _jobs(spark)
+    fast = aggd.collect()
+    assert _jobs(spark) == before
+    assert fast == _real(aggd, lambda d: d.collect())
