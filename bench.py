@@ -189,6 +189,23 @@ def main() -> None:
                 "unit": "sec",
                 "queries": results,
                 "spread": SPREAD,
+                # self-describing comparison grade (VERDICT r11 next #5):
+                # these metrics have DOCUMENTED session-to-session spread up
+                # to 5× (BASELINE.md §round-10/11 — page cache, JIT, part
+                # placement), so a single-session number here is NOT
+                # comparison-grade against the frozen baselines; compare
+                # them only through tools/ab.py's interleaved multi-session
+                # median-of-medians protocol (which froze their BASELINE.md
+                # rows).  Everything not listed is in-session stable
+                # (see "spread") and comparable directly.
+                "single_session_only": sorted(
+                    k for k in (
+                        "bench_las_transcode",
+                        "bench_ply_transcode",
+                        "bench_write_roundtrip",
+                        "bench_write_general",
+                    ) if k in results
+                ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

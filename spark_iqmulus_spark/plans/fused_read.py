@@ -111,11 +111,25 @@ def _scan_relation(node, neutral_opts):
     while it.hasNext():
         e = it.next()
         opts[str(e.getKey()).lower()] = str(e.getValue())
-    if any(k not in neutral_opts for k in opts):
+    # explicit fail-fast is output-neutral: the scan then either equals
+    # the raw files or RAISES — and every raise case (unparseable header,
+    # short body) already declines through the parse/stat guards, so the
+    # real path surfaces the same failure.  ignoreCorruptFiles=TRUE
+    # (skip/partial semantics) stays disqualifying as before.  This keeps
+    # the fast paths live for sessions that set the conf to false
+    # (sources/conf_bridge.py injects it on every read).
+    checked = {
+        k: v for k, v in opts.items()
+        if not (k == "ignorecorruptfiles" and v.strip().lower() == "false")
+    }
+    if any(k not in neutral_opts for k in checked):
         return None
     if opts.get("fusedread", "true").lower() == "false":
         return None
-    return source, opts
+    # downstream gates (min/max, manifest) re-check their own neutral
+    # sets — hand them the filtered dict so the neutralized key is
+    # neutral there too
+    return source, checked
 
 
 def _paths_for(source: str, opts: dict) -> list[str]:

@@ -15,6 +15,7 @@ def register_sources(spark: SparkSession) -> None:
     ``.option("fusedRead", "false")`` or the ``spark.iqmulus.fusedRead``
     conf opts out)."""
     from ..plans.fused_read import install_fused_read
+    from .conf_bridge import install_reader_conf_bridge
     from .fused_write import install_fused_write
     from .las import LasDataSource
     from .pcd import PcdDataSource
@@ -25,3 +26,4 @@ def register_sources(spark: SparkSession) -> None:
     spark.dataSource.register(PcdDataSource)
     install_fused_write()
     install_fused_read()
+    install_reader_conf_bridge()

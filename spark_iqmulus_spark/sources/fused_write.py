@@ -277,12 +277,24 @@ def _extract_scan_filter(df):
     pruned_scan = False
     it = rel.options().entrySet().iterator()
     while it.hasNext():
-        k = str(it.next().getKey()).lower()
+        e = it.next()
+        k = str(e.getKey()).lower()
         if k == "columns":
             # in-scan pruning is the read-option spelling of a projection:
             # the scan's (and hence the write's) columns are the pruned
             # set, which the projected byte path reproduces exactly
             pruned_scan = True
+            continue
+        if (
+            k == "ignorecorruptfiles"
+            and str(e.getValue()).strip().lower() == "false"
+        ):
+            # explicit fail-fast is output-neutral for the write gate: the
+            # scan equals the raw files or RAISES, and every raise case
+            # already declines (header-parse catch, truncation stat-guard)
+            # so the general sink surfaces the same failure.  TRUE
+            # (skip/partial) stays disqualifying.  Keeps the fused write
+            # live under the conf bridge (sources/conf_bridge.py).
             continue
         if k not in _NEUTRAL_READ_OPTS:
             return _no(f"read option {k!r} can change the scan output")

@@ -130,10 +130,12 @@ def ignore_corrupt_option(options) -> bool:
     parse failures were guarded (VERDICT r10 #2).
     ``.option("ignoreCorruptFiles", "false")``
     (keys arrive lowercased) opts into strict fail-fast semantics.  The
-    session conf ``spark.sql.files.ignoreCorruptFiles`` cannot be honored:
-    Python data sources are instantiated in a planner-side Python worker
-    process with no SparkSession, so the per-read option is the only knob.
-    """
+    session conf ``spark.sql.files.ignoreCorruptFiles`` cannot be read
+    HERE (Python data sources are instantiated in a planner-side Python
+    worker process with no SparkSession) — but since round 12 an
+    EXPLICITLY-set session conf reaches this option anyway: the
+    driver-side reader patch injects it on every point-cloud ``.load()``
+    (sources/conf_bridge.py); the per-read option still wins."""
     return options.get("ignorecorruptfiles", "true").lower() == "true"
 
 

@@ -1,0 +1,130 @@
+"""Session-conf bridge (sources/conf_bridge.py): an explicitly-set
+``spark.sql.files.ignoreCorruptFiles`` reaches the point-cloud sources as
+the default read option — Spark's fail-fast intent is honored (VERDICT
+r11 next #3) — while the unset default keeps reference-parity skip/partial
+semantics, the per-read option keeps precedence, and the metadata fast
+paths stay live under explicit fail-fast."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from .fixtures import make_las
+
+
+@pytest.fixture()
+def mixed_tiles(tmp_path):
+    """One intact tile + one whose data section is 40% truncated."""
+    d = tmp_path / "tiles"
+    d.mkdir()
+    make_las(str(d / "good.las"), n=4000, fmt=1)
+    p = str(d / "short.las")
+    make_las(p, n=3000, fmt=1, seed=3)
+    with open(p, "rb") as f:
+        blob = f.read()
+    off = struct.unpack_from("<I", blob, 96)[0]
+    stride = struct.unpack_from("<H", blob, 105)[0]
+    with open(p, "wb") as f:
+        f.write(blob[: off + 1800 * stride])
+    return str(d)
+
+
+@pytest.fixture()
+def _conf(spark):
+    """Set/unset helper that guarantees the session conf is cleared."""
+    key = "spark.sql.files.ignoreCorruptFiles"
+
+    def set_(value):
+        spark.conf.set(key, value)
+
+    yield set_
+    try:
+        spark.conf.unset(key)
+    except Exception:
+        pass
+
+
+def _count_real(spark, path):
+    # force the real scan so the assertion exercises decode, not headers
+    return (
+        spark.read.format("las").option("fusedRead", "false").load(path)
+        .count()
+    )
+
+
+def test_conf_unset_keeps_partial_semantics(spark, mixed_tiles):
+    # reference parity default: short body decodes its whole records
+    assert _count_real(spark, mixed_tiles) == 4000 + 1800
+
+
+def test_conf_false_truncated_raises(spark, mixed_tiles, _conf):
+    _conf("false")
+    with pytest.raises(Exception):
+        _count_real(spark, mixed_tiles)
+    # the stock count ALSO fails: the header fast path stat-guards the
+    # short body (decline), and the real scan then fail-fasts
+    with pytest.raises(Exception):
+        spark.read.format("las").load(mixed_tiles).count()
+
+
+def test_conf_true_explicit_matches_default(spark, mixed_tiles, _conf):
+    _conf("true")
+    assert _count_real(spark, mixed_tiles) == 5800
+
+
+def test_per_read_option_wins_over_conf(spark, mixed_tiles, _conf):
+    _conf("false")
+    df = (
+        spark.read.format("las")
+        .option("ignoreCorruptFiles", "true")
+        .option("fusedRead", "false")
+        .load(mixed_tiles)
+    )
+    assert df.count() == 5800
+
+
+def test_conf_false_fast_paths_stay_live(spark, tmp_path, _conf):
+    """Explicit fail-fast must NOT cost the metadata fast paths on intact
+    files: count answers zero-job and the fused write still engages."""
+    from spark_iqmulus_spark.sources import fused_write as fw
+
+    d = tmp_path / "ok"
+    d.mkdir()
+    make_las(str(d / "a.las"), n=2000, fmt=1)
+    _conf("false")
+
+    def _jobs():
+        return set(
+            spark.sparkContext.statusTracker().getJobIdsForGroup(None) or []
+        )
+
+    df = spark.read.format("las").load(str(d))
+    before = _jobs()
+    assert df.count() == 2000
+    assert _jobs() == before  # still the header path, zero jobs
+    run = fw.plan_fused_save(
+        df, "las", str(tmp_path / "o"), "overwrite", {}
+    )
+    assert run is not None, fw._LAST_DECLINE
+
+
+def test_conf_false_unreadable_header_raises(spark, tmp_path, _conf):
+    d = tmp_path / "bad"
+    d.mkdir()
+    make_las(str(d / "a.las"), n=1000, fmt=1)
+    (d / "junk.las").write_bytes(b"not a las file at all")
+    # unset default: skipped with a warning
+    assert _count_real(spark, str(d)) == 1000
+    _conf("false")
+    with pytest.raises(Exception):
+        spark.read.format("las").load(str(d)).count()
+
+
+def test_conf_bridge_leaves_other_formats_alone(spark, tmp_path, _conf):
+    _conf("false")
+    p = str(tmp_path / "pq")
+    spark.range(10).write.mode("overwrite").parquet(p)
+    assert spark.read.format("parquet").load(p).count() == 10

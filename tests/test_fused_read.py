@@ -493,3 +493,24 @@ def test_manifest_las_still_answers_from_headers(spark, tiles, tmp_path):
     fast = aggd.collect()
     assert _jobs(spark) == before
     assert fast == _real(aggd, lambda d: d.collect())
+
+
+def test_count_column_mixed_ply_layouts_falls_back(spark, tmp_path):
+    """The PLY-element twin of the mixed-format count(col) gate (VERDICT
+    r11 next #7): a property present in only SOME tiles null-fills under
+    the merged schema, so count(red) must real-scan while count(x) stays
+    a zero-job header answer."""
+    d = tmp_path / "mixed_ply"
+    d.mkdir()
+    make_ply_xyz(str(d / "rgb.ply"), n=800, rgb=True)
+    make_ply_xyz(str(d / "plain.ply"), n=600, seed=4)  # no r/g/b properties
+    df = spark.read.format("ply").load(str(d))
+    q = df.agg(F.count("r").alias("n"))
+    before = _jobs(spark)
+    rows = q.collect()
+    assert len(_jobs(spark) - before) >= 1  # real scan, not headers
+    assert rows[0]["n"] == 800 and rows == _real(q, lambda a: a.collect())
+    q2 = df.agg(F.count("x").alias("n"))
+    before = _jobs(spark)
+    assert q2.collect()[0]["n"] == 1400
+    assert _jobs(spark) == before  # x present in every tile → zero jobs

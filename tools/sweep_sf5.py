@@ -23,6 +23,12 @@ length-prefixed digest compare, same as the r10 certifications.
 
 The sf5 dataset comes from ``tools/make_scale.py /tmp/sfscale/sf5 --mult
 50`` (facts replicated with shifted keys off sf0.1).
+
+Round 12 widened the sweep beyond the staged graph/dedup family (VERDICT
+r11 next #4 and #6): a strict shared-session stage over the TPC-H /
+relational / text headliners (``SF5_RELATIONAL_KEYS``), and a streaming
+LAS certification at 6M points (``tools/check_stream_sf1.py`` — stream
+aggregate must equal the oracle-certified batch aggregate).
 """
 
 from __future__ import annotations
@@ -39,6 +45,22 @@ _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 #: keys the engine-side digest compares (outputs too large to collect)
 AGG_HASH_GRAPH_KEYS = "q_graph_triangles"
+
+#: TPC-H + §2B headliners + text/curation flagships, strict-checked at sf5
+#: in one shared session (VERDICT r11 next #4 — these previously had only
+#: ad-hoc sf5 evidence from round 6).  Outputs are aggregates / limited
+#: frames, so plain strict collect-compare holds at 50×.
+SF5_RELATIONAL_KEYS = [
+    "q_tpch_q1", "q_tpch_q3", "q_tpch_q6", "q_tpch_q9", "q_tpch_q18",
+    "q_scan_project", "q_filter_pred", "q_count_star", "q_minmax",
+    "q_agg_group", "q_agg_rollup", "q_approx_distinct",
+    "q_join_hash", "q_join_broadcast", "q_join_outer", "q_join_semi",
+    "q_join_asof",
+    "q_window_rank", "q_window_frame", "q_sort_limit",
+    "q_set_union", "q_set_intersect", "q_set_except",
+    "q_subquery_in", "q_udaf",
+    "q_text_stats", "q_text_tokens", "q_text_langid", "q_dedup_exact",
+]
 
 VERDICT = re.compile(r"^(PASS|FAIL) (q_[a-z0-9_]+)")
 
@@ -128,6 +150,17 @@ def main() -> int:
         (
             "connected-components keys (union-find oracle)",
             [sys.executable, "tools/check_components_staged.py", args.sf_dir],
+            lambda k: "staged-strict",
+        ),
+        (
+            "relational/TPC-H/text keys (strict, shared session)",
+            [sys.executable, "tools/check.py", args.sf_dir, "--strict"]
+            + SF5_RELATIONAL_KEYS,
+            lambda k: "strict",
+        ),
+        (
+            "streaming LAS at 6M points (stream == batch digest)",
+            [sys.executable, "tools/check_stream_sf1.py"],
             lambda k: "staged-strict",
         ),
     ]
