@@ -778,8 +778,13 @@ def decode_wav(payload: bytes):
                     )
                 return True
 
+            # once a real fmt has parsed, a re-synced 'fmt ' can only be a
+            # false match inside the lying body — accepting it would
+            # silently overwrite the real rate/channels/bits.  Bound
+            # re-sync to 'data' in that case (ADVICE r11).
+            known_tags = (b"data",) if rate is not None else (b"fmt ", b"data")
             candidates = []
-            for known in (b"fmt ", b"data"):
+            for known in known_tags:
                 idx = payload.find(known, pos + 8)
                 while idx >= 0 and not _plausible(idx, known):
                     idx = payload.find(known, idx + 1)

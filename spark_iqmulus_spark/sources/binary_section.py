@@ -36,6 +36,10 @@ _ARROW_TYPES = {
 
 _SIGNED = {"u1": "i1", "u2": "i2", "u4": "i4", "u8": "i8"}
 
+#: files already warned about a short data section, per worker process —
+#: keeps a many-partition truncated file to one stderr line per process
+_WARNED_SHORT_PATHS: set[str] = set()
+
 
 def signed_char(np_char: str) -> str:
     return _SIGNED.get(np_char, np_char)
@@ -97,15 +101,20 @@ class BinarySection:
             f.seek(self.offset + rec_start * self.stride)
             buf = f.read(n_records * self.stride)
         if allow_short and len(buf) < n_records * self.stride:
-            import sys
-
             have = len(buf) // self.stride
-            print(
-                f"spark_iqmulus_spark: {self.path}: data section is short"
-                f" ({have}/{n_records} records in range at {rec_start});"
-                " decoding partial results (ignoreCorruptFiles)",
-                file=sys.stderr,
-            )
+            # warn once per file per worker process — a large multi-
+            # partition truncated file would otherwise emit one line per
+            # partition, including ranges entirely past EOF (ADVICE r11)
+            if self.path not in _WARNED_SHORT_PATHS:
+                import sys
+
+                _WARNED_SHORT_PATHS.add(self.path)
+                print(
+                    f"spark_iqmulus_spark: {self.path}: data section is short"
+                    f" ({have}/{n_records} records in range at {rec_start});"
+                    " decoding partial results (ignoreCorruptFiles)",
+                    file=sys.stderr,
+                )
             n_records = have
             buf = buf[: have * self.stride]
         arr = np.frombuffer(buf, dtype=dtype, count=n_records)

@@ -56,31 +56,72 @@ def _simple(jobj) -> str:
 def extract_program(jexpr, col_name: str):
     """Catalyst expression (py4j) → ``(program, ansi)`` or ``None``.
 
-    ``program`` is a postfix op list replayable by ``eval_program``; the
-    expression must be ``Cast(double-expr AS int)`` whose only attribute
-    references are the int32 source column ``col_name`` and whose
-    arithmetic runs entirely in double (Catalyst inserts the int→double
-    widening cast right above the attribute, so integer-domain overflow
-    semantics never enter).  ``ansi`` is the root cast's evalMode (ANSI →
-    overflow raises, LEGACY → JVM d2i saturate/NaN→0); ``None`` when the
-    mode is unreadable, letting the caller fall back to the session conf.
-    TRY mode (``try_cast`` — overflow → NULL) has no byte-path equivalent
-    and fails extraction."""
-    if _simple(jexpr) != "Cast":
+    The int32-rooted shape (``Cast(double-expr AS int)``) — the LAS
+    re-grid callers' contract.  Kept as a thin wrapper over
+    ``extract_program_any``; see it for the node-set rules.  ``ansi`` is
+    the root cast's evalMode (ANSI → overflow raises, LEGACY → JVM d2i
+    saturate/NaN→0); ``None`` when the mode is unreadable, letting the
+    caller fall back to the session conf."""
+    got = extract_program_any(jexpr, col_name)
+    if got is None or got[1] != "i4":
         return None
-    if str(jexpr.dataType().simpleString()) != "int":
-        return None
-    child = jexpr.children().apply(0)
-    if str(child.dataType().simpleString()) != "double":
-        return None
+    prog, _, ansi = got
+    return prog, ansi
+
+
+#: source-column Spark types whose widening cast to double numpy replays
+#: bit-exactly: int family (l2d and astype both IEEE round-to-nearest;
+#: int/short/byte/float are exact)
+_WIDENS_TO_DOUBLE = {"tinyint", "smallint", "int", "bigint", "float"}
+
+
+def extract_program_any(jexpr, col_name: str):
+    """Catalyst expression (py4j) → ``(program, out_char, ansi)`` or
+    ``None`` — the generalized extractor behind the fused computed-column
+    write shapes (round 12 extends the LAS re-grid to PLY/PCD).
+
+    ``out_char`` names the output storage the program produces:
+
+    - ``'i4'`` — root ``Cast(double-expr AS int)``: the LAS re-grid /
+      integer-property shape; ``ansi`` is the root cast's evalMode
+      (``None`` = unreadable → caller uses the session conf); TRY mode
+      (overflow → NULL) has no byte-path equivalent and fails extraction.
+    - ``'f4'`` — root ``Cast(double-expr AS float)``: d2f is IEEE
+      round-to-nearest in both the JVM and numpy ``astype`` and cannot
+      fail in any eval mode (overflow → ±Infinity), so ``ansi`` is
+      ``None`` and irrelevant.
+    - ``'f8'`` — a bare double expression (no root cast): the natural
+      shape over a double source property.
+
+    The arithmetic body must run entirely in double over the SAME-named
+    source column ``col_name`` (Catalyst inserts the widening cast right
+    above the attribute; see ``_WIDENS_TO_DOUBLE`` for the leaf types
+    whose widening numpy replays bit-exactly)."""
     ansi = None
-    try:
-        mode = str(jexpr.evalMode())
-        if mode == "TRY":
+    if _simple(jexpr) == "Cast":
+        dt = str(jexpr.dataType().simpleString())
+        child = jexpr.children().apply(0)
+        if str(child.dataType().simpleString()) != "double":
             return None
-        ansi = mode == "ANSI"
-    except Exception:
-        pass  # evalMode unreadable on this Spark — caller uses session conf
+        if dt == "int":
+            out_char = "i4"
+            try:
+                mode = str(jexpr.evalMode())
+                if mode == "TRY":
+                    return None
+                ansi = mode == "ANSI"
+            except Exception:
+                pass  # evalMode unreadable — caller uses session conf
+        elif dt == "float":
+            out_char = "f4"  # cannot fail in any eval mode
+        else:
+            return None
+        root = child
+    else:
+        if str(jexpr.dataType().simpleString()) != "double":
+            return None
+        out_char = "f8"
+        root = jexpr
 
     prog: list[tuple] = []
 
@@ -88,7 +129,11 @@ def extract_program(jexpr, col_name: str):
         cls = _simple(n)
         dt = str(n.dataType().simpleString())
         if cls == "AttributeReference":
-            if str(n.name()) != col_name or dt != "int":
+            # a bare attribute leaf is only type-correct in the double
+            # arithmetic body when the column itself is double (the f8
+            # source-property shape); narrower columns arrive under the
+            # widening Cast below
+            if str(n.name()) != col_name or dt != "double":
                 return False
             prog.append(("col",))
             return True
@@ -101,21 +146,25 @@ def extract_program(jexpr, col_name: str):
             prog.append(("lit", float(v)))
             return True
         if cls == "Cast":
-            # only the int→double widening of the source column (exact);
-            # any other cast (narrowing, double→double no-op from a weird
-            # plan, TRY) fails extraction
+            # only the exact-replay widening of the source column itself
+            # (int family / float → double); any other cast (narrowing,
+            # double→double no-op from a weird plan, a cast over a
+            # sub-expression) fails extraction
             if dt != "double":
                 return False
             c = n.children().apply(0)
-            if str(c.dataType().simpleString()) != "int":
+            if (
+                _simple(c) != "AttributeReference"
+                or str(c.name()) != col_name
+                or str(c.dataType().simpleString()) not in _WIDENS_TO_DOUBLE
+            ):
                 return False
             try:
                 if str(n.evalMode()) == "TRY":
                     return False
             except Exception:
-                pass  # int→double cannot overflow; mode is irrelevant
-            if not walk(c):
-                return False
+                pass  # widening to double cannot overflow; mode irrelevant
+            prog.append(("col",))
             prog.append(("todouble",))
             return True
         if cls in _BINOPS:
@@ -146,9 +195,9 @@ def extract_program(jexpr, col_name: str):
             return True
         return False
 
-    if not walk(child):
+    if not walk(root):
         return None
-    return prog, ansi
+    return prog, out_char, ansi
 
 
 def _round0_half_up(d: np.ndarray) -> np.ndarray:
@@ -175,15 +224,10 @@ def _round0_half_up(d: np.ndarray) -> np.ndarray:
         return np.where(np.isfinite(d), r, d)
 
 
-def eval_program(prog, col: np.ndarray, ansi: bool) -> np.ndarray:
-    """Replay an extracted program over the int32 source column; returns
-    the int32 values the general sink would write for the same records.
-
-    ``ansi=True`` mirrors Spark's ANSI cast: a NaN or out-of-int32-range
-    result raises (the general sink's job fails on the same rows — the
-    fused job failing with the same meaning is the equivalent outcome);
-    ``ansi=False`` mirrors the JVM ``d2i`` legacy cast: NaN → 0,
-    truncate toward zero, saturate at the int32 bounds."""
+def _replay_f64(prog, col: np.ndarray) -> np.ndarray:
+    """Shared postfix replay: program over the source column → float64
+    result broadcast to the column's shape (a pure-literal program yields
+    a scalar otherwise)."""
     stack: list[np.ndarray] = []
     with np.errstate(all="ignore"):
         for op in prog:
@@ -214,6 +258,20 @@ def eval_program(prog, col: np.ndarray, ansi: bool) -> np.ndarray:
     v = np.asarray(stack.pop(), dtype=np.float64)
     if v.shape != np.shape(col):
         v = np.broadcast_to(v, np.shape(col)).copy()
+    return v
+
+
+def eval_program(prog, col: np.ndarray, ansi: bool) -> np.ndarray:
+    """Replay an extracted int-rooted program over the source column;
+    returns the int32 values the general sink would write for the same
+    records.
+
+    ``ansi=True`` mirrors Spark's ANSI cast: a NaN or out-of-int32-range
+    result raises (the general sink's job fails on the same rows — the
+    fused job failing with the same meaning is the equivalent outcome);
+    ``ansi=False`` mirrors the JVM ``d2i`` legacy cast: NaN → 0,
+    truncate toward zero, saturate at the int32 bounds."""
+    v = _replay_f64(prog, col)
     if ansi:
         # Spark's ANSI range check: floor(v) ≤ Int.Max && ceil(v) ≥ Int.Min
         # (so 2147483647.4 still casts — truncation lands in range)
@@ -228,3 +286,21 @@ def eval_program(prog, col: np.ndarray, ansi: bool) -> np.ndarray:
     v = np.where(np.isnan(v), 0.0, v)
     v = np.clip(np.trunc(v), _I32_MIN, _I32_MAX)
     return v.astype(np.int64).astype(np.int32)
+
+
+def eval_program_typed(
+    prog, col: np.ndarray, out_char: str, ansi: bool = False
+) -> np.ndarray:
+    """Replay by output storage (``extract_program_any``'s out_char):
+    ``'i4'`` delegates to ``eval_program`` (ANSI/legacy d2i), ``'f4'``
+    casts the double result with numpy ``astype`` (IEEE round-to-nearest
+    — identical to the JVM's d2f, including overflow → ±Infinity and NaN
+    passthrough), ``'f8'`` is the raw double result."""
+    if out_char == "i4":
+        return eval_program(prog, col, ansi)
+    v = _replay_f64(prog, col)
+    if out_char == "f4":
+        return v.astype("<f4")
+    if out_char != "f8":  # pragma: no cover - extraction emits a closed set
+        raise ValueError(f"unknown out_char {out_char!r}")
+    return v.astype("<f8")

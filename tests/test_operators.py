@@ -933,3 +933,34 @@ def test_audio_wav_lying_unknown_chunk_recovers():
     bad = b"RIFF" + struct.pack("<I", len(body2)) + body2
     with pytest.raises(ValueError):
         decode_wav(bad)
+
+
+def test_audio_wav_resync_cannot_override_parsed_fmt():
+    """ADVICE r11: once a real fmt has parsed, re-sync is bound to the
+    data tag — a byte pattern inside the lying chunk's body that happens
+    to parse as a plausible PCM fmt must NOT overwrite the real
+    rate/channels/bits."""
+    import struct
+
+    import numpy as np
+
+    from spark_iqmulus_spark.operators.multimodal import decode_wav
+
+    samples = np.arange(-8, 8, dtype=np.int16)
+    real_fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    # a fully plausible fake fmt (PCM, mono, 44100 Hz, 16-bit) embedded in
+    # the lying chunk's body, BEFORE the real data chunk
+    fake_fmt = b"fmt " + struct.pack("<I", 16) + struct.pack(
+        "<HHIIHH", 1, 1, 44100, 88200, 2, 16
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + real_fmt
+        + b"LIES" + struct.pack("<I", 0xFFFFFFF0)
+        + fake_fmt
+        + b"data" + struct.pack("<I", samples.nbytes) + samples.tobytes()
+    )
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    rate, back = decode_wav(wav)
+    assert rate == 8000  # the real fmt, not the fake 44100
+    np.testing.assert_array_equal(back, samples)

@@ -130,3 +130,32 @@ def test_plan_record_ranges_partition(count, stride, target):
         # every non-final split honors the byte target within one record
         for _, n in ranges[:-1]:
             assert n * stride <= max(target, stride)
+
+
+def test_short_read_warns_once_per_file(capsys):
+    """ADVICE r11: a truncated file read across many partitions emits ONE
+    stderr warning per worker process, not one per read_batch call."""
+    from spark_iqmulus_spark.sources import binary_section as bs
+
+    fields = [SectionField("v", "i4")]
+    arr = np.arange(100, dtype="<i4")
+    fd, path = tempfile.mkstemp(suffix=".bin")
+    try:
+        with os.fdopen(fd, "wb") as out:
+            out.write(arr.tobytes()[: 40 * 4])  # header will claim 100
+        section = BinarySection(
+            path=path, offset=0, count=100, stride=4,
+            little_endian=True, fields=fields,
+        )
+        bs._WARNED_SHORT_PATHS.discard(path)
+        # three partitions: one partially short, two entirely past EOF
+        b1 = section.read_batch(30, 20, fid=0, allow_short=True)
+        b2 = section.read_batch(50, 25, fid=0, allow_short=True)
+        b3 = section.read_batch(75, 25, fid=0, allow_short=True)
+        assert (b1.num_rows, b2.num_rows, b3.num_rows) == (10, 0, 0)
+        err = capsys.readouterr().err
+        assert err.count("data section is short") == 1
+        assert path in err
+    finally:
+        bs._WARNED_SHORT_PATHS.discard(path)
+        os.unlink(path)
