@@ -588,6 +588,71 @@ def q_las_regrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pc_recenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Computed-column PLY/PCD writes via the STOCK write API (round 12 —
+    the PLY/PCD twin of q_las_regrid, retiring the Arrow-hop weak item
+    for the recenter/rescale shapes): ``read → filter → withColumn(x,
+    (x−50)::float) → write`` engages the fused byte path, which replays
+    the Catalyst arithmetic bit-exactly in numpy over the source
+    property (sources/exprprog.py, float/double-rooted programs).  The
+    PLY leg recenters x and rescales z (both cast back to f4 — storage
+    preserved); the PCD leg recenters x and recomputes the int field
+    ``i`` through an int-rooted program (``round(i·2.5)::int`` — the
+    general sink's own ANSI cast).  All arithmetic is exact in float
+    (integer-valued f4 inputs, power-of-two or half-step factors), so
+    the read-back aggregates hash-match the oracle's mirrored
+    ::REAL/::DOUBLE expression chain."""
+    register_sources(spark)
+
+    out_rows = []
+    key = (sf_dir, "ply_recenter")
+    if key not in _CACHE or not os.path.exists(_CACHE[key]):
+        out = tempfile.mkdtemp(prefix="pc_plyrc_")
+        (
+            spark.read.format("ply")
+            .load(_ply_dir(spark, sf_dir))
+            .where(F.col("c") <= 3)
+            .withColumn("x", (F.col("x") - F.lit(50.0)).cast("float"))
+            .withColumn("z", (F.col("z") * F.lit(0.125)).cast("float"))
+            .write.format("ply")
+            .mode("overwrite")
+            .save(out)
+        )
+        _CACHE[key] = out
+    ply = spark.read.format("ply").load(_CACHE[key])
+    r = ply.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("x").cast("double")), 4).alias("sum_x"),
+        F.round(F.max(F.col("z").cast("double")), 4).alias("m"),
+    ).collect()[0]
+    out_rows.append(("ply", r["n"], float(r["sum_x"]), float(r["m"])))
+
+    key = (sf_dir, "pcd_recenter")
+    if key not in _CACHE or not os.path.exists(_CACHE[key]):
+        out = tempfile.mkdtemp(prefix="pc_pcdrc_")
+        (
+            spark.read.format("pcd")
+            .load(_pcd_dir(spark, sf_dir))
+            .where(F.col("c") <= 3)
+            .withColumn("x", (F.col("x") - F.lit(50.0)).cast("float"))
+            .withColumn("i", F.round(F.col("i") * F.lit(2.5), 0).cast("int"))
+            .write.format("pcd")
+            .mode("overwrite")
+            .save(out)
+        )
+        _CACHE[key] = out
+    pcd = spark.read.format("pcd").load(_CACHE[key])
+    r = pcd.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("x").cast("double")), 4).alias("sum_x"),
+        F.sum("i").cast("double").alias("m"),
+    ).collect()[0]
+    out_rows.append(("pcd", r["n"], float(r["sum_x"]), float(r["m"])))
+    return spark.createDataFrame(
+        out_rows, "fmt string, n bigint, sum_x double, m double"
+    )
+
+
 def q_ply_transcode_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Projected PLY transcode via the STOCK write API (round 11 — VERDICT
     r10 item 3): ``read → filter → select(x, z) → write.format("ply")``
@@ -783,6 +848,7 @@ QUERIES = {
     "q_las_transcode_project": q_las_transcode_project,
     "q_las_regrid": q_las_regrid,
     "q_ply_transcode": q_ply_transcode,
+    "q_pc_recenter": q_pc_recenter,
     "q_ply_transcode_project": q_ply_transcode_project,
     "q_pcd_transcode_project": q_pcd_transcode_project,
     "q_ply_transcode_multi": q_ply_transcode_multi,
@@ -910,6 +976,22 @@ ORACLES = {
                CAST(sum(p_size) AS BIGINT) AS sum_intensity,
                CAST(sum(p_partkey % 6 + 1) AS BIGINT) AS sum_class
         FROM part WHERE p_size <= 25
+    """,
+    "q_pc_recenter": f"""
+        WITH pts AS (
+            SELECT CAST(p_partkey AS REAL) AS x, CAST({_Z} AS REAL) AS z,
+                   p_size AS i
+            FROM part WHERE p_partkey % 6 + 1 <= 3
+        )
+        SELECT 'ply' AS fmt, count(*) AS n,
+               round(sum(CAST(CAST(CAST(x AS DOUBLE) - 50.0::DOUBLE AS REAL) AS DOUBLE)), 4) AS sum_x,
+               round(max(CAST(CAST(CAST(z AS DOUBLE) * 0.125::DOUBLE AS REAL) AS DOUBLE)), 4) AS m
+        FROM pts
+        UNION ALL
+        SELECT 'pcd' AS fmt, count(*) AS n,
+               round(sum(CAST(CAST(CAST(x AS DOUBLE) - 50.0::DOUBLE AS REAL) AS DOUBLE)), 4) AS sum_x,
+               CAST(sum(CAST(round(CAST(i AS DOUBLE) * 2.5::DOUBLE, 0) AS INTEGER)) AS DOUBLE) AS m
+        FROM pts
     """,
     "q_ply_transcode_project": f"""
         SELECT count(*) AS n,

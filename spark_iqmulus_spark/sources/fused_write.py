@@ -18,8 +18,11 @@ to the general sink:
   PLY/PCD layouts are self-describing, so their output record is exactly
   the projected properties in schema order — including pure RENAMES
   (``.alias``/``withColumnRenamed``), which LAS declines because its
-  field names are fixed by the point format; computed columns, joins,
-  aggs, unions — anything else — falls back);
+  field names are fixed by the point format; COMPUTED columns fuse when
+  exprprog can replay them bit-exactly — the LAS x/y/z re-grid (round
+  11) and, round 12, PLY/PCD recenter/rescale shapes over the same-named
+  source property (int/float/double-rooted); joins, aggs, unions,
+  unreplayable expressions — anything else — falls back);
 - every filter conjunct is ``column <op> numeric-literal`` (op in
   ``= != < <= > >=``; widening casts of the column allowed — they are
   value-preserving on LAS's integer fields), translated to the
@@ -209,7 +212,7 @@ def _extract_scan_filter(df):
     below a Project, so the only shapes are Scan, Filter(Scan),
     Project(Scan), Project(Filter(Scan)).  Analysis only — no side
     effects."""
-    from .exprprog import extract_program
+    from .exprprog import extract_program_any
 
     try:
         plan = df._jdf.queryExecution().optimizedPlan()
@@ -230,19 +233,16 @@ def _extract_scan_filter(df):
                     pairs.append((str(e.name()), str(child.name())))
                     continue
                 name = str(e.name())
-                got = (
-                    extract_program(child, name)
-                    if name in ("x", "y", "z")
-                    else None
-                )
+                got = extract_program_any(child, name)
                 if got is None:
                     return _no(
                         f"projection computes {name!r} with an expression"
                         " the byte path cannot replay (only double"
-                        " arithmetic over the same int x/y/z column,"
-                        " round(·, 0), and a final int cast qualify)"
+                        " arithmetic over the same-named source column,"
+                        " round(·, 0), and an optional final int/float"
+                        " cast qualify)"
                     )
-                computed[name] = got  # (program, ansi_or_None)
+                computed[name] = got  # (program, out_char, ansi_or_None)
                 pairs.append((name, name))
                 continue
             if _simple(e) != "AttributeReference":
@@ -336,6 +336,15 @@ def _las_fused_plan(
     from .pointcloud_common import headers_with_sizes
 
     computed = computed or {}
+    # the LAS computed shape is the re-grid: int32-rooted programs over
+    # the scaled-integer x/y/z columns only (any other output storage or
+    # column has no las2las byte-path meaning)
+    for name, (_prog, out_char, _m) in computed.items():
+        if name not in ("x", "y", "z") or out_char != "i4":
+            return _no(
+                f"computed column {name!r} (storage {out_char!r}) is not"
+                " an int32-rooted x/y/z re-grid expression"
+            )
     out_scale, out_offset = out_grid if out_grid else (
         (0.01, 0.01, 0.01), (0.0, 0.0, 0.0)
     )
@@ -482,11 +491,11 @@ def _las_fused_plan(
     # per-column cast evalMode, when Catalyst exposed it, wins over the
     # session conf; programs extracted under DIFFERENT modes in one plan
     # cannot share the transcoder's single overflow semantic — fall back
-    modes = {m for _, m in computed.values() if m is not None}
+    modes = {m for _, _, m in computed.values() if m is not None}
     if len(modes) > 1:
         return _no("computed columns mix ANSI and LEGACY cast modes")
     ansi_eff = modes.pop() if modes else bool(ansi)
-    compute = {k: p for k, (p, _) in computed.items()} or None
+    compute = {k: p for k, (p, _, _) in computed.items()} or None
     grid = (tuple(out_scale), tuple(out_offset))
 
     def _run(spark, out_dir):
@@ -503,27 +512,32 @@ def _las_fused_plan(
     return _run
 
 
-def _layout_round_trips(schema, props, project, spark_to_np) -> bool:
+def _layout_round_trips(schema, props, project, spark_to_np, computed=None) -> bool:
     """Shared PLY/PCD gate: the writer layout (schema order sans fid/pid
     mapped through ``spark_to_np``) must match the source property layout
     — the full list when ``project`` is None, else each projected
     property's type under its OUTPUT name (unsigned source types widen
-    through Spark and fail the match → fall back)."""
+    through Spark and fail the match → fall back).  A COMPUTED output
+    column (round 12) is expected at its program's storage char instead
+    of the source property's — e.g. an uncast double expression over a
+    float property widens that property to f8 on both paths."""
     data_fields = [
         (f.name, spark_to_np.get(f.dataType.simpleString()))
         for f in schema.fields
         if f.name not in ("fid", "pid")
     ]
     by_name = dict(props)
+    oc = {n: e[1] for n, e in (computed or {}).items()}
     expected = (
-        [(n, c) for n, c in props]
+        [(n, oc.get(n, c)) for n, c in props]
         if project is None
-        else [(o, by_name.get(s)) for o, s in project]
+        else [(o, oc.get(o, by_name.get(s))) for o, s in project]
     )
     return data_fields == expected
 
 
-def _ply_fused_plan(df, where, path, overwrite, projected=None):
+def _ply_fused_plan(df, where, path, overwrite, projected=None,
+                    computed=None, ansi=True):
     """Validate PLY source/writer equivalence and return a ready-to-run
     closure, or None.  Side-effect free until the closure runs.
 
@@ -539,7 +553,16 @@ def _ply_fused_plan(df, where, path, overwrite, projected=None):
     just those properties under their output names — PLY layouts are
     self-describing, so unlike LAS there is no format round-trip (or
     fixed field naming) to gate on: each projected property only needs
-    its own Spark-type round-trip (VERDICT r10 next #3)."""
+    its own Spark-type round-trip (VERDICT r10 next #3).
+
+    ``computed`` (round 12 — the PLY twin of the LAS re-grid) maps an
+    output column to its ``(program, out_char, ansi_or_None)`` exprprog
+    extraction: the byte path replays the Catalyst arithmetic bit-exactly
+    in numpy over the source property, and the output property takes the
+    program's storage type — recenter/rescale shapes like
+    ``(x − 50.0).cast('float')`` stop paying the Arrow hop.  ``ansi`` is
+    the session cast mode, used when an int-rooted program's own evalMode
+    was unreadable."""
     from .ply_format import SPARK_TO_NP, PlyHeader
     from .pointcloud_common import headers_with_sizes
     from .transcode import _ply_uniform
@@ -571,15 +594,27 @@ def _ply_fused_plan(df, where, path, overwrite, projected=None):
             )
     if not little:
         return None  # the sink writes little-endian by default
-    if project is not None and project == [(n, n) for n, _ in props]:
+    computed = computed or {}
+    if (
+        project is not None
+        and not computed
+        and project == [(n, n) for n, _ in props]
+    ):
         project = None  # identity projection → pure byte copy, no re-encode
     # projected mode compares against the projected subset — the
     # DataFrame's schema IS the projection, in order
-    if not _layout_round_trips(schema, props, project, SPARK_TO_NP):
+    if not _layout_round_trips(schema, props, project, SPARK_TO_NP, computed):
         return None
     prop_names = {n for n, _ in props}
     if any(name not in prop_names for name, _, _ in where):
         return None
+    # int-rooted programs extracted under DIFFERENT cast modes in one plan
+    # cannot share the transcoder's single overflow semantic — fall back
+    modes = {m for _p, oc, m in computed.values() if oc == "i4" and m is not None}
+    if len(modes) > 1:
+        return _no("computed columns mix ANSI and LEGACY cast modes")
+    ansi_eff = modes.pop() if modes else bool(ansi)
+    compute = {k: (p, oc) for k, (p, oc, _m) in computed.items()} or None
 
     def _run(spark, out_dir):
         from .pointcloud_common import clear_existing_outputs
@@ -589,19 +624,22 @@ def _ply_fused_plan(df, where, path, overwrite, projected=None):
         clear_existing_outputs(out_dir, ".ply", overwrite)
         transcode_ply_tiled(
             spark, paths, out_dir, where=where or None, element_only=True,
-            project=project,
+            project=project, compute=compute, ansi=ansi_eff,
         )
 
     return _run
 
 
-def _pcd_fused_plan(df, where, path, overwrite, projected=None):
+def _pcd_fused_plan(df, where, path, overwrite, projected=None,
+                    computed=None, ansi=True):
     """Validate PCD source/writer equivalence and return a ready-to-run
     closure, or None.  Binary record-major PCD only; stored-value filters;
     layout must round-trip Spark's type mapping unchanged (same gates as
     PLY — PCD fields are expanded count-1 scalars on both paths, and the
     same projected re-encode applies: the output header is exactly the
-    projected fields, count-1 each, like the general sink writes)."""
+    projected fields, count-1 each, like the general sink writes).
+    ``computed``/``ansi`` are the round-12 computed-column shape, exactly
+    as in ``_ply_fused_plan``."""
     from .pcd_format import SPARK_TO_NP, PcdHeader
     from .pointcloud_common import headers_with_sizes
 
@@ -637,13 +675,23 @@ def _pcd_fused_plan(df, where, path, overwrite, projected=None):
     data_kind, props = next(iter(sigs))
     if data_kind != "binary":
         return None  # ascii / binary_compressed re-encode via the sink
-    if project is not None and project == [(n, n) for n, _ in props]:
+    computed = computed or {}
+    if (
+        project is not None
+        and not computed
+        and project == [(n, n) for n, _ in props]
+    ):
         project = None  # identity projection → pure byte copy, no re-encode
-    if not _layout_round_trips(schema, props, project, SPARK_TO_NP):
+    if not _layout_round_trips(schema, props, project, SPARK_TO_NP, computed):
         return None
     prop_names = {n for n, _ in props}
     if any(name not in prop_names for name, _, _ in where):
         return None
+    modes = {m for _p, oc, m in computed.values() if oc == "i4" and m is not None}
+    if len(modes) > 1:
+        return _no("computed columns mix ANSI and LEGACY cast modes")
+    ansi_eff = modes.pop() if modes else bool(ansi)
+    compute = {k: (p, oc) for k, (p, oc, _m) in computed.items()} or None
 
     def _run(spark, out_dir):
         from .pointcloud_common import clear_existing_outputs
@@ -652,7 +700,8 @@ def _pcd_fused_plan(df, where, path, overwrite, projected=None):
         os.makedirs(out_dir, exist_ok=True)
         clear_existing_outputs(out_dir, ".pcd", overwrite)
         transcode_pcd_tiled(
-            spark, paths, out_dir, where=where or None, project=project
+            spark, paths, out_dir, where=where or None, project=project,
+            compute=compute, ansi=ansi_eff,
         )
 
     return _run
@@ -724,26 +773,24 @@ def plan_fused_save(df, source: str, path: str, mode, options, partition_by=None
         return _no(
             f"plan scans {src_name!r} but the write format is {source!r}"
         )
+    try:
+        ansi = (
+            str(df.sparkSession.conf.get("spark.sql.ansi.enabled", "true"))
+            .lower()
+            != "false"
+        )
+    except Exception:
+        ansi = True
     if source == "las":
-        try:
-            ansi = (
-                str(df.sparkSession.conf.get("spark.sql.ansi.enabled", "true"))
-                .lower()
-                != "false"
-            )
-        except Exception:
-            ansi = True
         run = planner(
             df, where, path, mode == "overwrite", projected,
             computed=computed, out_grid=out_grid, ansi=ansi,
         )
     else:
-        if computed:
-            return _no(
-                f"computed columns have no byte-path equivalent for"
-                f" {source!r}"
-            )
-        run = planner(df, where, path, mode == "overwrite", projected)
+        run = planner(
+            df, where, path, mode == "overwrite", projected,
+            computed=computed, ansi=ansi,
+        )
     if run is None and _LAST_DECLINE is None:
         _no(
             f"source/writer layouts not byte-equivalent for {source!r}"

@@ -63,6 +63,15 @@ _OPS = {
 _TARGET_BYTES = 32 << 20
 
 
+def _computed_props(props, compute):
+    """Output ``(name, np_char)`` layout: each computed property takes its
+    program's storage char (``extract_program_any`` out_char), the rest
+    keep their source char."""
+    if not compute:
+        return list(props)
+    return [(n, compute[n][1] if n in compute else c) for n, c in props]
+
+
 def normalize_project(project) -> list[tuple[str, str]]:
     """``project`` entries → ``(out_name, src_name)`` pairs: a bare string
     keeps its name; a 2-sequence is a rename.  Output names must be
@@ -566,6 +575,8 @@ def transcode_ply(
     element_only: bool = False,
     target_bytes: int = _TARGET_BYTES,
     filesystem=None,
+    compute: dict | None = None,
+    ansi: bool = False,
 ) -> dict:
     """Merge (and optionally filter) binary PLY files into ONE ``.ply``.
 
@@ -589,6 +600,11 @@ def transcode_ply(
     header without the others — the merged output is a valid
     single-element PLY, and because dropped elements can no longer
     reference the kept one, ``where`` filtering is sound again.
+
+    ``compute``/``ansi`` (round 12): recompute named properties with
+    exprprog programs replayed bit-exactly in numpy — the PLY twin of the
+    LAS re-grid; the output header takes each program's storage type (see
+    ``_ply_scan_stats``).
     Returns ``{"points": kept, "read": total, "files": n, "parts": n}``.
 
     Reference parity: the direct save actions in
@@ -604,15 +620,17 @@ def transcode_ply(
         lambda p: PlyHeader.parse_file(p, filesystem), paths
     )
     little, props = _ply_uniform(paths, headers, element, element_only)
+    out_props = _computed_props(props, compute)
     part_dir = out_path + f".parts-{uuid.uuid4().hex[:8]}"
     fsio.makedirs(part_dir, filesystem)
     try:
         stats = _ply_scan_stats(
             spark, paths, headers, element, little, props, where,
             target_bytes, filesystem, part_dir,
+            compute=compute, ansi=ansi,
         )
         total = _merge_ply_stats(
-            out_path, stats, element, little, props, filesystem
+            out_path, stats, element, little, out_props, filesystem
         )
     finally:
         fsio.rmtree(part_dir, filesystem)
@@ -671,6 +689,8 @@ def _ply_scan_stats(
     filesystem,
     part_dir: str,
     project: list[str] | None = None,
+    compute: dict | None = None,
+    ansi: bool = False,
 ) -> list:
     """Shared scan stage of the fused PLY byte path (the PLY twin of
     ``_las_scan_stats``): one Spark job over record-aligned element
@@ -686,7 +706,16 @@ def _ply_scan_stats(
     format to zero-fill: a PLY layout is self-describing, so the output
     record is exactly the projected properties.  Filters still evaluate
     on the full source record (Catalyst pushes predicates below a
-    Project, so the general sink sees pre-projection values too)."""
+    Project, so the general sink sees pre-projection values too).
+
+    ``compute`` maps an output property to an ``(exprprog program,
+    out_char)`` pair (round 12 — the PLY twin of the LAS re-grid): the
+    program replays bit-exactly in numpy over that pair's SOURCE property
+    values, and the output property takes ``out_char``'s storage (an
+    uncast double expression over a float property widens it to f8, like
+    the general sink would).  ``ansi`` picks the cast semantics for
+    int-rooted programs.  ``compute`` without ``project`` means the
+    identity layout with those properties recomputed."""
     endian = "<" if little else ">"
     stride = headers[0].element(element).stride
     if where:
@@ -696,6 +725,8 @@ def _ply_scan_stats(
                 raise ValueError(f"unknown property {name!r}; have {sorted(known)}")
             if op not in _OPS:
                 raise ValueError(f"unknown op {op!r}; have {sorted(_OPS)}")
+    if compute and project is None:
+        project = [n for n, _ in props]  # computed-only → identity layout
     out_dtype_spec = copy_pairs = None
     if project is not None:
         by_name = dict(props)
@@ -705,7 +736,26 @@ def _ply_scan_stats(
             raise ValueError(
                 f"projected properties {missing} not in the source layout"
             )
-        out_dtype_spec = [(o, endian + by_name[s]) for o, s in copy_pairs]
+        if compute:
+            outs = {o for o, _ in copy_pairs}
+            bad = sorted(set(compute) - outs)
+            if bad:
+                raise ValueError(
+                    f"computed properties {bad} not among the output"
+                    f" properties {sorted(outs)}"
+                )
+        out_dtype_spec = [
+            (
+                o,
+                endian
+                + (
+                    compute[o][1]
+                    if compute and o in compute
+                    else by_name[s]
+                ),
+            )
+            for o, s in copy_pairs
+        ]
 
     # -- plan: record-aligned ranges over each file's element section ------
     from .binary_section import plan_record_ranges
@@ -719,10 +769,14 @@ def _ply_scan_stats(
 
     rec_dtype_spec = [(n, endian + c) for n, c in props]
     where_local = list(where) if where else []
+    compute_local = dict(compute) if compute else {}
+    ansi_local = bool(ansi)
     fs = filesystem
 
     def _work(iterator):
         import pandas as pd
+
+        from .exprprog import eval_program_typed
 
         rec_dtype = np.dtype(rec_dtype_spec)
         for pdf in iterator:
@@ -748,7 +802,16 @@ def _ply_scan_stats(
                 if out_dtype_spec is not None:
                     enc = np.zeros(len(kept), dtype=np.dtype(out_dtype_spec))
                     for out_nm, src_nm in copy_pairs:
-                        enc[out_nm] = kept[src_nm]
+                        if out_nm in compute_local:
+                            # computed properties replay over the SOURCE
+                            # value (the general sink's Project also reads
+                            # pre-projection attributes)
+                            prg, oc = compute_local[out_nm]
+                            enc[out_nm] = eval_program_typed(
+                                prg, kept[src_nm], oc, ansi_local
+                            )
+                        else:
+                            enc[out_nm] = kept[src_nm]
                     kept_raw = enc
                 m = len(kept_raw)
                 part = ""
@@ -812,13 +875,18 @@ def transcode_ply_tiled(
     target_bytes: int = _TARGET_BYTES,
     filesystem=None,
     project: list[str] | None = None,
+    compute: dict | None = None,
+    ansi: bool = False,
 ) -> dict:
     """Filter/copy PLY tiles into ``out_dir``, ONE output per source tile
     (the name-restoring shape of ``df.write.format("ply")``) through the
     fused byte path — the PLY twin of ``transcode_las_tiled``.  Sources
     whose rows are all filtered out produce no output, matching the
     general sink.  ``project`` keeps just those properties (in order,
-    source types preserved) — the ``select(subset) → write`` shape."""
+    source types preserved) — the ``select(subset) → write`` shape.
+    ``compute``/``ansi`` (round 12) recompute named output properties with
+    exprprog programs, each taking its program's storage type (see
+    ``_ply_scan_stats``)."""
     from .ply_format import PlyHeader
     from .pointcloud_common import pmap_merges
 
@@ -829,7 +897,7 @@ def transcode_ply_tiled(
         lambda p: PlyHeader.parse_file(p, filesystem), paths
     )
     little, props = _ply_uniform(paths, headers, element, element_only)
-    out_props = list(props)
+    out_props = _computed_props(props, compute)
     if project is not None:
         by_name = dict(props)
         pairs = normalize_project(project)
@@ -838,7 +906,11 @@ def transcode_ply_tiled(
             raise ValueError(
                 f"projected properties {missing} not in the source layout"
             )
-        out_props = [(o, by_name[s]) for o, s in pairs]
+        oc_by_name = dict(compute) if compute else {}
+        out_props = [
+            (o, oc_by_name[o][1] if o in oc_by_name else by_name[s])
+            for o, s in pairs
+        ]
     if names is None:
         bases = [os.path.splitext(os.path.basename(p))[0] for p in paths]
         dup = {b for b in bases if bases.count(b) > 1}
@@ -853,6 +925,7 @@ def transcode_ply_tiled(
         stats = _ply_scan_stats(
             spark, paths, headers, element, little, props, where,
             target_bytes, filesystem, part_dir, project=project,
+            compute=compute, ansi=ansi,
         )
         by_fid: dict[int, list] = {}
         for r in stats:
@@ -1134,9 +1207,12 @@ def _pcd_scan_stats(
     filesystem,
     part_dir: str,
     project: list[str] | None = None,
+    compute: dict | None = None,
+    ansi: bool = False,
 ) -> list:
     """Shared scan stage of the fused PCD byte path (the PCD twin of
-    ``_ply_scan_stats``, including its ``project`` re-encode)."""
+    ``_ply_scan_stats``, including its ``project`` re-encode and the
+    round-12 ``compute`` replay — see there for the contract)."""
     stride = headers[0].stride
     if where:
         known = {n for n, _ in props}
@@ -1145,6 +1221,8 @@ def _pcd_scan_stats(
                 raise ValueError(f"unknown field {name!r}; have {sorted(known)}")
             if op not in _OPS:
                 raise ValueError(f"unknown op {op!r}; have {sorted(_OPS)}")
+    if compute and project is None:
+        project = [n for n, _ in props]  # computed-only → identity layout
     out_dtype_spec = copy_pairs = None
     if project is not None:
         by_name = dict(props)
@@ -1154,7 +1232,26 @@ def _pcd_scan_stats(
             raise ValueError(
                 f"projected fields {missing} not in the source layout"
             )
-        out_dtype_spec = [(o, "<" + by_name[s]) for o, s in copy_pairs]
+        if compute:
+            outs = {o for o, _ in copy_pairs}
+            bad = sorted(set(compute) - outs)
+            if bad:
+                raise ValueError(
+                    f"computed fields {bad} not among the output fields"
+                    f" {sorted(outs)}"
+                )
+        out_dtype_spec = [
+            (
+                o,
+                "<"
+                + (
+                    compute[o][1]
+                    if compute and o in compute
+                    else by_name[s]
+                ),
+            )
+            for o, s in copy_pairs
+        ]
 
     from .binary_section import plan_record_ranges
 
@@ -1165,10 +1262,14 @@ def _pcd_scan_stats(
 
     rec_dtype_spec = [(n, "<" + c) for n, c in props]
     where_local = list(where) if where else []
+    compute_local = dict(compute) if compute else {}
+    ansi_local = bool(ansi)
     fs = filesystem
 
     def _work(iterator):
         import pandas as pd
+
+        from .exprprog import eval_program_typed
 
         rec_dtype = np.dtype(rec_dtype_spec)
         for pdf in iterator:
@@ -1194,7 +1295,16 @@ def _pcd_scan_stats(
                 if out_dtype_spec is not None:
                     enc = np.zeros(len(kept), dtype=np.dtype(out_dtype_spec))
                     for out_nm, src_nm in copy_pairs:
-                        enc[out_nm] = kept[src_nm]
+                        if out_nm in compute_local:
+                            # computed properties replay over the SOURCE
+                            # value (the general sink's Project also reads
+                            # pre-projection attributes)
+                            prg, oc = compute_local[out_nm]
+                            enc[out_nm] = eval_program_typed(
+                                prg, kept[src_nm], oc, ansi_local
+                            )
+                        else:
+                            enc[out_nm] = kept[src_nm]
                     kept_raw = enc
                 m = len(kept_raw)
                 part = ""
@@ -1262,12 +1372,17 @@ def transcode_pcd_tiled(
     target_bytes: int = _TARGET_BYTES,
     filesystem=None,
     project: list[str] | None = None,
+    compute: dict | None = None,
+    ansi: bool = False,
 ) -> dict:
     """Filter/copy PCD tiles into ``out_dir``, ONE output per source tile
     (the name-restoring shape of ``df.write.format("pcd")``) through the
     fused byte path — the PCD twin of ``transcode_las_tiled``.
     ``project`` keeps just those fields (in order, source types
-    preserved) — the ``select(subset) → write`` shape."""
+    preserved) — the ``select(subset) → write`` shape.
+    ``compute``/``ansi`` (round 12) recompute named output fields with
+    exprprog programs, each taking its program's storage type (see
+    ``_ply_scan_stats``)."""
     from .pcd_format import PcdHeader
     from .pointcloud_common import pmap_merges
 
@@ -1304,14 +1419,18 @@ def transcode_pcd_tiled(
     try:
         stats = _pcd_scan_stats(
             spark, paths, headers, props, where, target_bytes, filesystem,
-            part_dir, project=project,
+            part_dir, project=project, compute=compute, ansi=ansi,
         )
         out_fields = None
         if project is not None:
             by_name = dict(props)
+            oc_by_name = dict(compute) if compute else {}
             out_fields = [
-                (o, by_name[s]) for o, s in normalize_project(project)
+                (o, oc_by_name[o][1] if o in oc_by_name else by_name[s])
+                for o, s in normalize_project(project)
             ]
+        elif compute:
+            out_fields = _computed_props(props, compute)
         by_fid: dict[int, list] = {}
         for r in stats:
             by_fid.setdefault(r["fid"], []).append(r)

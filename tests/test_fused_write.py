@@ -895,3 +895,166 @@ def test_regrid_with_projection_fuses_and_equals_general(spark, tiles, tmp_path)
         assert hf.pdr_format == hg.pdr_format == 0
         assert hf.scale == hg.scale == scale
         assert (hf.pdr_nb, hf.pmin, hf.pmax) == (hg.pdr_nb, hg.pmin, hg.pmax)
+
+
+def test_fused_ply_recenter_write_equals_general(spark, ply_tiles, tmp_path):
+    """Round 12 (VERDICT r11 weak #2 follow-through): a computed PLY
+    column the exprprog can replay — recenter x, rescale z, both cast
+    back to float — takes the byte path and matches the general sink
+    row-for-row; the output header keeps f4 storage."""
+    from spark_iqmulus_spark.sources import fused_write as fw
+    from spark_iqmulus_spark.sources.ply_format import PlyHeader
+
+    def df_fn():
+        return (
+            spark.read.format("ply")
+            .load(ply_tiles)
+            .where(F.col("y") < 80.0)
+            .withColumn("x", (F.col("x") - F.lit(50.0)).cast("float"))
+            .withColumn("z", (F.col("z") * F.lit(0.125)).cast("float"))
+        )
+
+    assert (
+        fw.plan_fused_save(df_fn(), "ply", str(tmp_path / "pr"), "overwrite", {})
+        is not None
+    ), fw._LAST_DECLINE
+    outg = str(tmp_path / "plyr_general")
+    outf = str(tmp_path / "plyr_fused")
+    df_fn().write.format("ply").option("fusedWrite", "false").mode(
+        "overwrite"
+    ).save(outg)
+    df_fn().write.format("ply").mode("overwrite").save(outf)
+    assert sorted(os.listdir(outg)) == sorted(os.listdir(outf))
+    rows = _ply_rows(spark, outf)
+    assert rows and rows == _ply_rows(spark, outg)
+    for nm in sorted(os.listdir(outf)):
+        hf = PlyHeader.parse_file(os.path.join(outf, nm))
+        hg = PlyHeader.parse_file(os.path.join(outg, nm))
+        lay_f = [(p.name, p.np_char) for p in hf.element("vertex").properties]
+        lay_g = [(p.name, p.np_char) for p in hg.element("vertex").properties]
+        assert lay_f == lay_g == [("x", "f4"), ("y", "f4"), ("z", "f4")]
+
+
+def test_fused_ply_computed_double_widens_like_general(spark, ply_tiles, tmp_path):
+    """An UNCAST double expression over a float property widens it to f8
+    on the general sink; the byte path must produce the same widened
+    layout and the same values (f4→f8 leaf widening is exact)."""
+    from spark_iqmulus_spark.sources import fused_write as fw
+    from spark_iqmulus_spark.sources.ply_format import PlyHeader
+
+    def df_fn():
+        return (
+            spark.read.format("ply")
+            .load(ply_tiles)
+            .withColumn("x", F.col("x") * F.lit(0.5) + F.lit(3.0))
+        )
+
+    assert (
+        fw.plan_fused_save(df_fn(), "ply", str(tmp_path / "pw"), "overwrite", {})
+        is not None
+    ), fw._LAST_DECLINE
+    outg = str(tmp_path / "plyw_general")
+    outf = str(tmp_path / "plyw_fused")
+    df_fn().write.format("ply").option("fusedWrite", "false").mode(
+        "overwrite"
+    ).save(outg)
+    df_fn().write.format("ply").mode("overwrite").save(outf)
+    rows = _ply_rows(spark, outf)
+    assert rows and rows == _ply_rows(spark, outg)
+    for nm in sorted(os.listdir(outf)):
+        hf = PlyHeader.parse_file(os.path.join(outf, nm))
+        lay = [(p.name, p.np_char) for p in hf.element("vertex").properties]
+        assert lay == [("x", "f8"), ("y", "f4"), ("z", "f4")]
+        hg = PlyHeader.parse_file(os.path.join(outg, nm))
+        assert lay == [
+            (p.name, p.np_char) for p in hg.element("vertex").properties
+        ]
+
+
+def test_fused_pcd_computed_float_and_int_equals_general(spark, tmp_path):
+    """PCD twin: a recentered float field AND an int-rooted computed field
+    (round(label·2.5) cast int — ANSI path, the general sink's own cast)
+    in one plan, fused and equal to the general sink."""
+    from .fixtures import make_pcd
+    from spark_iqmulus_spark.sources import fused_write as fw
+    from spark_iqmulus_spark.sources.pcd_format import PcdHeader
+
+    d = tmp_path / "pcdr_tiles"
+    d.mkdir()
+    make_pcd(str(d / "ra.pcd"), n=600, seed=7)
+    make_pcd(str(d / "rb.pcd"), n=400, seed=8)
+
+    def df_fn():
+        return (
+            spark.read.format("pcd")
+            .load(str(d))
+            .where(F.col("y") >= 10.0)
+            .withColumn("x", (F.col("x") - F.lit(50.0)).cast("float"))
+            .withColumn("label", F.round(F.col("label") * F.lit(2.5), 0).cast("int"))
+        )
+
+    assert (
+        fw.plan_fused_save(df_fn(), "pcd", str(tmp_path / "pc"), "overwrite", {})
+        is not None
+    ), fw._LAST_DECLINE
+    outg = str(tmp_path / "pcdr_general")
+    outf = str(tmp_path / "pcdr_fused")
+    df_fn().write.format("pcd").option("fusedWrite", "false").mode(
+        "overwrite"
+    ).save(outg)
+    df_fn().write.format("pcd").mode("overwrite").save(outf)
+
+    def _pcd_rows(path):
+        return sorted(
+            map(
+                tuple,
+                spark.read.format("pcd").load(path).drop("fid", "pid").collect(),
+            )
+        )
+
+    rows = _pcd_rows(outf)
+    assert rows and rows == _pcd_rows(outg)
+    for nm in sorted(os.listdir(outf)):
+        hf = PcdHeader.parse_file(os.path.join(outf, nm))
+        hg = PcdHeader.parse_file(os.path.join(outg, nm))
+        assert [(f.name, f.np_char) for f in hf.fields] == [
+            (f.name, f.np_char) for f in hg.fields
+        ] == [("x", "f4"), ("y", "f4"), ("z", "f4"), ("label", "i4")]
+
+
+def test_ply_computed_from_other_column_falls_back(spark, ply_tiles, tmp_path):
+    """A computed column referencing a DIFFERENT source column has no
+    byte-path extraction (the program contract is same-named source) —
+    declines with a recorded reason and the general sink output stands."""
+    from spark_iqmulus_spark.sources import fused_write as fw
+
+    df = (
+        spark.read.format("ply")
+        .load(ply_tiles)
+        .withColumn("x", (F.col("y") + F.lit(1.0)).cast("float"))
+    )
+    assert (
+        fw.plan_fused_save(df, "ply", str(tmp_path / "xo"), "overwrite", {})
+        is None
+    )
+    assert "cannot replay" in (fw._LAST_DECLINE or "")
+    out = str(tmp_path / "plyo_out")
+    df.write.format("ply").mode("overwrite").save(out)  # general sink path
+    back = spark.read.format("ply").load(out)
+    assert back.count() == df.count()
+
+
+def test_ply_unreplayable_computed_falls_back(spark, ply_tiles, tmp_path):
+    """sqrt is outside the closed exprprog node set → decline."""
+    from spark_iqmulus_spark.sources import fused_write as fw
+
+    df = (
+        spark.read.format("ply")
+        .load(ply_tiles)
+        .withColumn("x", F.sqrt(F.col("x")).cast("float"))
+    )
+    assert (
+        fw.plan_fused_save(df, "ply", str(tmp_path / "un"), "overwrite", {})
+        is None
+    )
+    assert "cannot replay" in (fw._LAST_DECLINE or "")
