@@ -476,17 +476,14 @@ def q_pc_fastminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_sources(spark)
     out_rows = []
-    for fmt, dir_fn, cols in (
-        ("ply", _ply_dir, ("x", "z")),
-        ("pcd", _pcd_dir, ("x", "z")),
-    ):
+    for fmt, dir_fn in (("ply", _ply_dir), ("pcd", _pcd_dir)):
         src = dir_fn(spark, sf_dir)
-        key = (sf_dir, f"{fmt}_manifest_stats")
+        key = (sf_dir, f"{fmt}_manifest_stats2")
         if key not in _CACHE or not os.path.exists(_CACHE[key]):
             mpath = os.path.join(tempfile.mkdtemp(prefix="pc_mstat_"), "manifest")
             write_manifest_scan(
                 spark, sorted(glob.glob(os.path.join(src, f"*.{fmt}"))), mpath,
-                fmt=fmt,
+                fmt=fmt, columns=("x", "z", "c"),
             )
             _CACHE[key] = mpath
         df = spark.read.format(fmt).option("manifest", _CACHE[key]).load(src)
@@ -494,17 +491,25 @@ def q_pc_fastminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.min("x").alias("min_x"),
             F.max("z").alias("max_z"),
+            # non-xyz column: round-12 generalization — LAS header bounds
+            # never covered it, the manifest does
+            F.max("c").alias("max_c"),
         ).collect()[0]
-        out_rows.append((fmt, row["n"], float(row["min_x"]), float(row["max_z"])))
+        out_rows.append(
+            (fmt, row["n"], float(row["min_x"]), float(row["max_z"]),
+             int(row["max_c"]))
+        )
     return (
         spark.createDataFrame(
-            out_rows, "fmt string, n bigint, min_x double, max_z double"
+            out_rows,
+            "fmt string, n bigint, min_x double, max_z double, max_c int",
         )
         .select(
             "fmt",
             "n",
             F.round("min_x", 4).alias("min_x"),
             F.round("max_z", 4).alias("max_z"),
+            "max_c",
         )
     )
 
@@ -931,12 +936,14 @@ ORACLES = {
     "q_pc_fastminmax": f"""
         SELECT 'ply' AS fmt, count(*) AS n,
                round(CAST(min(CAST(p_partkey AS REAL)) AS DOUBLE), 4) AS min_x,
-               round(CAST(max(CAST({_Z} AS REAL)) AS DOUBLE), 4) AS max_z
+               round(CAST(max(CAST({_Z} AS REAL)) AS DOUBLE), 4) AS max_z,
+               CAST(max(p_partkey % 6 + 1) AS INTEGER) AS max_c
         FROM part
         UNION ALL
         SELECT 'pcd' AS fmt, count(*) AS n,
                round(CAST(min(CAST(p_partkey AS REAL)) AS DOUBLE), 4) AS min_x,
-               round(CAST(max(CAST({_Z} AS REAL)) AS DOUBLE), 4) AS max_z
+               round(CAST(max(CAST({_Z} AS REAL)) AS DOUBLE), 4) AS max_z,
+               CAST(max(p_partkey % 6 + 1) AS INTEGER) AS max_c
         FROM part
     """,
     "q_las_transcode_project": """

@@ -238,10 +238,14 @@ def _cols_never_null(source, headers, cols, element: str) -> bool:
 
 
 def _try_manifest_aggregate(df, source, opts, wanted, paths):
-    """Global min/max(x|y|z) (and counts) over a bounds-less format
-    (PLY/PCD), answered from a FRESH scan-stats manifest — closing the
-    asymmetry where ``count()`` is free on all three formats but
-    ``min(x)`` was free only on LAS (VERDICT r11 next #2).
+    """Global min/max of ANY manifest-covered column (and counts), on any
+    of the three formats, answered from a FRESH scan-stats manifest —
+    closing the asymmetry where ``count()`` is free on all three formats
+    but ``min(x)`` was free only on LAS (VERDICT r11 next #2; round 12
+    generalizes beyond x/y/z — LAS ``min(intensity)`` included, since
+    LAS header bounds cover only the coordinates).  A BIGINT column
+    declines: the manifest stores bounds as float64, which cannot carry
+    int64 exactly past 2^53.
 
     ``.option("manifest", path)`` points the scan at a
     ``plans/manifest.py::build_manifest_scan`` parquet (per-file
@@ -269,9 +273,9 @@ def _try_manifest_aggregate(df, source, opts, wanted, paths):
     except Exception:
         return None
     need_cols = {"path", "mtime_ns", "size", "n_points"}
-    for name, kind, ax in wanted:
+    for name, kind, col in wanted:
         if kind in ("min", "max"):
-            need_cols.add(f"{'xyz'[ax]}_{kind}")
+            need_cols.add(f"{col}_{kind}")
     if not need_cols <= set(tbl.column_names):
         return None
     rows = tbl.select(sorted(need_cols)).to_pylist()
@@ -298,19 +302,25 @@ def _try_manifest_aggregate(df, source, opts, wanted, paths):
             source, got[0], count_cols, element
         ):
             return None
-    int_types = {"tinyint", "smallint", "int", "bigint"}
+    int_types = {"tinyint", "smallint", "int"}
     values = []
-    for name, kind, ax in wanted:
+    for name, kind, col in wanted:
         if kind in ("count", "count_col"):
             values.append(total)
             continue
+        dt = df.schema[name].dataType.simpleString()
+        if dt == "bigint":
+            # the manifest stores bounds as float64 — a bigint column's
+            # min/max beyond 2^53 would round, so the fast path cannot
+            # answer it exactly; the real scan can
+            return None
         if total == 0:
             values.append(None)  # min/max over an empty scan is NULL
             continue
         per_file = [
-            r[f"{'xyz'[ax]}_{kind}"]
+            r[f"{col}_{kind}"]
             for r in rows
-            if r[f"{'xyz'[ax]}_{kind}"] is not None
+            if r[f"{col}_{kind}"] is not None
         ]
         if not per_file:
             values.append(None)  # all-null column
@@ -325,7 +335,6 @@ def _try_manifest_aggregate(df, source, opts, wanted, paths):
             v = max(nn) if len(nn) == len(per_file) else float("nan")
         else:
             v = min(nn) if nn else float("nan")
-        dt = df.schema[name].dataType.simpleString()
         values.append(int(v) if dt in int_types else float(v))
     from pyspark.sql import Row
 
@@ -416,10 +425,7 @@ def _try_header_aggregate(df):
             arg = fn.children().apply(0)
             if _simple(arg) != "AttributeReference":
                 return None
-            col = str(arg.name())
-            if col not in ("x", "y", "z"):
-                return None
-            wanted.append((name, kind.lower(), "xyz".index(col)))
+            wanted.append((name, kind.lower(), str(arg.name())))
         else:
             return None
     if not wanted:
@@ -445,9 +451,12 @@ def _try_header_aggregate(df):
         from pyspark.sql import Row
 
         return [Row(*[n for n, _, _ in wanted])(*[total] * len(wanted))]
-    if source != "las":
-        # PLY/PCD headers carry no bounds — but a FRESH scan-stats
-        # manifest does (VERDICT r11 missing #1 / next #2)
+    minmax_cols = [c for _, k, c in wanted if k in ("min", "max")]
+    if source != "las" or any(c not in ("x", "y", "z") for c in minmax_cols):
+        # PLY/PCD headers carry no bounds, and LAS bounds cover only
+        # x/y/z — but a FRESH scan-stats manifest answers min/max of ANY
+        # column it was built over, on any of the three formats (VERDICT
+        # r11 next #2; generalized beyond x/y/z in round 12)
         return _try_manifest_aggregate(df, source, opts, wanted, paths)
     if any(k not in _MINMAX_NEUTRAL_OPTS for k in opts):
         return None
@@ -477,12 +486,13 @@ def _try_header_aggregate(df):
         return None
     values = []
     nonempty = [h for h in headers if h.pdr_nb > 0]
-    for name, kind, ax in wanted:
+    for name, kind, col in wanted:
         if kind in ("count", "count_col"):
             values.append(total)
         elif total == 0:
             values.append(None)  # min/max over an empty scan is NULL
         else:
+            ax = "xyz".index(col)  # gated above: header bounds are x/y/z
             if kind == "min":
                 world = min(h.pmin[ax] for h in nonempty)
             else:

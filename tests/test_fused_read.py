@@ -514,3 +514,110 @@ def test_count_column_mixed_ply_layouts_falls_back(spark, tmp_path):
     before = _jobs(spark)
     assert q2.collect()[0]["n"] == 1400
     assert _jobs(spark) == before  # x present in every tile → zero jobs
+
+
+def test_manifest_minmax_any_column_zero_jobs(spark, tmp_path):
+    """Round 12 generalization: the manifest answers min/max of ANY column
+    it was built over — here the u1 'r' property (non-xyz), zero jobs."""
+    import glob
+
+    from spark_iqmulus_spark.plans.manifest import write_manifest_scan
+
+    d = tmp_path / "plyrgb"
+    d.mkdir()
+    make_ply_xyz(str(d / "a.ply"), n=1500, rgb=True)
+    make_ply_xyz(str(d / "b.ply"), n=900, rgb=True, seed=11)
+    mpath = str(tmp_path / "m_rgb")
+    write_manifest_scan(
+        spark, sorted(glob.glob(str(d / "*.ply"))), mpath, fmt="ply",
+        columns=("x", "r"),
+    )
+    df = spark.read.format("ply").option("manifest", mpath).load(str(d))
+    aggd = df.agg(
+        F.min("r").alias("min_r"),
+        F.max("r").alias("max_r"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    before = _jobs(spark)
+    fast = aggd.collect()
+    assert _jobs(spark) == before  # zero jobs
+    assert fast == _real(aggd, lambda a: a.collect())
+    # a column the manifest was NOT built over declines to the real scan
+    aggy = df.agg(F.min("g").alias("min_g"))
+    before = _jobs(spark)
+    real = aggy.collect()
+    assert len(_jobs(spark) - before) >= 1
+    assert real == _real(aggy, lambda a: a.collect())
+
+
+def test_manifest_las_non_xyz_minmax_zero_jobs(spark, tmp_path):
+    """LAS header bounds cover only x/y/z; min/max(intensity) previously
+    always scanned — a fresh manifest now answers it O(files)."""
+    import glob
+
+    from spark_iqmulus_spark.plans.manifest import write_manifest_scan
+
+    d = tmp_path / "lasm"
+    d.mkdir()
+    make_las(str(d / "a.las"), n=3000, fmt=1)
+    make_las(str(d / "b.las"), n=2000, fmt=1)
+    mpath = str(tmp_path / "m_las")
+    write_manifest_scan(
+        spark, sorted(glob.glob(str(d / "*.las"))), mpath, fmt="las",
+        columns=("intensity",),
+    )
+    df = spark.read.format("las").option("manifest", mpath).load(str(d))
+    aggd = df.agg(
+        F.min("intensity").alias("min_i"), F.max("intensity").alias("max_i")
+    )
+    before = _jobs(spark)
+    fast = aggd.collect()
+    assert _jobs(spark) == before
+    assert fast == _real(aggd, lambda a: a.collect())
+
+
+def test_manifest_bigint_minmax_falls_back(spark, tmp_path):
+    """The manifest stores bounds as float64 — min/max of a BIGINT column
+    (i8 property) cannot be answered exactly from it, so the fast path
+    declines to the real scan (which answers the exact int64)."""
+    import glob
+
+    import numpy as np
+
+    from spark_iqmulus_spark.plans.manifest import write_manifest_scan
+    from spark_iqmulus_spark.sources.ply_format import (
+        PlyElement,
+        PlyHeader,
+        PlyProperty,
+    )
+
+    d = tmp_path / "plybig"
+    d.mkdir()
+    big = 2**60 + 7  # not representable in float64
+    arr = np.zeros(10, dtype=[("x", "<f4"), ("big", "<i8")])
+    arr["x"] = np.arange(10, dtype=np.float32)
+    arr["big"] = np.arange(10, dtype=np.int64) + big
+    hdr = PlyHeader(
+        location=str(d / "a.ply"),
+        little_endian=True,
+        elements=[
+            PlyElement(
+                "vertex", 10,
+                [PlyProperty("x", "f4"), PlyProperty("big", "i8")],
+            )
+        ],
+    )
+    with open(d / "a.ply", "wb") as f:
+        f.write(hdr.to_bytes())
+        f.write(arr.tobytes())
+    mpath = str(tmp_path / "m_big")
+    write_manifest_scan(
+        spark, sorted(glob.glob(str(d / "*.ply"))), mpath, fmt="ply",
+        columns=("x", "big"),
+    )
+    df = spark.read.format("ply").option("manifest", mpath).load(str(d))
+    aggd = df.agg(F.max("big").alias("max_big"))
+    before = _jobs(spark)
+    rows = aggd.collect()
+    assert len(_jobs(spark) - before) >= 1  # real scan, not the manifest
+    assert rows[0]["max_big"] == big + 9  # exact int64
