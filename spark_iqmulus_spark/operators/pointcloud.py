@@ -658,6 +658,51 @@ def q_pc_recenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ply_affine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Affine-transform WRITE via the STOCK write API (round 12 — the
+    multi-column computed shape, PDAL ``filters.transformation`` →
+    ``write``): one Project computes x' = 0.75·x + 0.25·y + 1 and
+    y' = 0.5·y − 0.25·x from SEVERAL source columns of the same record;
+    exprprog extracts each into a multi-leaf program and the byte path
+    replays them over the pre-projection records (both see the ORIGINAL
+    x/y, like the general sink's Project).  Dyadic coefficients keep
+    every value and sum exact, so the read-back aggregate hash-matches
+    the oracle's mirrored ::REAL/::DOUBLE chain."""
+    register_sources(spark)
+
+    key = (sf_dir, "ply_affine")
+    if key not in _CACHE or not os.path.exists(_CACHE[key]):
+        out = tempfile.mkdtemp(prefix="pc_plyaf_")
+        (
+            spark.read.format("ply")
+            .load(_ply_dir(spark, sf_dir))
+            .where(F.col("c") <= 3)
+            .select(
+                "fid",
+                (
+                    F.col("x") * F.lit(0.75) + F.col("y") * F.lit(0.25)
+                    + F.lit(1.0)
+                ).cast("float").alias("x"),
+                (F.col("y") * F.lit(0.5) - F.col("x") * F.lit(0.25))
+                .cast("float")
+                .alias("y"),
+                "z",
+            )
+            .write.format("ply")
+            .mode("overwrite")
+            .save(out)
+        )
+        _CACHE[key] = out
+    df = spark.read.format("ply").load(_CACHE[key])
+    return df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("x").cast("double")), 4).alias("sum_x"),
+        F.round(F.sum(F.col("y").cast("double")), 4).alias("sum_y"),
+        F.round(F.max(F.col("z").cast("double")), 4).alias("max_z"),
+        F.lit(len(df.columns)).alias("n_cols"),  # fid, pid, x, y, z
+    )
+
+
 def q_ply_transcode_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Projected PLY transcode via the STOCK write API (round 11 — VERDICT
     r10 item 3): ``read → filter → select(x, z) → write.format("ply")``
@@ -854,6 +899,7 @@ QUERIES = {
     "q_las_regrid": q_las_regrid,
     "q_ply_transcode": q_ply_transcode,
     "q_pc_recenter": q_pc_recenter,
+    "q_ply_affine": q_ply_affine,
     "q_ply_transcode_project": q_ply_transcode_project,
     "q_pcd_transcode_project": q_pcd_transcode_project,
     "q_ply_transcode_multi": q_ply_transcode_multi,
@@ -998,6 +1044,19 @@ ORACLES = {
         SELECT 'pcd' AS fmt, count(*) AS n,
                round(sum(CAST(CAST(CAST(x AS DOUBLE) - 50.0::DOUBLE AS REAL) AS DOUBLE)), 4) AS sum_x,
                CAST(sum(CAST(round(CAST(i AS DOUBLE) * 2.5::DOUBLE, 0) AS INTEGER)) AS DOUBLE) AS m
+        FROM pts
+    """,
+    "q_ply_affine": f"""
+        WITH pts AS (
+            SELECT CAST(p_partkey AS REAL) AS x, CAST(p_size AS REAL) AS y,
+                   CAST({_Z} AS REAL) AS z
+            FROM part WHERE p_partkey % 6 + 1 <= 3
+        )
+        SELECT count(*) AS n,
+               round(sum(CAST(CAST(CAST(x AS DOUBLE) * 0.75::DOUBLE + CAST(y AS DOUBLE) * 0.25::DOUBLE + 1.0::DOUBLE AS REAL) AS DOUBLE)), 4) AS sum_x,
+               round(sum(CAST(CAST(CAST(y AS DOUBLE) * 0.5::DOUBLE - CAST(x AS DOUBLE) * 0.25::DOUBLE AS REAL) AS DOUBLE)), 4) AS sum_y,
+               round(CAST(max(z) AS DOUBLE), 4) AS max_z,
+               5 AS n_cols
         FROM pts
     """,
     "q_ply_transcode_project": f"""

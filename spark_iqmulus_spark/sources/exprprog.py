@@ -22,11 +22,15 @@ So instead of recognizing one blessed affine pattern, this module
   and the emitted int32 matches the general sink on every input,
   including values landing exactly on ``.5`` grid boundaries.
 
-Anything outside the node set (another column, a narrowing cast, a
-non-zero round scale, try_cast, …) fails extraction and the write falls
-back to the general sink.  Division is only syntactically reachable with
-literal divisors in practice, but the replay is exact for any double
-divide, so no structural restriction is needed.
+Anything outside the node set (a narrowing cast, a non-zero round scale,
+try_cast, a non-arithmetic function, …) fails extraction and the write
+falls back to the general sink.  Round 12: leaves carry their column
+name, so a program may reference several columns of one record — the
+affine-transform shape ``x' = a·x + b·y + c`` replays for PLY/PCD; the
+LAS re-grid keeps the single-column restriction (a cross-axis reference
+would break its per-axis grid gate).  Division is only syntactically
+reachable with literal divisors in practice, but the replay is exact for
+any double divide, so no structural restriction is needed.
 
 Reference parity note: the reference has no fused write at all (its
 direct save actions copy relation bytes, ``las/package.scala:45-98``);
@@ -75,7 +79,7 @@ def extract_program(jexpr, col_name: str):
 _WIDENS_TO_DOUBLE = {"tinyint", "smallint", "int", "bigint", "float"}
 
 
-def extract_program_any(jexpr, col_name: str):
+def extract_program_any(jexpr, col_name: str | None = None):
     """Catalyst expression (py4j) → ``(program, out_char, ansi)`` or
     ``None`` — the generalized extractor behind the fused computed-column
     write shapes (round 12 extends the LAS re-grid to PLY/PCD).
@@ -93,10 +97,15 @@ def extract_program_any(jexpr, col_name: str):
     - ``'f8'`` — a bare double expression (no root cast): the natural
       shape over a double source property.
 
-    The arithmetic body must run entirely in double over the SAME-named
-    source column ``col_name`` (Catalyst inserts the widening cast right
-    above the attribute; see ``_WIDENS_TO_DOUBLE`` for the leaf types
-    whose widening numpy replays bit-exactly)."""
+    The arithmetic body must run entirely in double over source-column
+    leaves (Catalyst inserts the widening cast right above each
+    attribute; see ``_WIDENS_TO_DOUBLE`` for the leaf types whose
+    widening numpy replays bit-exactly).  Leaves emit ``("col", name)``
+    ops, so a program may reference SEVERAL columns of the same record —
+    the affine-transform write shape (``x' = a·x + b·y + c``); restrict
+    with ``col_name`` to require every leaf to be that one column (the
+    LAS re-grid contract, where a cross-axis reference would break the
+    per-axis grid gate).  ``program_refs`` lists a program's columns."""
     ansi = None
     if _simple(jexpr) == "Cast":
         dt = str(jexpr.dataType().simpleString())
@@ -133,9 +142,10 @@ def extract_program_any(jexpr, col_name: str):
             # arithmetic body when the column itself is double (the f8
             # source-property shape); narrower columns arrive under the
             # widening Cast below
-            if str(n.name()) != col_name or dt != "double":
+            nm = str(n.name())
+            if (col_name is not None and nm != col_name) or dt != "double":
                 return False
-            prog.append(("col",))
+            prog.append(("col", nm))
             return True
         if cls == "Literal":
             if dt != "double":
@@ -155,7 +165,7 @@ def extract_program_any(jexpr, col_name: str):
             c = n.children().apply(0)
             if (
                 _simple(c) != "AttributeReference"
-                or str(c.name()) != col_name
+                or (col_name is not None and str(c.name()) != col_name)
                 or str(c.dataType().simpleString()) not in _WIDENS_TO_DOUBLE
             ):
                 return False
@@ -164,7 +174,7 @@ def extract_program_any(jexpr, col_name: str):
                     return False
             except Exception:
                 pass  # widening to double cannot overflow; mode irrelevant
-            prog.append(("col",))
+            prog.append(("col", str(c.name())))
             prog.append(("todouble",))
             return True
         if cls in _BINOPS:
@@ -224,16 +234,24 @@ def _round0_half_up(d: np.ndarray) -> np.ndarray:
         return np.where(np.isfinite(d), r, d)
 
 
-def _replay_f64(prog, col: np.ndarray) -> np.ndarray:
-    """Shared postfix replay: program over the source column → float64
-    result broadcast to the column's shape (a pure-literal program yields
-    a scalar otherwise)."""
+def program_refs(prog) -> set:
+    """Source column names a program references (empty for legacy bare
+    ``("col",)`` ops, which bind to the single passed array)."""
+    return {op[1] for op in prog if op[0] == "col" and len(op) > 1}
+
+
+def _replay_f64(prog, cols) -> np.ndarray:
+    """Shared postfix replay: program over the source record → float64
+    result broadcast to the record count (a pure-literal program yields a
+    scalar otherwise).  ``cols`` is the structured source-record array —
+    ``("col", name)`` ops index it by field — or, for a legacy bare
+    ``("col",)`` program, the single column array itself."""
     stack: list[np.ndarray] = []
     with np.errstate(all="ignore"):
         for op in prog:
             k = op[0]
             if k == "col":
-                stack.append(col)
+                stack.append(cols[op[1]] if len(op) > 1 else cols)
             elif k == "lit":
                 stack.append(np.float64(op[1]))
             elif k == "todouble":
@@ -256,22 +274,23 @@ def _replay_f64(prog, col: np.ndarray) -> np.ndarray:
                 else:  # pragma: no cover - extraction emits a closed op set
                     raise ValueError(f"unknown op {k!r}")
     v = np.asarray(stack.pop(), dtype=np.float64)
-    if v.shape != np.shape(col):
-        v = np.broadcast_to(v, np.shape(col)).copy()
+    n = len(cols)
+    if v.shape != (n,):
+        v = np.broadcast_to(v, (n,)).copy()
     return v
 
 
-def eval_program(prog, col: np.ndarray, ansi: bool) -> np.ndarray:
-    """Replay an extracted int-rooted program over the source column;
-    returns the int32 values the general sink would write for the same
-    records.
+def eval_program(prog, cols, ansi: bool) -> np.ndarray:
+    """Replay an extracted int-rooted program over the source records
+    (``cols`` as in ``_replay_f64``); returns the int32 values the general
+    sink would write for the same records.
 
     ``ansi=True`` mirrors Spark's ANSI cast: a NaN or out-of-int32-range
     result raises (the general sink's job fails on the same rows — the
     fused job failing with the same meaning is the equivalent outcome);
     ``ansi=False`` mirrors the JVM ``d2i`` legacy cast: NaN → 0,
     truncate toward zero, saturate at the int32 bounds."""
-    v = _replay_f64(prog, col)
+    v = _replay_f64(prog, cols)
     if ansi:
         # Spark's ANSI range check: floor(v) ≤ Int.Max && ceil(v) ≥ Int.Min
         # (so 2147483647.4 still casts — truncation lands in range)
@@ -289,7 +308,7 @@ def eval_program(prog, col: np.ndarray, ansi: bool) -> np.ndarray:
 
 
 def eval_program_typed(
-    prog, col: np.ndarray, out_char: str, ansi: bool = False
+    prog, cols, out_char: str, ansi: bool = False
 ) -> np.ndarray:
     """Replay by output storage (``extract_program_any``'s out_char):
     ``'i4'`` delegates to ``eval_program`` (ANSI/legacy d2i), ``'f4'``
@@ -297,8 +316,8 @@ def eval_program_typed(
     — identical to the JVM's d2f, including overflow → ±Infinity and NaN
     passthrough), ``'f8'`` is the raw double result."""
     if out_char == "i4":
-        return eval_program(prog, col, ansi)
-    v = _replay_f64(prog, col)
+        return eval_program(prog, cols, ansi)
+    v = _replay_f64(prog, cols)
     if out_char == "f4":
         return v.astype("<f4")
     if out_char != "f8":  # pragma: no cover - extraction emits a closed set

@@ -233,12 +233,12 @@ def _extract_scan_filter(df):
                     pairs.append((str(e.name()), str(child.name())))
                     continue
                 name = str(e.name())
-                got = extract_program_any(child, name)
+                got = extract_program_any(child)
                 if got is None:
                     return _no(
                         f"projection computes {name!r} with an expression"
                         " the byte path cannot replay (only double"
-                        " arithmetic over the same-named source column,"
+                        " arithmetic over stored source columns,"
                         " round(·, 0), and an optional final int/float"
                         " cast qualify)"
                     )
@@ -338,12 +338,20 @@ def _las_fused_plan(
     computed = computed or {}
     # the LAS computed shape is the re-grid: int32-rooted programs over
     # the scaled-integer x/y/z columns only (any other output storage or
-    # column has no las2las byte-path meaning)
+    # column has no las2las byte-path meaning), each referencing ONLY its
+    # own column — a cross-axis reference would break the per-axis grid
+    # gate below
+    from .exprprog import program_refs
+
     for name, (_prog, out_char, _m) in computed.items():
-        if name not in ("x", "y", "z") or out_char != "i4":
+        if (
+            name not in ("x", "y", "z")
+            or out_char != "i4"
+            or program_refs(_prog) - {name}
+        ):
             return _no(
                 f"computed column {name!r} (storage {out_char!r}) is not"
-                " an int32-rooted x/y/z re-grid expression"
+                " an int32-rooted same-column x/y/z re-grid expression"
             )
     out_scale, out_offset = out_grid if out_grid else (
         (0.01, 0.01, 0.01), (0.0, 0.0, 0.0)
@@ -608,6 +616,18 @@ def _ply_fused_plan(df, where, path, overwrite, projected=None,
     prop_names = {n for n, _ in props}
     if any(name not in prop_names for name, _, _ in where):
         return None
+    # every column a program references must be stored in the source
+    # (round 12: programs may span several columns of one record — the
+    # affine-transform shape)
+    from .exprprog import program_refs
+
+    for name, (prg, _oc2, _m2) in computed.items():
+        missing = program_refs(prg) - prop_names
+        if missing:
+            return _no(
+                f"computed column {name!r} references {sorted(missing)}"
+                " which are not stored source properties"
+            )
     # int-rooted programs extracted under DIFFERENT cast modes in one plan
     # cannot share the transcoder's single overflow semantic — fall back
     modes = {m for _p, oc, m in computed.values() if oc == "i4" and m is not None}
@@ -687,6 +707,18 @@ def _pcd_fused_plan(df, where, path, overwrite, projected=None,
     prop_names = {n for n, _ in props}
     if any(name not in prop_names for name, _, _ in where):
         return None
+    # every column a program references must be stored in the source
+    # (round 12: programs may span several columns of one record — the
+    # affine-transform shape)
+    from .exprprog import program_refs
+
+    for name, (prg, _oc2, _m2) in computed.items():
+        missing = program_refs(prg) - prop_names
+        if missing:
+            return _no(
+                f"computed column {name!r} references {sorted(missing)}"
+                " which are not stored source properties"
+            )
     modes = {m for _p, oc, m in computed.values() if oc == "i4" and m is not None}
     if len(modes) > 1:
         return _no("computed columns mix ANSI and LEGACY cast modes")

@@ -283,12 +283,12 @@ def _las_scan_stats(
                     # general sink's Project also reads pre-projection
                     # attributes), overwriting the plain copy
                     for nm, prg in compute_local:
-                        enc[nm] = eval_program(prg, kept[nm], ansi_local)
+                        enc[nm] = eval_program(prg, kept, ansi_local)
                     kept = kept_raw = enc
                 elif compute_local:
                     enc = kept.copy()
                     for nm, prg in compute_local:
-                        enc[nm] = eval_program(prg, kept[nm], ansi_local)
+                        enc[nm] = eval_program(prg, kept, ansi_local)
                     kept = kept_raw = enc
                 m = len(kept)
                 pmin, pmax = [0.0] * 3, [0.0] * 3
@@ -808,7 +808,7 @@ def _ply_scan_stats(
                             # pre-projection attributes)
                             prg, oc = compute_local[out_nm]
                             enc[out_nm] = eval_program_typed(
-                                prg, kept[src_nm], oc, ansi_local
+                                prg, kept, oc, ansi_local
                             )
                         else:
                             enc[out_nm] = kept[src_nm]
@@ -1301,7 +1301,7 @@ def _pcd_scan_stats(
                             # pre-projection attributes)
                             prg, oc = compute_local[out_nm]
                             enc[out_nm] = eval_program_typed(
-                                prg, kept[src_nm], oc, ansi_local
+                                prg, kept, oc, ansi_local
                             )
                         else:
                             enc[out_nm] = kept[src_nm]

@@ -1022,26 +1022,61 @@ def test_fused_pcd_computed_float_and_int_equals_general(spark, tmp_path):
         ] == [("x", "f4"), ("y", "f4"), ("z", "f4"), ("label", "i4")]
 
 
-def test_ply_computed_from_other_column_falls_back(spark, ply_tiles, tmp_path):
-    """A computed column referencing a DIFFERENT source column has no
-    byte-path extraction (the program contract is same-named source) —
-    declines with a recorded reason and the general sink output stands."""
+def test_fused_ply_cross_column_affine_equals_general(spark, ply_tiles, tmp_path):
+    """Round 12 multi-column programs: an affine transform referencing
+    SEVERAL columns of the record (x' = x + 0.25·y − 2, y' from x) fuses
+    and matches the general sink — both computed columns replay over the
+    PRE-projection source values, so y' sees the original x even though
+    x is itself recomputed in the same projection."""
+    from spark_iqmulus_spark.sources import fused_write as fw
+
+    def df_fn():
+        return (
+            spark.read.format("ply")
+            .load(ply_tiles)
+            .where(F.col("z") > 5.0)
+            .select(
+                "fid",
+                (F.col("x") + F.lit(0.25) * F.col("y") - F.lit(2.0))
+                .cast("float")
+                .alias("x"),
+                (F.col("x") * F.lit(0.5)).cast("float").alias("y"),
+                "z",
+            )
+        )
+
+    assert (
+        fw.plan_fused_save(df_fn(), "ply", str(tmp_path / "af"), "overwrite", {})
+        is not None
+    ), fw._LAST_DECLINE
+    outg = str(tmp_path / "plyaf_general")
+    outf = str(tmp_path / "plyaf_fused")
+    df_fn().write.format("ply").option("fusedWrite", "false").mode(
+        "overwrite"
+    ).save(outg)
+    df_fn().write.format("ply").mode("overwrite").save(outf)
+    rows = _ply_rows(spark, outf)
+    assert rows and rows == _ply_rows(spark, outg)
+
+
+def test_las_cross_axis_computed_falls_back(spark, tiles, tmp_path):
+    """LAS keeps the same-column re-grid contract: a computed x that
+    references y would break the per-axis grid gate — declines."""
     from spark_iqmulus_spark.sources import fused_write as fw
 
     df = (
-        spark.read.format("ply")
-        .load(ply_tiles)
-        .withColumn("x", (F.col("y") + F.lit(1.0)).cast("float"))
+        spark.read.format("las")
+        .load(tiles)
+        .withColumn(
+            "x",
+            F.round((F.col("y") * F.lit(0.01)) / F.lit(0.01), 0).cast("int"),
+        )
     )
     assert (
-        fw.plan_fused_save(df, "ply", str(tmp_path / "xo"), "overwrite", {})
+        fw.plan_fused_save(df, "las", str(tmp_path / "cx"), "overwrite", {})
         is None
     )
-    assert "cannot replay" in (fw._LAST_DECLINE or "")
-    out = str(tmp_path / "plyo_out")
-    df.write.format("ply").mode("overwrite").save(out)  # general sink path
-    back = spark.read.format("ply").load(out)
-    assert back.count() == df.count()
+    assert "re-grid" in (fw._LAST_DECLINE or "")
 
 
 def test_ply_unreplayable_computed_falls_back(spark, ply_tiles, tmp_path):
