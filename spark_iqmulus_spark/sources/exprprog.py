@@ -15,8 +15,10 @@ So instead of recognizing one blessed affine pattern, this module
   semantics numpy reproduces bit-for-bit: ``Literal`` (double),
   ``AttributeReference`` (the source column itself), widening ``Cast``
   int→double, ``Add/Subtract/Multiply/Divide/UnaryMinus`` (IEEE-754
-  double ops — identical in JVM and numpy), ``Round(e, 0)`` (Spark
-  HALF_UP, see ``_round0_half_up``), under a root ``Cast(double → int)``;
+  double ops — identical in JVM and numpy), ``Sqrt``/``Abs`` (sqrt is
+  correctly rounded in both ``Math.sqrt`` and hardware ``sqrtsd``),
+  ``Round(e, 0)`` (Spark HALF_UP, see ``_round0_half_up``), under a root
+  ``Cast(double → int)``;
 - REPLAYS it vectorized over the raw records (``eval_program``) in the
   exact tree order, so every intermediate equals the JVM's bit-for-bit
   and the emitted int32 matches the general sink on every input,
@@ -185,12 +187,17 @@ def extract_program_any(jexpr, col_name: str | None = None):
                 return False
             prog.append((_BINOPS[cls],))
             return True
-        if cls == "UnaryMinus":
+        if cls in ("UnaryMinus", "Sqrt", "Abs"):
+            # sqrt is IEEE-754 correctly rounded in BOTH Math.sqrt (JLS
+            # guarantee) and numpy (hardware sqrtsd), so the replay is
+            # bit-exact; abs/negate just flip the sign bit
             if dt != "double":
                 return False
             if not walk(n.children().apply(0)):
                 return False
-            prog.append(("neg",))
+            prog.append(
+                {"UnaryMinus": ("neg",), "Sqrt": ("sqrt",), "Abs": ("abs",)}[cls]
+            )
             return True
         if cls == "Round":
             if dt != "double":
@@ -258,6 +265,10 @@ def _replay_f64(prog, cols) -> np.ndarray:
                 stack.append(np.asarray(stack.pop(), dtype=np.float64))
             elif k == "neg":
                 stack.append(-stack.pop())
+            elif k == "sqrt":
+                stack.append(np.sqrt(np.asarray(stack.pop(), dtype=np.float64)))
+            elif k == "abs":
+                stack.append(np.abs(stack.pop()))
             elif k == "round0":
                 stack.append(_round0_half_up(np.asarray(stack.pop(), dtype=np.float64)))
             else:

@@ -827,7 +827,9 @@ def test_regrid_unreplayable_expressions_fall_back(spark, tiles, tmp_path):
             ),
         )
     )
-    declined(df.withColumn("x", F.sqrt(F.col("x").cast("double")).cast("int")))
+    # log is NOT correctly rounded across platforms — stays outside the
+    # node set (sqrt/abs joined it in round 12)
+    declined(df.withColumn("x", F.log(F.col("x").cast("double")).cast("int")))
 
 
 def test_regrid_ansi_overflow_fails_like_general_sink(spark, tiles, tmp_path):
@@ -1080,16 +1082,51 @@ def test_las_cross_axis_computed_falls_back(spark, tiles, tmp_path):
 
 
 def test_ply_unreplayable_computed_falls_back(spark, ply_tiles, tmp_path):
-    """sqrt is outside the closed exprprog node set → decline."""
+    """log is outside the closed exprprog node set (not correctly rounded
+    across platforms) → decline."""
     from spark_iqmulus_spark.sources import fused_write as fw
 
     df = (
         spark.read.format("ply")
         .load(ply_tiles)
-        .withColumn("x", F.sqrt(F.col("x")).cast("float"))
+        .withColumn("x", F.log(F.col("x")).cast("float"))
     )
     assert (
         fw.plan_fused_save(df, "ply", str(tmp_path / "un"), "overwrite", {})
         is None
     )
     assert "cannot replay" in (fw._LAST_DECLINE or "")
+
+
+def test_fused_ply_distance_sqrt_equals_general(spark, ply_tiles, tmp_path):
+    """sqrt/abs joined the node set (IEEE correctly rounded in both the
+    JVM and numpy): a computed planar distance column fuses and matches
+    the general sink bit-for-bit."""
+    from spark_iqmulus_spark.sources import fused_write as fw
+
+    xd, yd = F.col("x").cast("double"), F.col("y").cast("double")
+
+    def df_fn():
+        return (
+            spark.read.format("ply")
+            .load(ply_tiles)
+            .select(
+                "fid",
+                F.sqrt(xd * xd + yd * yd).cast("float").alias("x"),
+                F.abs(yd - F.lit(50.0)).cast("float").alias("y"),
+                "z",
+            )
+        )
+
+    assert (
+        fw.plan_fused_save(df_fn(), "ply", str(tmp_path / "ds"), "overwrite", {})
+        is not None
+    ), fw._LAST_DECLINE
+    outg = str(tmp_path / "plyds_general")
+    outf = str(tmp_path / "plyds_fused")
+    df_fn().write.format("ply").option("fusedWrite", "false").mode(
+        "overwrite"
+    ).save(outg)
+    df_fn().write.format("ply").mode("overwrite").save(outf)
+    rows = _ply_rows(spark, outf)
+    assert rows and rows == _ply_rows(spark, outg)
