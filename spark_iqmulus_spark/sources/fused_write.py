@@ -336,22 +336,17 @@ def _las_fused_plan(
     from .pointcloud_common import headers_with_sizes
 
     computed = computed or {}
-    # the LAS computed shape is the re-grid: int32-rooted programs over
-    # the scaled-integer x/y/z columns only (any other output storage or
-    # column has no las2las byte-path meaning), each referencing ONLY its
-    # own column — a cross-axis reference would break the per-axis grid
-    # gate below
-    from .exprprog import program_refs
-
+    # the LAS computed shape is the re-grid / transform: int32-rooted
+    # programs targeting the scaled-integer x/y/z columns (any other
+    # output storage or target has no las2las byte-path meaning).  Since
+    # round 12 a program may reference SEVERAL source columns (rotation
+    # las2las: x' from x AND y) — the referenced-fields gate runs below,
+    # once the source format is known
     for name, (_prog, out_char, _m) in computed.items():
-        if (
-            name not in ("x", "y", "z")
-            or out_char != "i4"
-            or program_refs(_prog) - {name}
-        ):
+        if name not in ("x", "y", "z") or out_char != "i4":
             return _no(
                 f"computed column {name!r} (storage {out_char!r}) is not"
-                " an int32-rooted same-column x/y/z re-grid expression"
+                " an int32-rooted x/y/z re-grid/transform expression"
             )
     out_scale, out_offset = out_grid if out_grid else (
         (0.01, 0.01, 0.01), (0.0, 0.0, 0.0)
@@ -418,6 +413,21 @@ def _las_fused_plan(
     # re-derives its raw values, so its source grid is free (the source
     # scale/offset are baked into the replayed expression's literals).
     # The sink also writes version minor 2 unconditionally.
+    # every column a computed program references must be a STANDARD field
+    # of the source's own point format: extras carry nodata→NULL read
+    # semantics the raw replay cannot reproduce, and an unknown name has
+    # no stored bytes at all
+    from .exprprog import program_refs
+
+    std_fields = {n for n, _ in POINT_FORMATS[h0.pdr_format]}
+    for name, (prg, _oc, _m) in computed.items():
+        bad_refs = program_refs(prg) - std_fields
+        if bad_refs:
+            return _no(
+                f"computed column {name!r} references {sorted(bad_refs)}"
+                f" which are not standard fields of point format"
+                f" {h0.pdr_format}"
+            )
     for ax, name in enumerate("xyz"):
         if name in computed:
             continue

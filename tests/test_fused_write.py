@@ -799,9 +799,10 @@ def test_regrid_source_grid_differs_without_compute_falls_back(
 
 
 def test_regrid_unreplayable_expressions_fall_back(spark, tiles, tmp_path):
-    """Outside the replayable node set → general sink: another column's
-    attribute, a non-zero round scale, a non-xyz computed target, and a
-    computation without the int cast root."""
+    """Outside the replayable node set → general sink: a non-zero round
+    scale, a non-xyz computed target, and a non-correctly-rounded
+    function.  (Cross-column references FUSE since round 12 — see
+    test_las_rotation_computed_fuses_and_equals_general.)"""
     from spark_iqmulus_spark.sources import fused_write as fw
 
     df = spark.read.format("las").load(tiles)
@@ -815,8 +816,6 @@ def test_regrid_unreplayable_expressions_fall_back(spark, tiles, tmp_path):
             fw._LAST_DECLINE or ""
         ), fw._LAST_DECLINE
 
-    wx = F.lit(0.0) + F.lit(0.01) * F.col("y").cast("double")  # wrong column
-    declined(df.withColumn("x", F.round(wx / F.lit(0.002), 0).cast("int")))
     wx2 = F.lit(0.0) + F.lit(0.01) * F.col("x").cast("double")
     declined(df.withColumn("x", F.round(wx2 / F.lit(0.002), 2).cast("int")))
     declined(
@@ -1061,24 +1060,66 @@ def test_fused_ply_cross_column_affine_equals_general(spark, ply_tiles, tmp_path
     assert rows and rows == _ply_rows(spark, outg)
 
 
-def test_las_cross_axis_computed_falls_back(spark, tiles, tmp_path):
-    """LAS keeps the same-column re-grid contract: a computed x that
-    references y would break the per-axis grid gate — declines."""
+def test_las_rotation_computed_fuses_and_equals_general(spark, tiles, tmp_path):
+    """Cross-axis LAS programs (rotation las2las): x' computed from BOTH
+    x and y in one Project fuses — both programs replay over the
+    pre-projection raw record — and matches the general sink, header
+    bounds included."""
+    from spark_iqmulus_spark.sources import fused_write as fw
+    from spark_iqmulus_spark.sources.las_format import LasHeader
+
+    c, s = 0.6, 0.8  # exact-in-double rotation-ish coefficients
+
+    def df_fn():
+        xd, yd = F.col("x").cast("double"), F.col("y").cast("double")
+        return (
+            spark.read.format("las")
+            .load(tiles)
+            .select(
+                "fid",
+                F.round(xd * F.lit(c) - yd * F.lit(s), 0).cast("int").alias("x"),
+                F.round(xd * F.lit(s) + yd * F.lit(c), 0).cast("int").alias("y"),
+                "z",
+                "intensity",
+            )
+        )
+
+    assert (
+        fw.plan_fused_save(df_fn(), "las", str(tmp_path / "rot"), "overwrite", {})
+        is not None
+    ), fw._LAST_DECLINE
+    outg = str(tmp_path / "rot_general")
+    outf = str(tmp_path / "rot_fused")
+    df_fn().write.format("las").option("fusedWrite", "false").mode(
+        "overwrite"
+    ).save(outg)
+    df_fn().write.format("las").mode("overwrite").save(outf)
+    rows = _rows(spark, outf)
+    assert rows and rows == _rows(spark, outg)
+    for nm in _names(outf):
+        hf = LasHeader.parse_file(os.path.join(outf, nm))
+        hg = LasHeader.parse_file(os.path.join(outg, nm))
+        assert (hf.pmin, hf.pmax, hf.pdr_nb) == (hg.pmin, hg.pmax, hg.pdr_nb)
+
+
+def test_las_computed_from_extra_bytes_falls_back(spark, tmp_path):
+    """A computed x referencing an ExtraBytes field declines: extras carry
+    nodata→NULL read semantics the raw byte replay cannot reproduce."""
     from spark_iqmulus_spark.sources import fused_write as fw
 
-    df = (
-        spark.read.format("las")
-        .load(tiles)
-        .withColumn(
-            "x",
-            F.round((F.col("y") * F.lit(0.01)) / F.lit(0.01), 0).cast("int"),
-        )
+    d = tmp_path / "xtiles"
+    d.mkdir()
+    make_las(str(d / "e.las"), n=500, fmt=1, extra=True)
+    df = spark.read.format("las").load(str(d)).select(
+        "fid",
+        F.round(F.col("amplitude").cast("double"), 0).cast("int").alias("x"),
+        "y", "z", "intensity",
     )
     assert (
-        fw.plan_fused_save(df, "las", str(tmp_path / "cx"), "overwrite", {})
+        fw.plan_fused_save(df, "las", str(tmp_path / "xb"), "overwrite", {})
         is None
     )
-    assert "re-grid" in (fw._LAST_DECLINE or "")
+    assert "standard fields" in (fw._LAST_DECLINE or "")
 
 
 def test_ply_unreplayable_computed_falls_back(spark, ply_tiles, tmp_path):
