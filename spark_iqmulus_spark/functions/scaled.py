@@ -67,3 +67,52 @@ def regrid(
                 n, unscale(world_coord(df, n), scale[i], offset[i])
             )
     return out
+
+
+def affine(
+    df: DataFrame,
+    matrix,
+    scale: tuple[float, float, float] | None = None,
+    offset: tuple[float, float, float] = (0.0, 0.0, 0.0),
+    names: tuple[str, ...] = ("x", "y", "z"),
+) -> DataFrame:
+    """World-space affine transform re-encoded onto a grid — the las2las
+    transformation shape (PDAL ``filters.transformation`` → write):
+    ``w_i' = m[i][0]·w_x + m[i][1]·w_y + m[i][2]·w_z + m[i][3]`` with each
+    ``w`` read through its column's scale/offset metadata, then
+    ``raw' = round((w' − offset') / scale')``.
+
+    ``matrix`` is the 3×4 row-major affine; ``scale``/``offset`` are the
+    OUTPUT grid (default: keep each column's source grid).  Built as ONE
+    ``select``, so every output expression reads the ORIGINAL columns —
+    and the whole chain stays inside the exprprog node set (literals,
+    widening casts, ``+ − ×``, ``round(·, 0)``, int root), so writing the
+    result with the matching writer grid takes the fused byte path::
+
+        affine(df, [[c, -s, 0, tx], [s, c, 0, ty], [0, 0, 1, 0]])
+            .write.format("las").option("scale", "0.01,0.01,0.01")
+            .option("offset", "0,0,0").save(out)
+    """
+    if len(matrix) != 3 or any(len(r) != 4 for r in matrix):
+        raise ValueError("matrix must be 3x4 row-major")
+    worlds = [world_coord(df, n) for n in names]
+    if scale is None:
+        scale = tuple(
+            float((next(f for f in df.schema.fields if f.name == n).metadata
+                   or {}).get("scale", 1.0))
+            for n in names
+        )
+    exprs = {}
+    for i, n in enumerate(names):
+        row = matrix[i]
+        e = F.lit(float(row[0])) * worlds[0]
+        e = e + F.lit(float(row[1])) * worlds[1]
+        e = e + F.lit(float(row[2])) * worlds[2]
+        e = e + F.lit(float(row[3]))
+        exprs[n] = unscale(e, scale[i], offset[i])
+    return df.select(
+        *[
+            exprs[c].alias(c) if c in exprs else F.col(c)
+            for c in df.columns
+        ]
+    )

@@ -1171,3 +1171,49 @@ def test_fused_ply_distance_sqrt_equals_general(spark, ply_tiles, tmp_path):
     df_fn().write.format("ply").mode("overwrite").save(outf)
     rows = _ply_rows(spark, outf)
     assert rows and rows == _ply_rows(spark, outg)
+
+
+def test_affine_helper_fuses_and_equals_general(spark, tiles, tmp_path):
+    """functions.scaled.affine builds the world-space transform + re-grid
+    as one Project inside the exprprog node set: stock write takes the
+    byte path, matches the general sink, and a pure translation shifts
+    the world bounds by exactly the translation."""
+    from spark_iqmulus_spark.functions.scaled import affine
+    from spark_iqmulus_spark.sources import fused_write as fw
+    from spark_iqmulus_spark.sources.las_format import LasHeader
+
+    mat = [[0.6, -0.8, 0.0, 12.5], [0.8, 0.6, 0.0, -3.25], [0.0, 0.0, 1.0, 0.5]]
+    opts = _grid_opts((0.01, 0.01, 0.01), (0.0, 0.0, 0.0))
+
+    def df_fn():
+        return affine(spark.read.format("las").load(tiles), mat)
+
+    assert (
+        fw.plan_fused_save(
+            df_fn(), "las", str(tmp_path / "afl"), "overwrite", dict(opts)
+        )
+        is not None
+    ), fw._LAST_DECLINE
+    outg, outf = str(tmp_path / "afl_general"), str(tmp_path / "afl_fused")
+    df_fn().write.format("las").mode("overwrite").options(**opts).option(
+        "fusedWrite", "false"
+    ).save(outg)
+    df_fn().write.format("las").mode("overwrite").options(**opts).save(outf)
+    rows = _rows(spark, outf)
+    assert rows and rows == _rows(spark, outg)
+    for nm in _names(outf):
+        hf = LasHeader.parse_file(os.path.join(outf, nm))
+        hg = LasHeader.parse_file(os.path.join(outg, nm))
+        assert (hf.pmin, hf.pmax) == (hg.pmin, hg.pmax)
+
+    # translation-only: world bounds shift by exactly the translation
+    tr = [[1.0, 0.0, 0.0, 7.0], [0.0, 1.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0]]
+    out_t = str(tmp_path / "afl_tr")
+    affine(spark.read.format("las").load(tiles), tr).write.format(
+        "las"
+    ).mode("overwrite").options(**opts).save(out_t)
+    for nm in _names(out_t):
+        h0 = LasHeader.parse_file(os.path.join(tiles, nm))
+        ht = LasHeader.parse_file(os.path.join(out_t, nm))
+        assert abs(ht.pmin[0] - (h0.pmin[0] + 7.0)) < 1e-6
+        assert abs(ht.pmax[1] - h0.pmax[1]) < 1e-6
