@@ -180,6 +180,24 @@ def main() -> None:
 
         results["bench_ply_transcode"] = _timed(ply_transcode, "bench_ply_transcode")
 
+        # computed-column (re-grid) write via the STOCK write API (round
+        # 12): the same 600k-point file re-gridded 0.01 → 0.002 through
+        # the fused byte path — the write shape that paid the Arrow-hop
+        # general sink before the exprprog replay landed
+        from spark_iqmulus_spark.functions.scaled import regrid
+
+        def las_regrid():
+            (
+                regrid(spark.read.format("las").load(las_path), (0.002,) * 3)
+                .write.format("las")
+                .mode("overwrite")
+                .option("scale", "0.002,0.002,0.002")
+                .option("offset", "0,0,0")
+                .save(os.path.join(pc_dir, "rg_out"))
+            )
+
+        results["bench_las_regrid"] = _timed(las_regrid, "bench_las_regrid")
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -204,6 +222,7 @@ def main() -> None:
                         "bench_ply_transcode",
                         "bench_write_roundtrip",
                         "bench_write_general",
+                        "bench_las_regrid",
                     ) if k in results
                 ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -43,7 +43,14 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DEFAULT_METRICS = ["bench_las_transcode", "bench_ply_transcode"]
-KNOWN_METRICS = DEFAULT_METRICS + ["bench_write_roundtrip"]
+KNOWN_METRICS = DEFAULT_METRICS + [
+    "bench_write_roundtrip",
+    # round 12: the computed-column (re-grid) write, fused vs the
+    # fusedWrite=false general sink — the A/B pair quantifies the
+    # Arrow-hop cost the exprprog replay removed
+    "bench_las_regrid",
+    "bench_las_regrid_general",
+]
 N_POINTS = int(os.environ.get("SPARK_GRAFT_PC_POINTS", "600000"))
 
 
@@ -77,6 +84,21 @@ def _child(metrics: list[str], runs: int) -> None:
         df.write.format("las").mode("overwrite").save(out)
         assert spark.read.format("las").load(out).count() == N_POINTS
 
+    from spark_iqmulus_spark.functions.scaled import regrid
+
+    def las_regrid(fused: bool):
+        out = os.path.join(pc_dir, "rg_fused" if fused else "rg_general")
+        w = (
+            regrid(spark.read.format("las").load(las_path), (0.002,) * 3)
+            .write.format("las")
+            .mode("overwrite")
+            .option("scale", "0.002,0.002,0.002")
+            .option("offset", "0,0,0")
+        )
+        if not fused:
+            w = w.option("fusedWrite", "false")
+        w.save(out)
+
     fns = {
         "bench_las_transcode": lambda: transcode_las(
             spark, las_path, os.path.join(pc_dir, "tc.las")
@@ -85,6 +107,8 @@ def _child(metrics: list[str], runs: int) -> None:
             spark, ply_path, os.path.join(pc_dir, "tc.ply")
         ),
         "bench_write_roundtrip": write_roundtrip,
+        "bench_las_regrid": lambda: las_regrid(True),
+        "bench_las_regrid_general": lambda: las_regrid(False),
     }
     picked = {m: fns[m] for m in metrics}
     for fn in picked.values():  # one warm-up each
