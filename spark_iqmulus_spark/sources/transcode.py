@@ -1144,6 +1144,8 @@ def transcode_pcd(
     where: list[tuple[str, str, float]] | None = None,
     target_bytes: int = _TARGET_BYTES,
     filesystem=None,
+    compute: dict | None = None,
+    ansi: bool = False,
 ) -> dict:
     """Merge (and optionally filter) ``DATA binary`` PCD files into ONE
     ``.pcd`` — the third member of the fused family (round 8).
@@ -1155,6 +1157,9 @@ def transcode_pcd(
     ``name_0..name_{k-1}``).  ``ascii`` and ``binary_compressed`` (SoA
     layout — not record-major, a byte copy would interleave wrong) route
     through the general ``df.write.format("pcd")`` path.
+    ``compute``/``ansi`` (round 12): recompute named fields with exprprog
+    programs, each taking its program's storage type (see
+    ``_ply_scan_stats``).
     Returns ``{"points": kept, "read": total, "files": n, "parts": n}``.
     """
     from .pcd_format import PcdHeader
@@ -1184,9 +1189,12 @@ def transcode_pcd(
     try:
         stats = _pcd_scan_stats(
             spark, paths, headers, props, where, target_bytes, filesystem,
-            part_dir,
+            part_dir, compute=compute, ansi=ansi,
         )
-        total = _merge_pcd_stats(out_path, stats, headers[0], filesystem)
+        total = _merge_pcd_stats(
+            out_path, stats, headers[0], filesystem,
+            out_fields=_computed_props(props, compute) if compute else None,
+        )
     finally:
         fsio.rmtree(part_dir, filesystem)
     return {

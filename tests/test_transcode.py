@@ -529,3 +529,37 @@ def test_ply_transcode_layout_matrix(spark, tmp_path, little, fields):
     with open(out, "rb") as f:
         f.seek(h_out.header_length)
         assert f.read() == want.tobytes()
+
+
+def test_pcd_merge_compute_recenters(spark, tmp_path):
+    """Round 12: the PCD MERGE variant accepts compute — a recenter
+    program replays over each record and the merged header keeps the
+    program's storage char."""
+    import numpy as np
+
+    paths = []
+    for i, seed in enumerate((5, 6)):
+        p = str(tmp_path / f"c{i}.pcd")
+        make_pcd(p, n=400 + i * 50, seed=seed)
+        paths.append(p)
+    out = str(tmp_path / "recentered.pcd")
+    prog = [("col", "x"), ("todouble",), ("lit", 50.0), ("sub",)]
+    transcode_pcd(spark, paths, out, compute={"x": (prog, "f4")})
+    got = spark.read.format("pcd").load(out)
+    import json
+
+    union = spark.read.format("pcd").option("paths", json.dumps(paths)).load()
+    want = sorted(
+        np.float32(np.float64(r["x"]) - 50.0) for r in union.select("x").collect()
+    )
+    have = sorted(r["x"] for r in got.select("x").collect())
+    assert np.array_equal(np.array(have, np.float32), np.array(want, np.float32))
+    assert PcdHeader.parse_file(out).points == 850
+    # f8-rooted program widens the merged header field
+    out2 = str(tmp_path / "widened.pcd")
+    transcode_pcd(
+        spark, paths, out2,
+        compute={"x": ([("col", "x"), ("todouble",), ("lit", 0.5), ("mul",)], "f8")},
+    )
+    h2 = PcdHeader.parse_file(out2)
+    assert {f.name: f.np_char for f in h2.fields}["x"] == "f8"

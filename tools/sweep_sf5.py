@@ -60,6 +60,10 @@ SF5_RELATIONAL_KEYS = [
     "q_set_union", "q_set_intersect", "q_set_except",
     "q_subquery_in", "q_udaf",
     "q_text_stats", "q_text_tokens", "q_text_langid", "q_dedup_exact",
+    # round 12: the new fused-write / manifest-aggregate keys at 50×
+    # (the point-cloud fixtures derive from the sf5 part table — ~4M
+    # points per tile set — so these certify the byte paths at size)
+    "q_las_regrid", "q_pc_recenter", "q_ply_affine", "q_pc_fastminmax",
 ]
 
 VERDICT = re.compile(r"^(PASS|FAIL) (q_[a-z0-9_]+)")
@@ -116,6 +120,13 @@ def main() -> int:
     ap.add_argument("--round", type=int, required=True, help="round number for the artifact stamp")
     ap.add_argument("--timeout", type=int, default=3600, help="per-stage timeout (s)")
     ap.add_argument("--log", default=None, help="override the JSONL path")
+    ap.add_argument(
+        "--stages", default=None,
+        help="comma-separated substrings: run only stages whose title"
+        " matches one (e.g. --stages relational,streaming) — lets a"
+        " resumed sweep append new keys without re-running the staged"
+        " graph/dedup families",
+    )
     args = ap.parse_args()
     log = args.log or os.path.join(
         _ROOT, "sweeps", f"sweep_r{args.round}_sf5.jsonl"
@@ -164,6 +175,15 @@ def main() -> int:
             lambda k: "staged-strict",
         ),
     ]
+
+    if args.stages:
+        wanted = [s.strip().lower() for s in args.stages.split(",") if s.strip()]
+        stages = [
+            st for st in stages if any(w in st[0].lower() for w in wanted)
+        ]
+        if not stages:
+            print(f"no stage title matches {wanted}", file=sys.stderr)
+            return 2
 
     n_pass = n_fail = 0
     with open(log, "a") as f:
