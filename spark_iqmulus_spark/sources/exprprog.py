@@ -24,15 +24,20 @@ So instead of recognizing one blessed affine pattern, this module
   and the emitted int32 matches the general sink on every input,
   including values landing exactly on ``.5`` grid boundaries.
 
-Anything outside the node set (a narrowing cast, a non-zero round scale,
-try_cast, a non-arithmetic function, …) fails extraction and the write
-falls back to the general sink.  Round 12: leaves carry their column
-name, so a program may reference several columns of one record — the
-affine-transform shape ``x' = a·x + b·y + c`` replays for PLY/PCD; the
-LAS re-grid keeps the single-column restriction (a cross-axis reference
-would break its per-axis grid gate).  Division is only syntactically
-reachable with literal divisors in practice, but the replay is exact for
-any double divide, so no structural restriction is needed.
+Anything outside the node set (a narrowing int cast, a non-zero round
+scale, try_cast, a non-correctly-rounded function like log/pow, a NULL
+branch, …) fails extraction and the write falls back to the general
+sink.  Round 12 extensions: leaves carry their column name, so a program
+may reference several columns of one record (the affine-transform shape
+``x' = a·x + b·y + c``); the walk is TYPE-PARAMETRIC over
+float32/float64 — every node replays in its own Catalyst dtype, because
+the optimizer freely retypes trees (``when(...).cast('float')`` becomes
+an all-float CaseWhen); and conditionals (``If``/``CaseWhen`` with
+comparison predicates under And/Or/Not) replay Spark's NaN-largest total
+order with explicit masks — the clamp/threshold/reclassify shapes.
+Division is only syntactically reachable with literal divisors in
+practice, but the replay is exact for any double divide, so no
+structural restriction is needed.
 
 Reference parity note: the reference has no fused write at all (its
 direct save actions copy relation bytes, ``las/package.scala:45-98``);
@@ -80,6 +85,17 @@ def extract_program(jexpr, col_name: str):
 #: int/short/byte/float are exact)
 _WIDENS_TO_DOUBLE = {"tinyint", "smallint", "int", "bigint", "float"}
 
+#: Catalyst float dtypes → numpy chars (the type-parametric walk)
+_FLOAT_DT = {"float": "f4", "double": "f8"}
+_INT_DTS = {"tinyint", "smallint", "int", "bigint"}
+_PRED_OPS = {
+    "LessThan": "cmp_lt",
+    "LessThanOrEqual": "cmp_le",
+    "GreaterThan": "cmp_gt",
+    "GreaterThanOrEqual": "cmp_ge",
+    "EqualTo": "cmp_eq",
+}
+
 
 def extract_program_any(jexpr, col_name: str | None = None):
     """Catalyst expression (py4j) → ``(program, out_char, ansi)`` or
@@ -88,119 +104,125 @@ def extract_program_any(jexpr, col_name: str | None = None):
 
     ``out_char`` names the output storage the program produces:
 
-    - ``'i4'`` — root ``Cast(double-expr AS int)``: the LAS re-grid /
-      integer-property shape; ``ansi`` is the root cast's evalMode
+    - ``'i4'`` — root ``Cast(float/double-expr AS int)``: the LAS re-grid
+      / integer-property shape; ``ansi`` is the root cast's evalMode
       (``None`` = unreadable → caller uses the session conf); TRY mode
       (overflow → NULL) has no byte-path equivalent and fails extraction.
-    - ``'f4'`` — root ``Cast(double-expr AS float)``: d2f is IEEE
-      round-to-nearest in both the JVM and numpy ``astype`` and cannot
-      fail in any eval mode (overflow → ±Infinity), so ``ansi`` is
-      ``None`` and irrelevant.
-    - ``'f8'`` — a bare double expression (no root cast): the natural
-      shape over a double source property.
+    - ``'f4'`` — a float-typed expression tree; ``'f8'`` — a double one.
 
-    The arithmetic body must run entirely in double over source-column
-    leaves (Catalyst inserts the widening cast right above each
-    attribute; see ``_WIDENS_TO_DOUBLE`` for the leaf types whose
-    widening numpy replays bit-exactly).  Leaves emit ``("col", name)``
-    ops, so a program may reference SEVERAL columns of the same record —
-    the affine-transform write shape (``x' = a·x + b·y + c``); restrict
-    with ``col_name`` to require every leaf to be that one column (the
-    LAS re-grid contract, where a cross-axis reference would break the
-    per-axis grid gate).  ``program_refs`` lists a program's columns."""
+    The walk is TYPE-PARAMETRIC over float32/float64 (Catalyst freely
+    retypes trees — e.g. ``SimplifyCasts``/``PushFoldableIntoBranches``
+    turn ``when(...)...cast('float')`` into an all-float CaseWhen): every
+    node replays in its OWN Catalyst dtype, and numpy's f4/f8 IEEE ops
+    match the JVM's bit-for-bit (arithmetic, casts between numeric
+    widths, sqrt via correctly-rounded hardware, Spark's NaN-largest
+    comparisons via explicit masks).  Leaves emit ``("col", name)`` ops,
+    so a program may reference SEVERAL columns of the same record — the
+    affine-transform shape; restrict with ``col_name`` to require every
+    leaf to be that one column (the LAS re-grid contract).
+    ``program_refs`` lists a program's columns."""
     ansi = None
-    if _simple(jexpr) == "Cast":
-        dt = str(jexpr.dataType().simpleString())
+    if (
+        _simple(jexpr) == "Cast"
+        and str(jexpr.dataType().simpleString()) == "int"
+    ):
         child = jexpr.children().apply(0)
-        if str(child.dataType().simpleString()) != "double":
+        if str(child.dataType().simpleString()) not in _FLOAT_DT:
             return None
-        if dt == "int":
-            out_char = "i4"
-            try:
-                mode = str(jexpr.evalMode())
-                if mode == "TRY":
-                    return None
-                ansi = mode == "ANSI"
-            except Exception:
-                pass  # evalMode unreadable — caller uses session conf
-        elif dt == "float":
-            out_char = "f4"  # cannot fail in any eval mode
-        else:
-            return None
+        out_char = "i4"
+        try:
+            mode = str(jexpr.evalMode())
+            if mode == "TRY":
+                return None
+            ansi = mode == "ANSI"
+        except Exception:
+            pass  # evalMode unreadable — caller uses session conf
         root = child
     else:
-        if str(jexpr.dataType().simpleString()) != "double":
+        ch0 = _FLOAT_DT.get(str(jexpr.dataType().simpleString()))
+        if ch0 is None:
             return None
-        out_char = "f8"
+        out_char = ch0
         root = jexpr
 
     prog: list[tuple] = []
 
     def walk(n) -> bool:
         cls = _simple(n)
-        dt = str(n.dataType().simpleString())
+        ch = _FLOAT_DT.get(str(n.dataType().simpleString()))
         if cls == "AttributeReference":
-            # a bare attribute leaf is only type-correct in the double
-            # arithmetic body when the column itself is double (the f8
-            # source-property shape); narrower columns arrive under the
-            # widening Cast below
+            if ch is None:
+                return False
             nm = str(n.name())
-            if (col_name is not None and nm != col_name) or dt != "double":
+            if col_name is not None and nm != col_name:
                 return False
             prog.append(("col", nm))
             return True
         if cls == "Literal":
-            if dt != "double":
+            if ch is None:
                 return False
             v = n.value()
             if isinstance(v, bool) or not isinstance(v, (int, float)):
                 return False
-            prog.append(("lit", float(v)))
+            prog.append(("lit", float(v), ch))
             return True
         if cls == "Cast":
-            # only the exact-replay widening of the source column itself
-            # (int family / float → double); any other cast (narrowing,
-            # double→double no-op from a weird plan, a cast over a
-            # sub-expression) fails extraction
-            if dt != "double":
-                return False
-            c = n.children().apply(0)
-            if (
-                _simple(c) != "AttributeReference"
-                or (col_name is not None and str(c.name()) != col_name)
-                or str(c.dataType().simpleString()) not in _WIDENS_TO_DOUBLE
-            ):
+            # numeric conversions numpy replays bit-exactly: int-family →
+            # f4/f8 (round-to-nearest on both sides; int/short/byte/float
+            # exact into double) and f4 ↔ f8 (widening exact, narrowing
+            # IEEE round-to-nearest).  An int-typed CHILD must be a bare
+            # attribute — integer arithmetic nodes are outside the set, so
+            # anything else has no replay
+            if ch is None:
                 return False
             try:
                 if str(n.evalMode()) == "TRY":
                     return False
             except Exception:
-                pass  # widening to double cannot overflow; mode irrelevant
-            prog.append(("col", str(c.name())))
-            prog.append(("todouble",))
-            return True
+                pass  # numeric-to-float casts cannot fail; mode irrelevant
+            c = n.children().apply(0)
+            cdt = str(c.dataType().simpleString())
+            if cdt in _INT_DTS:
+                if (
+                    _simple(c) != "AttributeReference"
+                    or (col_name is not None and str(c.name()) != col_name)
+                ):
+                    return False
+                prog.append(("col", str(c.name())))
+                prog.append(("cast", ch))
+                return True
+            if cdt in _FLOAT_DT:
+                if not walk(c):
+                    return False
+                prog.append(("cast", ch))
+                return True
+            return False
         if cls in _BINOPS:
-            if dt != "double":
+            if ch is None:
                 return False
             kids = n.children()
             if not walk(kids.apply(0)) or not walk(kids.apply(1)):
                 return False
             prog.append((_BINOPS[cls],))
             return True
-        if cls in ("UnaryMinus", "Sqrt", "Abs"):
-            # sqrt is IEEE-754 correctly rounded in BOTH Math.sqrt (JLS
-            # guarantee) and numpy (hardware sqrtsd), so the replay is
-            # bit-exact; abs/negate just flip the sign bit
-            if dt != "double":
+        if cls in ("UnaryMinus", "Abs"):
+            if ch is None:
                 return False
             if not walk(n.children().apply(0)):
                 return False
-            prog.append(
-                {"UnaryMinus": ("neg",), "Sqrt": ("sqrt",), "Abs": ("abs",)}[cls]
-            )
+            prog.append(("neg",) if cls == "UnaryMinus" else ("abs",))
+            return True
+        if cls == "Sqrt":
+            # Math.sqrt is correctly rounded (JLS) and so is hardware
+            # sqrtsd — bit-exact; Spark types SQRT double-only
+            if ch != "f8":
+                return False
+            if not walk(n.children().apply(0)):
+                return False
+            prog.append(("sqrt",))
             return True
         if cls == "Round":
-            if dt != "double":
+            if ch != "f8":
                 return False
             kids = n.children()
             scale = kids.apply(1)
@@ -209,6 +231,77 @@ def extract_program_any(jexpr, col_name: str | None = None):
             if not walk(kids.apply(0)):
                 return False
             prog.append(("round0",))
+            return True
+        if cls == "If":
+            # if(pred, a, b) — the clamp/threshold shape; predicate NaN
+            # semantics replayed exactly (Spark orders NaN largest and
+            # NaN = NaN is true — probed against Spark 4.1.2).  Same
+            # operand order as the CaseWhen emission: else-value,
+            # predicate, true-value, one ("sel",)
+            if ch is None:
+                return False
+            kids = n.children()
+            if not walk(kids.apply(2)):
+                return False
+            if not walk_pred(kids.apply(0)):
+                return False
+            if not walk(kids.apply(1)):
+                return False
+            prog.append(("sel",))
+            return True
+        if cls == "CaseWhen":
+            # when(...).otherwise(...): first-match-wins — replayed as
+            # nested selects, innermost = else (a missing else is a NULL
+            # literal, which fails the Literal rule → decline)
+            if ch is None:
+                return False
+            try:
+                branches = n.branches()
+                nb = branches.size()
+                else_opt = n.elseValue()
+                if not else_opt.isDefined():
+                    return False
+                pairs = [
+                    (branches.apply(i)._1(), branches.apply(i)._2())
+                    for i in range(nb)
+                ]
+            except Exception:
+                return False
+            if not walk(else_opt.get()):
+                return False
+            for cond, val in reversed(pairs):
+                if not walk_pred(cond) or not walk(val):
+                    return False
+                prog.append(("sel",))
+            return True
+        return False
+
+    def walk_pred(n) -> bool:
+        """Boolean sub-tree: comparisons over float/double operands
+        (Spark's NaN-largest total order, replayed with explicit masks)
+        composed with And/Or/Not."""
+        cls = _simple(n)
+        if cls in _PRED_OPS:
+            kids = n.children()
+            if (
+                str(kids.apply(0).dataType().simpleString())
+                not in _FLOAT_DT
+            ):
+                return False
+            if not walk(kids.apply(0)) or not walk(kids.apply(1)):
+                return False
+            prog.append((_PRED_OPS[cls],))
+            return True
+        if cls in ("And", "Or"):
+            kids = n.children()
+            if not walk_pred(kids.apply(0)) or not walk_pred(kids.apply(1)):
+                return False
+            prog.append(("b_and" if cls == "And" else "b_or",))
+            return True
+        if cls == "Not":
+            if not walk_pred(n.children().apply(0)):
+                return False
+            prog.append(("b_not",))
             return True
         return False
 
@@ -260,15 +353,60 @@ def _replay_f64(prog, cols) -> np.ndarray:
             if k == "col":
                 stack.append(cols[op[1]] if len(op) > 1 else cols)
             elif k == "lit":
-                stack.append(np.float64(op[1]))
+                # typed literal: np scalar in the node's own dtype so the
+                # following binop stays in that width (NEP-50: an np.f64
+                # scalar would silently promote an f4 array)
+                stack.append(
+                    np.float32(op[1])
+                    if len(op) > 2 and op[2] == "f4"
+                    else np.float64(op[1])
+                )
             elif k == "todouble":
                 stack.append(np.asarray(stack.pop(), dtype=np.float64))
+            elif k == "cast":
+                stack.append(
+                    np.asarray(
+                        stack.pop(),
+                        dtype=np.float32 if op[1] == "f4" else np.float64,
+                    )
+                )
             elif k == "neg":
                 stack.append(-stack.pop())
             elif k == "sqrt":
                 stack.append(np.sqrt(np.asarray(stack.pop(), dtype=np.float64)))
             elif k == "abs":
                 stack.append(np.abs(stack.pop()))
+            elif k in ("cmp_lt", "cmp_le", "cmp_gt", "cmp_ge", "cmp_eq"):
+                # operands share the node dtype (f4 or f8) — compare in it
+                b = np.asarray(stack.pop())
+                a = np.asarray(stack.pop())
+                if k in ("cmp_gt", "cmp_ge"):  # a > b  ≡  b < a
+                    a, b = b, a
+                    k = {"cmp_gt": "cmp_lt", "cmp_ge": "cmp_le"}[k]
+                # Spark's total order: NaN is LARGER than everything and
+                # NaN = NaN is TRUE (probed against Spark 4.1.2); numpy's
+                # IEEE comparisons answer False on any NaN, so the masks
+                # re-add the Spark cases explicitly
+                na, nb = np.isnan(a), np.isnan(b)
+                eq = (na & nb) | (a == b)
+                if k == "cmp_eq":
+                    stack.append(eq)
+                else:
+                    lt = (~na & nb) | (a < b)
+                    stack.append(lt | eq if k == "cmp_le" else lt)
+            elif k == "b_and":
+                b2 = stack.pop()
+                stack.append(stack.pop() & b2)
+            elif k == "b_or":
+                b2 = stack.pop()
+                stack.append(stack.pop() | b2)
+            elif k == "b_not":
+                stack.append(~stack.pop())
+            elif k == "sel":
+                v = stack.pop()
+                c = stack.pop()
+                e = stack.pop()
+                stack.append(np.where(c, v, e))
             elif k == "round0":
                 stack.append(_round0_half_up(np.asarray(stack.pop(), dtype=np.float64)))
             else:
@@ -285,7 +423,10 @@ def _replay_f64(prog, cols) -> np.ndarray:
                 else:  # pragma: no cover - extraction emits a closed op set
                     raise ValueError(f"unknown op {k!r}")
     v = np.asarray(stack.pop(), dtype=np.float64)
-    n = len(cols)
+    if isinstance(cols, dict):  # test convenience: {name: array}
+        n = len(next(iter(cols.values()))) if cols else 1
+    else:
+        n = len(cols)
     if v.shape != (n,):
         v = np.broadcast_to(v, (n,)).copy()
     return v

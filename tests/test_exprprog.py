@@ -83,3 +83,62 @@ def test_eval_program_constant_broadcasts():
     prog = [("lit", 7.6), ("round0",)]
     got = eval_program(prog, np.zeros(5, dtype=np.int32), ansi=True)
     assert got.tolist() == [8] * 5
+
+
+def test_eval_conditional_nan_total_order():
+    """cmp_* ops replay Spark's total order exactly (NaN largest,
+    NaN = NaN true — probed against Spark 4.1.2), and sel nests
+    first-match-wins."""
+    from spark_iqmulus_spark.sources.exprprog import eval_program_typed
+
+    nan = float("nan")
+    col = np.array([1.0, nan, 100.0, -5.0], dtype=np.float64)
+    # when(x > 50) -> 50 else x  ==  [1, 50(nan>50 true!), 50, -5]
+    prog = [
+        ("col", "x"),                       # else: x
+        ("col", "x"), ("lit", 50.0, "f8"), ("cmp_gt",),
+        ("lit", 50.0, "f8"),
+        ("sel",),
+    ]
+    got = eval_program_typed(prog, {"x": col}, "f8")
+    assert got.tolist() == [1.0, 50.0, 50.0, -5.0]
+
+    # NaN == NaN is TRUE in Spark's semantics
+    prog_eq = [
+        ("lit", -1.0, "f8"),
+        ("col", "x"), ("col", "x"), ("cmp_eq",),
+        ("lit", 7.0, "f8"),
+        ("sel",),
+    ]
+    got = eval_program_typed(prog_eq, {"x": col}, "f8")
+    assert got.tolist() == [7.0, 7.0, 7.0, 7.0]
+
+    # 5 < NaN is TRUE (NaN sorts above +inf); NaN < 5 is FALSE
+    prog_lt = [
+        ("lit", 0.0, "f8"),
+        ("col", "x"), ("lit", 5.0, "f8"), ("cmp_lt",),
+        ("lit", 1.0, "f8"),
+        ("sel",),
+    ]
+    got = eval_program_typed(prog_lt, {"x": np.array([nan, np.inf, 4.0])}, "f8")
+    assert got.tolist() == [0.0, 0.0, 1.0]
+    prog_ltn = [
+        ("lit", 0.0, "f8"),
+        ("lit", 5.0, "f8"), ("col", "x"), ("cmp_lt",),
+        ("lit", 1.0, "f8"),
+        ("sel",),
+    ]
+    got = eval_program_typed(prog_ltn, {"x": np.array([nan, np.inf, 4.0])}, "f8")
+    assert got.tolist() == [1.0, 1.0, 0.0]
+
+
+def test_eval_f4_typed_program_stays_single_precision():
+    """An all-f4 program computes in float32 (a typed literal must not
+    promote): 16777216f + 1f == 16777216f in single precision, while
+    double arithmetic would answer 16777217."""
+    from spark_iqmulus_spark.sources.exprprog import eval_program_typed
+
+    col = np.array([16777216.0], dtype=np.float32)
+    prog = [("col", "x"), ("lit", 1.0, "f4"), ("add",)]
+    got = eval_program_typed(prog, {"x": col}, "f4")
+    assert got.dtype == np.float32 and got[0] == np.float32(16777216.0)

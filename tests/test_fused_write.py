@@ -1217,3 +1217,73 @@ def test_affine_helper_fuses_and_equals_general(spark, tiles, tmp_path):
         ht = LasHeader.parse_file(os.path.join(out_t, nm))
         assert abs(ht.pmin[0] - (h0.pmin[0] + 7.0)) < 1e-6
         assert abs(ht.pmax[1] - h0.pmax[1]) < 1e-6
+
+
+def test_fused_ply_clamp_when_equals_general(spark, ply_tiles, tmp_path):
+    """Round 12 conditionals: when/otherwise (CaseWhen) clamping fuses —
+    the predicate replays Spark's NaN-largest total order exactly."""
+    from spark_iqmulus_spark.sources import fused_write as fw
+
+    xd = F.col("x").cast("double")
+
+    def df_fn():
+        return (
+            spark.read.format("ply")
+            .load(ply_tiles)
+            .withColumn(
+                "x",
+                F.when(xd > F.lit(80.0), F.lit(80.0))
+                .when(xd < F.lit(20.0), F.lit(20.0))
+                .otherwise(xd)
+                .cast("float"),
+            )
+        )
+
+    assert (
+        fw.plan_fused_save(df_fn(), "ply", str(tmp_path / "cl"), "overwrite", {})
+        is not None
+    ), fw._LAST_DECLINE
+    outg = str(tmp_path / "plycl_general")
+    outf = str(tmp_path / "plycl_fused")
+    df_fn().write.format("ply").option("fusedWrite", "false").mode(
+        "overwrite"
+    ).save(outg)
+    df_fn().write.format("ply").mode("overwrite").save(outf)
+    rows = _ply_rows(spark, outf)
+    assert rows and rows == _ply_rows(spark, outg)
+    xs = [r[0] for r in rows]
+    assert min(xs) >= 20.0 and max(xs) <= 80.0  # the clamp actually ran
+
+    # missing otherwise → NULL else branch → decline to the general sink
+    df2 = (
+        spark.read.format("ply")
+        .load(ply_tiles)
+        .withColumn("x", F.when(xd > F.lit(80.0), F.lit(80.0)).cast("float"))
+    )
+    assert (
+        fw.plan_fused_save(df2, "ply", str(tmp_path / "cl2"), "overwrite", {})
+        is None
+    )
+
+
+def test_las_clamp_if_equals_general(spark, tiles, tmp_path):
+    """LAS int-rooted clamp through a conditional, incl. an And predicate."""
+    xd = F.col("x").cast("double")
+
+    def df_fn():
+        return (
+            spark.read.format("las")
+            .load(tiles)
+            .withColumn(
+                "x",
+                F.when(
+                    (xd > F.lit(-500000.0)) & (xd < F.lit(500000.0)), xd
+                )
+                .otherwise(F.lit(0.0))
+                .cast("int"),
+            )
+        )
+
+    outg, outf = _both(spark, df_fn, tmp_path, "clamp")
+    rows = _rows(spark, outf)
+    assert rows and rows == _rows(spark, outg)
