@@ -88,6 +88,13 @@ _WIDENS_TO_DOUBLE = {"tinyint", "smallint", "int", "bigint", "float"}
 #: Catalyst float dtypes → numpy chars (the type-parametric walk)
 _FLOAT_DT = {"float": "f4", "double": "f8"}
 _INT_DTS = {"tinyint", "smallint", "int", "bigint"}
+#: int ROOT widths (Cast target or bare int tree → output storage)
+_INT_ROOT = {"int": "i4", "smallint": "i2", "tinyint": "i1"}
+#: int dtypes whose NON-ARITHMETIC nodes (attr/literal/widening-cast/
+#: select) embed exactly in float64 — every value ≤ 2^31 is exact, and
+#: the walk admits no int arithmetic (whose JVM wrap f8 cannot mimic).
+#: bigint is excluded: beyond 2^53 the embedding rounds.
+_INT_EMBED = {"int": "i4", "smallint": "i2", "tinyint": "i1"}
 _PRED_OPS = {
     "LessThan": "cmp_lt",
     "LessThanOrEqual": "cmp_le",
@@ -122,14 +129,16 @@ def extract_program_any(jexpr, col_name: str | None = None):
     leaf to be that one column (the LAS re-grid contract).
     ``program_refs`` lists a program's columns."""
     ansi = None
-    if (
-        _simple(jexpr) == "Cast"
-        and str(jexpr.dataType().simpleString()) == "int"
-    ):
+    root_dt = str(jexpr.dataType().simpleString())
+    if _simple(jexpr) == "Cast" and root_dt in _INT_ROOT:
+        # int-rooted shape: the re-grid (int) and, round 12, the
+        # reclassify widths (smallint/tinyint — JVM d2s/d2b is d2i then
+        # low-bits truncation, replayed by the width-parametric finisher)
         child = jexpr.children().apply(0)
-        if str(child.dataType().simpleString()) not in _FLOAT_DT:
+        cdt = str(child.dataType().simpleString())
+        if cdt not in _FLOAT_DT and cdt not in _INT_EMBED:
             return None
-        out_char = "i4"
+        out_char = _INT_ROOT[root_dt]
         try:
             mode = str(jexpr.evalMode())
             if mode == "TRY":
@@ -138,8 +147,14 @@ def extract_program_any(jexpr, col_name: str | None = None):
         except Exception:
             pass  # evalMode unreadable — caller uses session conf
         root = child
+    elif root_dt in _INT_EMBED:
+        # a bare int-typed tree (e.g. when(c = 7, 0).otherwise(c) writing
+        # back the int column) — the non-arithmetic int subset embeds
+        # exactly in f8, finished by the width wrap with no range risk
+        out_char = _INT_EMBED[root_dt]
+        root = jexpr
     else:
-        ch0 = _FLOAT_DT.get(str(jexpr.dataType().simpleString()))
+        ch0 = _FLOAT_DT.get(root_dt)
         if ch0 is None:
             return None
         out_char = ch0
@@ -149,18 +164,24 @@ def extract_program_any(jexpr, col_name: str | None = None):
 
     def walk(n) -> bool:
         cls = _simple(n)
-        ch = _FLOAT_DT.get(str(n.dataType().simpleString()))
+        dt = str(n.dataType().simpleString())
+        ch = _FLOAT_DT.get(dt)
+        emb = ch is None and dt in _INT_EMBED  # int node, f8-embedded
         if cls == "AttributeReference":
-            if ch is None:
+            if ch is None and not emb:
                 return False
             nm = str(n.name())
             if col_name is not None and nm != col_name:
                 return False
+            # int attrs push raw (signed view in eval) — selects and
+            # comparisons over them are exact in the f8 embedding
             prog.append(("col", nm))
             return True
         if cls == "Literal":
             if ch is None:
-                return False
+                if not emb:
+                    return False
+                ch = "f8"  # int literal, exact in the embedding
             v = n.value()
             if isinstance(v, bool) or not isinstance(v, (int, float)):
                 return False
@@ -172,9 +193,42 @@ def extract_program_any(jexpr, col_name: str | None = None):
             # exact into double) and f4 ↔ f8 (widening exact, narrowing
             # IEEE round-to-nearest).  An int-typed CHILD must be a bare
             # attribute — integer arithmetic nodes are outside the set, so
-            # anything else has no replay
+            # anything else has no replay.  An interior int→int WIDENING
+            # over an attribute (Catalyst equalizing comparison operand
+            # types) embeds as the attribute itself
             if ch is None:
-                return False
+                if not emb:
+                    return False
+                # a chain of int-family casts over an int attribute is
+                # value-preserving iff every cast target in the chain is
+                # at least as wide as the attribute (Catalyst widens for
+                # a comparison then narrows back for the output type —
+                # e.g. Cast(tinyint ← Cast(int ← tinyint attr)));
+                # narrowing BELOW the attr width would wrap and declines
+                width = {"tinyint": 1, "smallint": 2, "int": 4}
+                min_target = width[dt]
+                c = n
+                while _simple(c) == "Cast":
+                    tdt = str(c.dataType().simpleString())
+                    if tdt not in width:
+                        return False
+                    min_target = min(min_target, width[tdt])
+                    try:
+                        if str(c.evalMode()) == "TRY":
+                            return False
+                    except Exception:
+                        pass
+                    c = c.children().apply(0)
+                cdt = str(c.dataType().simpleString())
+                if (
+                    _simple(c) != "AttributeReference"
+                    or cdt not in width
+                    or width[cdt] > min_target
+                    or (col_name is not None and str(c.name()) != col_name)
+                ):
+                    return False
+                prog.append(("col", str(c.name())))
+                return True
             try:
                 if str(n.evalMode()) == "TRY":
                     return False
@@ -238,7 +292,7 @@ def extract_program_any(jexpr, col_name: str | None = None):
             # NaN = NaN is true — probed against Spark 4.1.2).  Same
             # operand order as the CaseWhen emission: else-value,
             # predicate, true-value, one ("sel",)
-            if ch is None:
+            if ch is None and not emb:
                 return False
             kids = n.children()
             if not walk(kids.apply(2)):
@@ -253,7 +307,7 @@ def extract_program_any(jexpr, col_name: str | None = None):
             # when(...).otherwise(...): first-match-wins — replayed as
             # nested selects, innermost = else (a missing else is a NULL
             # literal, which fails the Literal rule → decline)
-            if ch is None:
+            if ch is None and not emb:
                 return False
             try:
                 branches = n.branches()
@@ -283,10 +337,8 @@ def extract_program_any(jexpr, col_name: str | None = None):
         cls = _simple(n)
         if cls in _PRED_OPS:
             kids = n.children()
-            if (
-                str(kids.apply(0).dataType().simpleString())
-                not in _FLOAT_DT
-            ):
+            odt = str(kids.apply(0).dataType().simpleString())
+            if odt not in _FLOAT_DT and odt not in _INT_EMBED:
                 return False
             if not walk(kids.apply(0)) or not walk(kids.apply(1)):
                 return False
@@ -351,7 +403,15 @@ def _replay_f64(prog, cols) -> np.ndarray:
         for op in prog:
             k = op[0]
             if k == "col":
-                stack.append(cols[op[1]] if len(op) > 1 else cols)
+                c = cols[op[1]] if len(op) > 1 else cols
+                if getattr(c, "dtype", None) is not None and c.dtype.kind == "u":
+                    # the readers expose unsigned storage as the SAME-WIDTH
+                    # SIGNED view (bit-preserving rule, binary_section.py) —
+                    # the schema value Catalyst computed with is that view,
+                    # so the replay must take it too (raw u2 65535 is
+                    # schema smallint −1)
+                    c = c.view(c.dtype.str.replace("u", "i"))
+                stack.append(c)
             elif k == "lit":
                 # typed literal: np scalar in the node's own dtype so the
                 # following binop stays in that width (NEP-50: an np.f64
@@ -432,31 +492,47 @@ def _replay_f64(prog, cols) -> np.ndarray:
     return v
 
 
-def eval_program(prog, cols, ansi: bool) -> np.ndarray:
-    """Replay an extracted int-rooted program over the source records
-    (``cols`` as in ``_replay_f64``); returns the int32 values the general
-    sink would write for the same records.
+#: int root widths: (ANSI lo, ANSI hi, numpy dtype)
+_INT_FINISH = {
+    "i4": (_I32_MIN, _I32_MAX, np.int32),
+    "i2": (-32768.0, 32767.0, np.int16),
+    "i1": (-128.0, 127.0, np.int8),
+}
 
-    ``ansi=True`` mirrors Spark's ANSI cast: a NaN or out-of-int32-range
-    result raises (the general sink's job fails on the same rows — the
-    fused job failing with the same meaning is the equivalent outcome);
-    ``ansi=False`` mirrors the JVM ``d2i`` legacy cast: NaN → 0,
-    truncate toward zero, saturate at the int32 bounds."""
-    v = _replay_f64(prog, cols)
+
+def _int_finish(v: np.ndarray, ansi: bool, out_char: str) -> np.ndarray:
+    """Width-parametric integer cast finisher over the exact f8 result.
+
+    ``ansi=True`` mirrors Spark's ANSI cast: a NaN or out-of-range result
+    raises (the general sink's job fails on the same rows — the fused job
+    failing with the same meaning is the equivalent outcome);
+    ``ansi=False`` mirrors the JVM legacy semantics: d2i first (NaN → 0,
+    truncate toward zero, saturate at the INT32 bounds — JLS d2i), then
+    the narrowing low-bits truncation i2s/i2b for the short/byte widths
+    (so legacy ``(byte) 300.7`` is 44, and ``(byte) 3e9`` is the low byte
+    of the saturated Int.MaxValue)."""
+    lo, hi, np_t = _INT_FINISH[out_char]
     if ansi:
-        # Spark's ANSI range check: floor(v) ≤ Int.Max && ceil(v) ≥ Int.Min
-        # (so 2147483647.4 still casts — truncation lands in range)
-        bad = ~np.isfinite(v) | (np.floor(v) > _I32_MAX) | (np.ceil(v) < _I32_MIN)
+        # Spark's ANSI range check: floor(v) ≤ hi && ceil(v) ≥ lo
+        # (so 127.4 still casts to tinyint — truncation lands in range)
+        bad = ~np.isfinite(v) | (np.floor(v) > hi) | (np.ceil(v) < lo)
         if bad.any():
             raise ArithmeticError(
-                "[CAST_OVERFLOW] computed coordinate value"
-                f" {v[bad][0]!r} cannot be cast to int32 (ANSI mode) —"
-                " same rows fail the general sink"
+                "[CAST_OVERFLOW] computed value"
+                f" {v[bad][0]!r} cannot be cast to {np_t.__name__}"
+                " (ANSI mode) — same rows fail the general sink"
             )
-        return np.trunc(v).astype(np.int64).astype(np.int32)
+        return np.trunc(v).astype(np.int64).astype(np_t)
     v = np.where(np.isnan(v), 0.0, v)
     v = np.clip(np.trunc(v), _I32_MIN, _I32_MAX)
-    return v.astype(np.int64).astype(np.int32)
+    return v.astype(np.int64).astype(np.int32).astype(np_t)
+
+
+def eval_program(prog, cols, ansi: bool) -> np.ndarray:
+    """Replay an extracted int32-rooted program over the source records
+    (``cols`` as in ``_replay_f64``); returns the int32 values the general
+    sink would write for the same records (see ``_int_finish``)."""
+    return _int_finish(_replay_f64(prog, cols), ansi, "i4")
 
 
 def eval_program_typed(
@@ -467,8 +543,8 @@ def eval_program_typed(
     casts the double result with numpy ``astype`` (IEEE round-to-nearest
     — identical to the JVM's d2f, including overflow → ±Infinity and NaN
     passthrough), ``'f8'`` is the raw double result."""
-    if out_char == "i4":
-        return eval_program(prog, cols, ansi)
+    if out_char in _INT_FINISH:
+        return _int_finish(_replay_f64(prog, cols), ansi, out_char)
     v = _replay_f64(prog, cols)
     if out_char == "f4":
         return v.astype("<f4")

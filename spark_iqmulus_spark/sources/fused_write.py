@@ -336,17 +336,15 @@ def _las_fused_plan(
     from .pointcloud_common import headers_with_sizes
 
     computed = computed or {}
-    # the LAS computed shape is the re-grid / transform: int32-rooted
-    # programs targeting the scaled-integer x/y/z columns (any other
-    # output storage or target has no las2las byte-path meaning).  Since
-    # round 12 a program may reference SEVERAL source columns (rotation
-    # las2las: x' from x AND y) — the referenced-fields gate runs below,
-    # once the source format is known
+    # computed x/y/z must be int32-rooted (the re-grid/transform shape —
+    # the scaled-integer columns ARE i4); other targets (reclassify,
+    # intensity rescale, gps-time shift) are validated against the source
+    # format below, once the headers are parsed
     for name, (_prog, out_char, _m) in computed.items():
-        if name not in ("x", "y", "z") or out_char != "i4":
+        if name in ("x", "y", "z") and out_char != "i4":
             return _no(
-                f"computed column {name!r} (storage {out_char!r}) is not"
-                " an int32-rooted x/y/z re-grid/transform expression"
+                f"computed coordinate {name!r} (storage {out_char!r}) is"
+                " not an int32-rooted re-grid/transform expression"
             )
     out_scale, out_offset = out_grid if out_grid else (
         (0.01, 0.01, 0.01), (0.0, 0.0, 0.0)
@@ -413,19 +411,35 @@ def _las_fused_plan(
     # re-derives its raw values, so its source grid is free (the source
     # scale/offset are baked into the replayed expression's literals).
     # The sink also writes version minor 2 unconditionally.
-    # every column a computed program references must be a STANDARD field
-    # of the source's own point format: extras carry nodata→NULL read
-    # semantics the raw replay cannot reproduce, and an unknown name has
-    # no stored bytes at all
+    # every column a computed program references — and every non-xyz
+    # computed TARGET — must be a STANDARD field of the source's own
+    # point format: extras carry nodata→NULL read semantics the raw
+    # replay cannot reproduce, and an unknown name has no stored bytes.
+    # A non-xyz target's program storage must also match the field's own
+    # width (the general sink writes the schema value's bits into exactly
+    # that storage): i1↔u1/i1, i2↔u2/i2, i4↔u4/i4, f8↔f8
     from .exprprog import program_refs
 
-    std_fields = {n for n, _ in POINT_FORMATS[h0.pdr_format]}
-    for name, (prg, _oc, _m) in computed.items():
+    fmt_chars = dict(POINT_FORMATS[h0.pdr_format])
+    std_fields = set(fmt_chars)
+    _WIDTH_OK = {
+        "i1": {"i1", "u1"}, "i2": {"i2", "u2"}, "i4": {"i4", "u4"},
+        "f4": {"f4"}, "f8": {"f8"},
+    }
+    for name, (prg, oc, _m) in computed.items():
         bad_refs = program_refs(prg) - std_fields
         if bad_refs:
             return _no(
                 f"computed column {name!r} references {sorted(bad_refs)}"
                 f" which are not standard fields of point format"
+                f" {h0.pdr_format}"
+            )
+        if name in ("x", "y", "z"):
+            continue  # gated above (i4 root; grid carried in the program)
+        if name not in std_fields or fmt_chars[name] not in _WIDTH_OK.get(oc, ()):
+            return _no(
+                f"computed column {name!r} (storage {oc!r}) does not"
+                f" match a standard field of point format"
                 f" {h0.pdr_format}"
             )
     for ax, name in enumerate("xyz"):
@@ -513,7 +527,7 @@ def _las_fused_plan(
     if len(modes) > 1:
         return _no("computed columns mix ANSI and LEGACY cast modes")
     ansi_eff = modes.pop() if modes else bool(ansi)
-    compute = {k: p for k, (p, _, _) in computed.items()} or None
+    compute = {k: (p, oc) for k, (p, oc, _) in computed.items()} or None
     grid = (tuple(out_scale), tuple(out_offset))
 
     def _run(spark, out_dir):

@@ -183,9 +183,19 @@ def _las_scan_stats(
     point_fields = h0.point_fields  # [(name, np_char)] incl. extras
     extra_names = [e.name for e in h0.extra_fields]
     if compute:
-        bad = sorted(set(compute) - {"x", "y", "z"})
+        # normalize entries: bare program → int32 root (the pre-r12
+        # re-grid contract); else (program, out_char) pairs
+        compute = {
+            k: (v if isinstance(v, tuple) and len(v) == 2
+                and isinstance(v[1], str) else (v, "i4"))
+            for k, v in compute.items()
+        }
+        std = {n for n, _ in point_fields} - set(extra_names)
+        bad = sorted(set(compute) - std)
         if bad:
-            raise ValueError(f"compute supports only x/y/z, got {bad}")
+            raise ValueError(
+                f"compute supports only standard point fields, got {bad}"
+            )
         rec_itemsize = np.dtype(
             [(n, "<" + c) for n, c in point_fields]
         ).itemsize
@@ -239,7 +249,7 @@ def _las_scan_stats(
     def _work(iterator):
         import pandas as pd
 
-        from .exprprog import eval_program
+        from .exprprog import eval_program_typed
 
         rec_dtype = np.dtype(rec_dtype_spec)
         for pdf in iterator:
@@ -282,13 +292,13 @@ def _las_scan_stats(
                     # computed columns replay over the SOURCE value (the
                     # general sink's Project also reads pre-projection
                     # attributes), overwriting the plain copy
-                    for nm, prg in compute_local:
-                        enc[nm] = eval_program(prg, kept, ansi_local)
+                    for nm, (prg, oc) in compute_local:
+                        enc[nm] = eval_program_typed(prg, kept, oc, ansi_local)
                     kept = kept_raw = enc
                 elif compute_local:
                     enc = kept.copy()
-                    for nm, prg in compute_local:
-                        enc[nm] = eval_program(prg, kept, ansi_local)
+                    for nm, (prg, oc) in compute_local:
+                        enc[nm] = eval_program_typed(prg, kept, oc, ansi_local)
                     kept = kept_raw = enc
                 m = len(kept)
                 pmin, pmax = [0.0] * 3, [0.0] * 3

@@ -818,11 +818,14 @@ def test_regrid_unreplayable_expressions_fall_back(spark, tiles, tmp_path):
 
     wx2 = F.lit(0.0) + F.lit(0.01) * F.col("x").cast("double")
     declined(df.withColumn("x", F.round(wx2 / F.lit(0.002), 2).cast("int")))
+    # storage-width mismatch: an int32-rooted program cannot write the u2
+    # intensity field (round 12 allows matching widths — see
+    # test_las_reclassify_computed_equals_general)
     declined(
         df.withColumn(
             "intensity",
             F.round(F.col("intensity").cast("double") * F.lit(2.0), 0).cast(
-                "smallint"
+                "int"
             ),
         )
     )
@@ -1287,3 +1290,73 @@ def test_las_clamp_if_equals_general(spark, tiles, tmp_path):
     outg, outf = _both(spark, df_fn, tmp_path, "clamp")
     rows = _rows(spark, outf)
     assert rows and rows == _rows(spark, outg)
+
+
+def test_las_reclassify_computed_equals_general(spark, tiles, tmp_path):
+    """Round 12 int-width roots: the las2las RECLASSIFY shape — a
+    conditional over the tinyint classification written back through a
+    tinyint root — and a smallint-rooted intensity rescale, both fused
+    and equal to the general sink."""
+    from spark_iqmulus_spark.sources import fused_write as fw
+
+    def df_fn():
+        return (
+            spark.read.format("las")
+            .load(tiles)
+            .withColumn(
+                "classification",
+                F.when(F.col("classification") == 3, F.lit(0))
+                .otherwise(F.col("classification"))
+                .cast("tinyint"),
+            )
+            .withColumn(
+                "intensity",
+                F.round(F.col("intensity").cast("double") / F.lit(2.0), 0)
+                .cast("smallint"),
+            )
+        )
+
+    assert (
+        fw.plan_fused_save(df_fn(), "las", str(tmp_path / "rc"), "overwrite", {})
+        is not None
+    ), fw._LAST_DECLINE
+    outg, outf = _both(spark, df_fn, tmp_path, "reclass")
+    rows = _rows(spark, outf)
+    assert rows and rows == _rows(spark, outg)
+    back = spark.read.format("las").load(outf)
+    assert back.where(F.col("classification") == 3).count() == 0  # reclassified
+    assert back.where(F.col("classification") == 0).count() > 0
+
+
+def test_computed_from_unsigned_storage_uses_signed_view(spark, tmp_path):
+    """Regression (round-12 self-review): a program referencing a column
+    with UNSIGNED storage (LAS intensity, u2) must replay the reader's
+    same-width SIGNED view — raw 65535 is schema −1; reading the raw
+    bits would compute from 65535 and diverge on every sign-bit value."""
+    src = str(tmp_path / "neg_src")
+    spark.createDataFrame(
+        [(i, (-1 if i % 2 else 1000)) for i in range(64)],
+        "x int, intensity smallint",
+    ).write.format("las").mode("overwrite").save(src)
+
+    def df_fn():
+        return (
+            spark.read.format("las")
+            .load(src)
+            .withColumn(
+                "y",
+                F.round(F.col("intensity").cast("double"), 0).cast("int"),
+            )
+        )
+
+    from spark_iqmulus_spark.sources import fused_write as fw
+
+    assert (
+        fw.plan_fused_save(df_fn(), "las", str(tmp_path / "sv"), "overwrite", {})
+        is not None
+    ), fw._LAST_DECLINE
+    outg, outf = _both(spark, df_fn, tmp_path, "signedview")
+    rows = _rows(spark, outf)
+    assert rows and rows == _rows(spark, outg)
+    ys = sorted({r[1] for r in rows})
+    assert ys == [-1, 1000]  # the signed view, not raw 65535
