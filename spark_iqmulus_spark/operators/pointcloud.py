@@ -703,6 +703,52 @@ def q_ply_affine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_las_reclassify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """las2las RECLASSIFY via the STOCK write API (round 12): the classic
+    noise-reclass shape — ``when(classification = 3, 0)
+    .otherwise(classification)::tinyint`` plus a smallint-rooted intensity
+    halving — fuses onto the byte path: exprprog embeds the
+    non-arithmetic int subset exactly in f8 and finishes with the
+    width-parametric JVM d2s/d2b cast semantics; conditionals replay
+    Spark's NaN-largest comparisons (ints here — trivially exact).  The
+    read-back aggregate certifies the class rewrite and the halved
+    intensities against the ``part`` oracle (integer CASE in DuckDB)."""
+    register_sources(spark)
+
+    key = (sf_dir, "las_reclassify")
+    if key not in _CACHE or not os.path.exists(_CACHE[key]):
+        out = tempfile.mkdtemp(prefix="pc_lasrc_")
+        (
+            spark.read.format("las")
+            .load(_las_dir(spark, sf_dir))
+            .withColumn(
+                "classification",
+                F.when(F.col("classification") == 3, F.lit(0))
+                .otherwise(F.col("classification"))
+                .cast("tinyint"),
+            )
+            .withColumn(
+                "intensity",
+                F.round(F.col("intensity").cast("double") / F.lit(2.0), 0)
+                .cast("smallint"),
+            )
+            .write.format("las")
+            .mode("overwrite")
+            .save(out)
+        )
+        _CACHE[key] = out
+    back = spark.read.format("las").load(_CACHE[key])
+    return back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("classification").alias("sum_class"),
+        F.sum(
+            (F.col("classification") == 0).cast("bigint")
+        ).alias("n_reclassified"),
+        F.sum("intensity").alias("sum_intensity"),
+        F.max("x").alias("max_x"),
+    )
+
+
 def q_ply_transcode_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Projected PLY transcode via the STOCK write API (round 11 — VERDICT
     r10 item 3): ``read → filter → select(x, z) → write.format("ply")``
@@ -900,6 +946,7 @@ QUERIES = {
     "q_ply_transcode": q_ply_transcode,
     "q_pc_recenter": q_pc_recenter,
     "q_ply_affine": q_ply_affine,
+    "q_las_reclassify": q_las_reclassify,
     "q_ply_transcode_project": q_ply_transcode_project,
     "q_pcd_transcode_project": q_pcd_transcode_project,
     "q_ply_transcode_multi": q_ply_transcode_multi,
@@ -1044,6 +1091,19 @@ ORACLES = {
         SELECT 'pcd' AS fmt, count(*) AS n,
                round(sum(CAST(CAST(CAST(x AS DOUBLE) - 50.0::DOUBLE AS REAL) AS DOUBLE)), 4) AS sum_x,
                CAST(sum(CAST(round(CAST(i AS DOUBLE) * 2.5::DOUBLE, 0) AS INTEGER)) AS DOUBLE) AS m
+        FROM pts
+    """,
+    "q_las_reclassify": """
+        WITH pts AS (
+            SELECT CAST(p_partkey AS INTEGER) AS x, p_size AS i,
+                   p_partkey % 6 + 1 AS c
+            FROM part
+        )
+        SELECT count(*) AS n,
+               CAST(sum(CASE WHEN c = 3 THEN 0 ELSE c END) AS BIGINT) AS sum_class,
+               CAST(sum(CASE WHEN c = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_reclassified,
+               CAST(sum(CAST(round(CAST(i AS DOUBLE) / 2.0::DOUBLE, 0) AS SMALLINT)) AS BIGINT) AS sum_intensity,
+               max(x) AS max_x
         FROM pts
     """,
     "q_ply_affine": f"""
