@@ -64,6 +64,7 @@ SF5_RELATIONAL_KEYS = [
     # (the point-cloud fixtures derive from the sf5 part table — ~4M
     # points per tile set — so these certify the byte paths at size)
     "q_las_regrid", "q_pc_recenter", "q_ply_affine", "q_pc_fastminmax",
+    "q_las_reclassify",
 ]
 
 VERDICT = re.compile(r"^(PASS|FAIL) (q_[a-z0-9_]+)")
