@@ -95,6 +95,14 @@ def affine(
     """
     if len(matrix) != 3 or any(len(r) != 4 for r in matrix):
         raise ValueError("matrix must be 3x4 row-major")
+    missing = [n for n in names if n not in df.columns]
+    if missing:
+        # unlike regrid (per-axis, degrades gracefully), an affine row
+        # references ALL three world coordinates — a missing one is an
+        # error worth naming, not a bare StopIteration
+        raise ValueError(
+            f"affine requires columns {tuple(names)}; missing {missing}"
+        )
     worlds = [world_coord(df, n) for n in names]
     if scale is None:
         scale = tuple(

@@ -77,13 +77,10 @@ _MINMAX_NEUTRAL_OPTS = {
 }
 
 #: read options compatible with answering min/max from a SCAN-STATS
-#: manifest (plans/manifest.py::build_manifest_scan) for the bounds-less
-#: formats (PLY/PCD).  No ``element``: manifests are built over the
-#: default vertex element.
-_MANIFEST_NEUTRAL_OPTS = {
-    "path", "paths", "pushdown", "partition_bytes", "partitionbytes",
-    "columns", "fusedread", "manifest",
-}
+#: manifest (plans/manifest.py::build_manifest_scan).  Same set as the
+#: header min/max gate today — aliased so the two can never drift apart
+#: silently (round-12 self-review).
+_MANIFEST_NEUTRAL_OPTS = _MINMAX_NEUTRAL_OPTS
 
 _SOURCES = {"las": ".las", "ply": ".ply", "pcd": ".pcd"}
 
@@ -118,6 +115,9 @@ def _scan_relation(node, neutral_opts):
     # (skip/partial semantics) stays disqualifying as before.  This keeps
     # the fast paths live for sessions that set the conf to false
     # (sources/conf_bridge.py injects it on every read).
+    failfast = (
+        opts.get("ignorecorruptfiles", "").strip().lower() == "false"
+    )
     checked = {
         k: v for k, v in opts.items()
         if not (k == "ignorecorruptfiles" and v.strip().lower() == "false")
@@ -128,8 +128,13 @@ def _scan_relation(node, neutral_opts):
         return None
     # downstream gates (min/max, manifest) re-check their own neutral
     # sets — hand them the filtered dict so the neutralized key is
-    # neutral there too
-    return source, checked
+    # neutral there too.  ``failfast`` travels separately: the MANIFEST
+    # aggregate has no per-file parse/stat guard of its own, so under
+    # explicit fail-fast it must re-prove a real scan would succeed
+    # (round-12 self-review — a manifest built over an already-truncated
+    # file is 'fresh' yet records a partial answer the fail-fast scan
+    # would refuse)
+    return source, checked, failfast
 
 
 def _paths_for(source: str, opts: dict) -> list[str]:
@@ -237,7 +242,7 @@ def _cols_never_null(source, headers, cols, element: str) -> bool:
     return True
 
 
-def _try_manifest_aggregate(df, source, opts, wanted, paths):
+def _try_manifest_aggregate(df, source, opts, wanted, paths, failfast=False):
     """Global min/max of ANY manifest-covered column (and counts), on any
     of the three formats, answered from a FRESH scan-stats manifest —
     closing the asymmetry where ``count()`` is free on all three formats
@@ -266,6 +271,14 @@ def _try_manifest_aggregate(df, source, opts, wanted, paths):
         return None
     if any(k not in _MANIFEST_NEUTRAL_OPTS for k in opts):
         return None
+    if failfast:
+        # explicit ignoreCorruptFiles=false: the manifest itself has no
+        # per-file parse/stat guard, and a manifest built over an
+        # already-truncated file is FRESH (mtime/size match) yet records
+        # the partial answer a fail-fast scan would refuse — re-prove a
+        # real scan would succeed before answering (round-12 self-review)
+        if _verified_parsed(source, paths, opts.get("element", "vertex")) is None:
+            return None
     import pyarrow.parquet as pq
 
     try:
@@ -363,7 +376,7 @@ def _try_header_count(df):
     found = _scan_relation(node, _COUNT_NEUTRAL_OPTS)
     if found is None:
         return None
-    source, opts = found
+    source, opts, failfast = found
     return _verified_count(
         source, _paths_for(source, opts), opts.get("element", "vertex")
     )
@@ -390,7 +403,7 @@ def _try_header_aggregate(df):
     found = _scan_relation(node, _COUNT_NEUTRAL_OPTS)
     if found is None:
         return None
-    source, opts = found
+    source, opts, failfast = found
     # every aggregate must be count(1) or min/max of a stored x/y/z attr
     wanted = []  # (name, kind, axis)
     aggs = plan.aggregateExpressions()
@@ -457,7 +470,7 @@ def _try_header_aggregate(df):
         # x/y/z — but a FRESH scan-stats manifest answers min/max of ANY
         # column it was built over, on any of the three formats (VERDICT
         # r11 next #2; generalized beyond x/y/z in round 12)
-        return _try_manifest_aggregate(df, source, opts, wanted, paths)
+        return _try_manifest_aggregate(df, source, opts, wanted, paths, failfast)
     if any(k not in _MINMAX_NEUTRAL_OPTS for k in opts):
         return None
 

@@ -36,13 +36,24 @@ _INSTALLED = False
 
 
 def _conf_override(spark) -> str | None:
-    """The session conf value, ONLY when explicitly set (None otherwise).
-    ``RuntimeConfig.get`` falls back to the key's default, so explicitness
-    is read from ``SQLConf.contains`` through py4j."""
+    """The session conf value, ONLY when explicitly set to FALSE (None
+    otherwise).  ``RuntimeConfig.get`` falls back to the key's default, so
+    explicitness is read from ``SQLConf.contains`` through py4j.
+
+    An explicit TRUE is NOT injected (round-12 self-review): true is
+    already the sources' default semantics, but injecting it as a
+    per-read option would disqualify every metadata fast path and the
+    fused byte-path writes (those gates treat the ignore=true OPTION as
+    a deliberate opt-in whose skip/partial semantics the header paths
+    cannot prove equivalent) — a user globally setting the conf to its
+    de-facto value would silently lose O(files) counts for no behavior
+    change.  Only false (fail-fast) changes behavior, so only false is
+    bridged."""
     try:
         if not spark._jsparkSession.sessionState().conf().contains(_CONF_KEY):
             return None
-        return str(spark.conf.get(_CONF_KEY))
+        v = str(spark.conf.get(_CONF_KEY))
+        return v if v.strip().lower() == "false" else None
     except Exception:
         return None
 

@@ -11,7 +11,7 @@ by 1 ulp — which, after ``round()``, moves points across grid boundaries.
 So instead of recognizing one blessed affine pattern, this module
 
 - EXTRACTS the optimized Catalyst expression tree into a tiny postfix
-  program (``extract_program``) gated to a closed node set whose float64
+  program (``extract_program_any``) gated to a closed node set whose float64
   semantics numpy reproduces bit-for-bit: ``Literal`` (double),
   ``AttributeReference`` (the source column itself), widening ``Cast``
   int→double, ``Add/Subtract/Multiply/Divide/UnaryMinus`` (IEEE-754
@@ -62,22 +62,6 @@ _I32_MIN, _I32_MAX = -2147483648.0, 2147483647.0
 
 def _simple(jobj) -> str:
     return jobj.getClass().getSimpleName()
-
-
-def extract_program(jexpr, col_name: str):
-    """Catalyst expression (py4j) → ``(program, ansi)`` or ``None``.
-
-    The int32-rooted shape (``Cast(double-expr AS int)``) — the LAS
-    re-grid callers' contract.  Kept as a thin wrapper over
-    ``extract_program_any``; see it for the node-set rules.  ``ansi`` is
-    the root cast's evalMode (ANSI → overflow raises, LEGACY → JVM d2i
-    saturate/NaN→0); ``None`` when the mode is unreadable, letting the
-    caller fall back to the session conf."""
-    got = extract_program_any(jexpr, col_name)
-    if got is None or got[1] != "i4":
-        return None
-    prog, _, ansi = got
-    return prog, ansi
 
 
 #: source-column Spark types whose widening cast to double numpy replays
@@ -383,6 +367,12 @@ def _round0_half_up(d: np.ndarray) -> np.ndarray:
         f = np.floor(a)
         r = np.where(a - f >= 0.5, f + 1.0, f)
         r = np.copysign(r, d)
+        # BigDecimal has no signed zero: Spark answers +0.0 for every
+        # input rounding to zero (probed: round(-0.3) and round(-0.0)
+        # are both 0x0), while copysign stamps the sign bit — adding
+        # +0.0 normalizes −0.0 to +0.0 and leaves every other finite
+        # value bit-identical (IEEE round-to-nearest: x + 0 == x)
+        r = r + 0.0
         return np.where(np.isfinite(d), r, d)
 
 

@@ -646,6 +646,14 @@ def _ply_fused_plan(df, where, path, overwrite, projected=None,
     from .exprprog import program_refs
 
     for name, (prg, _oc2, _m2) in computed.items():
+        if name not in prop_names:
+            # a computed NEW column: the transcode layout is derived from
+            # stored properties, so there is no byte-path equivalent —
+            # decline (the general sink writes the extra property)
+            return _no(
+                f"computed column {name!r} is not a stored source"
+                " property (new columns have no byte-path equivalent)"
+            )
         missing = program_refs(prg) - prop_names
         if missing:
             return _no(
@@ -654,7 +662,10 @@ def _ply_fused_plan(df, where, path, overwrite, projected=None,
             )
     # int-rooted programs extracted under DIFFERENT cast modes in one plan
     # cannot share the transcoder's single overflow semantic — fall back
-    modes = {m for _p, oc, m in computed.values() if oc == "i4" and m is not None}
+    modes = {
+        m for _p, oc, m in computed.values()
+        if oc.startswith("i") and m is not None
+    }
     if len(modes) > 1:
         return _no("computed columns mix ANSI and LEGACY cast modes")
     ansi_eff = modes.pop() if modes else bool(ansi)
@@ -737,13 +748,24 @@ def _pcd_fused_plan(df, where, path, overwrite, projected=None,
     from .exprprog import program_refs
 
     for name, (prg, _oc2, _m2) in computed.items():
+        if name not in prop_names:
+            # a computed NEW column: the transcode layout is derived from
+            # stored properties, so there is no byte-path equivalent —
+            # decline (the general sink writes the extra property)
+            return _no(
+                f"computed column {name!r} is not a stored source"
+                " property (new columns have no byte-path equivalent)"
+            )
         missing = program_refs(prg) - prop_names
         if missing:
             return _no(
                 f"computed column {name!r} references {sorted(missing)}"
                 " which are not stored source properties"
             )
-    modes = {m for _p, oc, m in computed.values() if oc == "i4" and m is not None}
+    modes = {
+        m for _p, oc, m in computed.values()
+        if oc.startswith("i") and m is not None
+    }
     if len(modes) > 1:
         return _no("computed columns mix ANSI and LEGACY cast modes")
     ansi_eff = modes.pop() if modes else bool(ansi)

@@ -128,3 +128,24 @@ def test_conf_bridge_leaves_other_formats_alone(spark, tmp_path, _conf):
     p = str(tmp_path / "pq")
     spark.range(10).write.mode("overwrite").parquet(p)
     assert spark.read.format("parquet").load(p).count() == 10
+
+
+def test_conf_true_explicit_keeps_fast_paths(spark, tmp_path, _conf):
+    """Round-12 self-review: setting the session conf to its de-facto
+    default (true) must not be bridged into the readers — an injected
+    ignore=true OPTION would disqualify every metadata fast path for no
+    behavior change.  Count stays zero-job under conf=true."""
+    d = tmp_path / "ok_true"
+    d.mkdir()
+    make_las(str(d / "t.las"), n=1500, fmt=1)
+    _conf("true")
+
+    def _jobids():
+        return set(
+            spark.sparkContext._jsc.sc().statusTracker().getJobIdsForGroup(None)
+        )
+
+    df = spark.read.format("las").load(str(d))
+    before = _jobids()
+    assert df.count() == 1500
+    assert _jobids() == before  # still the O(files) header fast path

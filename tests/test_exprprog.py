@@ -31,6 +31,9 @@ def test_round0_half_up_matches_spark_semantics():
     assert (got == want).all(), list(zip(vals, got, want))
     assert np.isnan(_round0_half_up(np.array([np.nan]))[0])
     assert np.isinf(_round0_half_up(np.array([np.inf]))[0])
+    # BigDecimal has no signed zero: Spark answers +0.0 (probed) — the
+    # replay must not stamp the input's sign bit on a zero result
+    assert not np.signbit(_round0_half_up(np.array([-0.3, -0.0, -0.49]))).any()
 
 
 def _regrid_prog(src_scale, src_off, dst_scale, dst_off):

@@ -621,3 +621,38 @@ def test_manifest_bigint_minmax_falls_back(spark, tmp_path):
     rows = aggd.collect()
     assert len(_jobs(spark) - before) >= 1  # real scan, not the manifest
     assert rows[0]["max_big"] == big + 9  # exact int64
+
+
+def test_manifest_failfast_truncated_declines_and_raises(spark, tmp_path):
+    """Round-12 self-review: a manifest built over an ALREADY-truncated
+    file is fresh (mtime/size match) yet records the partial scan's
+    stats — under explicit ignoreCorruptFiles=false the manifest path
+    must decline so the real fail-fast scan surfaces the error, instead
+    of silently answering the partial min/max."""
+    import glob
+
+    from spark_iqmulus_spark.plans.manifest import write_manifest_scan
+
+    d = tmp_path / "plytrunc"
+    d.mkdir()
+    p = str(d / "a.ply")
+    make_ply_xyz(p, n=1000)
+    data = open(p, "rb").read()
+    open(p, "wb").write(data[: len(data) - 2000])  # body short of header
+
+    mpath = str(tmp_path / "m_trunc")
+    # built under the default skip semantics → records the partial stats
+    write_manifest_scan(spark, sorted(glob.glob(str(d / "*.ply"))), mpath,
+                        fmt="ply")
+    df = (
+        spark.read.format("ply")
+        .option("manifest", mpath)
+        .option("ignoreCorruptFiles", "false")
+        .load(str(d))
+    )
+    with pytest.raises(Exception):
+        df.agg(F.min("x").alias("m")).collect()
+    # without fail-fast the same fresh manifest answers (partial, by the
+    # skip/partial contract the manifest recorded)
+    df2 = spark.read.format("ply").option("manifest", mpath).load(str(d))
+    assert df2.agg(F.count(F.lit(1)).alias("n")).collect()[0]["n"] < 1000

@@ -1360,3 +1360,25 @@ def test_computed_from_unsigned_storage_uses_signed_view(spark, tmp_path):
     assert rows and rows == _rows(spark, outg)
     ys = sorted({r[1] for r in rows})
     assert ys == [-1, 1000]  # the signed view, not raw 65535
+
+
+def test_ply_computed_new_column_falls_back(spark, ply_tiles, tmp_path):
+    """Round-12 self-review: a computed NEW column (not a stored source
+    property) has no byte-path layout — must DECLINE to the general
+    sink, not crash mid-save with a transcode ValueError."""
+    from spark_iqmulus_spark.sources import fused_write as fw
+
+    df = (
+        spark.read.format("ply")
+        .load(ply_tiles)
+        .withColumn("range", (F.col("x") * F.lit(2.0)).cast("float"))
+    )
+    assert (
+        fw.plan_fused_save(df, "ply", str(tmp_path / "nc"), "overwrite", {})
+        is None
+    )
+    assert "not a stored source" in (fw._LAST_DECLINE or "")
+    out = str(tmp_path / "ply_newcol")
+    df.write.format("ply").mode("overwrite").save(out)  # general sink works
+    back = spark.read.format("ply").load(out)
+    assert "range" in back.columns and back.count() == df.count()
