@@ -73,7 +73,7 @@ def affine(
     df: DataFrame,
     matrix,
     scale: tuple[float, float, float] | None = None,
-    offset: tuple[float, float, float] = (0.0, 0.0, 0.0),
+    offset: tuple[float, float, float] | None = None,
     names: tuple[str, ...] = ("x", "y", "z"),
 ) -> DataFrame:
     """World-space affine transform re-encoded onto a grid — the las2las
@@ -83,7 +83,10 @@ def affine(
     ``raw' = round((w' − offset') / scale')``.
 
     ``matrix`` is the 3×4 row-major affine; ``scale``/``offset`` are the
-    OUTPUT grid (default: keep each column's source grid).  Built as ONE
+    OUTPUT grid — each defaults from its column's scale/offset metadata
+    (ADVICE r12: offset now defaults from metadata exactly like scale, so
+    the default really is "keep each column's source grid"; columns with
+    no metadata fall back to scale 1, offset 0).  Built as ONE
     ``select``, so every output expression reads the ORIGINAL columns —
     and the whole chain stays inside the exprprog node set (literals,
     widening casts, ``+ − ×``, ``round(·, 0)``, int root), so writing the
@@ -108,6 +111,12 @@ def affine(
         scale = tuple(
             float((next(f for f in df.schema.fields if f.name == n).metadata
                    or {}).get("scale", 1.0))
+            for n in names
+        )
+    if offset is None:
+        offset = tuple(
+            float((next(f for f in df.schema.fields if f.name == n).metadata
+                   or {}).get("offset", 0.0))
             for n in names
         )
     exprs = {}

@@ -90,10 +90,12 @@ def _simple(jobj) -> str:
 
 
 def _scan_relation(node, neutral_opts):
-    """``(source_name, options_dict)`` when ``node`` is a
+    """``(source_name, options_dict, failfast)`` when ``node`` is a
     DataSourceV2ScanRelation of one of our Python sources whose read
     options are all in ``neutral_opts`` (with ``fusedRead`` ≠ false),
-    else None."""
+    else None.  ``failfast`` is True when the read carries an explicit
+    ``ignoreCorruptFiles=false`` (neutralized out of the options dict —
+    the manifest aggregate must re-prove a real scan would succeed)."""
     if node.nodeName() != "DataSourceV2ScanRelation":
         return None
     rel = node.relation()
@@ -376,7 +378,7 @@ def _try_header_count(df):
     found = _scan_relation(node, _COUNT_NEUTRAL_OPTS)
     if found is None:
         return None
-    source, opts, failfast = found
+    source, opts, _ = found  # count path re-proves via the stat-guard itself
     return _verified_count(
         source, _paths_for(source, opts), opts.get("element", "vertex")
     )

@@ -37,8 +37,13 @@ _ARROW_TYPES = {
 _SIGNED = {"u1": "i1", "u2": "i2", "u4": "i4", "u8": "i8"}
 
 #: files already warned about a short data section, per worker process —
-#: keeps a many-partition truncated file to one stderr line per process
-_WARNED_SHORT_PATHS: set[str] = set()
+#: keeps a many-partition truncated file to one stderr line per process.
+#: Keyed on (path, mtime_ns, size) so a file REWRITTEN or re-truncated
+#: differently warns again in a long-lived worker (ADVICE r12); bounded
+#: in practice by the number of distinct corrupt file versions a worker
+#: ever sees, but capped anyway as a backstop.
+_WARNED_SHORT_PATHS: set[tuple] = set()
+_WARNED_SHORT_CAP = 10_000
 
 
 def signed_char(np_char: str) -> str:
@@ -105,10 +110,16 @@ class BinarySection:
             # warn once per file per worker process — a large multi-
             # partition truncated file would otherwise emit one line per
             # partition, including ranges entirely past EOF (ADVICE r11)
-            if self.path not in _WARNED_SHORT_PATHS:
+            import os as _os
+
+            st = _os.stat(self.path)
+            key = (self.path, st.st_mtime_ns, st.st_size)
+            if key not in _WARNED_SHORT_PATHS:
                 import sys
 
-                _WARNED_SHORT_PATHS.add(self.path)
+                if len(_WARNED_SHORT_PATHS) >= _WARNED_SHORT_CAP:
+                    _WARNED_SHORT_PATHS.clear()
+                _WARNED_SHORT_PATHS.add(key)
                 print(
                     f"spark_iqmulus_spark: {self.path}: data section is short"
                     f" ({have}/{n_records} records in range at {rec_start});"

@@ -184,12 +184,28 @@ def _las_scan_stats(
     extra_names = [e.name for e in h0.extra_fields]
     if compute:
         # normalize entries: bare program → int32 root (the pre-r12
-        # re-grid contract); else (program, out_char) pairs
-        compute = {
-            k: (v if isinstance(v, tuple) and len(v) == 2
-                and isinstance(v[1], str) else (v, "i4"))
-            for k, v in compute.items()
-        }
+        # re-grid contract); else (program, out_char) pairs.  Pre-r12
+        # programs also carry bare ("col",) leaf ops that bound to a
+        # single passed array — the replay now receives the full
+        # structured record, so rebind them to the entry's own column
+        # name (ADVICE r12: without this the bare op pushes the whole
+        # struct and the float64 coercion raises in the executor)
+        def _norm_compute(name, v):
+            prog, oc = (
+                v
+                if isinstance(v, tuple) and len(v) == 2
+                and isinstance(v[1], str)
+                else (v, "i4")
+            )
+            prog = [
+                ("col", name)
+                if op[0] == "col" and len(op) == 1
+                else op
+                for op in prog
+            ]
+            return prog, oc
+
+        compute = {k: _norm_compute(k, v) for k, v in compute.items()}
         std = {n for n, _ in point_fields} - set(extra_names)
         bad = sorted(set(compute) - std)
         if bad:

@@ -147,7 +147,9 @@ def test_short_read_warns_once_per_file(capsys):
             path=path, offset=0, count=100, stride=4,
             little_endian=True, fields=fields,
         )
-        bs._WARNED_SHORT_PATHS.discard(path)
+        bs._WARNED_SHORT_PATHS.difference_update(
+            {k for k in bs._WARNED_SHORT_PATHS if k[0] == path}
+        )
         # three partitions: one partially short, two entirely past EOF
         b1 = section.read_batch(30, 20, fid=0, allow_short=True)
         b2 = section.read_batch(50, 25, fid=0, allow_short=True)
@@ -156,6 +158,17 @@ def test_short_read_warns_once_per_file(capsys):
         err = capsys.readouterr().err
         assert err.count("data section is short") == 1
         assert path in err
+        # ADVICE r12: the warn-once key includes mtime/size, so the SAME
+        # path rewritten (truncated differently) warns again
+        with open(path, "wb") as out:
+            out.write(arr.tobytes()[: 20 * 4])
+        os.utime(path, ns=(1, 1))  # force a distinct mtime_ns
+        b4 = section.read_batch(0, 100, fid=0, allow_short=True)
+        assert b4.num_rows == 20
+        err2 = capsys.readouterr().err
+        assert err2.count("data section is short") == 1
     finally:
-        bs._WARNED_SHORT_PATHS.discard(path)
+        bs._WARNED_SHORT_PATHS.difference_update(
+            {k for k in bs._WARNED_SHORT_PATHS if k[0] == path}
+        )
         os.unlink(path)

@@ -563,3 +563,24 @@ def test_pcd_merge_compute_recenters(spark, tmp_path):
     )
     h2 = PcdHeader.parse_file(out2)
     assert {f.name: f.np_char for f in h2.fields}["x"] == "f8"
+
+
+def test_compute_legacy_bare_program(spark, las_tiles, tmp_path):
+    """ADVICE r12: a pre-r12 bare program (no out_char pair, bare
+    ``("col",)`` leaves) passed straight to ``compute=`` still replays —
+    the normalization rebinds bare leaves to the entry's own column name
+    before the executor sees the structured record."""
+    import json
+
+    out = str(tmp_path / "legacy.las")
+    prog = [("col",), ("todouble",), ("lit", 2.0), ("mul",)]
+    r = transcode_las(spark, las_tiles, out, compute={"x": prog})
+    assert r["points"] == 15000
+    got = spark.read.format("las").load(out)
+    union = spark.read.format("las").option(
+        "paths", json.dumps(las_tiles)
+    ).load()
+    assert (
+        got.agg(F.sum("x")).collect()[0][0]
+        == 2 * union.agg(F.sum("x")).collect()[0][0]
+    )
