@@ -69,6 +69,42 @@ def regrid(
     return out
 
 
+def voxelize(
+    df: DataFrame,
+    size: tuple[float, float, float],
+    origin: tuple[float, float, float] = (0.0, 0.0, 0.0),
+    names: tuple[str, ...] = ("x", "y", "z"),
+) -> DataFrame:
+    """Voxel-index coordinates — the las2las decimate / clip-to-grid
+    shape: ``raw' = floor((world − origin) / size)`` as int32, with
+    ``world`` read through each column's scale/offset metadata.
+
+    Unlike ``regrid`` (round-to-NEAREST grid point), floor gives the
+    containing cell, so equal raw values = same voxel (feed into
+    ``groupBy`` for occupancy grids or ``dropDuplicates`` for decimate).
+    Writing the result with ``.option("scale", size)`` /
+    ``.option("offset", origin)`` engages the fused byte path —
+    ``floor``/``ceil`` are in exprprog's closed node set as of round 13
+    (correctly rounded in both ``Math.floor`` and ``np.floor``; the
+    bigint-rooted cast finishes with JVM l2i semantics)::
+
+        voxelize(df, (0.5, 0.5, 0.5)).write.format("las")
+            .option("scale", "0.5,0.5,0.5").option("offset", "0,0,0")
+            .save(out)
+    """
+    out = df
+    for i, n in enumerate(names):
+        if n in df.columns:
+            out = out.withColumn(
+                n,
+                F.floor(
+                    (world_coord(df, n) - F.lit(float(origin[i])))
+                    / F.lit(float(size[i]))
+                ).cast("int"),
+            )
+    return out
+
+
 def affine(
     df: DataFrame,
     matrix,

@@ -593,6 +593,50 @@ def q_las_regrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_las_voxel_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voxelize/decimate las2las via the STOCK write API (round 13 —
+    VERDICT r12 next #3): ``read → filter → voxelize(floor((world −
+    origin)/size).cast('int')) → write`` with matching writer grid
+    engages the fused byte path — ``Floor``/``Ceil`` joined exprprog's
+    closed node set (correctly rounded in both ``Math.floor`` and
+    ``np.floor``, the same bit-exactness argument as Sqrt), with the
+    subtlety that Spark types floor(double) as BIGINT, so the root cast
+    is long→int and the replay finishes with JVM l2i semantics
+    (``exprprog._long_finish``), not the double path's d2i saturation.
+    The read-back aggregate certifies kept rows and the voxel indices on
+    all three axes (one with a non-zero origin) against the ``part``
+    oracle, which mirrors the identical float64 expression."""
+    register_sources(spark)
+    from ..functions.scaled import voxelize
+
+    key = (sf_dir, "voxel_write")
+    if key not in _CACHE or not os.path.exists(_CACHE[key]):
+        out = tempfile.mkdtemp(prefix="pc_voxel_")
+        df = (
+            spark.read.format("las")
+            .load(_las_dir(spark, sf_dir))
+            .where(F.col("classification") <= 3)
+        )
+        (
+            voxelize(df, (0.5, 0.25, 0.5), (0.0, 0.0, -5.0))
+            .write.format("las")
+            .mode("overwrite")
+            .option("scale", "0.5,0.25,0.5")
+            .option("offset", "0,0,-5")
+            .save(out)
+        )
+        _CACHE[key] = out
+    back = spark.read.format("las").load(_CACHE[key])
+    return back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sum_x"),
+        F.max("y").alias("max_y"),
+        F.sum("z").alias("sum_z"),
+        F.lit(float(back.schema["x"].metadata["scale"])).alias("out_scale_x"),
+        F.lit(float(back.schema["z"].metadata["offset"])).alias("out_offset_z"),
+    )
+
+
 def q_pc_recenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Computed-column PLY/PCD writes via the STOCK write API (round 12 —
     the PLY/PCD twin of q_las_regrid, retiring the Arrow-hop weak item
@@ -943,6 +987,7 @@ QUERIES = {
     "q_pc_fastminmax": q_pc_fastminmax,
     "q_las_transcode_project": q_las_transcode_project,
     "q_las_regrid": q_las_regrid,
+    "q_las_voxel_write": q_las_voxel_write,
     "q_ply_transcode": q_ply_transcode,
     "q_pc_recenter": q_pc_recenter,
     "q_ply_affine": q_ply_affine,
@@ -1057,6 +1102,19 @@ ORACLES = {
                max(CAST(round((0.0::DOUBLE + 0.01::DOUBLE * y - 0.0::DOUBLE) / 0.002::DOUBLE, 0) AS INTEGER)) AS max_y,
                CAST(sum(CAST(round((0.0::DOUBLE + 0.01::DOUBLE * z - (-5.0::DOUBLE)) / 0.002::DOUBLE, 0) AS INTEGER)) AS BIGINT) AS sum_z,
                0.002::DOUBLE AS out_scale_x,
+               -5.0::DOUBLE AS out_offset_z
+        FROM pts
+    """,
+    "q_las_voxel_write": f"""
+        WITH pts AS (
+            SELECT CAST(p_partkey AS INTEGER) AS x, p_size AS y, {_Z} AS z
+            FROM part WHERE p_partkey % 6 + 1 <= 3
+        )
+        SELECT count(*) AS n,
+               CAST(sum(CAST(FLOOR((0.0::DOUBLE + 0.01::DOUBLE * x - 0.0::DOUBLE) / 0.5::DOUBLE) AS INTEGER)) AS BIGINT) AS sum_x,
+               max(CAST(FLOOR((0.0::DOUBLE + 0.01::DOUBLE * y - 0.0::DOUBLE) / 0.25::DOUBLE) AS INTEGER)) AS max_y,
+               CAST(sum(CAST(FLOOR((0.0::DOUBLE + 0.01::DOUBLE * z - (-5.0::DOUBLE)) / 0.5::DOUBLE) AS INTEGER)) AS BIGINT) AS sum_z,
+               0.5::DOUBLE AS out_scale_x,
                -5.0::DOUBLE AS out_offset_z
         FROM pts
     """,

@@ -27,7 +27,12 @@ So instead of recognizing one blessed affine pattern, this module
 Anything outside the node set (a narrowing int cast, a non-zero round
 scale, try_cast, a non-correctly-rounded function like log/pow, a NULL
 branch, …) fails extraction and the write falls back to the general
-sink.  Round 12 extensions: leaves carry their column name, so a program
+sink.  Round 13 adds ``Floor``/``Ceil`` (correctly rounded in both
+``Math.floor/ceil`` and ``np.floor/ceil``) directly under the root int
+cast — the voxelize/decimate ``floor(x/s)`` las2las shape; Spark types
+them BIGINT, so the replay carries an exact int64 through the ``"d2l"``
+op and the root cast finishes with JVM l2i/l2s/l2b LOW-BITS semantics
+(``_long_finish``), not the double path's d2i saturation.  Round 12 extensions: leaves carry their column name, so a program
 may reference several columns of one record (the affine-transform shape
 ``x' = a·x + b·y + c``); the walk is TYPE-PARAMETRIC over
 float32/float64 — every node replays in its own Catalyst dtype, because
@@ -113,6 +118,7 @@ def extract_program_any(jexpr, col_name: str | None = None):
     leaf to be that one column (the LAS re-grid contract).
     ``program_refs`` lists a program's columns."""
     ansi = None
+    post_ops: list[tuple] = []
     root_dt = str(jexpr.dataType().simpleString())
     if _simple(jexpr) == "Cast" and root_dt in _INT_ROOT:
         # int-rooted shape: the re-grid (int) and, round 12, the
@@ -120,8 +126,6 @@ def extract_program_any(jexpr, col_name: str | None = None):
         # low-bits truncation, replayed by the width-parametric finisher)
         child = jexpr.children().apply(0)
         cdt = str(child.dataType().simpleString())
-        if cdt not in _FLOAT_DT and cdt not in _INT_EMBED:
-            return None
         out_char = _INT_ROOT[root_dt]
         try:
             mode = str(jexpr.evalMode())
@@ -130,7 +134,31 @@ def extract_program_any(jexpr, col_name: str | None = None):
             ansi = mode == "ANSI"
         except Exception:
             pass  # evalMode unreadable — caller uses session conf
-        root = child
+        if cdt == "bigint" and _simple(child) in ("Floor", "Ceil"):
+            # round 13 (VERDICT r12 next #3): floor/ceil are IEEE
+            # correctly-rounded in both Math.floor/ceil and np.floor/ceil
+            # — the same bit-exactness argument as Sqrt — and
+            # ``floor(x/s).cast('int')`` is the voxelize/decimate las2las
+            # shape.  Spark types floor/ceil(double) as BIGINT, so the
+            # root cast is long→int: JVM l2i/l2s/l2b LOW-BITS truncation
+            # (not d2i saturation) — replayed by the "d2l" op (exact
+            # int64 carrier) + the long finisher in eval_program_typed.
+            # Admissible ONLY here, directly under the root int cast:
+            # anywhere else the bigint output feeds long arithmetic or
+            # comparisons the f8 embedding cannot replay, and those
+            # positions already decline on the bigint dtype.
+            g = child.children().apply(0)
+            if str(g.dataType().simpleString()) != "double":
+                return None
+            post_ops = [
+                ("floor",) if _simple(child) == "Floor" else ("ceil",),
+                ("d2l",),
+            ]
+            root = g
+        elif cdt not in _FLOAT_DT and cdt not in _INT_EMBED:
+            return None
+        else:
+            root = child
     elif root_dt in _INT_EMBED:
         # a bare int-typed tree (e.g. when(c = 7, 0).otherwise(c) writing
         # back the int column) — the non-arithmetic int subset embeds
@@ -343,6 +371,7 @@ def extract_program_any(jexpr, col_name: str | None = None):
 
     if not walk(root):
         return None
+    prog.extend(post_ops)
     return prog, out_char, ansi
 
 
@@ -382,12 +411,16 @@ def program_refs(prog) -> set:
     return {op[1] for op in prog if op[0] == "col" and len(op) > 1}
 
 
-def _replay_f64(prog, cols) -> np.ndarray:
-    """Shared postfix replay: program over the source record → float64
-    result broadcast to the record count (a pure-literal program yields a
-    scalar otherwise).  ``cols`` is the structured source-record array —
+def _replay_raw(prog, cols) -> np.ndarray:
+    """Shared postfix replay: program over the source record → result
+    broadcast to the record count (a pure-literal program yields a scalar
+    otherwise).  ``cols`` is the structured source-record array —
     ``("col", name)`` ops index it by field — or, for a legacy bare
-    ``("col",)`` program, the single column array itself."""
+    ``("col",)`` program, the single column array itself.  The result
+    dtype follows the program root: float for arithmetic trees, INT64
+    for a long-typed root (the floor/ceil voxel shape, whose exact long
+    value float64 cannot carry — the "d2l" op converts with JVM d2l
+    semantics and the long finisher narrows with l2i/l2s/l2b)."""
     stack: list[np.ndarray] = []
     with np.errstate(all="ignore"):
         for op in prog:
@@ -459,6 +492,28 @@ def _replay_f64(prog, cols) -> np.ndarray:
                 stack.append(np.where(c, v, e))
             elif k == "round0":
                 stack.append(_round0_half_up(np.asarray(stack.pop(), dtype=np.float64)))
+            elif k == "floor":
+                stack.append(np.floor(np.asarray(stack.pop(), dtype=np.float64)))
+            elif k == "ceil":
+                stack.append(np.ceil(np.asarray(stack.pop(), dtype=np.float64)))
+            elif k == "d2l":
+                # JVM d2l: NaN → 0, truncate toward zero, saturate at the
+                # Long bounds.  The result is an EXACT int64 array: below
+                # 2^53 the double was exact; between 2^53 and 2^63 a
+                # double is always integral and exactly representable, so
+                # astype(int64) is exact there too
+                v = np.atleast_1d(
+                    np.trunc(np.asarray(stack.pop(), dtype=np.float64))
+                )
+                v = np.where(np.isnan(v), 0.0, v)
+                out = np.zeros(v.shape, dtype=np.int64)
+                big = v >= 9.223372036854775808e18  # 2^63
+                small = v <= -9.223372036854775808e18
+                mid = ~(big | small)
+                out[mid] = v[mid].astype(np.int64)
+                out[big] = np.iinfo(np.int64).max
+                out[small] = np.iinfo(np.int64).min
+                stack.append(out)
             else:
                 b = stack.pop()
                 a = stack.pop()
@@ -472,7 +527,7 @@ def _replay_f64(prog, cols) -> np.ndarray:
                     stack.append(a / b)
                 else:  # pragma: no cover - extraction emits a closed op set
                     raise ValueError(f"unknown op {k!r}")
-    v = np.asarray(stack.pop(), dtype=np.float64)
+    v = np.asarray(stack.pop())
     if isinstance(cols, dict):  # test convenience: {name: array}
         n = len(next(iter(cols.values()))) if cols else 1
     else:
@@ -480,6 +535,12 @@ def _replay_f64(prog, cols) -> np.ndarray:
     if v.shape != (n,):
         v = np.broadcast_to(v, (n,)).copy()
     return v
+
+
+def _replay_f64(prog, cols) -> np.ndarray:
+    """Float64 view of the replay — every program without a "d2l" root
+    ends in a float stack top, so this is lossless there."""
+    return np.asarray(_replay_raw(prog, cols), dtype=np.float64)
 
 
 #: int root widths: (ANSI lo, ANSI hi, numpy dtype)
@@ -518,6 +579,24 @@ def _int_finish(v: np.ndarray, ansi: bool, out_char: str) -> np.ndarray:
     return v.astype(np.int64).astype(np.int32).astype(np_t)
 
 
+def _long_finish(l: np.ndarray, ansi: bool, out_char: str) -> np.ndarray:
+    """Integer cast finisher for a LONG-typed root (the floor/ceil voxel
+    shape): the root cast is bigint→int/smallint/tinyint, whose JVM
+    semantics differ from the double path — ANSI range-checks the exact
+    long value; legacy is l2i/l2s/l2b LOW-BITS truncation (numpy's
+    int64→intN astype), NOT the d2i saturation ``_int_finish`` replays."""
+    lo, hi, np_t = _INT_FINISH[out_char]
+    if ansi:
+        bad = (l > int(hi)) | (l < int(lo))
+        if bad.any():
+            raise ArithmeticError(
+                "[CAST_OVERFLOW] computed value"
+                f" {int(l[bad][0])} cannot be cast to {np_t.__name__}"
+                " (ANSI mode) — same rows fail the general sink"
+            )
+    return l.astype(np_t)
+
+
 def eval_program(prog, cols, ansi: bool) -> np.ndarray:
     """Replay an extracted int32-rooted program over the source records
     (``cols`` as in ``_replay_f64``); returns the int32 values the general
@@ -532,9 +611,14 @@ def eval_program_typed(
     ``'i4'`` delegates to ``eval_program`` (ANSI/legacy d2i), ``'f4'``
     casts the double result with numpy ``astype`` (IEEE round-to-nearest
     — identical to the JVM's d2f, including overflow → ±Infinity and NaN
-    passthrough), ``'f8'`` is the raw double result."""
+    passthrough), ``'f8'`` is the raw double result.  A long-typed root
+    (the floor/ceil "d2l" shape) finishes with the LONG cast semantics
+    (``_long_finish``)."""
     if out_char in _INT_FINISH:
-        return _int_finish(_replay_f64(prog, cols), ansi, out_char)
+        v = _replay_raw(prog, cols)
+        if v.dtype == np.int64:
+            return _long_finish(v, ansi, out_char)
+        return _int_finish(np.asarray(v, dtype=np.float64), ansi, out_char)
     v = _replay_f64(prog, cols)
     if out_char == "f4":
         return v.astype("<f4")

@@ -145,3 +145,41 @@ def test_eval_f4_typed_program_stays_single_precision():
     prog = [("col", "x"), ("lit", 1.0, "f4"), ("add",)]
     got = eval_program_typed(prog, {"x": col}, "f4")
     assert got.dtype == np.float32 and got[0] == np.float32(16777216.0)
+
+
+def test_floor_program_long_cast_semantics():
+    """Round 13: a floor-rooted program ends in ("d2l",) — the replay
+    carries an EXACT int64 and the finisher applies JVM long-cast
+    semantics: legacy l2i is LOW-BITS truncation (probed: Spark answers
+    −1296 for floor(2147483000·2.0) cast int — d2i saturation would
+    answer 2147483647), ANSI raises."""
+    from spark_iqmulus_spark.sources.exprprog import eval_program_typed
+
+    prog = [
+        ("col", "x"), ("cast", "f8"), ("lit", 2.0, "f8"), ("mul",),
+        ("floor",), ("d2l",),
+    ]
+    x = np.array([2147483000, -2147483000, 5, -7], dtype=np.int32)
+    got = eval_program_typed(prog, {"x": x}, "i4", ansi=False)
+    assert got.dtype == np.int32
+    assert list(got) == [-1296, 1296, 10, -14]
+    with pytest.raises(ArithmeticError):
+        eval_program_typed(prog, {"x": x}, "i4", ansi=True)
+    # narrower widths truncate low bits directly (l2s/l2b)
+    got2 = eval_program_typed(prog, {"x": x}, "i2", ansi=False)
+    assert got2.dtype == np.int16
+    assert list(got2) == [
+        np.int16(-1296), np.int16(1296), np.int16(10), np.int16(-14)
+    ]
+
+
+def test_ceil_program_and_d2l_saturation():
+    """ceil replays np.ceil; d2l saturates at the Long bounds (JVM d2l)
+    and maps NaN to 0 before the narrowing."""
+    from spark_iqmulus_spark.sources.exprprog import eval_program_typed
+
+    prog = [("col", "x"), ("ceil",), ("d2l",)]
+    x = np.array([1.5, -1.5, 1e300, -1e300, np.nan], dtype=np.float64)
+    got = eval_program_typed(prog, {"x": x}, "i4", ansi=False)
+    # 1e300 → Long.MAX → low 32 bits = -1;  NaN → 0
+    assert list(got) == [2, -1, -1, 0, 0]
