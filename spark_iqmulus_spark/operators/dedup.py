@@ -366,6 +366,74 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def minhash_pairs_thresholded(
+    docs: DataFrame, threshold: float = JACCARD_T
+) -> DataFrame:
+    """``q_dedup_minhash`` for THRESHOLDED consumers (round 13 — VERDICT
+    r12 next #7): same LSH banding and exact verification, plus an EXACT
+    size-ratio prebound between candidate generation and the expensive
+    intersection join::
+
+        J(A,B) = |A∩B| / |A∪B|  ≤  min(|A|,|B|) / max(|A|,|B|)
+
+    A candidate pair whose (rounded) size-ratio bound is already below
+    ``threshold`` cannot survive the final filter, so it skips the
+    shingle-routing join entirely — verification cost becomes linear in
+    SURVIVING pairs.  Rounding keeps the prune sound: rounding is
+    monotone, so ``round(J,6) ≤ round(bound,6) < threshold`` — the output
+    is PROVABLY identical to
+    ``q_dedup_minhash(...).where(jaccard >= threshold)`` (pinned by
+    tests/test_operators.py::test_minhash_thresholded_equals_filtered).
+
+    ``q_dedup_minhash`` itself is unchanged: its declared output carries
+    the exact Jaccard of EVERY candidate pair (no threshold), which is
+    why the early-exit cannot be applied there without an oracle change
+    (SCALE.md §dedup-verify-prebound has the sf5 A/B numbers)."""
+    cand = lsh_candidate_pairs(minhash_signatures(docs))
+    sh = _shingles(docs)
+    # sizes need every candidate document's shingle count — the same
+    # candidate-bounded semi-join as the full verify
+    sh_c = candidate_bounded_shingles(sh, cand).localCheckpoint()
+    sizes = sh_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    cand_sz = cand.join(
+        sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")),
+        "doc_a",
+    ).join(
+        sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")),
+        "doc_b",
+    )
+    # survivors feed the id-bound semi-join AND the final assembly —
+    # checkpoint so the prune executes once
+    survivors = cand_sz.where(
+        F.round(
+            F.least("na", "nb") / F.greatest("na", "nb"), 6
+        ) >= F.lit(float(threshold))
+    ).localCheckpoint()
+    sh_s = candidate_bounded_shingles(sh_c, survivors)
+    a = sh_s.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh_s.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        survivors.select("doc_a", "doc_b")
+        .join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        survivors.join(inter, ["doc_a", "doc_b"], "left")
+        .na.fill({"inter": 0})
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= F.lit(float(threshold)))
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def _simhash_mask(k: int) -> int:
     """Signed-long literal for bit ``k`` (bit 63 is the two's-complement
     sign bit — the same negative value in Spark longs and DuckDB BIGINTs)."""

@@ -514,6 +514,52 @@ def q_pc_fastminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pc_automanifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-manifest (round 13 — VERDICT r12 next #1 and #4): the general
+    sink now emits a ``_manifest`` stats sidecar at commit time
+    (sources/automanifest.py) and the transparent min/max fast path
+    auto-discovers it, so ``write → stock df.agg(min/max/count)`` answers
+    with ZERO Spark jobs on any engine-written dataset with NO
+    user-supplied option.  Integer columns' bounds are stored as INT64,
+    so even a bigint column past 2^53 (``gps`` here, an ExtraBytes i8
+    field) answers exactly — the shape the float64 manifest bounds had
+    to decline.  The oracle recomputes every aggregate from ``part``, so
+    a sidecar that recorded (or merged) wrong bounds hash-fails; the
+    zero-jobness itself is pinned by tests/test_automanifest.py."""
+    register_sources(spark)
+
+    key = (sf_dir, "automanifest")
+    if key not in _CACHE or not os.path.exists(_CACHE[key]):
+        out = tempfile.mkdtemp(prefix="pc_am_")
+        t = load_tables(spark, sf_dir)
+        (
+            t["part"].select(
+                F.col("p_partkey").cast("int").alias("x"),
+                F.col("p_size").cast("int").alias("y"),
+                (
+                    F.col("p_partkey").cast("bigint")
+                    * F.lit(35184372088832)  # 2^45: products exceed 2^53
+                ).alias("gps"),
+            )
+            .write.format("las")
+            .mode("overwrite")
+            .save(out)
+        )
+        _CACHE[key] = out
+    back = spark.read.format("las").load(_CACHE[key])
+    row = back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+        F.min("gps").alias("min_gps"),
+        F.max("gps").alias("max_gps"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [tuple(row)],
+        "n bigint, min_x int, max_x int, min_gps bigint, max_gps bigint",
+    )
+
+
 def q_las_transcode_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Projected las2las via the STOCK write API (round 10 — VERDICT r9
     item 4): ``read → filter → select(core subset) → write.format("las")``
@@ -985,6 +1031,7 @@ QUERIES = {
     "q_las_fastcount": q_las_fastcount,
     "q_pc_fastcount": q_pc_fastcount,
     "q_pc_fastminmax": q_pc_fastminmax,
+    "q_pc_automanifest": q_pc_automanifest,
     "q_las_transcode_project": q_las_transcode_project,
     "q_las_regrid": q_las_regrid,
     "q_las_voxel_write": q_las_voxel_write,
@@ -1104,6 +1151,14 @@ ORACLES = {
                0.002::DOUBLE AS out_scale_x,
                -5.0::DOUBLE AS out_offset_z
         FROM pts
+    """,
+    "q_pc_automanifest": """
+        SELECT count(*) AS n,
+               CAST(min(p_partkey) AS INTEGER) AS min_x,
+               CAST(max(p_partkey) AS INTEGER) AS max_x,
+               min(CAST(p_partkey AS BIGINT) * 35184372088832) AS min_gps,
+               max(CAST(p_partkey AS BIGINT) * 35184372088832) AS max_gps
+        FROM part
     """,
     "q_las_voxel_write": f"""
         WITH pts AS (

@@ -269,10 +269,21 @@ def _try_manifest_aggregate(df, source, opts, wanted, paths, failfast=False):
     import os
 
     mpath = opts.get("manifest")
-    if not mpath:
-        return None
+    if mpath and mpath.strip().lower() in ("false", "none"):
+        return None  # explicit opt-out of manifest answering
     if any(k not in _MANIFEST_NEUTRAL_OPTS for k in opts):
         return None
+    if not mpath:
+        # round 13 (VERDICT r12 next #1): no user-supplied manifest —
+        # discover the ``_manifest`` sidecar the engine's own writers
+        # emit at commit time (sources/automanifest.py).  Same freshness
+        # and exact-coverage rules below, so a foreign or rewritten file
+        # declines to the real scan.
+        from ..sources.automanifest import discover
+
+        mpath = discover(paths)
+        if not mpath:
+            return None
     if failfast:
         # explicit ignoreCorruptFiles=false: the manifest itself has no
         # per-file parse/stat guard, and a manifest built over an
@@ -317,17 +328,21 @@ def _try_manifest_aggregate(df, source, opts, wanted, paths, failfast=False):
             source, got[0], count_cols, element
         ):
             return None
-    int_types = {"tinyint", "smallint", "int"}
+    import pyarrow as pa
+
+    int_types = {"tinyint", "smallint", "int", "bigint"}
     values = []
     for name, kind, col in wanted:
         if kind in ("count", "count_col"):
             values.append(total)
             continue
         dt = df.schema[name].dataType.simpleString()
-        if dt == "bigint":
-            # the manifest stores bounds as float64 — a bigint column's
-            # min/max beyond 2^53 would round, so the fast path cannot
-            # answer it exactly; the real scan can
+        bound_t = tbl.schema.field(f"{col}_{kind}").type
+        if dt == "bigint" and not pa.types.is_integer(bound_t):
+            # a FLOAT bound column (the legacy build_manifest_scan shape)
+            # cannot carry int64 exactly past 2^53 — decline; the round-13
+            # sidecars store integer columns' bounds as INT64, which are
+            # exact for the full range and answer below
             return None
         if total == 0:
             values.append(None)  # min/max over an empty scan is NULL

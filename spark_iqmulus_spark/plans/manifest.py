@@ -328,10 +328,20 @@ def build_manifest_scan(
         .load()
     )
     aggs = [F.count(F.lit(1)).alias("n_points")]
+    int_dts = {"tinyint", "smallint", "int", "bigint"}
     for c in columns:
         if c in df.columns:
-            aggs.append(F.min(F.col(c).cast("double")).alias(f"{c}_min"))
-            aggs.append(F.max(F.col(c).cast("double")).alias(f"{c}_max"))
+            # integer columns keep INT64 bounds (exact for the full int64
+            # range — float64 rounds past 2^53, which forced the read-side
+            # fast path to decline min/max(bigint); VERDICT r12 next #4);
+            # float columns stay float64
+            target = (
+                "bigint"
+                if df.schema[c].dataType.simpleString() in int_dts
+                else "double"
+            )
+            aggs.append(F.min(F.col(c).cast(target)).alias(f"{c}_min"))
+            aggs.append(F.max(F.col(c).cast(target)).alias(f"{c}_max"))
     stats = df.groupBy("fid").agg(*aggs)
     # fid → path identity from the reader's provenance metadata (the same
     # KEPT ordering the scan used), plus file identity for staleness checks

@@ -70,7 +70,7 @@ _CMP = {
 _FLIP = {"<": ">", "<=": ">=", ">": "<", ">=": "<=", "==": "=="}
 
 #: write options that do NOT disqualify the rewrite.
-_NEUTRAL_WRITE_OPTS = {"path", "fusedwrite", "fusedwritedebug"}
+_NEUTRAL_WRITE_OPTS = {"path", "fusedwrite", "fusedwritedebug", "manifest"}
 
 #: why the last ``plan_fused_save`` declined (driver-side, analysis only).
 #: Surfaced by ``.option("fusedWriteDebug", "true")`` / the
@@ -309,7 +309,7 @@ def _extract_scan_filter(df):
 
 def _las_fused_plan(
     df, where, path, overwrite, projected=None, computed=None,
-    out_grid=None, ansi=True,
+    out_grid=None, ansi=True, manifest=True,
 ):
     """Validate LAS source/writer equivalence and return a ready-to-run
     closure, or None.  Side-effect free until the closure runs.
@@ -539,6 +539,7 @@ def _las_fused_plan(
         transcode_las_tiled(
             spark, paths, out_dir, where=where or None, project=project,
             compute=compute, out_grid=grid, ansi=ansi_eff,
+            manifest=manifest,
         )
 
     return _run
@@ -569,7 +570,7 @@ def _layout_round_trips(schema, props, project, spark_to_np, computed=None) -> b
 
 
 def _ply_fused_plan(df, where, path, overwrite, projected=None,
-                    computed=None, ansi=True):
+                    computed=None, ansi=True, manifest=True):
     """Validate PLY source/writer equivalence and return a ready-to-run
     closure, or None.  Side-effect free until the closure runs.
 
@@ -680,13 +681,14 @@ def _ply_fused_plan(df, where, path, overwrite, projected=None,
         transcode_ply_tiled(
             spark, paths, out_dir, where=where or None, element_only=True,
             project=project, compute=compute, ansi=ansi_eff,
+            manifest=manifest,
         )
 
     return _run
 
 
 def _pcd_fused_plan(df, where, path, overwrite, projected=None,
-                    computed=None, ansi=True):
+                    computed=None, ansi=True, manifest=True):
     """Validate PCD source/writer equivalence and return a ready-to-run
     closure, or None.  Binary record-major PCD only; stored-value filters;
     layout must round-trip Spark's type mapping unchanged (same gates as
@@ -780,6 +782,7 @@ def _pcd_fused_plan(df, where, path, overwrite, projected=None,
         transcode_pcd_tiled(
             spark, paths, out_dir, where=where or None, project=project,
             compute=compute, ansi=ansi_eff,
+            manifest=manifest,
         )
 
     return _run
@@ -859,15 +862,19 @@ def plan_fused_save(df, source: str, path: str, mode, options, partition_by=None
         )
     except Exception:
         ansi = True
+    from .automanifest import manifest_disabled
+
+    emit_manifest = not manifest_disabled(options)
     if source == "las":
         run = planner(
             df, where, path, mode == "overwrite", projected,
             computed=computed, out_grid=out_grid, ansi=ansi,
+            manifest=emit_manifest,
         )
     else:
         run = planner(
             df, where, path, mode == "overwrite", projected,
-            computed=computed, ansi=ansi,
+            computed=computed, ansi=ansi, manifest=emit_manifest,
         )
     if run is None and _LAST_DECLINE is None:
         _no(

@@ -273,7 +273,9 @@ class LasReaderWithPushdown(LasReader):
 @dataclass
 class LasCommit(WriterCommitMessage):
     #: per-task part sidecars: (fid, part_path, count, pmin, pmax,
-    #: return_counts).  fid is -1 for single-output mode (no provenance).
+    #: return_counts, extra_min, extra_max, bounds).  fid is -1 for
+    #: single-output mode (no provenance); bounds is the auto-manifest
+    #: per-field stats dict (None when manifest=false).
     parts: list
 
 
@@ -338,6 +340,12 @@ class LasWriter(DataSourceArrowWriter):
         self.fields = list(POINT_FORMATS[self.fmt]) + [
             (e.name, e.np_char) for e in self.extra_fields
         ]
+        # auto-manifest sidecar (round 13): per-file bounds for EVERY
+        # field, so later stock min/max answers zero-job; manifest=false
+        # opts out of both the stat collection and the sidecar
+        from .automanifest import manifest_disabled
+
+        self.emit_manifest = not manifest_disabled(options)
         self.fid_paths = None
         restore = options.get("restorenames", "true").lower() != "false"
         if restore and any(f.name == "fid" for f in schema.fields):
@@ -349,10 +357,12 @@ class LasWriter(DataSourceArrowWriter):
         return np.dtype([(n, "<" + c) for n, c in self.fields])
 
     def write(self, iterator) -> LasCommit:
+        from .automanifest import StatsAcc
+
         os.makedirs(self.path, exist_ok=True)
         dtype = self._dtype()
         in_names = set(self.schema.names)
-        # fid → [path, file, count, pmin, pmax, ret]
+        # fid → [path, file, count, pmin, pmax, ret, emin, emax, stats]
         sinks: dict[int, list] = {}
 
         def _sink(fid) -> list:
@@ -364,7 +374,8 @@ class LasWriter(DataSourceArrowWriter):
                 s = [p, open(p, "wb"), 0, [np.inf] * 3, [-np.inf] * 3,
                      np.zeros(15, dtype=np.int64),
                      [np.inf] * len(self.extra_fields),
-                     [-np.inf] * len(self.extra_fields)]
+                     [-np.inf] * len(self.extra_fields),
+                     StatsAcc(self.fields) if self.emit_manifest else None]
                 sinks[fid] = s
             return s
 
@@ -423,6 +434,8 @@ class LasWriter(DataSourceArrowWriter):
                             # .item() keeps ints exact (no float64 rounding)
                             s[6][i] = min(s[6][i], col.min().item())
                             s[7][i] = max(s[7][i], col.max().item())
+                        if s[8] is not None:
+                            s[8].update(sub)
                     s[1].write(sub.tobytes())
                     s[2] += m
         finally:
@@ -439,6 +452,7 @@ class LasWriter(DataSourceArrowWriter):
                     tuple(int(v) for v in s[5]),
                     tuple(s[6]),
                     tuple(s[7]),
+                    s[8].finalize() if s[8] is not None else None,
                 )
                 for fid, s in sinks.items()
             ]
@@ -489,13 +503,18 @@ class LasWriter(DataSourceArrowWriter):
     def commit(self, messages) -> None:
         clear_existing_outputs(self.path, ".las", self.overwrite)
         by_fid: dict[int, list] = {}
+        bounds_by_fid: dict[int, list] = {}
         for m in messages:
-            for fid, part_path, count, pmin, pmax, ret, emin, emax in m.parts:
+            for (
+                fid, part_path, count, pmin, pmax, ret, emin, emax, bounds
+            ) in m.parts:
                 by_fid.setdefault(fid, []).append(
                     (part_path, count, pmin, pmax, ret, emin, emax)
                 )
+                bounds_by_fid.setdefault(fid, []).append(bounds)
         if self.namecol is not None:
             jobs = []
+            job_fids = []
             for name, parts in sorted(by_fid.items()):
                 if (
                     not name
@@ -507,34 +526,50 @@ class LasWriter(DataSourceArrowWriter):
                     raise ValueError(
                         f"invalid destination basename {name!r} in namecol"
                     )
+                key = name
                 if not name.endswith(".las"):
                     name += ".las"
                 jobs.append((os.path.join(self.path, name), parts))
-            pmap_merges(self._merge_one, jobs)
-            return
-        names: dict[int, str] = {}
-        if self.fid_paths is not None:
-            bases = [
-                os.path.splitext(os.path.basename(p))[0] for p in self.fid_paths
-            ]
-            dup = {b for b in bases if bases.count(b) > 1}
-            names = {
-                fid: (f"{b}-fid{fid}.las" if b in dup else f"{b}.las")
-                for fid, b in enumerate(bases)
-            }
-        jobs = []
-        for fid, parts in sorted(by_fid.items()):
-            if self.fid_paths is not None and fid not in names:
-                # silently funneling unknown fids into one shared dest would
-                # overwrite earlier merges ('wb' per fid) and lose points
-                raise ValueError(
-                    f"fid {fid} has no entry in the fid column's 'paths'"
-                    f" metadata ({len(self.fid_paths)} paths) — refusing to"
-                    " write; fix the fid values or set"
-                    " .option('restoreNames','false')"
+                job_fids.append(key)
+        else:
+            names: dict[int, str] = {}
+            if self.fid_paths is not None:
+                bases = [
+                    os.path.splitext(os.path.basename(p))[0]
+                    for p in self.fid_paths
+                ]
+                dup = {b for b in bases if bases.count(b) > 1}
+                names = {
+                    fid: (f"{b}-fid{fid}.las" if b in dup else f"{b}.las")
+                    for fid, b in enumerate(bases)
+                }
+            jobs = []
+            job_fids = []
+            for fid, parts in sorted(by_fid.items()):
+                if self.fid_paths is not None and fid not in names:
+                    # silently funneling unknown fids into one shared dest
+                    # would overwrite earlier merges ('wb' per fid) and
+                    # lose points
+                    raise ValueError(
+                        f"fid {fid} has no entry in the fid column's 'paths'"
+                        f" metadata ({len(self.fid_paths)} paths) — refusing"
+                        " to write; fix the fid values or set"
+                        " .option('restoreNames','false')"
+                    )
+                jobs.append(
+                    (os.path.join(self.path, names.get(fid, "data.las")), parts)
                 )
-            jobs.append((os.path.join(self.path, names.get(fid, "data.las")), parts))
+                job_fids.append(fid)
         pmap_merges(self._merge_one, jobs)
+        if self.emit_manifest:
+            from .automanifest import emit_from_commit
+
+            emit_from_commit(
+                self.path,
+                self.fields,
+                [(dest, sum(p[1] for p in parts)) for dest, parts in jobs],
+                [bounds_by_fid[key] for key in job_fids],
+            )
 
     def abort(self, messages) -> None:
         for m in messages:

@@ -243,7 +243,8 @@ def make_stream_writer(fmt: str, options, schema):
             raise ValueError(f"no streaming sink for format {fmt!r}")
 
         class CountStreamWriter(DataSourceStreamArrowWriter):
-            """ply/pcd: commit messages carry (fid, part_path, count)."""
+            """ply/pcd: commit messages carry (fid, part_path, count,
+            bounds)."""
 
             def __init__(self):
                 self._w = inner_cls(options, schema, overwrite=False)
@@ -253,13 +254,14 @@ def make_stream_writer(fmt: str, options, schema):
                 return self._w.write(iterator)
 
             def commit(self, messages, batchId: int) -> None:
-                paths, total = [], 0
+                paths, total, blist = [], 0, []
                 for m in messages:
                     if m is None:
                         continue
-                    for _fid, part_path, count in m.parts:
+                    for _fid, part_path, count, bounds in m.parts:
                         paths.append(part_path)
                         total += count
+                        blist.append(bounds)
                 if not total:
                     for p in paths:
                         if os.path.exists(p):
@@ -269,6 +271,16 @@ def make_stream_writer(fmt: str, options, schema):
                     self._w.path, f"batch-{batchId:05d}.{fmt}"
                 )
                 self._w._merge_one(dest, sorted(paths), total)
+                if self._w.emit_manifest:
+                    # per-batch sidecar refresh: write_sidecar carries over
+                    # still-fresh rows for earlier batches' files, so the
+                    # streaming dataset answers min/max zero-job too
+                    from .automanifest import emit_from_commit
+
+                    emit_from_commit(
+                        self._w.path, self._w.data_fields,
+                        [(dest, total)], [blist],
+                    )
 
             def abort(self, messages, batchId: int) -> None:
                 for m in messages:
@@ -293,11 +305,16 @@ def make_stream_writer(fmt: str, options, schema):
 
         def commit(self, messages, batchId: int) -> None:
             parts = []
+            blist = []
             for m in messages:
                 if m is None:
                     continue
-                for _fid, part_path, count, pmin, pmax, ret, emin, emax in m.parts:
+                for (
+                    _fid, part_path, count, pmin, pmax, ret, emin, emax,
+                    bounds,
+                ) in m.parts:
                     parts.append((part_path, count, pmin, pmax, ret, emin, emax))
+                    blist.append(bounds)
             if not sum(p[1] for p in parts):
                 for p in parts:  # empty batch: drop empty sidecars
                     if os.path.exists(p[0]):
@@ -305,6 +322,13 @@ def make_stream_writer(fmt: str, options, schema):
                 return
             dest = os.path.join(self._w.path, f"batch-{batchId:05d}.las")
             self._w._merge_one(dest, parts)
+            if self._w.emit_manifest:
+                from .automanifest import emit_from_commit
+
+                emit_from_commit(
+                    self._w.path, self._w.fields,
+                    [(dest, sum(p[1] for p in parts))], [blist],
+                )
 
         def abort(self, messages, batchId: int) -> None:
             for m in messages:

@@ -277,7 +277,7 @@ def _decode_whole_file(path: str, fid: int) -> pa.RecordBatch:
 
 @dataclass
 class PcdCommit(WriterCommitMessage):
-    #: (fid, part_path, count); fid is -1 in single-output mode
+    #: (fid, part_path, count, bounds); fid is -1 in single-output mode
     parts: list
 
 
@@ -297,6 +297,10 @@ class PcdWriter(DataSourceArrowWriter):
             for f in schema.fields
             if f.name not in ("fid", "pid")
         ]
+        # auto-manifest sidecar (round 13); manifest=false opts out
+        from .automanifest import manifest_disabled
+
+        self.emit_manifest = not manifest_disabled(options)
         self.fid_paths = None
         restore = options.get("restorenames", "true").lower() != "false"
         if restore and any(f.name == "fid" for f in schema.fields):
@@ -308,6 +312,8 @@ class PcdWriter(DataSourceArrowWriter):
         return np.dtype([(n, "<" + c) for n, c in self.data_fields])
 
     def write(self, iterator) -> PcdCommit:
+        from .automanifest import StatsAcc
+
         os.makedirs(self.path, exist_ok=True)
         dtype = self._dtype()
         handles: dict[int, list] = {}
@@ -318,7 +324,8 @@ class PcdWriter(DataSourceArrowWriter):
                 p = os.path.join(
                     self.path, f".part-{uuid.uuid4().hex}-f{fid}.pcdbin"
                 )
-                h = [p, open(p, "wb"), 0]
+                h = [p, open(p, "wb"), 0,
+                     StatsAcc(self.data_fields) if self.emit_manifest else None]
                 handles[fid] = h
             return h
 
@@ -342,10 +349,22 @@ class PcdWriter(DataSourceArrowWriter):
                     h = _sink(fid)
                     h[1].write(sub.tobytes())
                     h[2] += len(sub)
+                    if h[3] is not None:
+                        h[3].update(sub)
         finally:
             for h in handles.values():
                 h[1].close()
-        return PcdCommit(parts=[(fid, h[0], h[2]) for fid, h in handles.items()])
+        return PcdCommit(
+            parts=[
+                (
+                    fid,
+                    h[0],
+                    h[2],
+                    h[3].finalize() if h[3] is not None else None,
+                )
+                for fid, h in handles.items()
+            ]
+        )
 
     def _merge_one(self, dest: str, parts: list, total: int) -> None:
         header = PcdHeader(
@@ -365,10 +384,12 @@ class PcdWriter(DataSourceArrowWriter):
         clear_existing_outputs(self.path, ".pcd", self.overwrite)
         by_fid: dict[int, list] = {}
         counts: dict[int, int] = {}
+        bounds_by_fid: dict[int, list] = {}
         for m in messages:
-            for fid, part_path, count in m.parts:
+            for fid, part_path, count, bounds in m.parts:
                 by_fid.setdefault(fid, []).append(part_path)
                 counts[fid] = counts.get(fid, 0) + count
+                bounds_by_fid.setdefault(fid, []).append(bounds)
         names: dict[int, str] = {}
         if self.fid_paths is not None:
             bases = [
@@ -380,6 +401,7 @@ class PcdWriter(DataSourceArrowWriter):
                 for fid, b in enumerate(bases)
             }
         jobs = []
+        job_fids = []
         for fid, parts in sorted(by_fid.items()):
             if self.fid_paths is not None and fid not in names:
                 raise ValueError(
@@ -390,12 +412,22 @@ class PcdWriter(DataSourceArrowWriter):
                 )
             dest = os.path.join(self.path, names.get(fid, "data.pcd"))
             jobs.append((dest, sorted(parts), counts[fid]))
+            job_fids.append(fid)
         pmap_merges(self._merge_one, jobs)
+        if self.emit_manifest:
+            from .automanifest import emit_from_commit
+
+            emit_from_commit(
+                self.path,
+                self.data_fields,
+                [(dest, total) for dest, _parts, total in jobs],
+                [bounds_by_fid[fid] for fid in job_fids],
+            )
 
     def abort(self, messages) -> None:
         for m in messages:
             if m is None:
                 continue
-            for _, part_path, _ in m.parts:
+            for _, part_path, _, _ in m.parts:
                 if os.path.exists(part_path):
                     os.remove(part_path)

@@ -278,7 +278,7 @@ def _decode_ascii(p: AsciiPlyPartition):
 
 @dataclass
 class PlyCommit(WriterCommitMessage):
-    #: per-task part sidecars: (fid, part_path, count).  fid is -1 for the
+    #: per-task part sidecars: (fid, part_path, count, bounds).  fid is -1 for the
     #: single-output mode (input had no fid provenance).
     parts: list
 
@@ -307,6 +307,10 @@ class PlyWriter(DataSourceArrowWriter):
             for f in schema.fields
             if f.name not in ("fid", "pid")
         ]
+        # auto-manifest sidecar (round 13); manifest=false opts out
+        from .automanifest import manifest_disabled
+
+        self.emit_manifest = not manifest_disabled(options)
         # fid → source path, when reading provenance rode along
         # (``restoreNames=false`` opts out, keeping one data.ply)
         self.fid_paths = None
@@ -321,15 +325,18 @@ class PlyWriter(DataSourceArrowWriter):
         return np.dtype([(n, prefix + c) for n, c in self.data_fields])
 
     def write(self, iterator) -> PlyCommit:
+        from .automanifest import StatsAcc
+
         os.makedirs(self.path, exist_ok=True)
         dtype = self._dtype()
-        handles: dict[int, tuple] = {}  # fid → (path, file, count)
+        handles: dict[int, tuple] = {}  # fid → (path, file, count, stats)
 
         def _sink(fid: int):
             h = handles.get(fid)
             if h is None:
                 p = os.path.join(self.path, f".part-{uuid.uuid4().hex}-f{fid}.plybin")
-                h = [p, open(p, "wb"), 0]
+                h = [p, open(p, "wb"), 0,
+                     StatsAcc(self.data_fields) if self.emit_manifest else None]
                 handles[fid] = h
             return h
 
@@ -353,10 +360,22 @@ class PlyWriter(DataSourceArrowWriter):
                     h = _sink(fid)
                     h[1].write(sub.tobytes())
                     h[2] += len(sub)
+                    if h[3] is not None:
+                        h[3].update(sub)
         finally:
             for h in handles.values():
                 h[1].close()
-        return PlyCommit(parts=[(fid, h[0], h[2]) for fid, h in handles.items()])
+        return PlyCommit(
+            parts=[
+                (
+                    fid,
+                    h[0],
+                    h[2],
+                    h[3].finalize() if h[3] is not None else None,
+                )
+                for fid, h in handles.items()
+            ]
+        )
 
     def _merge_one(self, dest: str, parts: list, total: int) -> None:
         props = [PlyProperty(name=n, np_char=c) for n, c in self.data_fields]
@@ -376,10 +395,12 @@ class PlyWriter(DataSourceArrowWriter):
         clear_existing_outputs(self.path, ".ply", self.overwrite)
         by_fid: dict[int, list] = {}
         counts: dict[int, int] = {}
+        bounds_by_fid: dict[int, list] = {}
         for m in messages:
-            for fid, part_path, count in m.parts:
+            for fid, part_path, count, bounds in m.parts:
                 by_fid.setdefault(fid, []).append(part_path)
                 counts[fid] = counts.get(fid, 0) + count
+                bounds_by_fid.setdefault(fid, []).append(bounds)
         names: dict[int, str] = {}
         if self.fid_paths is not None:
             bases = [
@@ -391,6 +412,7 @@ class PlyWriter(DataSourceArrowWriter):
                 for fid, b in enumerate(bases)
             }
         jobs = []
+        job_fids = []
         for fid, parts in sorted(by_fid.items()):
             if self.fid_paths is not None and fid not in names:
                 # silently funneling unknown fids into one shared dest would
@@ -403,12 +425,22 @@ class PlyWriter(DataSourceArrowWriter):
                 )
             dest = os.path.join(self.path, names.get(fid, "data.ply"))
             jobs.append((dest, sorted(parts), counts[fid]))
+            job_fids.append(fid)
         pmap_merges(self._merge_one, jobs)
+        if self.emit_manifest:
+            from .automanifest import emit_from_commit
+
+            emit_from_commit(
+                self.path,
+                self.data_fields,
+                [(dest, total) for dest, _parts, total in jobs],
+                [bounds_by_fid[fid] for fid in job_fids],
+            )
 
     def abort(self, messages) -> None:
         for m in messages:
             if m is None:
                 continue
-            for _, part_path, _ in m.parts:
+            for _, part_path, _, _ in m.parts:
                 if os.path.exists(part_path):
                     os.remove(part_path)

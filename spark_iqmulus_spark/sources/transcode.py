@@ -229,6 +229,7 @@ def _las_scan_stats(
             if op not in _OPS:
                 raise ValueError(f"unknown op {op!r}; have {sorted(_OPS)}")
     out_dtype_spec = copy_names = None
+    stat_fields = list(point_fields)  # sidecar layout = output layout
     if project is not None:
         from .las_format import POINT_FORMATS, format_from_schema
 
@@ -245,6 +246,7 @@ def _las_scan_stats(
         copy_names = [n for n, _ in out_fields if n in keep]
         fmt = out_fmt  # stats (return-number field) follow the OUTPUT format
         extra_names = []  # standard-format output carries no ExtraBytes
+        stat_fields = list(out_fields)
 
     # -- plan: record-aligned ranges, one spec row per task-sized slice ----
     from .binary_section import plan_record_ranges
@@ -260,11 +262,13 @@ def _las_scan_stats(
     where_local = list(where) if where else []
     compute_local = sorted(compute.items()) if compute else []
     ansi_local = bool(ansi)
+    stat_fields_local = list(stat_fields)
     fs = filesystem  # picklable (pyarrow.fs); carried into the workers
 
     def _work(iterator):
         import pandas as pd
 
+        from .automanifest import column_bounds
         from .exprprog import eval_program_typed
 
         rec_dtype = np.dtype(rec_dtype_spec)
@@ -323,6 +327,15 @@ def _las_scan_stats(
                 # beyond 2^53 stay exact (float64/array<double> would round
                 # them, corrupting the read-side file-skip bounds)
                 emin, emax = [""] * n_extras, [""] * n_extras
+                # per-field OUTPUT-record bounds for the _manifest sidecar
+                # (round 13) — same repr-string trick for int64 exactness
+                dmin = [""] * len(stat_fields_local)
+                dmax = [""] * len(stat_fields_local)
+                if m:
+                    for i, (nm, ch) in enumerate(stat_fields_local):
+                        b = column_bounds(kept[nm], ch)
+                        if b is not None:
+                            dmin[i], dmax[i] = repr(b[0]), repr(b[1])
                 if m:
                     for ax, name in enumerate("xyz"):
                         world = stat_offset[ax] + stat_scale[ax] * kept[
@@ -362,6 +375,8 @@ def _las_scan_stats(
                         "ret": ret,
                         "emin": emin,
                         "emax": emax,
+                        "dmin": dmin,
+                        "dmax": dmax,
                     }
                 )
             yield pd.DataFrame(out_rows)
@@ -372,11 +387,51 @@ def _las_scan_stats(
     stats_schema = (
         "fid int, rec_start long, part string, m long, read_n long,"
         " pmin array<double>, pmax array<double>, ret array<long>,"
-        " emin array<string>, emax array<string>"
+        " emin array<string>, emax array<string>,"
+        " dmin array<string>, dmax array<string>"
     )
     stats = spec_df.mapInPandas(_work, stats_schema).collect()
     stats.sort(key=lambda r: (r["fid"], r["rec_start"]))
-    return stats
+    return stats, stat_fields
+
+
+def _emit_transcode_sidecar(out_dir, out_fields, dest_rows, filesystem):
+    """Auto-manifest for the fused byte paths (round 13): parse the scan
+    rows' repr-string ``dmin``/``dmax`` arrays back into typed bounds,
+    fold per destination file, and write the ``_manifest`` sidecar.
+    ``dest_rows`` is ``[(dest_path, rows)]``.  Advisory: a failure never
+    fails the transcode."""
+    from .automanifest import merge_bounds, write_sidecar
+
+    try:
+        entries = []
+        for dest, rows in dest_rows:
+            bounds = {}
+            for i, (nm, ch) in enumerate(out_fields):
+                parse = float if ch[0] == "f" else int
+                pairs = [
+                    (parse(r["dmin"][i]), parse(r["dmax"][i]))
+                    for r in rows
+                    if r["m"] and r["dmin"][i] != ""
+                ]
+                bounds[nm] = merge_bounds(pairs, ch)
+            entries.append(
+                {
+                    "path": dest,
+                    "n_points": sum(r["m"] for r in rows),
+                    "bounds": bounds,
+                }
+            )
+        write_sidecar(out_dir, out_fields, entries, filesystem)
+    except Exception:  # pragma: no cover - advisory sidecar only
+        import sys
+        import traceback
+
+        print(
+            "spark_iqmulus_spark: failed to write the _manifest sidecar"
+            f" under {out_dir}:\n{traceback.format_exc()}",
+            file=sys.stderr,
+        )
 
 
 def _merge_las_stats(
@@ -464,6 +519,7 @@ def transcode_las(
     compute: dict | None = None,
     out_grid: tuple | None = None,
     ansi: bool = True,
+    manifest: bool = True,
 ) -> dict:
     """Merge (and optionally filter) LAS tiles into ONE valid ``.las`` file.
 
@@ -498,11 +554,16 @@ def transcode_las(
     part_dir = out_path + f".parts-{uuid.uuid4().hex[:8]}"
     fsio.makedirs(part_dir, filesystem)
     try:
-        stats = _las_scan_stats(
+        stats, stat_fields = _las_scan_stats(
             spark, paths, headers, where, target_bytes, filesystem, part_dir,
             project=project, compute=compute, out_grid=out_grid, ansi=ansi,
         )
         total = _merge_las_stats(out_path, stats, h_out, minor, filesystem)
+        if manifest:
+            _emit_transcode_sidecar(
+                os.path.dirname(out_path) or ".", stat_fields,
+                [(out_path, stats)], filesystem,
+            )
     finally:
         fsio.rmtree(part_dir, filesystem)
     return {
@@ -525,6 +586,7 @@ def transcode_las_tiled(
     compute: dict | None = None,
     out_grid: tuple | None = None,
     ansi: bool = True,
+    manifest: bool = True,
 ) -> dict:
     """Filter/copy LAS tiles into ``out_dir``, ONE output per source tile
     (the name-restoring shape of ``df.write.format("las")``), through the
@@ -559,7 +621,7 @@ def transcode_las_tiled(
     part_dir = out_dir.rstrip("/") + f"/.parts-{uuid.uuid4().hex[:8]}"
     fsio.makedirs(part_dir, filesystem)
     try:
-        stats = _las_scan_stats(
+        stats, stat_fields = _las_scan_stats(
             spark, paths, headers, where, target_bytes, filesystem, part_dir,
             project=project, compute=compute, out_grid=out_grid, ansi=ansi,
         )
@@ -582,6 +644,11 @@ def transcode_las_tiled(
             if any(r["m"] for r in rows)
         ]
         pmap_merges(_merge_las_stats, jobs)
+        if manifest:
+            _emit_transcode_sidecar(
+                out_dir, stat_fields,
+                [(j[0], j[1]) for j in jobs], filesystem,
+            )
     finally:
         fsio.rmtree(part_dir, filesystem)
     return {
@@ -603,6 +670,7 @@ def transcode_ply(
     filesystem=None,
     compute: dict | None = None,
     ansi: bool = False,
+    manifest: bool = True,
 ) -> dict:
     """Merge (and optionally filter) binary PLY files into ONE ``.ply``.
 
@@ -650,7 +718,7 @@ def transcode_ply(
     part_dir = out_path + f".parts-{uuid.uuid4().hex[:8]}"
     fsio.makedirs(part_dir, filesystem)
     try:
-        stats = _ply_scan_stats(
+        stats, stat_fields = _ply_scan_stats(
             spark, paths, headers, element, little, props, where,
             target_bytes, filesystem, part_dir,
             compute=compute, ansi=ansi,
@@ -658,6 +726,11 @@ def transcode_ply(
         total = _merge_ply_stats(
             out_path, stats, element, little, out_props, filesystem
         )
+        if manifest:
+            _emit_transcode_sidecar(
+                os.path.dirname(out_path) or ".", stat_fields,
+                [(out_path, stats)], filesystem,
+            )
     finally:
         fsio.rmtree(part_dir, filesystem)
     return {
@@ -797,11 +870,19 @@ def _ply_scan_stats(
     where_local = list(where) if where else []
     compute_local = dict(compute) if compute else {}
     ansi_local = bool(ansi)
+    # sidecar layout = output layout: projected/computed when re-encoding,
+    # the source properties on the pure byte-copy path
+    if out_dtype_spec is not None:
+        stat_fields = [(o, s[1:]) for o, s in out_dtype_spec]
+    else:
+        stat_fields = list(props)
+    stat_fields_local = list(stat_fields)
     fs = filesystem
 
     def _work(iterator):
         import pandas as pd
 
+        from .automanifest import column_bounds
         from .exprprog import eval_program_typed
 
         rec_dtype = np.dtype(rec_dtype_spec)
@@ -815,9 +896,7 @@ def _ply_scan_stats(
                     f.seek(off + start * stride)
                     buf = f.read(n * stride)
                 raw = np.frombuffer(buf, dtype=np.uint8).reshape(n, stride)
-                arr = None
-                if where_local or out_dtype_spec is not None:
-                    arr = np.frombuffer(buf, dtype=rec_dtype, count=n)
+                arr = np.frombuffer(buf, dtype=rec_dtype, count=n)
                 if where_local:
                     mask = np.ones(n, dtype=bool)
                     for name, op, val in where_local:
@@ -839,7 +918,17 @@ def _ply_scan_stats(
                         else:
                             enc[out_nm] = kept[src_nm]
                     kept_raw = enc
+                    stat_rec = enc
+                else:
+                    stat_rec = kept
                 m = len(kept_raw)
+                dmin = [""] * len(stat_fields_local)
+                dmax = [""] * len(stat_fields_local)
+                if m:
+                    for i, (nm, ch) in enumerate(stat_fields_local):
+                        b = column_bounds(stat_rec[nm], ch)
+                        if b is not None:
+                            dmin[i], dmax[i] = repr(b[0]), repr(b[1])
                 part = ""
                 if m:
                     part = (
@@ -854,6 +943,8 @@ def _ply_scan_stats(
                         "part": part,
                         "m": m,
                         "read_n": n,
+                        "dmin": dmin,
+                        "dmax": dmax,
                     }
                 )
             yield pd.DataFrame(out_rows)
@@ -861,10 +952,13 @@ def _ply_scan_stats(
     spec_df = spark.createDataFrame(
         specs, "fid int, path string, offset long, rec_start long, n long"
     ).repartition(max(1, len(specs)))
-    stats_schema = "fid int, rec_start long, part string, m long, read_n long"
+    stats_schema = (
+        "fid int, rec_start long, part string, m long, read_n long,"
+        " dmin array<string>, dmax array<string>"
+    )
     stats = spec_df.mapInPandas(_work, stats_schema).collect()
     stats.sort(key=lambda r: (r["fid"], r["rec_start"]))
-    return stats
+    return stats, stat_fields
 
 
 def _merge_ply_stats(
@@ -903,6 +997,7 @@ def transcode_ply_tiled(
     project: list[str] | None = None,
     compute: dict | None = None,
     ansi: bool = False,
+    manifest: bool = True,
 ) -> dict:
     """Filter/copy PLY tiles into ``out_dir``, ONE output per source tile
     (the name-restoring shape of ``df.write.format("ply")``) through the
@@ -948,7 +1043,7 @@ def transcode_ply_tiled(
     part_dir = out_dir.rstrip("/") + f"/.parts-{uuid.uuid4().hex[:8]}"
     fsio.makedirs(part_dir, filesystem)
     try:
-        stats = _ply_scan_stats(
+        stats, stat_fields = _ply_scan_stats(
             spark, paths, headers, element, little, props, where,
             target_bytes, filesystem, part_dir, project=project,
             compute=compute, ansi=ansi,
@@ -969,6 +1064,11 @@ def transcode_ply_tiled(
             if any(r["m"] for r in rows)
         ]
         pmap_merges(_merge_ply_stats, jobs)
+        if manifest:
+            _emit_transcode_sidecar(
+                out_dir, stat_fields,
+                [(j[0], j[1]) for j in jobs], filesystem,
+            )
     finally:
         fsio.rmtree(part_dir, filesystem)
     return {
@@ -1172,6 +1272,7 @@ def transcode_pcd(
     filesystem=None,
     compute: dict | None = None,
     ansi: bool = False,
+    manifest: bool = True,
 ) -> dict:
     """Merge (and optionally filter) ``DATA binary`` PCD files into ONE
     ``.pcd`` — the third member of the fused family (round 8).
@@ -1213,7 +1314,7 @@ def transcode_pcd(
     part_dir = out_path + f".parts-{uuid.uuid4().hex[:8]}"
     fsio.makedirs(part_dir, filesystem)
     try:
-        stats = _pcd_scan_stats(
+        stats, stat_fields = _pcd_scan_stats(
             spark, paths, headers, props, where, target_bytes, filesystem,
             part_dir, compute=compute, ansi=ansi,
         )
@@ -1221,6 +1322,11 @@ def transcode_pcd(
             out_path, stats, headers[0], filesystem,
             out_fields=_computed_props(props, compute) if compute else None,
         )
+        if manifest:
+            _emit_transcode_sidecar(
+                os.path.dirname(out_path) or ".", stat_fields,
+                [(out_path, stats)], filesystem,
+            )
     finally:
         fsio.rmtree(part_dir, filesystem)
     return {
@@ -1298,11 +1404,17 @@ def _pcd_scan_stats(
     where_local = list(where) if where else []
     compute_local = dict(compute) if compute else {}
     ansi_local = bool(ansi)
+    if out_dtype_spec is not None:
+        stat_fields = [(o, s[1:]) for o, s in out_dtype_spec]
+    else:
+        stat_fields = list(props)
+    stat_fields_local = list(stat_fields)
     fs = filesystem
 
     def _work(iterator):
         import pandas as pd
 
+        from .automanifest import column_bounds
         from .exprprog import eval_program_typed
 
         rec_dtype = np.dtype(rec_dtype_spec)
@@ -1316,9 +1428,7 @@ def _pcd_scan_stats(
                     f.seek(off + start * stride)
                     buf = f.read(n * stride)
                 raw = np.frombuffer(buf, dtype=np.uint8).reshape(n, stride)
-                arr = None
-                if where_local or out_dtype_spec is not None:
-                    arr = np.frombuffer(buf, dtype=rec_dtype, count=n)
+                arr = np.frombuffer(buf, dtype=rec_dtype, count=n)
                 if where_local:
                     mask = np.ones(n, dtype=bool)
                     for name, op, val in where_local:
@@ -1340,7 +1450,17 @@ def _pcd_scan_stats(
                         else:
                             enc[out_nm] = kept[src_nm]
                     kept_raw = enc
+                    stat_rec = enc
+                else:
+                    stat_rec = kept
                 m = len(kept_raw)
+                dmin = [""] * len(stat_fields_local)
+                dmax = [""] * len(stat_fields_local)
+                if m:
+                    for i, (nm, ch) in enumerate(stat_fields_local):
+                        b = column_bounds(stat_rec[nm], ch)
+                        if b is not None:
+                            dmin[i], dmax[i] = repr(b[0]), repr(b[1])
                 part = ""
                 if m:
                     part = (
@@ -1355,6 +1475,8 @@ def _pcd_scan_stats(
                         "part": part,
                         "m": m,
                         "read_n": n,
+                        "dmin": dmin,
+                        "dmax": dmax,
                     }
                 )
             yield pd.DataFrame(out_rows)
@@ -1362,10 +1484,13 @@ def _pcd_scan_stats(
     spec_df = spark.createDataFrame(
         specs, "fid int, path string, offset long, rec_start long, n long"
     ).repartition(max(1, len(specs)))
-    stats_schema = "fid int, rec_start long, part string, m long, read_n long"
+    stats_schema = (
+        "fid int, rec_start long, part string, m long, read_n long,"
+        " dmin array<string>, dmax array<string>"
+    )
     stats = spec_df.mapInPandas(_work, stats_schema).collect()
     stats.sort(key=lambda r: (r["fid"], r["rec_start"]))
-    return stats
+    return stats, stat_fields
 
 
 def _merge_pcd_stats(out_path: str, stats: list, h0, filesystem=None, out_fields=None) -> int:
@@ -1408,6 +1533,7 @@ def transcode_pcd_tiled(
     project: list[str] | None = None,
     compute: dict | None = None,
     ansi: bool = False,
+    manifest: bool = True,
 ) -> dict:
     """Filter/copy PCD tiles into ``out_dir``, ONE output per source tile
     (the name-restoring shape of ``df.write.format("pcd")``) through the
@@ -1451,7 +1577,7 @@ def transcode_pcd_tiled(
     part_dir = out_dir.rstrip("/") + f"/.parts-{uuid.uuid4().hex[:8]}"
     fsio.makedirs(part_dir, filesystem)
     try:
-        stats = _pcd_scan_stats(
+        stats, stat_fields = _pcd_scan_stats(
             spark, paths, headers, props, where, target_bytes, filesystem,
             part_dir, project=project, compute=compute, ansi=ansi,
         )
@@ -1480,6 +1606,11 @@ def transcode_pcd_tiled(
             if any(r["m"] for r in rows)
         ]
         pmap_merges(_merge_pcd_stats, jobs)
+        if manifest:
+            _emit_transcode_sidecar(
+                out_dir, stat_fields,
+                [(j[0], j[1]) for j in jobs], filesystem,
+            )
     finally:
         fsio.rmtree(part_dir, filesystem)
     return {

@@ -577,9 +577,10 @@ def test_manifest_las_non_xyz_minmax_zero_jobs(spark, tmp_path):
 
 
 def test_manifest_bigint_minmax_falls_back(spark, tmp_path):
-    """The manifest stores bounds as float64 — min/max of a BIGINT column
-    (i8 property) cannot be answered exactly from it, so the fast path
-    declines to the real scan (which answers the exact int64)."""
+    """Round 13 FLIP (VERDICT r12 next #4): ``build_manifest_scan`` now
+    stores integer columns' bounds as INT64, so min/max of a BIGINT
+    column past 2^53 answers ZERO-JOB and exactly; a legacy manifest
+    whose bound columns are float64 still declines to the real scan."""
     import glob
 
     import numpy as np
@@ -619,8 +620,32 @@ def test_manifest_bigint_minmax_falls_back(spark, tmp_path):
     aggd = df.agg(F.max("big").alias("max_big"))
     before = _jobs(spark)
     rows = aggd.collect()
-    assert len(_jobs(spark) - before) >= 1  # real scan, not the manifest
+    assert _jobs(spark) == before  # int64 bounds → zero-job, exact
     assert rows[0]["max_big"] == big + 9  # exact int64
+
+    # legacy float64-bounds manifest (the pre-round-13 layout): declines
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(mpath)
+    legacy = tbl.set_column(
+        tbl.column_names.index("big_min"),
+        "big_min",
+        tbl.column("big_min").cast(pa.float64(), safe=False),
+    )
+    legacy = legacy.set_column(
+        legacy.column_names.index("big_max"),
+        "big_max",
+        legacy.column("big_max").cast(pa.float64(), safe=False),
+    )
+    mpath2 = str(tmp_path / "m_big_legacy")
+    os.makedirs(mpath2)
+    pq.write_table(legacy, os.path.join(mpath2, "part-00000.parquet"))
+    df2 = spark.read.format("ply").option("manifest", mpath2).load(str(d))
+    before = _jobs(spark)
+    rows2 = df2.agg(F.max("big").alias("max_big")).collect()
+    assert len(_jobs(spark) - before) >= 1  # float bounds → real scan
+    assert rows2[0]["max_big"] == big + 9
 
 
 def test_manifest_failfast_truncated_declines_and_raises(spark, tmp_path):

@@ -928,10 +928,10 @@ def test_fused_ply_recenter_write_equals_general(spark, ply_tiles, tmp_path):
         "overwrite"
     ).save(outg)
     df_fn().write.format("ply").mode("overwrite").save(outf)
-    assert sorted(os.listdir(outg)) == sorted(os.listdir(outf))
+    assert sorted(os.listdir(outg)) == sorted(os.listdir(outf))  # incl _manifest
     rows = _ply_rows(spark, outf)
     assert rows and rows == _ply_rows(spark, outg)
-    for nm in sorted(os.listdir(outf)):
+    for nm in sorted(f for f in os.listdir(outf) if f.endswith(".ply")):
         hf = PlyHeader.parse_file(os.path.join(outf, nm))
         hg = PlyHeader.parse_file(os.path.join(outg, nm))
         lay_f = [(p.name, p.np_char) for p in hf.element("vertex").properties]
@@ -965,7 +965,7 @@ def test_fused_ply_computed_double_widens_like_general(spark, ply_tiles, tmp_pat
     df_fn().write.format("ply").mode("overwrite").save(outf)
     rows = _ply_rows(spark, outf)
     assert rows and rows == _ply_rows(spark, outg)
-    for nm in sorted(os.listdir(outf)):
+    for nm in sorted(f for f in os.listdir(outf) if f.endswith(".ply")):
         hf = PlyHeader.parse_file(os.path.join(outf, nm))
         lay = [(p.name, p.np_char) for p in hf.element("vertex").properties]
         assert lay == [("x", "f8"), ("y", "f4"), ("z", "f4")]
@@ -1018,7 +1018,7 @@ def test_fused_pcd_computed_float_and_int_equals_general(spark, tmp_path):
 
     rows = _pcd_rows(outf)
     assert rows and rows == _pcd_rows(outg)
-    for nm in sorted(os.listdir(outf)):
+    for nm in sorted(f for f in os.listdir(outf) if f.endswith(".pcd")):
         hf = PcdHeader.parse_file(os.path.join(outf, nm))
         hg = PcdHeader.parse_file(os.path.join(outg, nm))
         assert [(f.name, f.np_char) for f in hf.fields] == [

@@ -964,3 +964,33 @@ def test_audio_wav_resync_cannot_override_parsed_fmt():
     rate, back = decode_wav(wav)
     assert rate == 8000  # the real fmt, not the fake 44100
     np.testing.assert_array_equal(back, samples)
+
+
+def test_minhash_thresholded_equals_filtered(spark):
+    """Round 13: the size-ratio prebound in minhash_pairs_thresholded is
+    EXACT (J <= min/max sizes, rounding monotone), so the thresholded
+    variant equals post-filtering the full verify — the early-exit can
+    never change which pairs survive."""
+    from pyspark.sql import functions as F
+
+    from spark_iqmulus_spark.operators.dedup import (
+        JACCARD_T,
+        minhash_pairs_thresholded,
+        q_dedup_minhash,
+    )
+    from spark_iqmulus_spark.session import load_tables
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_tables(spark, sf)["documents"]
+    fast = sorted(
+        map(tuple, minhash_pairs_thresholded(docs, JACCARD_T).collect())
+    )
+    full = sorted(
+        map(
+            tuple,
+            q_dedup_minhash(spark, sf)
+            .where(F.col("jaccard") >= JACCARD_T)
+            .collect(),
+        )
+    )
+    assert full and fast == full
