@@ -1095,6 +1095,7 @@ def transcode_las_to_ply(
     columns: list[str] | None = None,
     target_bytes: int = _TARGET_BYTES,
     filesystem=None,
+    manifest: bool = True,
 ) -> dict:
     """Convert (merge + optionally filter) LAS tiles into ONE binary PLY —
     the cross-format member of the fused family (round 8).
@@ -1211,6 +1212,15 @@ def transcode_las_to_ply(
                     src_col = world(c) if c in ("x", "y", "z") else arr[c]
                     out[c] = src_col[mask]
                 m = len(out)
+                dmin = [""] * len(stat_fields_local)
+                dmax = [""] * len(stat_fields_local)
+                if m:
+                    from .automanifest import column_bounds
+
+                    for i, (nm, ch) in enumerate(stat_fields_local):
+                        b = column_bounds(out[nm], ch)
+                        if b is not None:
+                            dmin[i], dmax[i] = repr(b[0]), repr(b[1])
                 part = ""
                 if m:
                     part = (
@@ -1225,16 +1235,22 @@ def transcode_las_to_ply(
                         "part": part,
                         "m": m,
                         "read_n": n,
+                        "dmin": dmin,
+                        "dmax": dmax,
                     }
                 )
             yield pd.DataFrame(out_rows)
 
+    stat_fields_local = list(out_props)
     spec_df = spark.createDataFrame(
         specs,
         "fid int, path string, offset long, rec_start long, n long,"
         " sx double, sy double, sz double, ox double, oy double, oz double",
     ).repartition(max(1, len(specs)))
-    stats_schema = "fid int, rec_start long, part string, m long, read_n long"
+    stats_schema = (
+        "fid int, rec_start long, part string, m long, read_n long,"
+        " dmin array<string>, dmax array<string>"
+    )
     try:
         stats = spec_df.mapInPandas(_work, stats_schema).collect()
         stats.sort(key=lambda r: (r["fid"], r["rec_start"]))
@@ -1253,6 +1269,11 @@ def transcode_las_to_ply(
             out.write(header.to_bytes())
             for r in live:
                 append_file(out, r["part"], filesystem)
+        if manifest:
+            _emit_transcode_sidecar(
+                os.path.dirname(out_path) or ".", out_props,
+                [(out_path, stats)], filesystem,
+            )
     finally:
         fsio.rmtree(part_dir, filesystem)
     return {

@@ -584,3 +584,30 @@ def test_compute_legacy_bare_program(spark, las_tiles, tmp_path):
         got.agg(F.sum("x")).collect()[0][0]
         == 2 * union.agg(F.sum("x")).collect()[0][0]
     )
+
+
+def test_las_to_ply_emits_sidecar_zero_job_minmax(spark, las_tiles, tmp_path):
+    """Round 13: the cross-format converter emits the _manifest sidecar
+    too, so the produced PLY answers stock min/max with zero Spark jobs
+    (and exactly — double world coords compared against the real scan)."""
+    out = str(tmp_path / "conv.ply")
+    transcode_las_to_ply(spark, las_tiles, out)
+    assert os.path.isdir(str(tmp_path / "_manifest"))
+    back = spark.read.format("ply").load(out)
+
+    def jobs():
+        return set(
+            spark.sparkContext.statusTracker().getJobIdsForGroup(None) or []
+        )
+
+    before = jobs()
+    row = back.agg(
+        F.min("x").alias("mn"), F.max("intensity").alias("mi")
+    ).collect()[0]
+    assert jobs() == before
+    spark.conf.set("spark.iqmulus.fusedRead", "false")
+    try:
+        truth = back.agg(F.min("x"), F.max("intensity")).collect()[0]
+    finally:
+        spark.conf.set("spark.iqmulus.fusedRead", "true")
+    assert list(row) == list(truth)
