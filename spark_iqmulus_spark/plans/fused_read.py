@@ -488,6 +488,17 @@ def _try_header_aggregate(df):
         # column it was built over, on any of the three formats (VERDICT
         # r11 next #2; generalized beyond x/y/z in round 12)
         return _try_manifest_aggregate(df, source, opts, wanted, paths, failfast)
+    rows = _las_header_minmax(opts, wanted, paths)
+    if rows is not None:
+        return rows
+    # LAS header leg declined (mixed/negative grid, truncated body) — a
+    # fresh manifest/sidecar can still answer (round 13): its freshness
+    # rule makes the answer exact regardless of grid uniformity
+    return _try_manifest_aggregate(df, source, opts, wanted, paths, failfast)
+
+
+def _las_header_minmax(opts, wanted, paths):
+    """The LAS x/y/z header-bounds leg: list[Row] or None (decline)."""
     if any(k not in _MINMAX_NEUTRAL_OPTS for k in opts):
         return None
 

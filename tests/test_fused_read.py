@@ -681,3 +681,32 @@ def test_manifest_failfast_truncated_declines_and_raises(spark, tmp_path):
     # skip/partial contract the manifest recorded)
     df2 = spark.read.format("ply").option("manifest", mpath).load(str(d))
     assert df2.agg(F.count(F.lit(1)).alias("n")).collect()[0]["n"] < 1000
+
+
+def test_mixed_grid_las_minmax_answers_from_manifest(spark, tmp_path):
+    """Round 13: when the LAS header min/max leg declines (heterogeneous
+    grids), a fresh stats manifest now answers instead of falling all the
+    way to the real scan — manifest bounds are raw scan values per file,
+    exact regardless of grid uniformity."""
+    import glob
+
+    from spark_iqmulus_spark.plans.manifest import write_manifest_scan
+
+    d = tmp_path / "mixedm"
+    d.mkdir()
+    make_las(str(d / "a.las"), n=1500, fmt=1, scale=(0.01, 0.01, 0.01))
+    make_las(
+        str(d / "b.las"), n=1200, fmt=1, scale=(0.001, 0.001, 0.001), seed=3
+    )
+    mpath = str(tmp_path / "m_mixed")
+    write_manifest_scan(
+        spark, sorted(glob.glob(str(d / "*.las"))), mpath, fmt="las",
+        columns=("x", "y", "z"),
+    )
+    df = spark.read.format("las").option("manifest", mpath).load(str(d))
+    agg = df.agg(F.min("x").alias("mn"), F.max("z").alias("mx"))
+    want = _real(agg, lambda a: a.collect())
+    before = _jobs(spark)
+    got = agg.collect()
+    assert _jobs(spark) == before  # manifest answered, zero jobs
+    assert got == want
