@@ -66,14 +66,19 @@ EMBED_LSH_BROADCAST_CAP = 500_000
 _NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 
 
-def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
+def _shingles(df: DataFrame, n: int = 3, distinct: bool = True) -> DataFrame:
     """Distinct word n-gram shingles per document (JVM-side array ops).
 
     The split is materialized in its own projection before the gram
     lambda: expressions referenced inside ``transform``'s lambda are
     re-evaluated per element (no subexpression elimination across the
     lambda boundary), so inlining ``words`` re-split the text 3× per
-    shingle — measured 12.7× slower at sf0.1 (10.8 s → 0.85 s)."""
+    shingle — measured 12.7× slower at sf0.1 (10.8 s → 0.85 s).
+
+    ``distinct=False`` skips the dedup Exchange for consumers whose
+    downstream aggregate is insensitive to duplicate (doc_id, shingle)
+    rows (min() in the minhash signatures) — one full-stream shuffle
+    saved."""
     words_expr = F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ")
     w = df.select("doc_id", words_expr.alias("words"))
     words = F.col("words")
@@ -83,10 +88,8 @@ def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
         lambda i: F.concat_ws(" ", *[F.element_at(words, i + k + 1) for k in range(n)]),
     )
     grams = F.when(F.size(words) >= n, grams).otherwise(F.array().cast("array<string>"))
-    return (
-        w.select("doc_id", F.explode(grams).alias("shingle"))
-        .distinct()
-    )
+    out = w.select("doc_id", F.explode(grams).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -244,8 +247,14 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     built-ins.  md5 (not xxhash64) on purpose: it is bit-identical in
     DuckDB, which makes the whole MinHash-LSH pipeline oracle-checkable;
     it costs ~2× xxhash64 per shingle, but hashing is a vanishing fraction
-    of the pipeline (the explode and the two shuffles dominate)."""
-    sh = _shingles(docs)
+    of the pipeline (the explode and the two shuffles dominate).
+
+    Shingles arrive NON-distinct: min() is insensitive to duplicate
+    (doc_id, shingle) rows, so the dedup Exchange that ``.distinct()``
+    would insert before the aggregate is pure cost — dropping it removes
+    one full shuffle of the exploded shingle stream (the groupBy's partial
+    aggregation reduces map-side to one 16-hash row per doc either way)."""
+    sh = _shingles(docs, distinct=False)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"mh{j}")
         for j in range(MINHASH_K)
@@ -320,12 +329,21 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     at the LSH design threshold."""
     t = load_tables(spark, sf_dir)
     docs = t["documents"]
-    cand = lsh_candidate_pairs(minhash_signatures(docs))
-    sh = _shingles(docs)
+    # localCheckpoint the (tiny) candidate-pair set: it feeds the doc-id
+    # bound, the intersection join AND the final assembly — three
+    # consumers, each of which would otherwise re-run the band self-join +
+    # distinct from the checkpointed banded frame
+    cand = lsh_candidate_pairs(minhash_signatures(docs)).localCheckpoint()
 
     # verification is CANDIDATE-BOUNDED — the whole point of LSH banding.
-    # 1. semi-join shingles down to documents that appear in some candidate
-    #    pair (at 100 TB that is a small fraction of the corpus);
+    # 1. semi-join the DOCUMENTS down to those appearing in some candidate
+    #    pair, and only then tokenize: shingling is per-document, so
+    #    bounding below the explode is set-identical to semi-joining the
+    #    exploded shingle stream (candidate_bounded_shingles) while
+    #    re-tokenizing only the candidate docs — at 100 TB a small
+    #    fraction of the corpus instead of a full second tokenize pass
+    #    (measured: the full-corpus re-tokenize + semi-join leg cost
+    #    ~0.6 s of the 4.5 s sf0.1 query);
     # 2. compute intersections by routing each candidate pair through its
     #    two shingle sets (join on doc_a, then equi-join on (doc_b, shingle))
     #    — cost Σ_pairs |shingles(a)|, linear in candidates, never the
@@ -335,7 +353,12 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregate AND both sides of the intersection join — three consumers,
     # and recomputing it means re-tokenizing the candidate documents each
     # time (same no-ReusedExchange trap as lsh_candidate_pairs)
-    sh_c = candidate_bounded_shingles(sh, cand).localCheckpoint()
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_c = _shingles(docs.join(cand_ids, "doc_id", "left_semi")).localCheckpoint()
     sizes = sh_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh_c.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh_c.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -389,11 +412,16 @@ def minhash_pairs_thresholded(
     the exact Jaccard of EVERY candidate pair (no threshold), which is
     why the early-exit cannot be applied there without an oracle change
     (SCALE.md §dedup-verify-prebound has the sf5 A/B numbers)."""
-    cand = lsh_candidate_pairs(minhash_signatures(docs))
-    sh = _shingles(docs)
+    cand = lsh_candidate_pairs(minhash_signatures(docs)).localCheckpoint()
     # sizes need every candidate document's shingle count — the same
-    # candidate-bounded semi-join as the full verify
-    sh_c = candidate_bounded_shingles(sh, cand).localCheckpoint()
+    # candidate-doc bound as the full verify, applied BELOW the shingle
+    # explode (tokenize only candidate docs; see q_dedup_minhash)
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_c = _shingles(docs.join(cand_ids, "doc_id", "left_semi")).localCheckpoint()
     sizes = sh_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     cand_sz = cand.join(
         sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")),
@@ -650,12 +678,12 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dot(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+def _dot(a, b, dim: int | None = None):
+    """Delegates to similarity._dot: unrolled codegen chain when ``dim``
+    is known (bit-identical to the HOF fold — see that docstring)."""
+    from .similarity import _dot as _sim_dot
+
+    return _sim_dot(a, b, dim)
 
 
 def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -664,12 +692,15 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     Brute-force pairwise at test SF (correctness baseline; the scale path
     is LSH bucketing — see operators.similarity.q_sim_knn_lsh).  The small
     side is broadcast so no shuffle of the big side is needed."""
+    from .similarity import embedding_dim
+
     t = load_tables(spark, sf_dir)
+    dim = embedding_dim(sf_dir)
     e = t["embeddings"].select("vec_id", "embedding")
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    cos = _dot(F.col("ea"), F.col("eb")) / (
-        F.sqrt(_dot(F.col("ea"), F.col("ea"))) * F.sqrt(_dot(F.col("eb"), F.col("eb")))
+    cos = _dot("ea", "eb", dim) / (
+        F.sqrt(_dot("ea", "ea", dim)) * F.sqrt(_dot("eb", "eb", dim))
     )
     return (
         # deliberate unbounded broadcast: this operator IS the documented
@@ -691,11 +722,11 @@ def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(Σ bucket²); full oracle hash check (the md5-derived hyperplanes are
     engine-neutral), recall vs the exact pair set additionally asserted in
     tests/test_operators.py."""
-    from .similarity import LSH_BANDS, lsh_signatures
+    from .similarity import LSH_BANDS, embedding_dim, lsh_signatures
 
     t = load_tables(spark, sf_dir)
     e = t["embeddings"].select("vec_id", "embedding")
-    dim = len(e.select("embedding").first()[0])
+    dim = embedding_dim(sf_dir)  # parquet footer — no .first() driver job
     sigs = lsh_signatures(e, dim)
     bands = F.array(
         *[
@@ -751,8 +782,8 @@ def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ea = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     eb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    cos = _dot(F.col("ea"), F.col("eb")) / (
-        F.sqrt(_dot(F.col("ea"), F.col("ea"))) * F.sqrt(_dot(F.col("eb"), F.col("eb")))
+    cos = _dot("ea", "eb", dim) / (
+        F.sqrt(_dot("ea", "ea", dim)) * F.sqrt(_dot("eb", "eb", dim))
     )
     n_vec = table_count(sf_dir, "embeddings")
     if n_vec <= EMBED_LSH_BROADCAST_CAP:
@@ -847,11 +878,14 @@ def q_dedup_embed_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_vec = table_count(sf_dir, "embeddings")  # footer catalog, no job
     frac = min(RECALL_SAMPLE_FRAC, RECALL_SAMPLE_CAP / max(n_vec, 1))
     thr = format(int(frac * 0x10000 + 0.5), "04x")
+    from .similarity import embedding_dim
+
+    dim = embedding_dim(sf_dir)
     sub = e.where(_hash_bucket(F.col("vec_id"), "er") < F.lit(thr))
     a = sub.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     b = sub.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    cos = _dot(F.col("ea"), F.col("eb")) / (
-        F.sqrt(_dot(F.col("ea"), F.col("ea"))) * F.sqrt(_dot(F.col("eb"), F.col("eb")))
+    cos = _dot("ea", "eb", dim) / (
+        F.sqrt(_dot("ea", "ea", dim)) * F.sqrt(_dot("eb", "eb", dim))
     )
     # exact pairs on the SAMPLE only.  Size guard (ADVICE r7): below the
     # cap the broadcast BNLJ is fine (fraction-bounded side); above it we
@@ -1568,12 +1602,27 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         (j, list(r["q"]))
         for j, r in enumerate(vq.orderBy("vec_id").limit(k).collect())
     ]
+    from .similarity import _FLAT_DIM_CAP, embedding_dim
+
+    dim = embedding_dim(sf_dir)
     cdf = spark.createDataFrame(cents, "j int, cq array<long>")
-    dist = F.aggregate(
-        F.zip_with(F.col("q"), F.col("cq"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    if dim <= _FLAT_DIM_CAP:
+        # unrolled codegen chain built server-side in one F.expr parse —
+        # same left-to-right long accumulation and (a-b)*(a-b) integer
+        # terms as the fold it replaces
+        dist = F.expr(
+            "CAST(0 AS BIGINT) + "
+            + " + ".join(
+                f"((get(q, {i}) - get(cq, {i})) * (get(q, {i}) - get(cq, {i})))"
+                for i in range(dim)
+            )
+        )
+    else:
+        dist = F.aggregate(
+            F.zip_with(F.col("q"), F.col("cq"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
     assigned = (
         vq.join(F.broadcast(cdf))
         .select("vec_id", F.struct(dist.alias("d"), F.col("j")).alias("dj"))
@@ -1590,8 +1639,8 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = side.select(
         F.col("vec_id").alias("vec_b"), "cluster", F.col("v").alias("vb")
     ).repartition(n_part, "cluster")
-    cos = _dot(F.col("va"), F.col("vb")) / (
-        F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb")))
+    cos = _dot("va", "vb", dim) / (
+        F.sqrt(_dot("va", "va", dim)) * F.sqrt(_dot("vb", "vb", dim))
     )
     removed = (
         a.join(b, "cluster")

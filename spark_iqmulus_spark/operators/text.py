@@ -51,14 +51,21 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token statistics + per-language rollup."""
     t = load_tables(spark, sf_dir)
     toks = _tokens()
-    tok_lens = F.transform(toks, lambda x: F.length(x))
+    # sum of token lengths = length of the normalized text minus its
+    # separator spaces: the normalized form joins exactly size(toks)-1
+    # single spaces (regexp \s+ → ' ' plus trim), so the identity
+    # length(norm) - (size(toks) - 1) replaces an interpreted
+    # transform+aggregate fold (O(tokens) lambda evals per row) with
+    # codegen'd O(1) arithmetic — exact for every row, including the
+    # empty/whitespace-only document (1 empty token, 0 = 0)
+    sum_tok_len = F.length(_norm()) - (F.size(toks) - F.lit(1))
     return (
         t["documents"]
         .select(
             "lang",
             F.size(toks).alias("n_tokens"),
             F.size(F.array_distinct(toks)).alias("n_distinct"),
-            F.aggregate(tok_lens, F.lit(0), lambda a, x: a + x).alias("sum_tok_len"),
+            sum_tok_len.alias("sum_tok_len"),
             F.length("text").alias("n_chars"),
         )
         .groupBy("lang")
