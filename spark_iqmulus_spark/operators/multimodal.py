@@ -17,8 +17,10 @@ the formats stdlib+numpy can decode and an honest loud guard elsewhere:
 
 Scale notes: payloads never hit the driver; ``mapInPandas`` streams
 Arrow batches per partition, and the downstream rollup is an ordinary
-hash aggregate.  Partitioning by ``source`` keeps related media co-located
-for batch decoding.
+hash aggregate.  The extractors are per-row pure, so the Python stage
+runs on the scan partitioning as-is (see :func:`_spread` — a tiny input
+is respread round-robin so every core decodes; an at-scale input passes
+through with zero Exchange).
 """
 
 from __future__ import annotations
@@ -323,6 +325,27 @@ def extract_byte_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
         )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Spread rows across the session's cores ahead of an expensive Python
+    (mapInPandas) stage — WITHOUT the keyed-Exchange skew the previous
+    ``repartition("source")`` paid.  Hash-partitioning on the O(10)-
+    cardinality source key capped the decode stage at |sources| non-empty
+    tasks no matter the corpus size (one task per source at 100 TB); the
+    feature extractors are per-row pure and the per-source rollup
+    partial-aggregates map-side anyway, so co-location buys nothing.
+
+    Scale-adaptive (no constant tuned to either regime): when the scan
+    already has at least default-parallelism partitions — any at-scale
+    input — the frame passes through UNTOUCHED (zero Exchange); only an
+    input with fewer partitions than cores (tiny local file) pays a
+    balanced round-robin respread so the Python stage still uses every
+    core."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= p:
+        return df
+    return df.repartition(p)
+
+
 def with_payload(docs: DataFrame) -> DataFrame:
     """Attach an opaque binary payload + typed metadata struct to each doc
     (here: utf-8 bytes of the text; in production: image/audio bytes)."""
@@ -339,12 +362,12 @@ def with_payload(docs: DataFrame) -> DataFrame:
 
 
 def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end multimodal pipeline: binary payload column → repartition
-    by source (co-locate media for batch decode) → Arrow-batched feature
-    extraction (mapInPandas) → rollup.  Oracle reproduces the byte math
-    from the text column."""
+    """End-to-end multimodal pipeline: binary payload column → spread
+    across cores (:func:`_spread`) → Arrow-batched feature extraction
+    (mapInPandas) → rollup.  Oracle reproduces the byte math from the
+    text column."""
     t = load_tables(spark, sf_dir)
-    payloads = with_payload(t["documents"]).repartition("source")
+    payloads = _spread(with_payload(t["documents"]))
     feats = payloads.mapInPandas(extract_byte_features, schema=FEATURE_SCHEMA)
     return feats.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -398,7 +421,7 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     (mapInPandas row explosion) → per-source rollup.  Oracle reproduces the
     frame math from the (ASCII) text with substring arithmetic."""
     t = load_tables(spark, sf_dir)
-    payloads = with_payload(t["documents"]).repartition("source")
+    payloads = _spread(with_payload(t["documents"]))
     frames = payloads.mapInPandas(sample_frames, schema=FRAME_SCHEMA)
     return frames.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_frames"),
@@ -533,7 +556,7 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     so a resize that samples the wrong row/column or reorders channels
     hash-fails."""
     t = load_tables(spark, sf_dir)
-    docs = t["documents"].select("doc_id", "source").repartition("source")
+    docs = _spread(t["documents"].select("doc_id", "source"))
     feats = docs.mapInPandas(decode_and_resize, schema=RESIZE_SCHEMA)
     return feats.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_images"),
@@ -549,7 +572,7 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     same integer recurrence, so a decode that misreads the header, drops a
     row, or permutes channels hash-fails."""
     t = load_tables(spark, sf_dir)
-    docs = t["documents"].select("doc_id", "source").repartition("source")
+    docs = _spread(t["documents"].select("doc_id", "source"))
     feats = docs.mapInPandas(encode_then_decode, schema=DECODE_SCHEMA)
     return feats.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_images"),
@@ -568,7 +591,7 @@ def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     pixel recurrence as the PPM decode key, so a filter/unfilter bug,
     chunk misparse, or inflate drift hash-fails."""
     t = load_tables(spark, sf_dir)
-    docs = t["documents"].select("doc_id", "source").repartition("source")
+    docs = _spread(t["documents"].select("doc_id", "source"))
     feats = docs.mapInPandas(encode_then_decode_png, schema=DECODE_SCHEMA)
     return feats.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_images"),
@@ -857,7 +880,7 @@ def q_multimodal_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     in Python workers, the rollup is an ordinary partial-aggregated hash
     aggregate on O(sources) groups."""
     t = load_tables(spark, sf_dir)
-    docs = t["documents"].select("doc_id", "source").repartition("source")
+    docs = _spread(t["documents"].select("doc_id", "source"))
     feats = docs.mapInPandas(encode_then_decode_wav, schema=AUDIO_SCHEMA)
     return feats.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_clips"),

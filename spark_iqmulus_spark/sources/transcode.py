@@ -138,6 +138,20 @@ def _check_uniform(headers: list[LasHeader], paths: list[str]) -> None:
             )
 
 
+def _spec_frame(spark: SparkSession, specs: list, schema: str):
+    """Spec rows → DataFrame with EXACTLY one spec per task, no shuffle.
+
+    ``parallelize(specs, len(specs))`` pins the slice count at RDD
+    creation, so each byte-range spec becomes its own task directly.  The
+    previous ``createDataFrame(specs).repartition(n)`` achieved the same
+    layout through a keyless round-robin repartition — an Exchange (plus
+    its deterministic sort-before-repartition pass) paid on every
+    transcode job for a frame of a few dozen bytes per row."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(specs, max(1, len(specs))), schema
+    )
+
+
 def _las_scan_stats(
     spark: SparkSession,
     paths: list[str],
@@ -381,9 +395,7 @@ def _las_scan_stats(
                 )
             yield pd.DataFrame(out_rows)
 
-    spec_df = spark.createDataFrame(
-        specs, "fid int, path string, offset long, rec_start long, n long"
-    ).repartition(max(1, len(specs)))
+    spec_df = _spec_frame(spark, specs, "fid int, path string, offset long, rec_start long, n long")
     stats_schema = (
         "fid int, rec_start long, part string, m long, read_n long,"
         " pmin array<double>, pmax array<double>, ret array<long>,"
@@ -949,9 +961,7 @@ def _ply_scan_stats(
                 )
             yield pd.DataFrame(out_rows)
 
-    spec_df = spark.createDataFrame(
-        specs, "fid int, path string, offset long, rec_start long, n long"
-    ).repartition(max(1, len(specs)))
+    spec_df = _spec_frame(spark, specs, "fid int, path string, offset long, rec_start long, n long")
     stats_schema = (
         "fid int, rec_start long, part string, m long, read_n long,"
         " dmin array<string>, dmax array<string>"
@@ -1242,11 +1252,12 @@ def transcode_las_to_ply(
             yield pd.DataFrame(out_rows)
 
     stat_fields_local = list(out_props)
-    spec_df = spark.createDataFrame(
+    spec_df = _spec_frame(
+        spark,
         specs,
         "fid int, path string, offset long, rec_start long, n long,"
         " sx double, sy double, sz double, ox double, oy double, oz double",
-    ).repartition(max(1, len(specs)))
+    )
     stats_schema = (
         "fid int, rec_start long, part string, m long, read_n long,"
         " dmin array<string>, dmax array<string>"
@@ -1502,9 +1513,7 @@ def _pcd_scan_stats(
                 )
             yield pd.DataFrame(out_rows)
 
-    spec_df = spark.createDataFrame(
-        specs, "fid int, path string, offset long, rec_start long, n long"
-    ).repartition(max(1, len(specs)))
+    spec_df = _spec_frame(spark, specs, "fid int, path string, offset long, rec_start long, n long")
     stats_schema = (
         "fid int, rec_start long, part string, m long, read_n long,"
         " dmin array<string>, dmax array<string>"

@@ -994,3 +994,20 @@ def test_minhash_thresholded_equals_filtered(spark):
         )
     )
     assert full and fast == full
+
+
+def test_spread_scale_adaptive(spark):
+    """Round 13: _spread respreads a fewer-partitions-than-cores frame
+    round-robin across the default parallelism (the tiny-local regime)
+    and passes an already-wide frame through UNTOUCHED (the at-scale
+    regime — zero Exchange before the Python stage)."""
+    from spark_iqmulus_spark.operators.multimodal import _spread
+
+    p = spark.sparkContext.defaultParallelism
+    tiny = spark.range(100).repartition(1)
+    out = _spread(tiny)
+    assert out.rdd.getNumPartitions() == p
+    assert sorted(r.id for r in out.collect()) == list(range(100))
+
+    wide = spark.range(100).repartition(p + 3)
+    assert _spread(wide) is wide

@@ -611,3 +611,21 @@ def test_las_to_ply_emits_sidecar_zero_job_minmax(spark, las_tiles, tmp_path):
     finally:
         spark.conf.set("spark.iqmulus.fusedRead", "true")
     assert list(row) == list(truth)
+
+
+def test_spec_frame_one_task_per_spec_no_shuffle(spark):
+    """Round 13: the spec frame pins one task per byte-range spec at RDD
+    creation — no Exchange in the plan (the old keyless repartition paid
+    a shuffle per transcode job) and values survive the RDD path."""
+    from spark_iqmulus_spark.sources.transcode import _spec_frame
+
+    schema = "fid int, path string, offset long, rec_start long, n long"
+    specs = [(i, f"/p/{i}.las", 96, i * 10, 10) for i in range(5)]
+    df = _spec_frame(spark, specs, schema)
+    assert df.rdd.getNumPartitions() == 5
+    per_part = df.rdd.mapPartitions(lambda it: [sum(1 for _ in it)]).collect()
+    assert per_part == [1] * 5
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    got = sorted(tuple(r) for r in df.collect())
+    assert got == sorted(specs)
