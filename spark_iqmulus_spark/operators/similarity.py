@@ -48,12 +48,33 @@ def _is_plain_ref(frag: str) -> bool:
     return frag.replace("`", "").replace("_", "a").isalnum()
 
 
-def _flat_dot_sql(a: str, b: str, dim: int) -> str:
+def _flat_dot_sql(a: str, b: str, dim: int, off_a: int = 0, off_b: int = 0) -> str:
     """Unrolled dot product as ONE SQL string: ``0.0D + (a0*b0) + …``
-    over two plain array-column references."""
+    over two plain array-column references.  Optional 0-based offsets
+    shift the element window — ``get(col, off+i)`` reads the same float a
+    ``slice(col, off+1, dim)[i]`` subvector would, without materializing
+    the slice (``get(slice(...), i)`` re-builds the slice per element)."""
     return "0.0D + " + " + ".join(
-        f"(CAST(get({a}, {i}) AS DOUBLE) * CAST(get({b}, {i}) AS DOUBLE))"
+        f"(CAST(get({a}, {off_a + i}) AS DOUBLE) * CAST(get({b}, {off_b + i}) AS DOUBLE))"
         for i in range(dim)
+    )
+
+
+def _flat_dot_lit_sql(col: str, vec, offset: int = 0) -> str:
+    """Unrolled dot of a plain array column's ``len(vec)``-element window
+    (0-based ``offset``) against a Python literal vector, each scalar
+    inlined per term — never ``get(array(<literals>), i)``, which
+    re-materializes the literal array per element (the O(dim²) shape that
+    regressed q_sim_knn_ivf 3.4 s → 41 s; see :func:`_dot`).  The string
+    cast ``CAST('<repr>' AS DOUBLE)`` parses (correctly-rounded, like
+    Python's shortest-round-trip repr) to exactly the double
+    ``F.lit(float(v))`` embeds and is constant-folded at plan time, so
+    the chain is bit-identical to the HOF fold it replaces (same
+    ``0.0D`` start, left-to-right association, ``cast(x)*cast(y)``
+    terms)."""
+    return "0.0D + " + " + ".join(
+        f"(CAST(get({col}, {offset + i}) AS DOUBLE) * CAST('{float(v)!r}' AS DOUBLE))"
+        for i, v in enumerate(vec)
     )
 
 
@@ -648,6 +669,63 @@ PQ_K = 8  # codes per subspace
 PQ_SUB = 16  # dims per subspace (D=64 / PQ_M)
 
 
+def _pq_d2_staged(df: DataFrame, books: list[list[list[float]]]) -> DataFrame:
+    """``df`` plus per-subspace squared-distance arrays ``_pqarr<m>``
+    (entry k = the exact term order of the original inline form:
+    ``dot(sub,sub) − 2·dot(sub,book[m][k]) + cc``).
+
+    Staged so each expensive piece is computed once per row: the
+    subvector self-dot ``_pqss<m>`` is referenced by all PQ_K entries and
+    ``_pqarr<m>`` by every argmin/min consumer — both non-cheap, so
+    CollapseProject keeps the projects separate instead of textually
+    re-expanding them (the inline form evaluated the self-dot PQ_K× and
+    the whole array once per consumer, all on the interpreted fold).
+    Dots are unrolled codegen chains over the plain ``embedding`` column
+    with shifted indices — ``get(embedding, m·SUB+i)`` reads the same
+    float the ``slice(...)`` subvector element held, so values are
+    bit-identical to the slice+fold form."""
+    if any(len(c) > _FLAT_DIM_CAP for bm in books for c in bm):
+        arr_cols = []
+        for m, bm in enumerate(books):
+            sub = F.slice(F.col("embedding"), m * len(bm[0]) + 1, len(bm[0]))
+            d2s = [
+                _dot(sub, sub)
+                - 2 * _dot(sub, c)
+                + F.lit(sum(x * x for x in c))
+                for c in bm
+            ]
+            arr_cols.append(F.array(*d2s).alias(f"_pqarr{m}"))
+        return df.select("*", *arr_cols)
+    staged = df.select(
+        "*",
+        *[
+            F.expr(
+                _flat_dot_sql(
+                    "embedding",
+                    "embedding",
+                    len(bm[0]),
+                    m * len(bm[0]),
+                    m * len(bm[0]),
+                )
+            ).alias(f"_pqss{m}")
+            for m, bm in enumerate(books)
+        ],
+    )
+    arr_cols = []
+    for m, bm in enumerate(books):
+        off = m * len(bm[0])
+        d2s = []
+        for c in bm:
+            cc = sum(x * x for x in c)
+            d2s.append(
+                F.col(f"_pqss{m}")
+                - 2 * F.expr(_flat_dot_lit_sql("embedding", c, off))
+                + F.lit(cc)
+            )
+        arr_cols.append(F.array(*d2s).alias(f"_pqarr{m}"))
+    return staged.select("*", *arr_cols)
+
+
 def q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization encode of the embedding corpus — the standard
     vector-store compression step (Jégou et al., TPAMI 2011): split each
@@ -686,21 +764,12 @@ def q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     err_cols = []
     code_cols = []
     for m in range(PQ_M):
-        sub = F.slice(F.col("embedding"), m * PQ_SUB + 1, PQ_SUB)
-        d2s = []
-        for c in books[m]:
-            cc = sum(x * x for x in c)
-            d2s.append(
-                _dot(sub, sub, len(c))
-                - 2 * _dot(sub, c, len(c))
-                + F.lit(cc)
-            )
-        arr = F.array(*d2s)
+        arr = F.col(f"_pqarr{m}")  # staged: the d2 array computed once
         code = F.array_position(arr, F.array_min(arr))  # 1-based, first min
         code_cols.append(code.alias(f"code{m}"))
         err_cols.append(F.array_min(arr).alias(f"err{m}"))
 
-    enc = e.select("vec_id", *code_cols, *err_cols)
+    enc = _pq_d2_staged(e, books).select("vec_id", *code_cols, *err_cols)
     total_err = sum(F.col(f"err{m}") for m in range(PQ_M))
     per_vec = enc.select(
         "vec_id",
@@ -992,22 +1061,14 @@ def q_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
 
     # corpus index pass: cell + PQ codes, one map-only projection
-    code_cols = []
-    for m in range(PQ_M):
-        sub = F.slice(F.col("embedding"), m * PQ_SUB + 1, PQ_SUB)
-        d2s = []
-        for c in books[m]:
-            cc = sum(x * x for x in c)
-            d2s.append(
-                _dot(sub, sub, len(c))
-                - 2 * _dot(sub, c, len(c))
-                + F.lit(cc)
-            )
-        arr = F.array(*d2s)
-        code_cols.append(
-            F.array_position(arr, F.array_min(arr)).cast("int").alias(f"code{m}")
-        )
-    corpus = ivf_assign(e, centroids).select(
+    # (cell argmax + d2 arrays staged codegen — see ivf_assign/_pq_d2_staged)
+    code_cols = [
+        F.array_position(F.col(f"_pqarr{m}"), F.array_min(f"_pqarr{m}"))
+        .cast("int")
+        .alias(f"code{m}")
+        for m in range(PQ_M)
+    ]
+    corpus = _pq_d2_staged(ivf_assign(e, centroids), books).select(
         F.col("vec_id").alias("neighbor_id"), "cell", *code_cols
     )
 
