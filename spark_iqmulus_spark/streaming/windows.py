@@ -315,8 +315,16 @@ def q_stream_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     b2 = ev.where(F.col("event_id") % 2 == 1)
 
     # engine-side expected emission set (same arithmetic as the oracle):
-    # batch-2 rows survive iff their window end is past the batch-1 watermark
-    wm1 = b1.agg(F.max("ts")).collect()[0][0] - timedelta(minutes=10)
+    # batch-2 rows survive iff their window end is past the batch-1 watermark.
+    # ONE aggregate job computes both maxima (global, and over the b1 half
+    # via a conditional max — identical to max over the filtered frame);
+    # the two separate agg jobs this replaces each re-scanned the table.
+    mx = ev.agg(
+        F.max("ts").alias("mx"),
+        F.max(F.when(F.col("event_id") % 2 == 0, F.col("ts"))).alias("mx1"),
+    ).collect()[0]
+    max_ts = mx["mx"]
+    wm1 = mx["mx1"] - timedelta(minutes=10)
     kept2 = b2.where(
         F.date_trunc("hour", F.col("ts")) + F.expr("INTERVAL 1 HOUR") > F.lit(wm1)
     )
@@ -326,9 +334,19 @@ def q_stream_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .count()
     )
-    max_ts = ev.agg(F.max("ts")).collect()[0][0]
-    sentinel = spark.createDataFrame(
-        [(int(-1), max_ts + timedelta(days=366), "flush")], schema=ev.schema
+    # sentinel as a 1-partition JVM-literal frame: the previous
+    # ``createDataFrame([row])`` parallelized one row into
+    # defaultParallelism pickled slices, and the ``coalesce(1)`` before
+    # the batch write then serialized all those Python-worker round-trips
+    # into ONE task — measured 6.4 s to write one row (vs 0.1 s here);
+    # same row values (F.lit timestamps use the same session-TZ
+    # conversion as createDataFrame)
+    sentinel = spark.range(0, 1, 1, 1).select(
+        F.lit(-1).cast(ev.schema["event_id"].dataType).alias("event_id"),
+        F.lit(max_ts + timedelta(days=366))
+        .cast(ev.schema["ts"].dataType)
+        .alias("ts"),
+        F.lit("flush").alias("event_type"),
     )
 
     stream_dir = tempfile.mkdtemp(prefix="stream_late_")
