@@ -171,11 +171,17 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct.  Not bit-comparable to DuckDB's
     HLL → oracle compares against exact distinct with a tolerance expressed
-    as a boolean (within 5% — rsd default is 0.05)."""
+    as a boolean (within 5%).
+
+    rsd=0.01 so the declared 5% tolerance is a 5σ bound: at the default
+    rsd=0.05 the bound is a 1σ demand, which deterministically FAILED at
+    sf0.001 (realized error 6.4%); at 0.01 the realized error is ≤1.1%
+    across sf0.001–sf1 (measured).  The register cost (~40 KB for one
+    global aggregate) is irrelevant at any scale."""
     t = load_tables(spark, sf_dir)
     exact = t["lineitem"].select(F.countDistinct("l_orderkey").alias("exact"))
     approx = t["lineitem"].select(
-        F.approx_count_distinct("l_orderkey").alias("approx")
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx")
     )
     return (
         approx.crossJoin(exact)

@@ -1011,3 +1011,16 @@ def test_spread_scale_adaptive(spark):
 
     wide = spark.range(100).repartition(p + 3)
     assert _spread(wide) is wide
+
+
+def test_approx_distinct_within_bound_every_sf(spark):
+    """The declared 5% tolerance must hold at EVERY testdata SF the driver
+    may check — the oracle is the constant ``true``.  At the default
+    rsd=0.05 the bound is a 1σ demand and deterministically failed at
+    sf0.001 (HLL++ error 6.4%); rsd=0.01 makes it a 5σ bound (realized
+    ≤1.1% across sf0.001–sf1)."""
+    from spark_iqmulus_spark.operators.relational import q_approx_distinct
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        rows = q_approx_distinct(spark, f"/root/testdata/{sf}").collect()
+        assert len(rows) == 1 and rows[0].within_5pct is True, sf
