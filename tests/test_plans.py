@@ -447,3 +447,23 @@ def test_dsir_distribution_joins_are_broadcast(spark, tables):
     # per-doc score; the only global window allowed is the rank over the
     # <= DSIR_TOP survivors
     assert "TakeOrderedAndProject" in p
+
+
+def test_distinct_shingles_no_exchange(spark, tables):
+    """``_shingles(distinct=True)`` dedups per-row (``array_distinct``
+    before the explode) instead of ``.distinct()`` on the exploded
+    stream: global distinct ≡ per-document distinct because every
+    (doc_id, shingle) row derives from exactly one document.  Pin both
+    the removed shuffle (no Exchange in the subplan) and the row-set
+    equality against the exploded-then-global-distinct form."""
+    from pyspark.sql import functions as F
+
+    from spark_iqmulus_spark.operators.dedup import _shingles
+    from spark_iqmulus_spark.session import load_tables
+
+    docs = load_tables(spark, SF_DIR)["documents"]
+    sh = _shingles(docs, distinct=True)
+    assert "Exchange" not in plan_text(sh)
+    global_distinct = _shingles(docs, distinct=False).distinct()
+    assert sh.exceptAll(global_distinct).count() == 0
+    assert global_distinct.exceptAll(sh).count() == 0
