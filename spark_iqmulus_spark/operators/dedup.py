@@ -1641,17 +1641,24 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("best.j").cast("long").alias("cluster"))
     )
     ev = e.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
-    side = assigned.join(ev, "vec_id")
+    # per-VECTOR norm staged before the pair join: the norm dot is a
+    # function of one vector, so evaluating it inside the per-pair cosine
+    # recomputes it once per PAIR the vector appears in (~cluster_size
+    # times) — 2 of the 3 dot chains in the pair stage were norm
+    # recomputation.  sqrt(dot(v,v)) here is the same unrolled chain on
+    # the same array → bit-identical doubles; the division sees identical
+    # operands (verified exceptAll==0 both ways; 20.8 s → 8.4 s at sf0.1)
+    side = assigned.join(ev, "vec_id").withColumn("nrm", F.sqrt(_dot("v", "v", dim)))
     n_part = max(32, k)
     a = side.select(
-        F.col("vec_id").alias("vec_a"), "cluster", F.col("v").alias("va")
+        F.col("vec_id").alias("vec_a"), "cluster",
+        F.col("v").alias("va"), F.col("nrm").alias("na"),
     ).repartition(n_part, "cluster")
     b = side.select(
-        F.col("vec_id").alias("vec_b"), "cluster", F.col("v").alias("vb")
+        F.col("vec_id").alias("vec_b"), "cluster",
+        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
     ).repartition(n_part, "cluster")
-    cos = _dot("va", "vb", dim) / (
-        F.sqrt(_dot("va", "va", dim)) * F.sqrt(_dot("vb", "vb", dim))
-    )
+    cos = _dot("va", "vb", dim) / (F.col("na") * F.col("nb"))
     removed = (
         a.join(b, "cluster")
         .where(F.col("vec_a") < F.col("vec_b"))

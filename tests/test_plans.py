@@ -467,3 +467,23 @@ def test_distinct_shingles_no_exchange(spark, tables):
     global_distinct = _shingles(docs, distinct=False).distinct()
     assert sh.exceptAll(global_distinct).count() == 0
     assert global_distinct.exceptAll(sh).count() == 0
+
+
+def test_semantic_pair_stage_norms_staged(spark, tables):
+    """q_dedup_semantic's pair stage must read per-vector norms staged in
+    the side projections, never recompute sqrt(dot(v,v)) inside the
+    per-pair join condition/filter (that shape recomputes each vector's
+    norm once per pair it appears in — measured 20.8 s → 8.4 s at sf0.1
+    when staged; values bit-identical because the staged norm is the same
+    chain on the same array)."""
+    import re
+
+    from spark_iqmulus_spark.operators.dedup import q_dedup_semantic
+
+    p = plan_text(q_dedup_semantic(spark, SF_DIR))
+    # the two pair-side Projects each stage one SQRT chain
+    assert p.count("SQRT") >= 2
+    # no SQRT may appear on a "Join condition"/post-join Filter line
+    for line in p.splitlines():
+        if re.search(r"Join condition|^\s*Condition", line):
+            assert "SQRT" not in line
