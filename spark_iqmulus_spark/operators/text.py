@@ -822,9 +822,18 @@ def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     portable across engines).  One explode + two hash aggregates; shuffle
     volume is bounded by vocabulary size, not corpus size."""
     t = load_tables(spark, sf_dir)
-    src = t["documents"].select(_tokens().alias("words"))
+    # explode_outer + isnotnull(text): a plain explode makes the optimizer
+    # infer `size(words) > 0` BELOW the Generate, re-inlining the whole
+    # tokenizer into a non-codegen Filter (a second interpreted tokenize
+    # pass per row — measured 22× on the q_text_repetition bigram stage).
+    # split() never returns an empty array and is NULL only for NULL text,
+    # so isnotnull(text) (pushed to the parquet scan) + explode_outer is
+    # row-identical to the inner explode for every input.
+    src = t["documents"].where(F.col("text").isNotNull()).select(
+        _tokens().alias("words")
+    )
     tf = (
-        src.select(F.explode("words").alias("token"))
+        src.select(F.explode_outer("words").alias("token"))
         .where(F.col("token") != "")
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("tf"))
@@ -901,8 +910,14 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.size("tri") - F.size(F.array_distinct("tri"))).alias("dup_tri"),
         "bi",
     )
+    # explode_outer: the size(words) >= 3 filter above makes `bi` non-null
+    # with ≥ 2 elements, so outer ≡ inner row-for-row — while the inner
+    # form makes the optimizer infer `size(bi) > 0` below the Generate,
+    # re-inlining the whole bigram transform (with the tokenizer re-split
+    # per element) into a non-codegen Filter: measured 9.0 s → 0.4 s for
+    # this stage at sf0.1 (22×), identical rows (exceptAll both ways 0)
     max_bi = (
-        per_doc.select("doc_id", F.explode("bi").alias("gram"))
+        per_doc.select("doc_id", F.explode_outer("bi").alias("gram"))
         .groupBy("doc_id", "gram")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .groupBy("doc_id")
@@ -966,10 +981,15 @@ def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale.  Plan: one explode + two hash aggregates + a broadcast-sized
     join of per-word corpus counts (vocab-bounded, not corpus-bounded)."""
     t = load_tables(spark, sf_dir)
+    # explode_outer + isnotnull(text): see q_text_zipf — avoids the
+    # inferred size(ws)>0 filter that re-inlines the tokenizer into an
+    # interpreted pre-Generate Filter; row-identical because split() is
+    # never empty and NULL only for NULL text.
     words = (
         t["documents"]
+        .where(F.col("text").isNotNull())
         .select("source", _tokens().alias("ws"))
-        .select("source", F.explode("ws").alias("w"))
+        .select("source", F.explode_outer("ws").alias("w"))
     )
     per_src = words.groupBy("source", "w").agg(F.count(F.lit(1)).alias("obs"))
     src_tot = per_src.groupBy("source").agg(F.sum("obs").alias("st"))

@@ -487,3 +487,27 @@ def test_semantic_pair_stage_norms_staged(spark, tables):
     for line in p.splitlines():
         if re.search(r"Join condition|^\s*Condition", line):
             assert "SQRT" not in line
+
+
+def test_no_inferred_generate_filter_reinlines_tokenizer(spark, tables):
+    """A plain explode over an expensively-built array makes the optimizer
+    infer ``size(arr) > 0`` below the Generate, re-inlining the whole
+    array construction (tokenizer re-split per element) into an
+    interpreted pre-Generate Filter — measured 22× on q_text_repetition's
+    bigram stage.  The token/gram explodes use explode_outer (+ an
+    isnotnull(text) scan filter where needed for row-identity), so no
+    plan may carry the re-inlined construction in a Filter."""
+    from spark_iqmulus_spark.operators.text import (
+        q_text_repetition,
+        q_text_zipf,
+        q_vocab_drift,
+    )
+
+    for fn in (q_text_repetition, q_text_zipf, q_vocab_drift):
+        p = plan_text(fn(spark, SF_DIR))
+        assert "size(transform(" not in p, fn.__name__
+    # zipf/vocab_drift: the only size(split(...)) allowed is none at all —
+    # their single declared filter is isnotnull(text), pushed to the scan
+    for fn in (q_text_zipf, q_vocab_drift):
+        p = plan_text(fn(spark, SF_DIR))
+        assert "size(split(" not in p, fn.__name__
