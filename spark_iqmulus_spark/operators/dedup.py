@@ -594,62 +594,59 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.unionByName(near)
 
 
+def _simhash_mask_sql(k: int) -> str:
+    """SQL BIGINT literal for bit ``k`` (the most-negative long cannot be
+    written as one literal — the positive half overflows before negation)."""
+    m = _simhash_mask(k)
+    return "(-9223372036854775807L - 1L)" if m == -(1 << 63) else f"{m}L"
+
+
 def simhash_64(docs: DataFrame) -> DataFrame:
     """64-bit SimHash per document from distinct token hashes.
 
     Bit construction: for each bit position k, sum +1/-1 over token hashes'
-    k-th bit; the sign gives the fingerprint bit.  Expressed as explode(64
-    positions) + two hash-aggregates — ~64× row amplification on *tokens*,
-    which is fine because tokens are already exploded; at extreme scale the
-    same computation folds into 64 conditional-sum aggregate columns.
+    k-th bit; the sign gives the fingerprint bit.  Expressed as ONE
+    hash-aggregate with 64 conditional-sum columns over the token stream,
+    then a 64-term mask sum — round 13 folded the previous explode(64
+    positions) + two shuffled aggregates (a 64× row-amplified shuffle)
+    into this form; all arithmetic is integer-exact, so the fingerprints
+    are bit-identical (verified corpus-wide with exceptAll both ways).
+    Token distinct-ing happens per document via ``array_distinct`` BEFORE
+    the explode (every token row derives from exactly one document, so
+    per-doc distinct equals the old global ``.distinct()`` with zero
+    Exchange).  Net: 3 shuffles → 1, and that one is map-side
+    partial-aggregated to one row per doc before it moves.
 
     Token hash = first 16 hex chars of md5 read nibble-wise (hex char →
     4 bits) — md5, not xxhash64, so DuckDB reproduces the fingerprint
     bit-for-bit and the downstream pair query is oracle-checkable."""
-    tokens = (
-        docs.select(
-            "doc_id",
-            F.explode(
+    tokens = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
                 F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ")
-            ).alias("tok"),
-        )
-        .distinct()
-        .withColumn("h", F.md5("tok"))
-    )
-    # shiftright/shiftleft take literal bit counts only → carry per-bit
-    # constants as a literal struct array: mask (the bit's signed-long
-    # value), pos (1-based hex char holding the bit), dv (divisor that
-    # brings the bit to the low position within its nibble).
-    km = F.array(
-        *[
-            F.struct(
-                F.lit(k).alias("k"),
-                F.lit(_simhash_mask(k)).cast("long").alias("mask"),
-                F.lit(k // 4 + 1).alias("pos"),
-                F.lit(1 << (3 - k % 4)).alias("dv"),
             )
-            for k in range(64)
-        ]
+        ).alias("tok"),
+    ).withColumn("h", F.md5("tok"))
+    # per-bit constants: pos (1-based hex char holding bit k), dv (divisor
+    # bringing the bit to the low position within its nibble), mask (the
+    # bit's signed-long value).  Each aggregate is one F.expr (a single
+    # parse), not a Column-operator chain (py4j round-trip per node).
+    aggs = [
+        F.expr(
+            f"sum(CASE WHEN ((instr('0123456789abcdef', "
+            f"substring(h, {k // 4 + 1}, 1)) - 1) "
+            f"div {1 << (3 - k % 4)}) % 2 = 1 THEN 1 ELSE -1 END)"
+        ).alias(f"s{k}")
+        for k in range(64)
+    ]
+    bit_sums = tokens.groupBy("doc_id").agg(*aggs)
+    combine = " + ".join(
+        f"(CASE WHEN s{k} >= 0 THEN {_simhash_mask_sql(k)} "
+        f"ELSE CAST(0 AS BIGINT) END)"
+        for k in range(64)
     )
-    bits = (
-        tokens.select("doc_id", "h", F.explode(km).alias("km"))
-        .select("doc_id", "h", "km.k", "km.mask", "km.pos", "km.dv")
-        .withColumn(
-            "contrib",
-            F.when(
-                F.expr(
-                    "((instr('0123456789abcdef', substring(h, pos, 1)) - 1) "
-                    "div dv) % 2"
-                )
-                == 1,
-                1,
-            ).otherwise(-1),
-        )
-    )
-    bit_sums = bits.groupBy("doc_id", "k", "mask").agg(F.sum("contrib").alias("s"))
-    return bit_sums.groupBy("doc_id").agg(
-        F.sum(F.when(F.col("s") >= 0, F.col("mask")).otherwise(0)).alias("simhash")
-    )
+    return bit_sums.select("doc_id", F.expr(combine).alias("simhash"))
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1051,3 +1051,30 @@ def test_dedup_components_sum_probe_chain_and_string_fallback(spark):
     )
     sgot = {(r.node, r.label) for r in dedup_components(spairs).collect()}
     assert sgot == {("9", "10"), ("10", "10"), ("11", "10")}
+
+
+def test_simhash_folded_matches_pure_python(spark):
+    """Round 13: simhash_64 folded from explode(64)+two shuffled aggregates
+    into one 64-conditional-sum aggregate.  Pin the fingerprint against an
+    independent pure-Python construction (hashlib md5, per-doc distinct
+    tokens, nibble-wise bit reads, +1/-1 sign sums)."""
+    import hashlib
+
+    from spark_iqmulus_spark.operators.dedup import _simhash_mask, simhash_64
+
+    docs = [(1, "the  quick brown fox the"), (2, "pack my box with JUGS jugs")]
+
+    def expect(text):
+        toks = sorted(set(" ".join(text.split()).lower().split(" ")))
+        sums = [0] * 64
+        for t in toks:
+            h = hashlib.md5(t.encode()).hexdigest()
+            for k in range(64):
+                nib = int(h[k // 4], 16)
+                bit = (nib >> (3 - k % 4)) & 1
+                sums[k] += 1 if bit else -1
+        return sum(_simhash_mask(k) for k in range(64) if sums[k] >= 0)
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r.simhash for r in simhash_64(df).collect()}
+    assert got == {1: expect(docs[0][1]), 2: expect(docs[1][1])}
