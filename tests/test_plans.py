@@ -489,6 +489,39 @@ def test_semantic_pair_stage_norms_staged(spark, tables):
             assert "SQRT" not in line
 
 
+def test_semantic_pair_stage_salted_when_k_small(spark, tables):
+    """q_dedup_semantic's pair join is keyed on the cluster id, whose
+    cardinality k is far below the session parallelism on small corpora —
+    without a salt the O(cluster²) pair expansion lands on at most k
+    tasks (guide §2.5 low-cardinality-key skew; measured 9.5 → 5.8 s at
+    sf0.1).  The small-corpus branch must join on (cluster, salt) with
+    salt_r = ceil(parallelism/k) replicas; at scale (k >= parallelism)
+    salt_r collapses to 1 so the b-side replication never happens."""
+    import math
+    import re
+
+    from spark_iqmulus_spark.operators.dedup import (
+        SEM_K_CAP,
+        SEM_TARGET,
+        q_dedup_semantic,
+    )
+    from spark_iqmulus_spark.session import table_count
+
+    n = table_count(SF_DIR, "embeddings")
+    k = min(max(4, n // SEM_TARGET), SEM_K_CAP)
+    dp = spark.sparkContext.defaultParallelism
+    salt_r = min(max(1, math.ceil(dp / k)), 16)
+    p = plan_text(q_dedup_semantic(spark, SF_DIR))
+    assert re.search(r"hashpartitioning\(cluster#\d+L?, salt#\d+", p), (
+        "pair-stage repartition must include the salt key"
+    )
+    # the b-side replication factor is the explode of [0..salt_r-1]
+    if salt_r > 1:
+        assert "explode" in p
+    else:
+        assert "explode" not in p
+
+
 def test_no_inferred_generate_filter_reinlines_tokenizer(spark, tables):
     """A plain explode over an expensively-built array makes the optimizer
     infer ``size(arr) > 0`` below the Generate, re-inlining the whole
