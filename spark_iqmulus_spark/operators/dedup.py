@@ -789,7 +789,20 @@ def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Splitting the left side by vec_id % R and replicating the id-only
     # right side R ways multiplies join keys to 64*R at the cost of R×
     # the (16-byte) right rows.
-    salt_r = 8
+    #
+    # SCALE-ADAPTIVE (guide §2.2/§2.5): both the salt factor and the
+    # partition count derive from the corpus size instead of being pinned
+    # at the sf5 tuning (salt 8 / 512 partitions).  Buckets average
+    # n_vec/64 rows, so the quadratic expansion the salt splits only
+    # matters once buckets are thousands of rows (~n_vec ≥ 10⁵, where the
+    # straggler was measured); below that, 512 near-empty tasks across two
+    # Exchanges are pure scheduling overhead (measured at the 2000-vector
+    # bench SF: 5.1 → 2.5 s with parallelism-sized partitions, pair set
+    # identical).  n_part pins one partition per salted bucket at scale,
+    # never exceeds one per ~64 corpus rows, and never drops below the
+    # session parallelism.
+    n_vec = table_count(sf_dir, "embeddings")
+    salt_r = min(8, max(1, round(n_vec / 12_500)))
     a = banded.select(
         F.col("vec_id").alias("vec_a"),
         "band",
@@ -797,7 +810,11 @@ def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod(F.col("vec_id"), F.lit(salt_r)).alias("salt"),
     )
     b = banded.select(F.col("vec_id").alias("vec_b"), "band", "val").withColumn(
-        "salt", F.explode(F.array(*[F.lit(i) for i in range(salt_r)]))
+        "salt",
+        # salt_r == 1 (small corpus): constant, no Generate in the plan
+        F.explode(F.array(*[F.lit(i) for i in range(salt_r)]))
+        if salt_r > 1
+        else F.lit(0),
     )
     # explicit repartition on the salted key: the id-only join INPUT is a
     # few MB, so AQE's input-size-based coalescing folds it into a handful
@@ -805,7 +822,10 @@ def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # which coalescing cannot see, recreating the one-task straggler the
     # salt exists to split.  A user-specified repartition(n, keys) is
     # exempt from AQE coalescing, pinning one partition per salted bucket.
-    n_part = 16 * LSH_BANDS * salt_r
+    n_part = max(
+        spark.sparkContext.defaultParallelism,
+        min(16 * LSH_BANDS * salt_r, n_vec // 64),
+    )
     cand = (
         a.repartition(n_part, "band", "val", "salt")
         .join(b.repartition(n_part, "band", "val", "salt"), ["band", "val", "salt"])
@@ -817,7 +837,6 @@ def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = _dot("ea", "eb", dim) / (
         F.sqrt(_dot("ea", "ea", dim)) * F.sqrt(_dot("eb", "eb", dim))
     )
-    n_vec = table_count(sf_dir, "embeddings")
     if n_vec <= EMBED_LSH_BROADCAST_CAP:
         # Filter-before-distinct (round 9): the candidate stream holds up
         # to O(Σ bucket²) duplicated id pairs (~1e9 at 100k dup-rich

@@ -522,6 +522,37 @@ def test_semantic_pair_stage_salted_when_k_small(spark, tables):
         assert "explode" not in p
 
 
+def test_embed_lsh_partitioning_scale_adaptive(spark, tables):
+    """q_dedup_embed_lsh's salted self-join derives salt factor and
+    partition count from the corpus size: at the sf5 tuning point
+    (100k vectors) it keeps salt 8 / one partition per salted bucket
+    (512), while small corpora get parallelism-sized partitions instead
+    of 512 near-empty tasks across two Exchanges (measured 5.1 → 2.5 s
+    at sf0.1; pair set identical — partitioning is not part of the
+    declared result)."""
+    import re
+
+    from spark_iqmulus_spark.operators.dedup import q_dedup_embed_lsh
+    from spark_iqmulus_spark.operators.similarity import LSH_BANDS
+    from spark_iqmulus_spark.session import table_count
+
+    # the rule itself, at both regimes
+    def rule(n_vec, dp):
+        salt_r = min(8, max(1, round(n_vec / 12_500)))
+        return salt_r, max(dp, min(16 * LSH_BANDS * salt_r, n_vec // 64))
+
+    assert rule(100_000, 32) == (8, 512)  # sf5: unchanged from the tuning
+    assert rule(2_000, 32) == (1, 32)  # bench SF: parallelism-sized
+    # the engaged plan at the test SF uses the small-corpus branch
+    n_vec = table_count(SF_DIR, "embeddings")
+    dp = spark.sparkContext.defaultParallelism
+    salt_r, n_part = rule(n_vec, dp)
+    p = plan_text(q_dedup_embed_lsh(spark, SF_DIR))
+    m = re.search(r"hashpartitioning\(band#\d+, val#\d+, [^,]+, (\d+)\)", p)
+    assert m, "salted repartition missing from the plan"
+    assert int(m.group(1)) == n_part
+
+
 def test_no_inferred_generate_filter_reinlines_tokenizer(spark, tables):
     """A plain explode over an expensively-built array makes the optimizer
     infer ``size(arr) > 0`` below the Generate, re-inlining the whole
