@@ -368,20 +368,48 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_join_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same as-of semantics as ``q_join_asof``, via the *other* canonical
-    formulation: cogrouped ``applyInPandas`` + ``pd.merge_asof`` per user.
+    formulation: cogrouped ``applyInPandas`` + ``pd.merge_asof``.
     Demonstrates the Arrow-batched escape hatch for operators Spark lacks;
     the window formulation (q_join_asof) remains the preferred plan — this
-    one pays a Python worker round-trip but the same single shuffle on
-    user_id.  Identical oracle (DuckDB native ASOF JOIN)."""
+    one pays a Python worker round-trip but the same single shuffle.
+    Identical oracle (DuckDB native ASOF JOIN).
+
+    Cogroups on a deterministic hash BUCKET of user_id rather than user_id
+    itself, with ``pd.merge_asof(..., by="user_id")`` doing the per-user
+    as-of inside each bucket — row-identical output (backward direction,
+    exact matches included, per-user independence both ways), but the
+    per-group Python invocation count drops from O(users) to O(buckets)
+    (guide §4.5's amortization applied to the group axis: at sf0.1 the
+    per-user form paid ~20k pandas calls ≈ 11 s; bucketed it is 128 calls
+    ≈ 1 s).  The bucket count derives from the input size (one bucket per
+    ~64k events, floored at 4×parallelism), so per-group pandas memory
+    stays bounded at any corpus size and no constant is tuned to the
+    local box (guide §2.2/§2.5; ``pmod(xxhash64(...))`` per §2.5's
+    deterministic-synthetic-key rule)."""
     import pandas as pd
+
+    from ..session import table_count
 
     t = load_tables(spark, sf_dir)
     ev = t["events"]
-    purch = ev.where(F.col("event_type") == "purchase").select(
-        "user_id", "event_id", "ts"
+    n_ev = table_count(sf_dir, "events")
+    n_buckets = max(
+        spark.sparkContext.defaultParallelism * 4, n_ev // 65_536
     )
+    bucket = F.pmod(F.xxhash64("user_id"), F.lit(n_buckets)).alias("b")
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", bucket
+    )
+    # the right side's user_id/ts are re-aliased so the two cogroup children
+    # share NO attribute: when the shared columns are not the cogroup key,
+    # FlatMapCoGroupsInPandas conflates same-exprId attributes across sides
+    # and the right-hand pandas frame arrives without them (observed on
+    # 4.1: right cols = ['view_value', 'b'] only)
     views = ev.where(F.col("event_type") == "view").select(
-        "user_id", "ts", F.col("value").alias("view_value")
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("v_ts"),
+        F.col("value").alias("view_value"),
+        bucket,
     )
 
     def asof(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
@@ -390,10 +418,22 @@ def q_join_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
                 columns=["event_id", "user_id", "ts_s", "asof_view_value"]
             )
         left = left.sort_values("ts")
-        right = right.sort_values("ts")
-        merged = pd.merge_asof(
-            left, right.drop(columns=["user_id"]), on="ts", direction="backward"
-        )
+        if right.empty:
+            # an all-purchase bucket: Spark hands the empty cogroup side
+            # over as a zero-column frame, so build the no-match result
+            # directly instead of merging against it
+            merged = left.assign(view_value=float("nan"))
+        else:
+            right = right.rename(
+                columns={"v_user_id": "user_id", "v_ts": "ts"}
+            ).sort_values("ts")
+            merged = pd.merge_asof(
+                left,
+                right.drop(columns=["b"]),
+                on="ts",
+                by="user_id",
+                direction="backward",
+            )
         return pd.DataFrame(
             {
                 "event_id": merged["event_id"],
@@ -404,8 +444,8 @@ def q_join_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return (
-        purch.groupBy("user_id")
-        .cogroup(views.groupBy("user_id"))
+        purch.groupBy("b")
+        .cogroup(views.groupBy("b"))
         .applyInPandas(
             asof,
             "event_id long, user_id long, ts_s string, asof_view_value double",

@@ -135,6 +135,23 @@ def test_asof_join_semantics(spark):
     assert res.count() == purchases  # left-join semantics: one row each
 
 
+def test_asof_pandas_bucketed_matches_window_form(spark):
+    """The bucketed-cogroup merge_asof (O(buckets) Python calls) must be
+    row-identical to the window formulation q_join_asof — the two are the
+    declared equivalent pair, so this pins the bucketing rewrite to the
+    exact per-user as-of semantics (backward, exact-match inclusive,
+    null for no prior view)."""
+    from spark_iqmulus_spark.operators.relational import (
+        q_join_asof,
+        q_join_asof_pandas,
+    )
+
+    win = q_join_asof(spark, SF)
+    pdv = q_join_asof_pandas(spark, SF)
+    assert pdv.exceptAll(win).count() == 0
+    assert win.exceptAll(pdv).count() == 0
+
+
 def test_embed_lsh_recall(spark):
     """LSH-bucketed embed dedup must recover a meaningful share of the
     exact near-dup pairs (same caveat as other LSH tests: synthetic
