@@ -723,7 +723,20 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Brute-force pairwise at test SF (correctness baseline; the scale path
     is LSH bucketing — see operators.similarity.q_sim_knn_lsh).  The small
-    side is broadcast so no shuffle of the big side is needed."""
+    side is broadcast so no shuffle of the big side is needed.
+
+    The whole pair predicate lives in the join CONDITION, ordered cheap
+    id comparison first: left as a ``.where`` above the join, Catalyst
+    pushes the cosine filter into the BNLJ condition but orders it FIRST,
+    so every ordered pair — including the excluded lower triangle — paid
+    the three-chain cosine before ``vec_a < vec_b`` even ran (And
+    short-circuits left-to-right; measured 23.6 s vs 16 s at sf0.1).
+    Two staged-operand variants were measured and REJECTED: a per-row
+    unit-normalized array with a slack prefilter chain (23→27 s) and
+    per-row scalar norms (23→42 s) — ANY projected column on a BNLJ side
+    drops the join off the fast path (the same pathology the semantic-
+    dedup norm staging hit from the other direction), so both sides must
+    stay bare scans."""
     from .similarity import embedding_dim
 
     t = load_tables(spark, sf_dir)
@@ -739,9 +752,11 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         # O(N²) correctness baseline (never the scale path — that is
         # q_dedup_embed_lsh); the non-equi pair predicate requires a BNLJ,
         # which needs one broadcast side
-        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        a.join(
+            F.broadcast(b),
+            (F.col("vec_a") < F.col("vec_b")) & (F.round(cos, 6) >= COSINE_T),
+        )
         .withColumn("cos", F.round(cos, 6))
-        .where(F.col("cos") >= COSINE_T)
         .select("vec_a", "vec_b", "cos")
     )
 
