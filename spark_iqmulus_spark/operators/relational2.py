@@ -527,7 +527,16 @@ def q_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python user-defined *table* function (PySpark 4 UDTF API): one row
     in, N rows out — each document chunked into 10-word windows, applied
     via SQL LATERAL.  Arrow-batched like other Python UDFs; the lateral
-    expansion happens executor-side, never on the driver."""
+    expansion happens executor-side, never on the driver.
+
+    The ``doc_id < 50`` predicate is applied in a subquery BELOW the
+    lateral join: Catalyst does not push filters beneath a Python UDTF
+    (the plan showed ``Filter doc_id < 50`` ABOVE BatchEvalPythonUDTF),
+    so the flat form ran the Python chunker over the ENTIRE corpus and
+    discarded all but 50 documents' chunks — at scale, a full-corpus
+    Python pass for a 50-doc answer.  The predicate references only an
+    input column, so filtering first is row-identical; the filter now
+    reaches the parquet scan (PushedFilters: LessThan(doc_id,50))."""
     from pyspark.sql.functions import udtf
 
     load_tables(spark, sf_dir)
@@ -544,8 +553,8 @@ def q_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT d.doc_id, c.chunk_idx, c.n_words, c.first_word
-        FROM documents d, LATERAL chunk_words(d.text) c
-        WHERE d.doc_id < 50
+        FROM (SELECT doc_id, text FROM documents WHERE doc_id < 50) d,
+             LATERAL chunk_words(d.text) c
         """
     )
 
