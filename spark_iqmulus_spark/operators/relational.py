@@ -666,7 +666,13 @@ def q_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     return (
+        # project BEFORE the opaque group map (guide §4.1): Spark cannot
+        # see which columns the function touches, so without this select
+        # the scan read and the Arrow boundary shipped all 12 lineitem
+        # columns for a 3-column aggregate (ReadSchema/FlatMapGroupsInPandas
+        # input verified 12 → 3 wide)
         t["lineitem"]
+        .select("l_returnflag", "l_quantity", "l_discount")
         .groupBy("l_returnflag")
         .applyInPandas(weighted, schema="l_returnflag string, wavg_disc double, n long")
     )

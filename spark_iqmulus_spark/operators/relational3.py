@@ -329,7 +329,11 @@ def q_udaf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     return (
+        # project BEFORE the opaque group map (guide §4.1) — without it
+        # the scan and the Arrow boundary carried all 12 lineitem columns
+        # for a 2-column aggregate
         t["lineitem"]
+        .select("l_linestatus", "l_quantity")
         .groupBy("l_linestatus")
         .applyInArrow(summarize, schema="l_linestatus string, sum_qty double, n long")
     )
