@@ -751,17 +751,28 @@ def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1))
         ) % 64
 
-    # the sketch: counts per (row, bucket)
+    # ONE corpus pass: per-token occurrence counts (checkpointed — they
+    # feed all four sketch rows AND the true top-10).  Before, each seed's
+    # sketch row re-ran the tokenize+explode over the whole corpus and the
+    # top-10 paid a sixth pass (guide §2.3 "aggregate before you shuffle"
+    # applied to the pass count: 5 corpus-wide explodes → 1).
+    tok_counts = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .localCheckpoint()
+    )
+    # the sketch: counts per (row, bucket), derived from the vocabulary
+    # table — bucket count = Σ true_count over the tokens hashing to it,
+    # the same integers the per-occurrence groupBy produced
     rows = None
     for seed in _CMS_SEEDS:
-        r = toks.groupBy(bucket(seed).alias("bucket")).agg(
-            F.count(F.lit(1)).alias("cnt")
+        r = tok_counts.groupBy(bucket(seed).alias("bucket")).agg(
+            F.sum("true_count").alias("cnt")
         ).withColumn("row", F.lit(seed))
         rows = r if rows is None else rows.unionByName(r)
     # true top-10 tokens
     top = (
-        toks.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("true_count"))
+        tok_counts
         .orderBy(F.desc("true_count"), F.asc("tok"))
         .limit(10)
     )
