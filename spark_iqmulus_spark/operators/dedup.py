@@ -138,11 +138,19 @@ def ngram_pairs(docs: DataFrame, detail: bool = False) -> DataFrame:
     are kept alongside the rounded jaccard (for float-free rollups)."""
     sh = _shingles(docs).localCheckpoint()
     df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    # per-shingle / per-doc frames grow with the corpus — no broadcast
-    # hints; AQE broadcasts while small, shuffles when not.
+    # Stop-shingle filter as an ANTI-join against the HOT list (df >
+    # MAX_DF) instead of an inner join against the keep list (df <=
+    # MAX_DF): set-identical — every shingle of sh appears in df_counts,
+    # so dropping the hot ones equals keeping the rest — but the build
+    # side shrinks from ~|vocabulary| rows to the handful of boilerplate
+    # shingles, which AQE broadcasts, removing a full shuffle of the
+    # exploded stream per self-join side.  No hint: past broadcast size
+    # the anti-join shuffles exactly like the old inner join did (same
+    # cost class), so the change is monotone.
     sh_f = sh.join(
-        df_counts.where(F.col("df") <= MAX_DF).select("shingle"),
+        df_counts.where(F.col("df") > MAX_DF).select("shingle"),
         "shingle",
+        "left_anti",
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh_f.select(F.col("doc_id").alias("doc_a"), "shingle")
