@@ -50,8 +50,15 @@ KNOWN_METRICS = DEFAULT_METRICS + [
     # Arrow-hop cost the exprprog replay removed
     "bench_las_regrid",
     "bench_las_regrid_general",
+    # round 14 (VERDICT r13 next #1): the two driver-bench extras whose
+    # r12→r13 delta is disputed drift-vs-regression — same construction
+    # as bench.py (fresh DataFrame per run, .collect()), data from
+    # $SPARK_GRAFT_SF_DIR
+    "bench_dedup_minhash",
+    "bench_sim_lsh",
 ]
 N_POINTS = int(os.environ.get("SPARK_GRAFT_PC_POINTS", "600000"))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def _child(metrics: list[str], runs: int) -> None:
@@ -99,7 +106,15 @@ def _child(metrics: list[str], runs: int) -> None:
             w = w.option("fusedWrite", "false")
         w.save(out)
 
+    from spark_iqmulus_spark.operators import dedup, similarity
+
     fns = {
+        "bench_dedup_minhash": lambda: dedup.q_dedup_minhash(
+            spark, SF_DIR
+        ).collect(),
+        "bench_sim_lsh": lambda: similarity.q_sim_knn_lsh(
+            spark, SF_DIR
+        ).collect(),
         "bench_las_transcode": lambda: transcode_las(
             spark, las_path, os.path.join(pc_dir, "tc.las")
         ),
