@@ -76,6 +76,20 @@ def _shingles(df: DataFrame, n: int = 3, distinct: bool = True) -> DataFrame:
     lambda boundary), so inlining ``words`` re-split the text 3× per
     shingle — measured 12.7× slower at sf0.1 (10.8 s → 0.85 s).
 
+    The ``(doc_id, text)`` projection is respread round-robin when the
+    scan has fewer partitions than cores (``multimodal._spread`` —
+    pass-through, zero Exchange, on any at-scale input): everything
+    downstream of a ``localCheckpoint``ed shingle frame inherits the
+    SCAN's partitioning, and the bench-SF documents parquet plans as 2
+    splits — so the shingle explode, the 16×md5 signature sums, and
+    above all the MAX_DF-bounded pair-expansion join (51.7M rows at sf1)
+    all ran on 2 cores.  Measured at sf1: q_dedup_ngram 112–123 s →
+    11.3–12.3 s (10×), output identical (``exceptAll`` both ways = 0).
+    An explicit ``repartition(N, "shingle")`` before the pair self-join
+    was measured and REJECTED (12.1–12.9 s — no win over the spread: the
+    broadcast pair join preserves the spread partitioning, and at scale
+    the join's own Exchange provides the keyed partitioning anyway).
+
     ``distinct=False`` skips the per-row dedup for consumers whose
     downstream aggregate is insensitive to duplicate (doc_id, shingle)
     rows (min() in the minhash signatures).
@@ -88,8 +102,10 @@ def _shingles(df: DataFrame, n: int = 3, distinct: bool = True) -> DataFrame:
     with ``exceptAll`` both ways on the testdata; measured 1.04 s →
     0.57 s for the distinct shingle stream at sf0.1 — the whole win is
     the removed full-stream shuffle)."""
+    from .multimodal import _spread
+
     words_expr = F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ")
-    w = df.select("doc_id", words_expr.alias("words"))
+    w = _spread(df.select("doc_id", "text")).select("doc_id", words_expr.alias("words"))
     words = F.col("words")
     # indices 0..size-n inclusive → size-n+1 shingles; element_at is 1-based
     grams = F.transform(
@@ -127,6 +143,24 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_pairs(t["documents"])
 
 
+def _drop_hot_shingles(sh: DataFrame, df_counts: DataFrame) -> DataFrame:
+    """Stop-shingle filter as an ANTI-join against the HOT list (df >
+    MAX_DF) instead of an inner join against the keep list (df <=
+    MAX_DF): set-identical — every shingle of sh appears in df_counts,
+    so dropping the hot ones equals keeping the rest — but the build
+    side shrinks from ~|vocabulary| rows to the handful of boilerplate
+    shingles, which AQE broadcasts, removing a full shuffle of the
+    exploded stream per consumer.  No hint: past broadcast size the
+    anti-join shuffles exactly like the old inner join did (same cost
+    class), so the change is monotone.  Shared by ngram_pairs and the
+    incremental delta-dedup path (ADVICE r13)."""
+    return sh.join(
+        df_counts.where(F.col("df") > MAX_DF).select("shingle"),
+        "shingle",
+        "left_anti",
+    )
+
+
 def ngram_pairs(docs: DataFrame, detail: bool = False) -> DataFrame:
     """q_dedup_ngram's pipeline over an arbitrary ``(doc_id, text)`` frame.
 
@@ -138,20 +172,7 @@ def ngram_pairs(docs: DataFrame, detail: bool = False) -> DataFrame:
     are kept alongside the rounded jaccard (for float-free rollups)."""
     sh = _shingles(docs).localCheckpoint()
     df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    # Stop-shingle filter as an ANTI-join against the HOT list (df >
-    # MAX_DF) instead of an inner join against the keep list (df <=
-    # MAX_DF): set-identical — every shingle of sh appears in df_counts,
-    # so dropping the hot ones equals keeping the rest — but the build
-    # side shrinks from ~|vocabulary| rows to the handful of boilerplate
-    # shingles, which AQE broadcasts, removing a full shuffle of the
-    # exploded stream per self-join side.  No hint: past broadcast size
-    # the anti-join shuffles exactly like the old inner join did (same
-    # cost class), so the change is monotone.
-    sh_f = sh.join(
-        df_counts.where(F.col("df") > MAX_DF).select("shingle"),
-        "shingle",
-        "left_anti",
-    )
+    sh_f = _drop_hot_shingles(sh, df_counts)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh_f.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh_f.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -551,7 +572,10 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the sizes aggregate — five consumers, no ReusedExchange between them
     sh = _shingles(t["documents"]).localCheckpoint()
     df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    sh_f = sh.join(df_counts.where(F.col("df") <= MAX_DF).select("shingle"), "shingle")
+    # broadcastable hot-list anti-join, set-identical to the old keep-list
+    # inner join (ADVICE r13: this path had kept the extra full shuffle of
+    # the exploded stream that ngram_pairs already dropped)
+    sh_f = _drop_hot_shingles(sh, df_counts)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     d_sh = sh_f.join(delta.select("doc_id"), "doc_id", "left_semi").select(
         F.col("doc_id").alias("delta_id"), "shingle"
@@ -627,8 +651,14 @@ def simhash_64(docs: DataFrame) -> DataFrame:
 
     Token hash = first 16 hex chars of md5 read nibble-wise (hex char →
     4 bits) — md5, not xxhash64, so DuckDB reproduces the fingerprint
-    bit-for-bit and the downstream pair query is oracle-checkable."""
-    tokens = docs.select(
+    bit-for-bit and the downstream pair query is oracle-checkable.
+
+    The input is respread like ``_shingles``: the tokenize + md5 + 64
+    conditional partial sums are the map side of the one aggregate, and
+    they inherit the scan's partition count (2 at bench SF) without it."""
+    from .multimodal import _spread
+
+    tokens = _spread(docs.select("doc_id", "text")).select(
         "doc_id",
         F.explode(
             F.array_distinct(

@@ -463,10 +463,37 @@ def test_distinct_shingles_no_exchange(spark, tables):
 
     docs = load_tables(spark, SF_DIR)["documents"]
     sh = _shingles(docs, distinct=True)
-    assert "Exchange" not in plan_text(sh)
+    # the only Exchange allowed is the round-robin _spread of the tiny
+    # local input (round 14 — pass-through, zero Exchange, at scale);
+    # a keyed (hashpartitioning) Exchange would mean the exploded stream
+    # is being shuffled for the distinct again
+    import re
+
+    p = plan_text(sh)
+    assert "hashpartitioning" not in p
+    # at most the one round-robin spread node (each node appears twice in
+    # formatted explain output: once in the tree, once in the detail list)
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 1
     global_distinct = _shingles(docs, distinct=False).distinct()
     assert sh.exceptAll(global_distinct).count() == 0
     assert global_distinct.exceptAll(sh).count() == 0
+
+
+def test_shingles_spread_parallelism(spark, tables):
+    """Round 14: the shingle stream must not inherit a tiny scan's
+    partitioning — everything downstream of the localCheckpoint (the
+    MAX_DF-bounded pair-expansion join above all: 51.7M rows at sf1 ran
+    on 2 cores) executes on the checkpointed RDD's partition count.
+    ``_shingles`` respreads the (doc_id, text) projection round-robin to
+    defaultParallelism when the scan has fewer partitions (pass-through,
+    zero Exchange, at scale)."""
+    from spark_iqmulus_spark.operators.dedup import _shingles
+    from spark_iqmulus_spark.session import load_tables
+
+    docs = load_tables(spark, SF_DIR)["documents"]
+    dp = spark.sparkContext.defaultParallelism
+    sh = _shingles(docs).localCheckpoint()
+    assert sh.rdd.getNumPartitions() >= dp
 
 
 def test_semantic_pair_stage_norms_staged(spark, tables):
