@@ -170,3 +170,19 @@ def test_staged_edges_guard(spark, tmp_path, monkeypatch):
     graph._STAGED_OK.clear()
     with pytest.raises(ValueError, match="edge"):
         graph.sim_edges(spark, "/root/testdata/sf0.001")
+
+
+def test_graph_no_persist():
+    """Module policy (round 14 — VERDICT r13 wrong #2): graph.py must
+    materialize with ``localCheckpoint``, never ``persist``.  A persist
+    without a paired release leaks cached RDDs for the session AND lets
+    the CacheManager plan-match a later invocation's identical sub-plan
+    against a prior run's cache, flattering repeat timings (the r7
+    honesty fix).  Source-level pin: zero ``.persist(`` call sites."""
+    import inspect
+
+    from spark_iqmulus_spark.operators import graph
+
+    src = inspect.getsource(graph)
+    assert ".persist(" not in src
+    assert ".localCheckpoint(" in src
