@@ -260,16 +260,28 @@ def dedup_components(pairs: DataFrame, max_rounds: int = 10) -> DataFrame:
         neigh = edges.join(
             labels.withColumnRenamed("node", "dst"), "dst"
         ).select(F.col("src").alias("node"), "label")
-        new_labels = (
-            labels.union(neigh).groupBy("node").agg(F.min("label").alias("label"))
-        ).localCheckpoint()
+        merged = labels.union(neigh).groupBy("node").agg(
+            F.min("label").alias("label")
+        )
         if numeric_ids:
-            label_sum = new_labels.agg(
-                F.sum(F.col("label").cast("decimal(38,0)"))
-            ).collect()[0][0]
+            # round 14 (VERDICT r13 next #3): the sum probe rides the
+            # checkpoint job via DataFrame.observe — CollectMetrics
+            # evaluates while the checkpoint materializes, so each round
+            # is ONE job instead of two (the probe was a separate
+            # aggregate action over the just-checkpointed frame).  The
+            # observed value is the identical decimal(38,0) sum; the
+            # convergence arithmetic is unchanged.
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            new_labels = merged.observe(
+                obs, F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+            ).localCheckpoint()
+            label_sum = obs.get["s"]
             changed = label_sum != prev_sum
             prev_sum = label_sum
         else:
+            new_labels = merged.localCheckpoint()
             changed = (
                 new_labels.withColumnRenamed("label", "new_label")
                 .join(labels, "node")
