@@ -129,9 +129,11 @@ def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``ln(count/total)`` on exact integer ratios, so the rounded mean is
     engine-stable.
     """
+    from .text import _docs
+
     t = load_tables(spark, sf_dir)
     tri = (
-        t["documents"]
+        _docs(t)
         .select("doc_id", F.lower("text").alias("s"))
         .where(F.length("s") >= 3)
         .select(
@@ -176,9 +178,11 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number top-K with a unique (count desc, pair) ordering so both
     engines select the identical set.
     """
+    from .text import _docs
+
     t = load_tables(spark, sf_dir)
     words = (
-        t["documents"]
+        _docs(t)
         .select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
         .where(F.length("word") >= 2)
         .groupBy("word")

@@ -47,6 +47,22 @@ def _marker_score(lang: str):
     return F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
 
 
+
+def _docs(t) -> DataFrame:
+    """The documents table respread across the session's cores
+    (``multimodal._spread``: round-robin repartition ONLY when the scan
+    has fewer partitions than defaultParallelism; pass-through with zero
+    Exchange on any at-scale input).  Round 14: every tokenize/explode
+    map side in this module inherited the parquet scan's 1-2 partitions,
+    so the expensive per-row expression work ran on 2 cores at every
+    test SF — q_text_perplexity's trigram explode alone measured 18.8 s
+    at sf1 on the unspread scan.  Aggregate-only consumers (e.g. the
+    1-row corpus count in q_text_tfidf) keep the bare table: an extra
+    Exchange buys nothing for a count."""
+    from .multimodal import _spread
+
+    return _spread(t["documents"])
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token statistics + per-language rollup."""
     t = load_tables(spark, sf_dir)
@@ -60,7 +76,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # empty/whitespace-only document (1 empty token, 0 = 0)
     sum_tok_len = F.length(_norm()) - (F.size(toks) - F.lit(1))
     return (
-        t["documents"]
+        _docs(t)
         .select(
             "lang",
             F.size(toks).alias("n_tokens"),
@@ -92,7 +108,7 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("zh")
     )
     return (
-        t["documents"]
+        _docs(t)
         .select(F.col("lang").alias("actual"), pred.alias("predicted"))
         .groupBy("actual", "predicted")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -116,7 +132,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = (
         0.3 * length_score + 0.3 * diversity + 0.2 * (1 - punct_ratio) + 0.2 * stop_ratio
     )
-    return t["documents"].select(
+    return _docs(t).select(
         "doc_id",
         F.round(score, 6).alias("quality"),
         F.round(diversity, 6).alias("diversity"),
@@ -131,7 +147,7 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     ws = F.size(_tokens())
     bpe = F.size(F.regexp_extract_all(_norm(), F.lit(_BPE_RE), 0))
     return (
-        t["documents"]
+        _docs(t)
         .select("source", ws.alias("ws_tokens"), bpe.alias("bpe_tokens"))
         .groupBy("source")
         .agg(
@@ -150,7 +166,7 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     # materialize the token array first: exprs inside transform lambdas are
     # re-evaluated per element (see dedup._shingles — 12.7× at sf0.1)
-    src = t["documents"].select("doc_id", "text", _tokens().alias("words"))
+    src = _docs(t).select("doc_id", "text", _tokens().alias("words"))
     words = F.col("words")
     grams = F.when(
         F.size(words) >= 3,
@@ -199,7 +215,7 @@ def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(s_es >= s_zh, "es")
         .otherwise("zh")
     )
-    d = t["documents"].select(
+    d = _docs(t).select(
         "doc_id",
         "source",
         _norm().alias("norm"),
@@ -345,7 +361,7 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     step every training pipeline runs before a data release."""
     t = load_tables(spark, sf_dir)
     # materialized words: no re-split per lambda element (dedup._shingles)
-    src = t["documents"].select("doc_id", "source", _tokens().alias("words"))
+    src = _docs(t).select("doc_id", "source", _tokens().alias("words"))
     words = F.col("words")
     n = _CONTAM_N
     grams = F.when(
@@ -401,7 +417,7 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     tf = (
-        t["documents"]
+        _docs(t)
         .select("doc_id", F.explode(_tokens()).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
@@ -475,7 +491,7 @@ def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_PII_PHONE),
         F.lit("<PHONE>"),
     )
-    per_doc = t["documents"].select(
+    per_doc = _docs(t).select(
         "source",
         F.regexp_count(aug, F.lit(_PII_EMAIL)).alias("n_email"),
         F.regexp_count(aug, F.lit(_PII_PHONE)).alias("n_phone"),
@@ -543,7 +559,7 @@ def q_pipeline_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(s_es >= s_zh, "es")
         .otherwise("zh")
     )
-    d = t["documents"].select(
+    d = _docs(t).select(
         "doc_id",
         "source",
         _norm().alias("norm"),
@@ -558,7 +574,7 @@ def q_pipeline_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # materialized words: no re-split per lambda element (dedup._shingles)
-    gsrc = t["documents"].select("doc_id", _tokens().alias("words"))
+    gsrc = _docs(t).select("doc_id", _tokens().alias("words"))
     words = F.col("words")
     n = _CONTAM_N
     grams = F.when(
@@ -653,7 +669,7 @@ def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic (df desc, gram asc) tiebreak."""
     t = load_tables(spark, sf_dir)
     # materialized words: no re-split per lambda element (dedup._shingles)
-    src = t["documents"].select("doc_id", _tokens().alias("words"))
+    src = _docs(t).select("doc_id", _tokens().alias("words"))
     words = F.col("words")
     grams = F.when(
         F.size(words) >= 2,
@@ -707,7 +723,7 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1))
     ) % 64
     return (
-        t["documents"]
+        _docs(t)
         .select(tok)
         .select(bucket.alias("bucket"))
         .groupBy("bucket")
@@ -743,7 +759,7 @@ def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     regardless of corpus size; the sketch is mergeable across partitions
     and days."""
     t = load_tables(spark, sf_dir)
-    toks = t["documents"].select(F.explode(_tokens()).alias("tok"))
+    toks = _docs(t).select(F.explode(_tokens()).alias("tok"))
 
     def bucket(seed: str):
         h = F.md5(F.concat(F.lit(seed), F.col("tok")))
@@ -840,7 +856,7 @@ def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # split() never returns an empty array and is NULL only for NULL text,
     # so isnotnull(text) (pushed to the parquet scan) + explode_outer is
     # row-identical to the inner explode for every input.
-    src = t["documents"].where(F.col("text").isNotNull()).select(
+    src = _docs(t).where(F.col("text").isNotNull()).select(
         _tokens().alias("words")
     )
     tf = (
@@ -894,7 +910,7 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     # materialized words: no re-split per lambda element (dedup._shingles)
     src = (
-        t["documents"]
+        _docs(t)
         .select("doc_id", "source", _tokens().alias("words"))
         .where(F.size("words") >= 3)
     )
@@ -997,7 +1013,7 @@ def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # interpreted pre-Generate Filter; row-identical because split() is
     # never empty and NULL only for NULL text.
     words = (
-        t["documents"]
+        _docs(t)
         .where(F.col("text").isNotNull())
         .select("source", _tokens().alias("ws"))
         .select("source", F.explode_outer("ws").alias("w"))
@@ -1068,7 +1084,7 @@ def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB this is a map-only pass plus one partial-aggregated hash agg.
     """
     t = load_tables(spark, sf_dir)
-    src = t["documents"].select("doc_id", "source", _tokens().alias("words"))
+    src = _docs(t).select("doc_id", "source", _tokens().alias("words"))
     w = F.col("words")
     starts = F.sequence(F.lit(1), F.size(w), F.lit(12))
     chunks = F.transform(
@@ -1125,7 +1141,7 @@ def q_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     which need the MAX_DF stop-shingle cap.
     """
     t = load_tables(spark, sf_dir)
-    src = t["documents"].select("doc_id", "source", _tokens().alias("words"))
+    src = _docs(t).select("doc_id", "source", _tokens().alias("words"))
     w = F.col("words")
     starts = F.sequence(F.lit(1), F.size(w), F.lit(10))
     spans = F.transform(

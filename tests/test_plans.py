@@ -602,3 +602,18 @@ def test_no_inferred_generate_filter_reinlines_tokenizer(spark, tables):
     for fn in (q_text_zipf, q_vocab_drift):
         p = plan_text(fn(spark, SF_DIR))
         assert "size(split(" not in p, fn.__name__
+
+
+def test_text_docs_spread_parallelism(spark, tables):
+    """Round 14: text.py's tokenize/explode map sides must not inherit a
+    tiny scan's partitioning (q_text_perplexity's trigram explode alone
+    measured 18.8 s at sf1 on the 2-partition scan; 41 -> 4.3 s after).
+    ``_docs`` respreads the documents table round-robin to
+    defaultParallelism when the scan has fewer partitions (pass-through,
+    zero Exchange, at scale)."""
+    from spark_iqmulus_spark.operators.text import _docs
+    from spark_iqmulus_spark.session import load_tables
+
+    t = load_tables(spark, SF_DIR)
+    dp = spark.sparkContext.defaultParallelism
+    assert _docs(t).rdd.getNumPartitions() >= dp
