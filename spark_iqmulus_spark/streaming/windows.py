@@ -167,6 +167,7 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is what makes stream-stream joins feasible on unbounded input.
     Replayed to completion (availableNow) so the append-mode result equals
     the batch interval self-join, making it oracle-checkable."""
+    import math
     import os
     import uuid
 
@@ -177,6 +178,22 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw_schema = spark.read.parquet(path).schema
     stream_dir = tempfile.mkdtemp(prefix="stream_join_")
     os.symlink(os.path.abspath(path), os.path.join(stream_dir, "events.parquet"))
+
+    # Round 14 (VERDICT r13 next #6): a stream-stream join provisions FOUR
+    # state stores per shuffle partition per micro-batch (left/right rows +
+    # keyToNumValues each side); at the session default (one partition per
+    # core) a bounded availableNow replay of a small batch pays ~128 store
+    # provisionings for kilobytes of state.  Derive the state partition
+    # count from the INPUT SIZE instead — one partition per 128 MB of
+    # source, capped at the session default, floor 1 — so a tiny batch
+    # provisions one partition while any at-scale input keeps the session
+    # default (no constant tuned to either regime).  Measured at sf0.1:
+    # 5.9–12.1 s → 2.4 s, identical 183 output rows.  The count is pinned
+    # at the query's FIRST start via spark.sql.shuffle.partitions (the
+    # state layout is then checkpoint-persistent); the session value is
+    # restored after the replay.
+    default_np = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    derived_np = max(1, min(default_np, math.ceil(os.path.getsize(path) / (128 << 20))))
 
     def src():
         return ts_micros_if_long(
@@ -216,15 +233,19 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("bts", _TS_FMT).alias("purchase_ts"),
     )
     name = f"q_stream_join_{uuid.uuid4().hex[:8]}"
-    query = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_sj_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    spark.conf.set("spark.sql.shuffle.partitions", str(derived_np))
+    try:
+        query = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_sj_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(default_np))
     return spark.table(name)
 
 
